@@ -1,0 +1,96 @@
+"""Shared helpers for the oracle-checked query suite.
+
+Cross-engine exactness rules (Spark result must hash-equal the DuckDB oracle
+value-for-value, so every expression is designed to be bit-identical in both
+engines):
+
+- **Money/double sums**: floating sums are order-dependent, so never sum raw
+  doubles that aren't integer-valued. Quantize per-row to integer cents with
+  ``FLOOR(x * 100.0 + 0.5)`` (IEEE multiply + floor are deterministic in both
+  engines), sum exactly as BIGINT.
+- **Averages/ratios**: exact integer (or integer-valued-double) numerator and
+  denominator, single IEEE division written identically on both sides.
+- **Hashing**: ``md5`` only -- both engines produce identical lowercase hex.
+  (Spark's ``hash``/``xxhash64`` and DuckDB's ``hash`` are different
+  algorithms.)
+- **Counts**: DuckDB ``SUM(int)`` returns HUGEINT -- oracle SQL always wraps
+  in ``CAST(... AS BIGINT)``; Spark side casts window ranks int->long.
+- **Top-k**: every LIMIT/rank carries a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from phageclouds_graphdatabase_spark.sources.readers import read_table
+
+
+@dataclass(frozen=True)
+class SuiteEntry:
+    """One oracle-checked query: Spark implementation + equivalent DuckDB SQL
+    (None => non-SQL-expressible; driver does a weaker rows-only check) +
+    the SURVEY.md §2 rows this query covers."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    survey_rows: tuple[str, ...] = field(default_factory=tuple)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def cents(col: Column) -> Column:
+    """Quantize a double to integer cents, deterministically in IEEE terms.
+    Oracle equivalent: CAST(FLOOR((<expr>) * 100.0 + 0.5) AS BIGINT)."""
+    return F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("long")
+
+
+def quant(col: Column, scale: float = 10000.0) -> Column:
+    """Quantize to integer at the given scale (embeddings -> exact integer
+    dot products). Oracle: CAST(FLOOR(CAST(x AS DOUBLE) * <scale> + 0.5) AS BIGINT)."""
+    return F.floor(col.cast("double") * F.lit(scale) + F.lit(0.5)).cast("long")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, empty-safe; oracle equivalent:
+    list_filter(regexp_split_to_array(trim(x), '\\s+'), t -> t <> '')."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda x: x != F.lit(""))
+
+
+# Derived graph over the driver testdata (the phage tables don't exist in
+# /root/testdata, so graph-operator oracle checks run on a graph derived from
+# lineitem: part nodes 'P<key>' --(distance = min l_discount)--> supplier
+# nodes 'S<key>'. Semantics identical to the sharesDNA edge table.)
+GRAPH_EDGES_SQL = """
+    SELECT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst,
+           MIN(l_discount) AS distance
+    FROM lineitem GROUP BY 1, 2
+"""
+
+GRAPH_SEEDS_SQL = """
+    SELECT DISTINCT 'P' || p_partkey AS id FROM part WHERE p_type = 'ECONOMY'
+"""
+
+GRAPH_THRESHOLD = 0.02
+
+
+def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+    ).agg(F.min("l_discount").alias("distance"))
+
+
+def graph_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type") == "ECONOMY")
+        .select(F.concat(F.lit("P"), F.col("p_partkey")).alias("id"))
+        .distinct()
+    )

@@ -1,0 +1,799 @@
+"""Oracle-checked extension suite: graph operators (SURVEY.md §2.3/W6) over
+the lineitem-derived graph, plus the LLM-data-pipeline surface (W5): text
+analysis, dedup (exact / MinHash / SimHash / n-gram Jaccard), similarity
+search over embeddings, windowed event analytics (W3 batch shape), and the
+multimodal metadata pipeline (W4 Arrow plumbing).
+
+Graph semantics mirror the reference's Cypher pipelines exactly (citations
+inline); they run here on a graph derived from the testdata so the DuckDB
+oracle can check them (the phage tables aren't part of /root/testdata).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from phageclouds_graphdatabase_spark.operators import graph as G
+from phageclouds_graphdatabase_spark.plans._suite_helpers import (
+    GRAPH_EDGES_SQL,
+    GRAPH_SEEDS_SQL,
+    GRAPH_THRESHOLD,
+    SuiteEntry,
+    cents,
+    graph_edges,
+    graph_seeds,
+    t,
+    tokens,
+)
+
+# Common oracle CTE prefix for the graph queries (kept in lockstep with
+# graph_edges/graph_seeds + operators.graph implementations). NB: plain WITH,
+# not WITH RECURSIVE -- DuckDB 1.0 silently changes the semantics of sibling
+# non-recursive CTEs under WITH RECURSIVE (observed: node_set 411 -> 2485
+# rows); the components oracle below inlines everything for that reason.
+_GRAPH_CTE = f"""
+WITH edges AS ({GRAPH_EDGES_SQL}),
+seeds AS ({GRAPH_SEEDS_SQL}),
+node_set AS (
+    SELECT id FROM seeds
+    UNION
+    SELECT e.dst AS id FROM edges e JOIN seeds s ON e.src = s.id
+    WHERE e.distance <= {GRAPH_THRESHOLD}
+),
+induced AS (
+    SELECT e.src, e.dst, e.distance
+    FROM edges e
+    JOIN node_set a ON e.src = a.id
+    JOIN node_set b ON e.dst = b.id
+    WHERE e.distance <= {GRAPH_THRESHOLD}
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Graph pattern matching (J2, J3, J5+A4, degrees, W6 components)
+# --------------------------------------------------------------------------
+
+def graph_expand_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 1-hop expand: node set = seeds UNION out-neighbors under the
+    distance threshold -- the cloud-extraction seed step
+    (/root/reference/phageclouds_gdb.py:56-62). Directed-only expand
+    reproduces the reference quirk (edges stored once per pair)."""
+    return G.expand(graph_seeds(spark, sf_dir), graph_edges(spark, sf_dir), GRAPH_THRESHOLD)
+
+
+GRAPH_EXPAND_SQL = _GRAPH_CTE + "SELECT id FROM node_set"
+
+
+def graph_induced_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 induced-subgraph edge extraction: both endpoints in the node set
+    AND distance <= t (/root/reference/phageclouds_gdb.py:64-67)."""
+    seeds = graph_seeds(spark, sf_dir)
+    edges = graph_edges(spark, sf_dir)
+    ns = G.expand(seeds, edges, GRAPH_THRESHOLD)
+    return G.induced_subgraph(ns, edges, GRAPH_THRESHOLD)
+
+
+GRAPH_INDUCED_SQL = _GRAPH_CTE + "SELECT src, dst, distance FROM induced"
+
+
+def graph_degrees_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node degrees over the induced subgraph (cloud analytics)."""
+    return G.degrees(graph_induced_edges(spark, sf_dir)).select(
+        "id",
+        F.col("out_degree").cast("long").alias("out_degree"),
+        F.col("in_degree").cast("long").alias("in_degree"),
+        F.col("degree").cast("long").alias("degree"),
+    )
+
+
+GRAPH_DEGREES_SQL = _GRAPH_CTE + """
+, o AS (SELECT src AS id, COUNT(*) AS outd FROM induced GROUP BY src),
+  i AS (SELECT dst AS id, COUNT(*) AS ind  FROM induced GROUP BY dst)
+SELECT COALESCE(o.id, i.id) AS id,
+       CAST(COALESCE(outd, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(ind, 0) AS BIGINT) AS in_degree,
+       CAST(COALESCE(outd, 0) + COALESCE(ind, 0) AS BIGINT) AS degree
+FROM o FULL OUTER JOIN i ON o.id = i.id
+"""
+
+
+def graph_optional_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 optional attribute join + A4 deterministic last-write-wins dedup:
+    each seed node keeps its nearest neighbor, or NULL if none -- the engine
+    form of OPTIONAL MATCH (a)-[:infects]->(h) followed by dict-update dedup
+    (/root/reference/phageclouds_gdb_host.py:61-62,67-75)."""
+    seeds = graph_seeds(spark, sf_dir)
+    edges = graph_edges(spark, sf_dir).filter(F.col("distance") <= GRAPH_THRESHOLD)
+    joined = seeds.join(edges, seeds["id"] == edges["src"], "left_outer")
+    w = Window.partitionBy("id").orderBy(F.col("distance").asc_nulls_last(), F.col("dst").asc_nulls_last())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("dst").alias("nearest"), "distance")
+    )
+
+
+GRAPH_OPTIONAL_SQL = _GRAPH_CTE + f"""
+, j AS (
+    SELECT s.id, e.dst, e.distance,
+           row_number() OVER (PARTITION BY s.id
+                              ORDER BY e.distance ASC NULLS LAST, e.dst ASC NULLS LAST) AS rn
+    FROM seeds s
+    LEFT JOIN (SELECT * FROM edges WHERE distance <= {GRAPH_THRESHOLD}) e ON s.id = e.src
+)
+SELECT id, dst AS nearest, distance FROM j WHERE rn = 1
+"""
+
+
+def graph_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 connected components ("phage clouds") over the thresholded induced
+    subgraph; label = min node id in the component (deterministic). Spark
+    side is the iterative hash-min loop in operators/graph.py; the oracle is
+    a recursive-CTE reachability closure (viable at sf0.01 scale only)."""
+    seeds = graph_seeds(spark, sf_dir)
+    edges = graph_edges(spark, sf_dir)
+    ns = G.expand(seeds, edges, GRAPH_THRESHOLD)
+    induced = G.induced_subgraph(ns, edges, GRAPH_THRESHOLD)
+    return G.connected_components(induced, nodes=ns)
+
+
+# Fully-inlined subqueries (no sibling CTEs -- see _GRAPH_CTE note on the
+# DuckDB WITH RECURSIVE hazard).
+_EDGES_SUB = f"(SELECT * FROM ({GRAPH_EDGES_SQL}) _e)"
+_SEEDS_SUB = f"(SELECT * FROM ({GRAPH_SEEDS_SQL}) _s)"
+_NODESET_SUB = f"""(
+    SELECT id FROM {_SEEDS_SUB} seeds
+    UNION
+    SELECT e.dst AS id FROM {_EDGES_SUB} e JOIN {_SEEDS_SUB} s ON e.src = s.id
+    WHERE e.distance <= {GRAPH_THRESHOLD}
+)"""
+_INDUCED_SUB = f"""(
+    SELECT e.src, e.dst, e.distance
+    FROM {_EDGES_SUB} e
+    JOIN {_NODESET_SUB} a ON e.src = a.id
+    JOIN {_NODESET_SUB} b ON e.dst = b.id
+    WHERE e.distance <= {GRAPH_THRESHOLD}
+)"""
+
+GRAPH_COMPONENTS_SQL = f"""
+WITH RECURSIVE reach(id, nbr) AS (
+    SELECT id, id FROM {_NODESET_SUB} ns
+    UNION
+    SELECT r.id, u.b
+    FROM reach r JOIN (
+        SELECT src AS a, dst AS b FROM {_INDUCED_SUB} i1
+        UNION
+        SELECT dst AS a, src AS b FROM {_INDUCED_SUB} i2
+    ) u ON r.nbr = u.a
+)
+SELECT id, MIN(nbr) AS component FROM reach GROUP BY id
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis (W5: token stats, quality, lang-id)
+# --------------------------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_txt"),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("double")
+            / F.size("w")
+        ).alias("avg_token_len"),
+    )
+
+
+TEXT_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_txt,
+       CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+         / len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS avg_token_len
+FROM documents
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio + distinct-token ratio + bucket
+    (every ratio is exact-int / exact-int so the doubles match the oracle)."""
+    d = t(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
+    d = d.select(
+        "doc_id",
+        F.size("w").alias("n_tok"),
+        F.size(F.filter(F.col("w"), lambda x: (x == "a") | (x == "the"))).alias("n_stop"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+    )
+    d = d.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        (F.col("n_stop").cast("double") / F.col("n_tok")).alias("stop_ratio"),
+        (F.col("n_distinct").cast("double") / F.col("n_tok")).alias("distinct_ratio"),
+    )
+    return d.withColumn(
+        "quality",
+        F.when(F.col("distinct_ratio") >= 0.5, "rich")
+        .when(F.col("stop_ratio") >= 0.15, "stopword-heavy")
+        .otherwise("normal"),
+    )
+
+
+TEXT_QUALITY_SQL = r"""
+WITH w AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+    FROM documents
+), c AS (
+    SELECT doc_id,
+           len(w) AS n_tok,
+           len(list_filter(w, x -> x = 'a' OR x = 'the')) AS n_stop,
+           len(list_distinct(w)) AS n_distinct
+    FROM w
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+       CAST(n_distinct AS DOUBLE) / n_tok AS distinct_ratio,
+       CASE WHEN CAST(n_distinct AS DOUBLE) / n_tok >= 0.5 THEN 'rich'
+            WHEN CAST(n_stop AS DOUBLE) / n_tok >= 0.15 THEN 'stopword-heavy'
+            ELSE 'normal' END AS quality
+FROM c
+"""
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-token frequencies with a fixed priority
+    tie-break (deterministic; the synthetic corpus carries no real language
+    signal, so determinism -- not accuracy -- is what the oracle checks)."""
+    d = t(spark, sf_dir, "documents")
+    c1 = F.regexp_count(F.col("text"), F.lit(r"\bdata\b"))
+    c2 = F.regexp_count(F.col("text"), F.lit(r"\btable\b"))
+    c3 = F.regexp_count(F.col("text"), F.lit(r"\brow\b"))
+    c4 = F.regexp_count(F.col("text"), F.lit(r"\bwindow\b"))
+    return d.select(
+        "doc_id",
+        c1.cast("long").alias("c_data"),
+        F.when((c1 >= c2) & (c1 >= c3) & (c1 >= c4), "en")
+        .when((c2 >= c3) & (c2 >= c4), "es")
+        .when(c3 >= c4, "de")
+        .otherwise("fr")
+        .alias("predicted_lang"),
+    )
+
+
+LANG_ID_SQL = r"""
+WITH c AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\bdata\b'))   AS c1,
+           len(regexp_extract_all(text, '\btable\b'))  AS c2,
+           len(regexp_extract_all(text, '\brow\b'))    AS c3,
+           len(regexp_extract_all(text, '\bwindow\b')) AS c4
+    FROM documents
+)
+SELECT doc_id,
+       CAST(c1 AS BIGINT) AS c_data,
+       CASE WHEN c1 >= c2 AND c1 >= c3 AND c1 >= c4 THEN 'en'
+            WHEN c2 >= c3 AND c2 >= c4 THEN 'es'
+            WHEN c3 >= c4 THEN 'de'
+            ELSE 'fr' END AS predicted_lang
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup family (W5: exact, MinHash, SimHash, n-gram Jaccard)
+# --------------------------------------------------------------------------
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep the min doc_id per group
+    (at 100 TB this is the standard first dedup pass: one shuffle on a
+    64-hex key, heavily combiner-reduced)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+_MINHASH_K = 4
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) pairs: word 3-grams. Shared by minhash + jaccard."""
+    d = t(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
+    d = d.withColumn(
+        "shingles",
+        F.when(
+            F.size("w") >= 3,
+            F.expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return d.select("doc_id", F.explode("shingles").alias("shingle"))
+
+
+_SHINGLE_CTE = r"""
+w AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+    FROM documents
+),
+ix AS (
+    SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM w
+),
+shingles AS (
+    SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM ix
+)
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: k=4 hash families as md5('<k>|' || shingle), min
+    per document. The LSH scale path: signatures -> band -> bucket-join."""
+    sh = _shingled(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))).alias(f"mh_{k}")
+        for k in range(_MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+MINHASH_SQL = (
+    "WITH " + _SHINGLE_CTE + """
+SELECT doc_id,
+"""
+    + ",\n".join(
+        f"       MIN(md5('{k}|' || shingle)) AS mh_{k}" for k in range(_MINHASH_K)
+    )
+    + "\nFROM shingles GROUP BY doc_id"
+)
+
+
+def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard, via a shingle inverted-index
+    self-join (the scalable shape: no all-pairs cross join; candidate pairs
+    are generated only where at least one shingle collides). All counts are
+    integers, so the jaccard double matches the oracle exactly."""
+    sh = _shingled(spark, sf_dir).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= 0.03)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+
+
+NEARDUP_JACCARD_SQL = (
+    "WITH " + _SHINGLE_CTE + """
+, dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared,
+       CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.03
+"""
+)
+
+_SIMHASH_BITS = 16
+_HI_NIBBLE = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint: 16 bits, bit j = sign of the sum over
+    tokens of +/-1 driven by hex digit j of md5(token). Token multiplicity
+    counts (both engines explode the full token list)."""
+    d = t(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
+    tok = d.select("doc_id", F.explode("w").alias("tok")).withColumn(
+        "h", F.md5(F.col("tok"))
+    )
+    aggs = [
+        F.sum(
+            F.when(F.substring(F.col("h"), j + 1, 1).isin(*_HI_NIBBLE), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    sums = tok.groupBy("doc_id").agg(*aggs)
+    bits = F.concat(
+        *[F.when(F.col(f"s{j}") >= 0, "1").otherwise("0") for j in range(_SIMHASH_BITS)]
+    )
+    return sums.select("doc_id", bits.alias("simhash"))
+
+
+_simhash_sums = ",\n".join(
+    "       SUM(CASE WHEN substr(md5(tok), {p}, 1) IN ('8','9','a','b','c','d','e','f')"
+    " THEN 1 ELSE -1 END) AS s{j}".format(p=j + 1, j=j)
+    for j in range(_SIMHASH_BITS)
+)
+_simhash_bits = " || ".join(
+    f"(CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END)" for j in range(_SIMHASH_BITS)
+)
+SIMHASH_SQL = r"""
+WITH w AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(w) AS tok FROM w),
+sums AS (
+    SELECT doc_id,
+""" + _simhash_sums + """
+    FROM tok GROUP BY doc_id
+)
+SELECT doc_id, """ + _simhash_bits + """ AS simhash
+FROM sums
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings (W5)
+# --------------------------------------------------------------------------
+
+_Q_SCALE = "10000.0"
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q: array<long>) -- embeddings quantized to exact integers so
+    dot products are integer-exact cross-engine (floats sum order-dependently;
+    integers don't)."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(10000.0) + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    )
+
+
+_QUANT_ELEMS_SQL = f"""
+elems AS (
+    SELECT vec_id,
+           unnest(list_transform(embedding,
+                  x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_Q_SCALE} + 0.5) AS BIGINT))) AS qe,
+           unnest(range(0, len(embedding))) AS d
+    FROM embeddings
+),
+norms AS (SELECT vec_id, CAST(SUM(qe * qe) AS BIGINT) AS n2 FROM elems GROUP BY vec_id)
+"""
+
+
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 10): the exact
+    ANN baseline. zip_with + aggregate keeps the dot product JVM-side; the
+    query side is broadcast so the scan of the candidate side streams."""
+    qv = _quantized(spark, sf_dir)
+    norms = qv.select(
+        "vec_id",
+        F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x * x).alias("n2"),
+    )
+    a = qv.filter(F.col("vec_id") < 10).alias("a")
+    b = qv.alias("b")
+    pairs = (
+        F.broadcast(a)
+        .join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+    )
+    na = norms.select(F.col("vec_id").alias("query_id"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("nb2"))
+    scored = (
+        pairs.join(F.broadcast(na), "query_id")
+        .join(nb, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+KNN_SQL = "WITH " + _QUANT_ELEMS_SQL + """
+, dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
+    FROM elems a JOIN elems b ON a.d = b.d AND a.vec_id < 10 AND b.vec_id <> a.vec_id
+    GROUP BY a.vec_id, b.vec_id
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = query_id
+    JOIN norms nb ON nb.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored) z
+WHERE rnk <= 5
+"""
+
+_LSH_PLANES = 8
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing (the ANN scale path): 8 deterministic pseudo-random
+    hyperplanes with +/-1 coefficients derived from md5(plane||'-'||dim);
+    bucket = 8-bit sign string of the integer dot products. At 100 TB the
+    bucket becomes the shuffle/partition key and top-k runs within buckets."""
+    qv = _quantized(spark, sf_dir)
+    elems = qv.select("vec_id", F.posexplode("q").alias("d", "qe"))
+    planes = (
+        spark.range(_LSH_PLANES)
+        .select(F.col("id").alias("h"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("d")))
+        .select(
+            "h",
+            "d",
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.col("h").cast("string"), F.lit("-"), F.col("d").cast("string"))),
+                    1,
+                    1,
+                ).isin(*_HI_NIBBLE),
+                -1,
+            )
+            .otherwise(1)
+            .cast("long")
+            .alias("coef"),
+        )
+    )
+    sums = (
+        elems.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "h")
+        .agg(F.sum(F.col("qe") * F.col("coef")).alias("s"))
+        .withColumn("bit", F.when(F.col("s") >= 0, "1").otherwise("0"))
+    )
+    return sums.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("h", "bit"))), lambda x: x["bit"]
+            ),
+            "",
+        ).alias("bucket")
+    )
+
+
+ANN_LSH_SQL = "WITH " + _QUANT_ELEMS_SQL + f"""
+, planes AS (
+    SELECT h.range AS h, d.range AS d,
+           CASE WHEN substr(md5(h.range || '-' || d.range), 1, 1)
+                     IN ('8','9','a','b','c','d','e','f') THEN -1 ELSE 1 END AS coef
+    FROM range({_LSH_PLANES}) h, range(64) d
+),
+sums AS (
+    SELECT e.vec_id, p.h, CAST(SUM(e.qe * p.coef) AS BIGINT) AS s
+    FROM elems e JOIN planes p ON e.d = p.d
+    GROUP BY e.vec_id, p.h
+)
+SELECT vec_id,
+       string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY h) AS bucket
+FROM sums GROUP BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Event analytics (W3 batch shapes; true streaming lives in streaming/)
+# --------------------------------------------------------------------------
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute windows per event type -- identical transformation
+    runs under readStream in streaming/events.py."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents(F.col("value"))).alias("sum_value_cents"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events", "sum_value_cents")
+    )
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR((value) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min slide): each event lands in two
+    windows."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+EVENTS_SLIDING_SQL = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) - (k.k * INTERVAL '5 minutes') AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+GROUP BY 1, 2
+"""
+
+
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (5-minute gap). Same F.session_window call
+    works under Structured Streaming with a watermark."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "5 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("win.start").alias("session_start"), "n_events")
+    )
+
+
+EVENTS_SESSION_SQL = """
+WITH x AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+y AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM x
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM y GROUP BY user_id, sid
+"""
+
+
+def events_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per (user_id, event_type): the batch twin of
+    streaming dropDuplicates-with-watermark (deterministic pinned order)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+EVENTS_DEDUP_SQL = """
+SELECT user_id, event_type, event_id, ts
+FROM (SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events) z
+WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing + pandas UDF (W4)
+# --------------------------------------------------------------------------
+
+_MEDIA_SCHEMA = "media_id bigint, kind string, payload_bytes bigint, fingerprint string"
+_KINDS = ("image", "audio", "video")
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing, driven end-to-end through mapInPandas
+    (Arrow batches): documents stand in for opaque media payloads; the
+    pipeline extracts typed metadata per batch. The real decode step (image
+    resize / audio frames) is stubbed in operators/multimodal.py because the
+    codec libraries aren't in this runtime -- but the batch shape, schema and
+    partitioning here are the production path."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def extract(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": (pdf["doc_id"] % 3).map(dict(enumerate(_KINDS))),
+                    "payload_bytes": pdf["text"].str.len().astype("int64"),
+                    "fingerprint": pdf["text"].map(
+                        lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+                    ),
+                }
+            )
+
+    return d.mapInPandas(extract, schema=_MEDIA_SCHEMA)
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(length(text) AS BIGINT) AS payload_bytes,
+       md5(text) AS fingerprint
+FROM documents
+"""
+
+
+def pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 scalar pandas UDF (Arrow-vectorized -- the sanctioned escape hatch;
+    the reference's row-wise df.apply lambdas are the anti-pattern this
+    replaces, /root/reference/phageclouds_gdb.py:93)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def n_tokens_udf(texts: pd.Series) -> pd.Series:
+        return texts.str.strip().str.split(r"\s+", regex=True).map(len).astype("int64")
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", n_tokens_udf(F.col("text")).alias("n_tokens_udf"))
+
+
+PANDAS_UDF_SQL = r"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens_udf
+FROM documents
+"""
+
+
+ENTRIES: dict[str, SuiteEntry] = {
+    "graph_expand_nodes": SuiteEntry(graph_expand_nodes, GRAPH_EXPAND_SQL, ("J2", "A3", "P5")),
+    "graph_induced_edges": SuiteEntry(graph_induced_edges, GRAPH_INDUCED_SQL, ("J3", "P3")),
+    "graph_degrees": SuiteEntry(graph_degrees_q, GRAPH_DEGREES_SQL, ("A6", "J7")),
+    "graph_optional_host": SuiteEntry(graph_optional_host, GRAPH_OPTIONAL_SQL, ("J4", "J5", "A4")),
+    "graph_components": SuiteEntry(graph_components_q, GRAPH_COMPONENTS_SQL, ("W6",)),
+    "text_token_stats": SuiteEntry(text_token_stats, TEXT_TOKEN_STATS_SQL, ("W5", "V8")),
+    "text_quality_score": SuiteEntry(text_quality_score, TEXT_QUALITY_SQL, ("W5",)),
+    "lang_id_ngram": SuiteEntry(lang_id_ngram, LANG_ID_SQL, ("W5",)),
+    "dedup_exact_docs": SuiteEntry(dedup_exact_docs, DEDUP_EXACT_SQL, ("W5", "A6")),
+    "minhash_signatures": SuiteEntry(minhash_signatures, MINHASH_SQL, ("W5",)),
+    "neardup_jaccard_pairs": SuiteEntry(neardup_jaccard_pairs, NEARDUP_JACCARD_SQL, ("W5", "J7")),
+    "simhash_fingerprint": SuiteEntry(simhash_fingerprint, SIMHASH_SQL, ("W5",)),
+    "knn_cosine_bruteforce": SuiteEntry(knn_cosine_bruteforce, KNN_SQL, ("W5",)),
+    "ann_lsh_buckets": SuiteEntry(ann_lsh_buckets, ANN_LSH_SQL, ("W5",)),
+    "events_tumbling_window": SuiteEntry(events_tumbling_window, EVENTS_TUMBLING_SQL, ("W3",)),
+    "events_sliding_window": SuiteEntry(events_sliding_window, EVENTS_SLIDING_SQL, ("W3",)),
+    "events_session_window": SuiteEntry(events_session_window, EVENTS_SESSION_SQL, ("W3",)),
+    "events_dedup_earliest": SuiteEntry(events_dedup_earliest, EVENTS_DEDUP_SQL, ("W3", "A4")),
+    "multimodal_metadata": SuiteEntry(multimodal_metadata, MULTIMODAL_SQL, ("W4",)),
+    "pandas_udf_token_count": SuiteEntry(pandas_udf_token_count, PANDAS_UDF_SQL, ("W4",)),
+}
