@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <scale factor>}
+
+Each query is forced to full materialization with a noop write (all columns
+computed, nothing collected to the driver), timed after a warm-up of the
+session itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from phageclouds_graphdatabase_spark.plans.suite import SUITE
+from phageclouds_graphdatabase_spark.session import get_spark
+
+# Headline set: the flagship graph pipeline + one representative per operator
+# family (scan/agg, join+topk, 6-way join, windows, events, dedup family,
+# similarity search). Kept deliberately diverse so a regression anywhere in
+# the engine shows up here.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "window_running_totals",
+    "graph_expand_nodes",
+    "graph_induced_edges",
+    "graph_components",
+    "dedup_exact_docs",
+    "minhash_signatures",
+    "neardup_jaccard_pairs",
+    "simhash_fingerprint",
+    "knn_cosine_bruteforce",
+    "ann_lsh_buckets",
+    "events_tumbling_window",
+    "events_session_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark("phageclouds-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM/session so the first timed query doesn't pay startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = SUITE[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -112,10 +112,14 @@ def connected_components(
     100 TB graphs with long chains, swap the body for alternating
     large-star/small-star (same driver-loop shape, O(log n) rounds).
     """
+    # Materialize the undirected edge list once -- the iteration below would
+    # otherwise recompute the (possibly expensive) upstream edge plan every
+    # round. localCheckpoint is eager and truncates lineage.
     und = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .distinct()
+        .localCheckpoint()
     )
     if nodes is None:
         nodes = as_node_set(und, "a")

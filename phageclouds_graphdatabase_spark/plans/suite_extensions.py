@@ -314,16 +314,27 @@ _MINHASH_K = 4
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) pairs: word 3-grams. Shared by minhash + jaccard."""
-    d = t(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
-    d = d.withColumn(
-        "shingles",
-        F.when(
-            F.size("w") >= 3,
-            F.expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"),
-        ).otherwise(F.array().cast("array<string>")),
+    """(doc_id, shingle) pairs: word 3-grams. Shared by minhash + jaccard.
+
+    Built as posexplode + lead() windows rather than an indexed-access
+    transform(sequence(...), i -> w[i] || w[i+1] || w[i+2]): Catalyst
+    collapses projections, so each w[i] access re-evaluates the regex
+    split -- O(tokens^2) per document (measured 16s vs ~1s at sf0.1).
+    The window form splits once per document and shuffles linearly."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
     )
-    return d.select("doc_id", F.explode("shingles").alias("shingle"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        d.select(
+            "doc_id",
+            F.col("tok").alias("t0"),
+            F.lead("tok", 1).over(w).alias("t1"),
+            F.lead("tok", 2).over(w).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "t0", "t1", "t2").alias("shingle"))
+    )
 
 
 _SHINGLE_CTE = r"""
