@@ -1,0 +1,139 @@
+"""Derived-column functions (SURVEY.md §2.5): colors, sizes, titles.
+
+Every one replaces a row-wise pandas ``df.apply`` / ``itertuples`` loop in
+the reference with a native column expression that stays inside whole-stage
+codegen (the reference's loops are driver-single-threaded; these scale with
+the cluster)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# V2: source -> hex dict of the host pipeline
+# (/root/reference/phageclouds_gdb_host.py:66).
+SOURCE_HEX = {
+    "NCBI": "#8acb4a",
+    "Tara": "#39dede",
+    "GTDB_predicted_prophages": "#f1e653",
+    "GPD_Isolate": "#9b4aed",
+    "GPD_Metagenome": "#c734df",
+}
+
+# V3: matplotlib tab20 palette (public colormap values), used for
+# per-taxon colors in the family pipeline
+# (/root/reference/phageclouds_gdb_family.py:55-58).
+TAB20_HEX = [
+    "#1f77b4", "#aec7e8", "#ff7f0e", "#ffbb78", "#2ca02c",
+    "#98df8a", "#d62728", "#ff9896", "#9467bd", "#c5b0d5",
+    "#8c564b", "#c49c94", "#e377c2", "#f7b6d2", "#7f7f7f",
+    "#c7c7c7", "#bcbd22", "#dbdb8d", "#17becf", "#9edae5",
+]
+
+SIZE_SCALE_FACTOR = 3000
+
+
+def taxon_color(source: Column, is_taxon: Column) -> Column:
+    """V1: CASE color by (source, taxon-membership flag) -- the engine form
+    of ``node_color`` (/root/reference/phageclouds_gdb.py:79-93), including
+    the ``else -> yellow`` branch."""
+    return (
+        F.when((source == "NCBI") & is_taxon, "green")
+        .when((source == "NCBI") & ~is_taxon, "red")
+        .when(source == "Tara", "cyan")
+        .when(source == "GPD_Isolate", "pink")
+        .when(source == "GPD_Metagenome", "purple")
+        .otherwise("yellow")
+    )
+
+
+def source_hex_color(source: Column, strict: bool = False) -> Column:
+    """V2: map-literal color lookup (/root/reference/phageclouds_gdb_host.py:66,68).
+    The reference raises KeyError on an unknown source; with ``strict`` the
+    engine raises too (via raise_error), otherwise unknown -> NULL."""
+    pairs: list[Column] = []
+    for k, v in SOURCE_HEX.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    looked_up = F.create_map(*pairs)[source]
+    if strict:
+        return F.when(
+            looked_up.isNull() & source.isNotNull(),
+            F.raise_error(F.concat(F.lit("unknown source: "), source)),
+        ).otherwise(looked_up)
+    return looked_up
+
+
+def node_size(genome_size: Column) -> Column:
+    """V4: ``int(genome_size / 3000)``
+    (/root/reference/phageclouds_gdb.py:95-98). Python int() truncates
+    toward zero; genome sizes are positive so floor == trunc."""
+    return F.floor(genome_size / F.lit(SIZE_SCALE_FACTOR)).cast("int")
+
+
+def edge_value(distance: Column, threshold: float) -> Column:
+    """V4: edge display weight ``t - distance + 0.1``
+    (/root/reference/phageclouds_gdb.py:114) -- same left-assoc IEEE ops, so
+    values match the goldens bit-for-bit."""
+    return F.lit(threshold) - distance + F.lit(0.1)
+
+
+def underscored_thousands(n: Column) -> Column:
+    """Python's ``f'{n:_}'`` thousands separator, as an expression
+    (format_number gives commas; swap them)."""
+    return F.regexp_replace(F.format_number(n, 0), ",", "_")
+
+
+def host_title(host_genus: Column, phage_genus: Column, genome_size: Column) -> Column:
+    """V6: host-pipeline hover title
+    (/root/reference/phageclouds_gdb_host.py:75). Python f-strings render
+    missing values as the string 'None' -- reproduced via coalesce."""
+    return F.concat(
+        F.lit("Target host genus: "),
+        F.coalesce(host_genus, F.lit("None")),
+        F.lit("<br>Phage genus: "),
+        F.coalesce(phage_genus, F.lit("None")),
+        F.lit("<br>Genome size: "),
+        underscored_thousands(genome_size),
+        F.lit(" bp"),
+    )
+
+
+def family_title(source: Column, genome_size: Column, rank: str, target_taxon: Column) -> Column:
+    """V6: family-pipeline hover title
+    (/root/reference/phageclouds_gdb_family.py:109)."""
+    return F.concat(
+        F.lit("Source: "),
+        F.coalesce(source, F.lit("None")),
+        F.lit("<br>Genome size: "),
+        underscored_thousands(genome_size),
+        F.lit(f"<br>{rank}: "),
+        F.coalesce(target_taxon, F.lit("None")),
+    )
+
+
+def taxon_palette(lineages: DataFrame, family: str, rank: str) -> DataFrame:
+    """V3: build the (taxon, palette_idx, hex) lookup table for a family at
+    a rank, replacing O(rows) ete3+colormap instantiations
+    (/root/reference/phageclouds_gdb_family.py:47-58) with one tiny
+    broadcastable DataFrame.
+
+    Deviation (documented, SURVEY.md §7 hard-part 3): the reference assigns
+    palette indices in Python ``set`` iteration order -- non-deterministic
+    upstream -- so exact color parity with the family goldens is impossible;
+    the engine pins alphabetical order instead.
+    """
+    taxa = (
+        lineages.filter((F.col("family") == family) & (F.col(rank) != "") & F.col(rank).isNotNull())
+        .select(F.col(rank).alias("taxon"))
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("taxon")
+    palette = F.array(*[F.lit(h) for h in TAB20_HEX])
+    idx = F.row_number().over(w) - 1
+    return taxa.select(
+        "taxon",
+        idx.alias("palette_idx"),
+        F.element_at(palette, (idx % len(TAB20_HEX)) + 1).alias("hex"),
+    )

@@ -1,0 +1,107 @@
+"""Sinks (SURVEY.md §2.1 S6-S7): vis.js HTML network + columnar writers.
+
+The HTML sink emits the same ``vis.DataSet`` JSON structure as the
+reference's pyvis output (/root/reference/phageclouds_gdb.py:102-120) from a
+self-contained template (no pyvis dependency in this runtime), with
+deterministic key order so goldens diff byte-stably. ``toPandas()`` happens
+only here -- the one sanctioned driver-side materialization (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+_TEMPLATE = """<html>
+<head>
+<link rel="stylesheet" href="https://cdnjs.cloudflare.com/ajax/libs/vis/4.16.1/vis.css" type="text/css" />
+<script type="text/javascript" src="https://cdnjs.cloudflare.com/ajax/libs/vis/4.16.1/vis-network.min.js"> </script>
+</head>
+<body>
+<div id="mynetwork"></div>
+<script type="text/javascript">
+    var nodes = new vis.DataSet(%(nodes)s);
+    var edges = new vis.DataSet(%(edges)s);
+    var container = document.getElementById("mynetwork");
+    var data = {nodes: nodes, edges: edges};
+    var options = %(options)s;
+    var network = new vis.Network(container, data, options);
+</script>
+</body>
+</html>
+"""
+
+_DEFAULT_OPTIONS = {
+    "height": "1500px",
+    "width": "1500px",
+    "physics": {"solver": "forceAtlas2Based"},
+}
+
+
+def cloud_to_vis_dicts(nodes: DataFrame, edges: DataFrame) -> tuple[list[dict], list[dict]]:
+    """Render CloudResult frames to vis.DataSet dicts (pyvis-compatible
+    node/edge attribute structure)."""
+    npd = nodes.toPandas()
+    epd = edges.toPandas()
+    vis_nodes = []
+    for row in npd.itertuples(index=False):
+        n = {
+            "color": {"background": row.color_background, "border": row.color_border},
+            "id": row.id,
+            "label": row.id,
+            "shape": "dot",
+            "size": int(row.size),
+        }
+        if getattr(row, "title", None) is not None:
+            n["title"] = row.title
+        vis_nodes.append(n)
+    vis_edges = []
+    for row in epd.itertuples(index=False):
+        vis_edges.append(
+            {
+                "color": row.color,
+                "from": row.src,
+                "to": row.dst,
+                "value": float(row.value),
+                "weight": float(row.weight),
+            }
+        )
+    return vis_nodes, vis_edges
+
+
+def write_vis_html(nodes: DataFrame, edges: DataFrame, path: str, options: dict | None = None) -> str:
+    """Write the interactive network HTML (S6). Filename conventions are the
+    caller's business (the reference slugs the threshold into the name,
+    /root/reference/phageclouds_gdb.py:120)."""
+    vis_nodes, vis_edges = cloud_to_vis_dicts(nodes, edges)
+    html = _TEMPLATE % {
+        "nodes": json.dumps(vis_nodes, sort_keys=True),
+        "edges": json.dumps(vis_edges, sort_keys=True),
+        "options": json.dumps(options or _DEFAULT_OPTIONS, sort_keys=True),
+    }
+    with open(path, "w") as f:
+        f.write(html)
+    return path
+
+
+def threshold_slug(threshold: float) -> str:
+    """'0.25' -> '025' (/root/reference/phageclouds_gdb.py:120)."""
+    return "".join(str(threshold).split("."))
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S7 columnar sink. At the 100 TB tier pass partition_by (e.g. distance
+    band or bucket(src)) so downstream scans partition-prune."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)

@@ -1,0 +1,107 @@
+"""Unit tests for the graph operators (SURVEY.md §2.3, §2.6 W6) on the
+FIXTURES.md §A synthetic graph, including the golden-parity quirks:
+directed-only expand, exact-threshold edges, -0.0 distances, isolated nodes.
+
+A pure-Python union-find is the oracle for connected components."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from phageclouds_graphdatabase_spark.operators import graph as G
+from tests.conftest import EDGE_ROWS, NODE_ROWS
+
+
+def ids(df, col="id"):
+    return {r[col] for r in df.collect()}
+
+
+def seed_df(spark, *accessions):
+    return spark.createDataFrame([(a,) for a in accessions], "id string")
+
+
+def test_expand_directed_follows_out_edges_only(spark, shares_dna):
+    # C1 -> A1 points INTO the seed set: directed expand from A1 must NOT
+    # pull in C1 (the reference's silent "outgoing neighbors" semantics,
+    # /root/reference/phageclouds_gdb.py:56-58).
+    out = G.expand(seed_df(spark, "A1"), shares_dna, threshold=0.25)
+    assert ids(out) == {"A1", "A2", "A3"}
+
+
+def test_expand_undirected_variant(spark, shares_dna):
+    out = G.expand(seed_df(spark, "A1"), shares_dna, threshold=0.25, directed=False)
+    assert ids(out) == {"A1", "A2", "A3", "C1"}
+
+
+def test_expand_keeps_edgeless_seeds(spark, shares_dna):
+    # E1 has no edges; OPTIONAL-MATCH expand (J4) keeps it.
+    out = G.expand(seed_df(spark, "E1"), shares_dna, threshold=0.25)
+    assert ids(out) == {"E1"}
+
+
+def test_expand_threshold_is_inclusive(spark, shares_dna):
+    # D1 -> D2 at exactly 0.25: `r.distance <= t` keeps it.
+    out = G.expand(seed_df(spark, "D1"), shares_dna, threshold=0.25)
+    assert ids(out) == {"D1", "D2"}
+    out_below = G.expand(seed_df(spark, "D1"), shares_dna, threshold=0.249)
+    assert ids(out_below) == {"D1"}
+
+
+def test_induced_subgraph_requires_both_endpoints(spark, shares_dna):
+    ns = seed_df(spark, "A1", "A2", "A3", "B1")
+    out = G.induced_subgraph(ns, shares_dna, threshold=0.25)
+    got = {(r.src, r.dst) for r in out.collect()}
+    # A3->B1 (0.40) excluded by threshold; C1->A1 excluded (C1 not in set).
+    assert got == {("A1", "A2"), ("A1", "A3"), ("A2", "A3")}
+
+
+def test_negative_zero_distance_passes_threshold(spark, shares_dna):
+    out = G.induced_subgraph(seed_df(spark, "F1", "F2"), shares_dna, threshold=0.1)
+    assert {(r.src, r.dst) for r in out.collect()} == {("F1", "F2")}
+
+
+def test_degrees(spark, shares_dna):
+    d = {r.id: (r.out_degree, r.in_degree, r.degree) for r in G.degrees(shares_dna).collect()}
+    assert d["A1"] == (2, 1, 3)   # out: A2,A3; in: C1
+    assert d["B2"] == (0, 2, 2)   # in from B1 and B3
+    assert d["A3"] == (1, 2, 3)
+    assert "E1" not in d          # no edges -> not in edge-derived degrees
+
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_matches_union_find(spark, shares_dna, phage_nodes):
+    thr = 0.25
+    all_nodes = [r[0] for r in NODE_ROWS]
+    got = {
+        r.id: r.component
+        for r in G.connected_components(
+            shares_dna.filter(F.col("distance") <= thr),
+            nodes=phage_nodes.select(F.col("accession").alias("id")),
+        ).collect()
+    }
+    edges = [(s, d) for s, d, w in EDGE_ROWS if w <= thr]
+    want = _union_find_components(edges, all_nodes)
+    assert got == want
+    # Sanity on the known topology: {A1,A2,A3,C1}, {B1,B2,B3}, {D1,D2},
+    # {E1}, {F1,F2} -- labels are min-id per component.
+    assert got["C1"] == "A1" and got["B3"] == "B1" and got["E1"] == "E1"
+
+
+def test_cloud_membership_sizes(spark, shares_dna):
+    cm = {r.id: r.cloud_size for r in G.cloud_membership(shares_dna, 0.25).collect()}
+    assert cm["A1"] == 4 and cm["B2"] == 3 and cm["D2"] == 2 and cm["F1"] == 2

@@ -1,0 +1,58 @@
+"""The driver's correctness gate, run as pytest: every SUITE entry executes
+on Spark and (when an oracle exists) must match DuckDB on row-count + schema
++ order-insensitive value hash — the exact comparison the driver performs at
+sf0.01 (BASELINE.md "engine gates"). Runs at sf0.001 for speed; switch via
+$SPARK_GRAFT_TEST_SF_DIR."""
+
+from __future__ import annotations
+
+import pytest
+
+from phageclouds_graphdatabase_spark.compare import compare_results
+from phageclouds_graphdatabase_spark.plans.suite import SUITE, survey_coverage
+
+
+@pytest.mark.parametrize("name", sorted(SUITE))
+def test_suite_entry_matches_oracle(name, spark, duck, sf_dir):
+    entry = SUITE[name]
+    sdf = entry.fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if entry.oracle is None:
+        # Non-SQL-expressible: the driver's weaker rows-only check.
+        assert isinstance(s_rows, list)
+        return
+    cur = duck.execute(entry.oracle)
+    d_cols = [c[0] for c in cur.description]
+    d_rows = cur.fetchall()
+    problems = compare_results(s_cols, s_rows, d_cols, d_rows)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_survey_rows_all_covered():
+    """Every SURVEY.md §2 operator row is claimed by >= 1 suite query."""
+    covered = set(survey_coverage())
+    expected = {
+        # scans/sinks S1-S3 are the engine itself (readers/session); S4-S7
+        # are exercised by tests/test_sources_sinks.py.
+        "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
+        "J1", "J2", "J3", "J4", "J5", "J7",
+        "A2", "A3", "A4", "A6",
+        "V1", "V2", "V4", "V8",
+        "W1", "W2", "W3", "W4", "W5", "W6",
+    }
+    missing = expected - covered
+    assert not missing, f"SURVEY rows with no suite query: {sorted(missing)}"
+
+
+def test_oracle_sql_column_names_align(duck, sf_dir):
+    """Spot the classic driver-gate failure early: Spark and oracle column
+    NAMES must match (driver sorts columns by name before hashing)."""
+    import __spark_entry__ as se
+
+    oracles = se.oracle_sql()
+    assert set(oracles) <= set(se.queries())
+    for name, sql in oracles.items():
+        cur = duck.execute(f"SELECT * FROM ({sql}) LIMIT 0")
+        d_cols = sorted(c[0] for c in cur.description)
+        assert len(d_cols) == len(set(d_cols)), f"{name}: duplicate oracle columns {d_cols}"

@@ -1,0 +1,121 @@
+"""Sources & sinks (SURVEY.md §2.1): golden HTML parser, vis HTML sink
+round-trip, columnar sinks, lineages/acc_taxid CSV readers, derive helpers."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from phageclouds_graphdatabase_spark.functions import derive
+from phageclouds_graphdatabase_spark.sources import golden, readers, sinks
+
+REFERENCE = "/root/reference"
+HAS_REFERENCE = os.path.exists(os.path.join(REFERENCE, "phages.accessions.lineages.csv"))
+
+
+def test_underscored_thousands_matches_python_format(spark):
+    vals = [0, 999, 1000, 48502, 168000, 1234567]
+    df = spark.createDataFrame([(v,) for v in vals], "n long").select(
+        "n", derive.underscored_thousands(F.col("n")).alias("s")
+    )
+    got = {r.n: r.s for r in df.collect()}
+    assert got == {v: f"{v:_}" for v in vals}
+
+
+def test_node_size_truncates_like_python_int(spark):
+    df = spark.createDataFrame([(48502,), (3000,), (2999,)], "g long").select(
+        derive.node_size(F.col("g")).alias("s")
+    )
+    assert [r.s for r in df.collect()] == [int(48502 / 3000), 1, 0]
+
+
+def test_source_hex_strict_raises_on_unknown(spark):
+    df = spark.createDataFrame([("Mystery",)], "source string")
+    lax = df.select(derive.source_hex_color(F.col("source")).alias("c")).collect()
+    assert lax[0].c is None
+    with pytest.raises(Exception, match="unknown source"):
+        df.select(
+            derive.source_hex_color(F.col("source"), strict=True).alias("c")
+        ).collect()
+
+
+def test_vis_html_sink_roundtrips_through_golden_parser(spark, tmp_path):
+    nodes = spark.createDataFrame(
+        [("X1", "green", "#000000", 12, "t<br>x"), ("X2", "red", "#000000", 9, None)],
+        "id string, color_background string, color_border string, size int, title string",
+    )
+    edges = spark.createDataFrame(
+        [("X1", "X2", 0.1, 0.25, "lightgray")],
+        "src string, dst string, weight double, value double, color string",
+    )
+    path = str(tmp_path / "out.html")
+    sinks.write_vis_html(nodes, edges, path)
+    n2, e2 = golden.golden_frames(spark, path)
+    assert {(r.id, r.color_background, r.size, r.title) for r in n2.collect()} == {
+        ("X1", "green", 12, "t<br>x"),
+        ("X2", "red", 9, None),
+    }
+    assert [(r.src, r.dst, r.weight, r.value) for r in e2.collect()] == [
+        ("X1", "X2", 0.1, 0.25)
+    ]
+
+
+def test_threshold_slug():
+    assert sinks.threshold_slug(0.25) == "025"
+    assert sinks.threshold_slug(0.1) == "01"
+
+
+def test_parquet_sink_partitioned(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    out = str(tmp_path / "p")
+    sinks.write_parquet(df, out, partition_by=["k"])
+    assert sorted(os.path.basename(p) for p in glob.glob(out + "/k=*")) == ["k=a", "k=b"]
+    back = spark.read.parquet(out)
+    assert {(r.k, r.v) for r in back.collect()} == {("a", 1), ("b", 2)}
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference data absent")
+def test_lineages_csv_reader_profile(spark):
+    lin = readers.read_lineages_csv(
+        spark, os.path.join(REFERENCE, "phages.accessions.lineages.csv")
+    )
+    # BASELINE.md profile: 14,065 rows, 33 non-empty families, 692 genera.
+    assert lin.count() == 14065
+    fam = lin.filter((F.col("family") != "") & F.col("family").isNotNull())
+    assert fam.select("family").distinct().count() == 33
+    gen = lin.filter((F.col("genus") != "") & F.col("genus").isNotNull())
+    assert gen.select("genus").distinct().count() == 692
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference data absent")
+def test_acc_taxid_reader(spark):
+    at = readers.read_acc_taxid(
+        spark, os.path.join(REFERENCE, "phages.accessions.txt.taxid")
+    )
+    assert at.count() == 14065
+    assert at.columns == ["accession", "taxid"]
+
+
+@pytest.mark.skipif(not HAS_REFERENCE, reason="reference goldens absent")
+def test_all_goldens_parse_to_baseline_cardinalities(spark):
+    # BASELINE.md golden table.
+    expected = {
+        "Tequatrovirus_015_clouds.html": (156, 11504),
+        "Tequatrovirus_025_clouds.html": (264, 23247),
+        "Ackermannviridae_015_genus_clouds.html": (137, 2349),
+        "Herelleviridae_015_genus_clouds.html": (292, 3761),
+        "Herelleviridae_025_subfamily_clouds.html": (341, 4568),
+        "Cellulophaga_025_clouds_v2.html": (60, 111),
+        "Cellulophaga_025_clouds_v2_harsh.html": (33, 72),
+        "Pseudomonas_01_clouds_v2_harsh.html": (476, 7395),
+        "Salmonella_01_malaysia_harsh.html": (1086, 30933),
+    }
+    for fname, (nn, ne) in expected.items():
+        path = os.path.join(REFERENCE, fname)
+        if not os.path.exists(path):
+            continue
+        nodes, edges = golden.parse_vis_html(path)
+        assert (len(nodes), len(edges)) == (nn, ne), fname

@@ -9,56 +9,21 @@ Usage: python tools/verify_local.py [--sf-dir DIR] [--only name1,name2] [-v]
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
-import math
 import os
 import sys
 import time
-from datetime import date, datetime
-from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
+from phageclouds_graphdatabase_spark.compare import compare_results  # noqa: E402
+
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 )
-
-
-def _norm_cell(v):
-    """Normalize a cell to a hash-stable string."""
-    if v is None:
-        return "<NULL>"
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)  # full precision -- we target bit-exact equality
-    if isinstance(v, Decimal):
-        return repr(float(v))
-    if isinstance(v, datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
-    if isinstance(v, date):
-        return v.strftime("%Y-%m-%d") + " 00:00:00.000000"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    return str(v)
-
-
-def value_hash(columns: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    lines = sorted(
-        "\x1f".join(_norm_cell(r[i]) for i in order) for r in rows
-    )
-    h = hashlib.sha256()
-    for line in lines:
-        h.update(line.encode("utf-8"))
-        h.update(b"\n")
-    return h.hexdigest()
 
 
 def main() -> int:
@@ -111,25 +76,9 @@ def main() -> int:
                 status, detail = "ORACLE_ERROR", f"{type(ex).__name__}: {ex}"
                 d_cols, d_rows = [], []
         if status == "PASS":
-            problems = []
-            if sorted(s_cols) != sorted(d_cols):
-                problems.append(f"schema: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
-            if len(s_rows) != len(d_rows):
-                problems.append(f"rowcount: spark={len(s_rows)} duckdb={len(d_rows)}")
-            if not problems:
-                sh = value_hash(s_cols, s_rows)
-                dh = value_hash(d_cols, d_rows)
-                if sh != dh:
-                    problems.append("value-hash mismatch")
-                    if args.verbose:
-                        order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
-                        order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
-                        ls = sorted("\x1f".join(_norm_cell(r[i]) for i in order_s) for r in s_rows)
-                        ld = sorted("\x1f".join(_norm_cell(r[i]) for i in order_d) for r in d_rows)
-                        for a, b in zip(ls, ld):
-                            if a != b:
-                                problems.append(f"  first diff:\n   spark : {a[:400]}\n   duckdb: {b[:400]}")
-                                break
+            problems = compare_results(
+                s_cols, s_rows, d_cols, d_rows, max_diffs=3 if args.verbose else 0
+            )
             if problems:
                 status, detail = "FAIL", "; ".join(problems)
             else:
