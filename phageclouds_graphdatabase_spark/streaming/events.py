@@ -1,0 +1,155 @@
+"""Structured Streaming over the events table (SURVEY.md §2.6 W3).
+
+The reference is batch-only; this is the [ext] streaming surface: the same
+transformations as the batch twins in plans/suite_extensions.py, expressed
+over ``readStream`` so they run identically on a live source. Each builder
+takes a streaming DataFrame and returns a streaming DataFrame; ``run_*``
+helpers execute them over the file source with ``Trigger.AvailableNow`` so
+tests (and backfills) process the existing data exactly once and stop.
+
+Scale notes: watermark + windowed agg state lives in the state store keyed by
+(window, group); at 100 TB/day the state is bounded by the watermark horizon,
+not the input size. Session windows merge state per user as Spark's built-in
+``session_window`` operator. The custom stateful op uses
+``applyInPandasWithState`` (Arrow-batched per group) -- the engine's
+equivalent of a custom streaming operator.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Schema of /root/testdata/sf*/events.parquet after read_table's nanos->micros
+# normalization (props stays a JSON string; see FIXTURES.md §B).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the events parquet (one file = one
+    micro-batch in tests; in production the same code points at a
+    continuously-appended directory or Kafka). The file source needs a
+    directory, so scan ``sf_dir`` with a glob filter for the events table."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw = StructType(
+        [f if f.name != "ts" else StructField("ts", LongType()) for f in EVENTS_SCHEMA]
+    )
+    df = (
+        spark.readStream.schema(raw)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """W3 tumbling windows + watermark: late rows beyond the watermark are
+    dropped; state for closed windows is evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """W3 session windows per user (5-minute inactivity gap), merging state."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", gap).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("win.start").alias("session_start"), "n_events")
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming dropDuplicates with watermark: exactly-once per event_id
+    within the watermark horizon (state eviction bounds memory)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value_cents", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("s", LongType())]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (count, sum-of-cents) across micro-batches -- the engine's escape hatch
+    for stateful logic Spark's built-ins can't express (W3/W4)."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += int((pdf["value"] * 100.0 + 0.5).apply(float).apply(int).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value_cents": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> list:
+    """Execute a streaming plan over the data available right now into an
+    in-memory sink; returns the collected rows. Test/backfill harness --
+    production would writeStream to a durable sink with a checkpoint dir."""
+    import uuid
+
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    rows = spark.table(name).collect()
+    q.stop()
+    return rows
