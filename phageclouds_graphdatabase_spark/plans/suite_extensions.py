@@ -65,7 +65,11 @@ def graph_expand_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance threshold -- the cloud-extraction seed step
     (/root/reference/phageclouds_gdb.py:56-62). Directed-only expand
     reproduces the reference quirk (edges stored once per pair)."""
-    return G.expand(graph_seeds(spark, sf_dir), graph_edges(spark, sf_dir), GRAPH_THRESHOLD)
+    return G.expand(
+        graph_seeds(spark, sf_dir),
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+        GRAPH_THRESHOLD,
+    )
 
 
 GRAPH_EXPAND_SQL = _GRAPH_CTE + "SELECT id FROM node_set"
@@ -75,7 +79,7 @@ def graph_induced_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 induced-subgraph edge extraction: both endpoints in the node set
     AND distance <= t (/root/reference/phageclouds_gdb.py:64-67)."""
     seeds = graph_seeds(spark, sf_dir)
-    edges = graph_edges(spark, sf_dir)
+    edges = graph_edges(spark, sf_dir, GRAPH_THRESHOLD)
     ns = G.expand(seeds, edges, GRAPH_THRESHOLD)
     return G.induced_subgraph(ns, edges, GRAPH_THRESHOLD)
 
@@ -110,7 +114,7 @@ def graph_optional_host(spark: SparkSession, sf_dir: str) -> DataFrame:
     form of OPTIONAL MATCH (a)-[:infects]->(h) followed by dict-update dedup
     (/root/reference/phageclouds_gdb_host.py:61-62,67-75)."""
     seeds = graph_seeds(spark, sf_dir)
-    edges = graph_edges(spark, sf_dir).filter(F.col("distance") <= GRAPH_THRESHOLD)
+    edges = graph_edges(spark, sf_dir, GRAPH_THRESHOLD)
     joined = seeds.join(edges, seeds["id"] == edges["src"], "left_outer")
     w = Window.partitionBy("id").orderBy(F.col("distance").asc_nulls_last(), F.col("dst").asc_nulls_last())
     return (
@@ -138,7 +142,7 @@ def graph_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is the iterative hash-min loop in operators/graph.py; the oracle is
     a recursive-CTE reachability closure (viable at sf0.01 scale only)."""
     seeds = graph_seeds(spark, sf_dir)
-    edges = graph_edges(spark, sf_dir)
+    edges = graph_edges(spark, sf_dir, GRAPH_THRESHOLD)
     ns = G.expand(seeds, edges, GRAPH_THRESHOLD)
     induced = G.induced_subgraph(ns, edges, GRAPH_THRESHOLD)
     return G.connected_components(induced, nodes=ns)
