@@ -79,8 +79,12 @@ def graph_induced_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 induced-subgraph edge extraction: both endpoints in the node set
     AND distance <= t (/root/reference/phageclouds_gdb.py:64-67)."""
     seeds = graph_seeds(spark, sf_dir)
-    edges = graph_edges(spark, sf_dir, GRAPH_THRESHOLD)
-    ns = G.expand(seeds, edges, GRAPH_THRESHOLD)
+    # Both the edge aggregation and the node set feed multiple joins in one
+    # plan; without cache the whole lineitem agg re-executes per use
+    # (observed 4x in .explain("formatted") -- ReuseExchange doesn't unify
+    # them across broadcast/shuffle positions).
+    edges = graph_edges(spark, sf_dir, GRAPH_THRESHOLD).cache()
+    ns = G.expand(seeds, edges, GRAPH_THRESHOLD).cache()
     return G.induced_subgraph(ns, edges, GRAPH_THRESHOLD)
 
 
@@ -142,8 +146,8 @@ def graph_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is the iterative hash-min loop in operators/graph.py; the oracle is
     a recursive-CTE reachability closure (viable at sf0.01 scale only)."""
     seeds = graph_seeds(spark, sf_dir)
-    edges = graph_edges(spark, sf_dir, GRAPH_THRESHOLD)
-    ns = G.expand(seeds, edges, GRAPH_THRESHOLD)
+    edges = graph_edges(spark, sf_dir, GRAPH_THRESHOLD).cache()
+    ns = G.expand(seeds, edges, GRAPH_THRESHOLD).cache()
     induced = G.induced_subgraph(ns, edges, GRAPH_THRESHOLD)
     return G.connected_components(induced, nodes=ns)
 
