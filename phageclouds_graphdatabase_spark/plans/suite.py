@@ -7,12 +7,17 @@ and tools/verify_local.py run the same comparison locally.
 
 from __future__ import annotations
 
-from phageclouds_graphdatabase_spark.plans import suite_extensions, suite_relational
+from phageclouds_graphdatabase_spark.plans import (
+    suite_extensions,
+    suite_pipeline,
+    suite_relational,
+)
 from phageclouds_graphdatabase_spark.plans._suite_helpers import SuiteEntry
 
 SUITE: dict[str, SuiteEntry] = {
     **suite_relational.ENTRIES,
     **suite_extensions.ENTRIES,
+    **suite_pipeline.ENTRIES,
 }
 
 

@@ -1,0 +1,235 @@
+"""Second wave of LLM-data-pipeline operators (SURVEY.md §2 [ext] rows):
+as-of join (J7), MinHash-LSH banded candidate generation, BPE-style
+regex pre-tokenization, and LSH-bucketed embedding-cosine near-dup --
+each with a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from phageclouds_graphdatabase_spark.plans import suite_extensions as ext
+from phageclouds_graphdatabase_spark.plans._suite_helpers import SuiteEntry, t
+
+
+# --------------------------------------------------------------------------
+# As-of join (J7): for each click, the user's most recent purchase at or
+# before it. The scalable Spark shape is union + carry-forward window (one
+# shuffle on user_id, no range join, no row explosion) -- the classic
+# point-in-time-correct join of feature-store pipelines.
+# --------------------------------------------------------------------------
+
+def asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    u = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("isp"),
+    )
+    # At equal ts a purchase sorts before a click (isp desc) => "at or
+    # before" is inclusive; equal-ts purchases tie-break on event_id with
+    # the LAST (max id) winning -- pinned identically in the oracle.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("isp").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        "prev_purchase_id",
+        F.last(F.when(F.col("isp") == 1, F.col("event_id")), ignorenulls=True).over(w),
+    ).withColumn(
+        "prev_purchase_ts",
+        F.last(F.when(F.col("isp") == 1, F.col("ts")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("isp") == 0).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "ts",
+        "prev_purchase_id",
+        "prev_purchase_ts",
+    )
+
+
+ASOF_SQL = """
+WITH u AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp
+    FROM events WHERE event_type IN ('click', 'purchase')
+), c AS (
+    SELECT user_id, ts, event_id, isp,
+           last_value(CASE WHEN isp = 1 THEN event_id END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, isp DESC, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_purchase_id,
+           last_value(CASE WHEN isp = 1 THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, isp DESC, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_purchase_ts
+    FROM u
+)
+SELECT event_id AS click_id, user_id, ts, prev_purchase_id, prev_purchase_ts
+FROM c WHERE isp = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH banded candidates (W5): signatures -> bands -> bucket join.
+# This is the step that makes near-dup detection sub-quadratic at 100 TB:
+# only documents agreeing on a whole band become candidate pairs.
+# --------------------------------------------------------------------------
+
+_N_BANDS = 2  # 4 minhashes, 2 rows per band
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = ext.minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.md5(F.concat("mh_0", "mh_1")).alias("bh"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.md5(F.concat("mh_2", "mh_3")).alias("bh"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+MINHASH_LSH_SQL = f"""
+WITH sigs AS ({ext.MINHASH_SQL}),
+bands AS (
+    SELECT doc_id, 0 AS band, md5(mh_0 || mh_1) AS bh FROM sigs
+    UNION ALL
+    SELECT doc_id, 1 AS band, md5(mh_2 || mh_3) AS bh FROM sigs
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# BPE-style pre-tokenization (W5 text analysis): the \\w+|[^\\w\\s] regex is
+# the standard BPE pre-tokenizer split (words vs punctuation runs).
+# --------------------------------------------------------------------------
+
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.size(F.filter(toks, lambda x: ~x.rlike(r"^\w"))).cast("long").alias("n_punct_tokens"),
+    )
+
+
+TEXT_BPE_SQL = r"""
+WITH tk AS (
+    SELECT doc_id, regexp_extract_all(text, '\w+|[^\w\s]') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       CAST(len(list_filter(toks, x -> NOT regexp_matches(x, '^\w'))) AS BIGINT) AS n_punct_tokens
+FROM tk
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup via LSH buckets (W5): candidate pairs only
+# within a bucket (sub-quadratic), exact quantized cosine inside. The
+# brute-force twin is knn_cosine_bruteforce; this is the 100 TB path.
+# --------------------------------------------------------------------------
+
+_COS_THRESHOLD = 0.25
+
+
+def embedding_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = ext.ann_lsh_buckets(spark, sf_dir)
+    qv = ext._quantized(spark, sf_dir)
+    norms = qv.select(
+        "vec_id",
+        F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x * x).alias("n2"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    qa = qv.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"))
+    qb = qv.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"))
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("n2").alias("nb2"))
+    scored = (
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.aggregate(
+                F.zip_with("qa", "qb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+        .join(na, "vec_a")
+        .join(nb, "vec_b")
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+        )
+    )
+    return scored.filter(F.col("cosine") >= _COS_THRESHOLD).select(
+        "vec_a", "vec_b", "cosine"
+    )
+
+
+EMBED_NEARDUP_SQL = f"""
+WITH buckets AS ({ext.ANN_LSH_SQL}),
+{ext._QUANT_ELEMS_SQL.lstrip()},
+cand AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+    SELECT c.vec_a, c.vec_b, CAST(SUM(ea.qe * eb.qe) AS BIGINT) AS dot
+    FROM cand c
+    JOIN elems ea ON ea.vec_id = c.vec_a
+    JOIN elems eb ON eb.vec_id = c.vec_b AND eb.d = ea.d
+    GROUP BY c.vec_a, c.vec_b
+)
+SELECT vec_a, vec_b,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = vec_a
+JOIN norms nb ON nb.vec_id = vec_b
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= {_COS_THRESHOLD}
+"""
+
+
+ENTRIES: dict[str, SuiteEntry] = {
+    "asof_prev_purchase": SuiteEntry(asof_prev_purchase, ASOF_SQL, ("J7", "W2")),
+    "minhash_lsh_candidates": SuiteEntry(minhash_lsh_candidates, MINHASH_LSH_SQL, ("W5", "J7")),
+    "text_bpe_token_count": SuiteEntry(text_bpe_token_count, TEXT_BPE_SQL, ("W5", "V8")),
+    "embedding_neardup_cosine": SuiteEntry(embedding_neardup_cosine, EMBED_NEARDUP_SQL, ("W5",)),
+}
