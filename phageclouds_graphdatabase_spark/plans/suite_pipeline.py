@@ -227,9 +227,126 @@ WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DO
 """
 
 
+# --------------------------------------------------------------------------
+# Collect-to-list aggregation (A1) + list dedup/union (A2) + distinct value
+# set (A5): the engine form of Cypher's collect()/list comprehension
+# (/root/reference/phageclouds_gdb_family.py:94, _host.py:57-59), on the
+# testdata so the oracle can check it. Arrays are sorted so both engines
+# agree on element order.
+# --------------------------------------------------------------------------
+
+def collect_order_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+COLLECT_LISTS_SQL = """
+SELECT o_custkey,
+       list_sort(list(o_orderkey)) AS order_keys,
+       list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Presentation derivations (V3 palette assignment, V5 rank/attr extraction,
+# V6 title formatting) -- the engine form of the family pipeline's
+# color/title logic (/root/reference/phageclouds_gdb_family.py:47-66,109),
+# exercised on the nation dim so the oracle can check it.
+# --------------------------------------------------------------------------
+
+_TAB20 = (
+    "#1f77b4", "#aec7e8", "#ff7f0e", "#ffbb78", "#2ca02c",
+    "#98df8a", "#d62728", "#ff9896", "#9467bd", "#c5b0d5",
+    "#8c564b", "#c49c94", "#e377c2", "#f7b6d2", "#7f7f7f",
+    "#c7c7c7", "#bcbd22", "#dbdb8d", "#17becf", "#9edae5",
+)
+
+
+def presentation_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    per_nation = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust"))
+    w = Window.orderBy("n_name")
+    palette = F.array(*[F.lit(h) for h in _TAB20])
+    idx = F.row_number().over(w) - 1
+    joined = (
+        n.join(per_nation, n["n_nationkey"] == per_nation["c_nationkey"], "left_outer")
+        .withColumn("n_cust", F.coalesce("n_cust", F.lit(0)))
+        .withColumn("palette_idx", idx.cast("long"))
+    )
+    return joined.select(
+        "n_name",
+        "palette_idx",
+        F.element_at(palette, (F.col("palette_idx") % len(_TAB20) + 1).cast("int")).alias("hex"),
+        F.concat(
+            F.lit("Nation: "),
+            F.col("n_name"),
+            F.lit("<br>Customers: "),
+            F.regexp_replace(F.format_number(F.col("n_cust"), 0), ",", "_"),
+        ).alias("title"),
+        F.col("n_cust").cast("long").alias("n_cust"),
+    )
+
+
+_TAB20_SQL_ARRAY = "[" + ", ".join(f"'{h}'" for h in _TAB20) + "]"
+
+PRESENTATION_SQL = f"""
+WITH per_nation AS (
+    SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey
+), j AS (
+    SELECT n.n_name,
+           CAST(row_number() OVER (ORDER BY n.n_name) - 1 AS BIGINT) AS palette_idx,
+           COALESCE(p.n_cust, 0) AS n_cust
+    FROM nation n LEFT JOIN per_nation p ON n.n_nationkey = p.c_nationkey
+)
+SELECT n_name, palette_idx,
+       ({_TAB20_SQL_ARRAY})[CAST(palette_idx % 20 AS INTEGER) + 1] AS hex,
+       'Nation: ' || n_name || '<br>Customers: ' ||
+         replace(format('{{:,}}', n_cust), ',', '_') AS title,
+       CAST(n_cust AS BIGINT) AS n_cust
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# Real Structured Streaming in the driver contract (W3): the readStream
+# tumbling-window plan executed with Trigger.AvailableNow; its complete-mode
+# output must equal the batch aggregation, which is the oracle.
+# --------------------------------------------------------------------------
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from phageclouds_graphdatabase_spark.streaming import events as stream
+
+    s = stream.read_events_stream(spark, sf_dir)
+    rows = stream.run_available_now(
+        stream.tumbling_counts(s), output_mode="complete"
+    )
+    return spark.createDataFrame(
+        rows, "window_start timestamp, event_type string, n_events long"
+    )
+
+
+STREAM_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 ENTRIES: dict[str, SuiteEntry] = {
     "asof_prev_purchase": SuiteEntry(asof_prev_purchase, ASOF_SQL, ("J7", "W2")),
     "minhash_lsh_candidates": SuiteEntry(minhash_lsh_candidates, MINHASH_LSH_SQL, ("W5", "J7")),
     "text_bpe_token_count": SuiteEntry(text_bpe_token_count, TEXT_BPE_SQL, ("W5", "V8")),
     "embedding_neardup_cosine": SuiteEntry(embedding_neardup_cosine, EMBED_NEARDUP_SQL, ("W5",)),
+    "collect_order_lists": SuiteEntry(collect_order_lists, COLLECT_LISTS_SQL, ("A1", "A2", "A5")),
+    "presentation_columns": SuiteEntry(
+        presentation_columns, PRESENTATION_SQL, ("V3", "V5", "V6", "J6")
+    ),
+    "stream_tumbling_counts": SuiteEntry(stream_tumbling_counts, STREAM_TUMBLING_SQL, ("W3",)),
 }

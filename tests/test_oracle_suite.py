@@ -34,11 +34,12 @@ def test_survey_rows_all_covered():
     covered = set(survey_coverage())
     expected = {
         # scans/sinks S1-S3 are the engine itself (readers/session); S4-S7
-        # are exercised by tests/test_sources_sinks.py.
+        # are exercised by tests/test_sources_sinks.py; V7 is driver-side
+        # sink naming (sinks.threshold_slug, tested there too).
         "P1", "P2", "P3", "P4", "P5", "P6", "P7", "P8",
-        "J1", "J2", "J3", "J4", "J5", "J7",
-        "A2", "A3", "A4", "A6",
-        "V1", "V2", "V4", "V8",
+        "J1", "J2", "J3", "J4", "J5", "J6", "J7",
+        "A1", "A2", "A3", "A4", "A5", "A6",
+        "V1", "V2", "V3", "V4", "V5", "V6", "V8",
         "W1", "W2", "W3", "W4", "W5", "W6",
     }
     missing = expected - covered
