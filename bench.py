@@ -37,9 +37,12 @@ HEADLINE = [
     "dedup_exact_docs",
     "minhash_signatures",
     "neardup_jaccard_pairs",
+    "minhash_lsh_candidates",
     "simhash_fingerprint",
     "knn_cosine_bruteforce",
     "ann_lsh_buckets",
+    "embedding_neardup_cosine",
+    "asof_prev_purchase",
     "events_tumbling_window",
     "events_session_window",
 ]
