@@ -339,7 +339,81 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Motif matching (J1 multi-way joins, GraphFrames-style): wedge counting
+# (a)-[]->(b)<-[]-(c) on the induced subgraph. (The derived graph is
+# bipartite part->supplier, so triangles are structurally absent; the wedge
+# is its natural 3-node motif.) At 100 TB the a.src < c.src predicate halves
+# the join output and the per-dst groupBy is combiner-reduced.
+# --------------------------------------------------------------------------
+
+def graph_wedge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    induced = ext.graph_induced_edges(spark, sf_dir)
+    e1, e2 = induced.alias("e1"), induced.alias("e2")
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.dst") == F.col("e2.dst")) & (F.col("e1.src") < F.col("e2.src")),
+        )
+        .groupBy(F.col("e1.dst").alias("center"))
+        .agg(F.count(F.lit(1)).alias("n_wedges"))
+    )
+
+
+GRAPH_WEDGES_SQL = (
+    ext._GRAPH_CTE
+    + """
+SELECT e1.dst AS center, COUNT(*) AS n_wedges
+FROM induced e1 JOIN induced e2
+  ON e1.dst = e2.dst AND e1.src < e2.src
+GROUP BY e1.dst
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (A6 completion beyond rollup/cube): independent grouping
+# dimensions in one pass.
+# --------------------------------------------------------------------------
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"]],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+"""
+
+
+# --------------------------------------------------------------------------
+# Approximate aggregations (A6): HLL++ distinct + quantile sketch. The
+# algorithms differ between engines, so no value oracle exists -- the driver
+# records the rows-only check; tests/test_approx.py pins relative error
+# against the exact answer instead.
+# --------------------------------------------------------------------------
+
+def approx_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+    )
+
+
 ENTRIES: dict[str, SuiteEntry] = {
+    "graph_wedge_counts": SuiteEntry(graph_wedge_counts, GRAPH_WEDGES_SQL, ("J1", "A6")),
+    "grouping_sets_orders": SuiteEntry(grouping_sets_orders, GROUPING_SETS_SQL, ("A6",)),
+    "approx_stats_lineitem": SuiteEntry(approx_stats_lineitem, None, ("A6",)),
     "asof_prev_purchase": SuiteEntry(asof_prev_purchase, ASOF_SQL, ("J7", "W2")),
     "minhash_lsh_candidates": SuiteEntry(minhash_lsh_candidates, MINHASH_LSH_SQL, ("W5", "J7")),
     "text_bpe_token_count": SuiteEntry(text_bpe_token_count, TEXT_BPE_SQL, ("W5", "V8")),
