@@ -90,6 +90,22 @@ def threshold_slug(threshold: float) -> str:
     return "".join(str(threshold).split("."))
 
 
+def write_edges_at_rest(edges: DataFrame, path: str, num_files: int | None = None) -> None:
+    """Write the sharesDNA edge table in its 100 TB at-rest layout
+    (SCALE.md "data layout"): range-partitioned AND sorted by ``distance``,
+    so each file (and each row group inside it) covers a tight, disjoint
+    distance interval -- every ``distance <= t`` cloud query then skips all
+    files/row-groups whose min exceeds t via Parquet min/max stats, reading
+    only the qualifying fraction of the table. (The reference has no at-rest
+    layout to tune: Neo4j stores edges row-wise, phageclouds_gdb.py:56.)"""
+    w = edges
+    if num_files is not None:
+        w = w.repartitionByRange(num_files, "distance")
+    else:
+        w = w.repartitionByRange("distance")
+    w.sortWithinPartitions("distance").write.mode("overwrite").parquet(path)
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """S7 columnar sink. At the 100 TB tier pass partition_by (e.g. distance
     band or bucket(src)) so downstream scans partition-prune."""
