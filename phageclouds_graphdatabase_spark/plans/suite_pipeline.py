@@ -410,8 +410,43 @@ def approx_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Python UDTF (W4, Spark 3.5+/4 surface) driven through the spark.sql front
+# door (S2) as a LATERAL correlated table function: explode each event's
+# props JSON into (key, value) rows.
+# --------------------------------------------------------------------------
+
+def udtf_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="prop_key string, prop_value string")
+    class ExplodeProps:
+        def eval(self, props: str):
+            for k, v in json.loads(props).items():
+                yield k, str(v)
+
+    spark.udtf.register("explode_props", ExplodeProps)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT e.event_id, f.prop_key, f.prop_value
+        FROM events_v e, LATERAL explode_props(e.props) f
+        """
+    )
+
+
+UDTF_PROPS_SQL = """
+SELECT e.event_id, k.key AS prop_key,
+       CAST(json_extract(e.props, '$.' || k.key) AS VARCHAR) AS prop_value
+FROM events e, LATERAL (SELECT unnest(json_keys(e.props)) AS key) k
+"""
+
+
 ENTRIES: dict[str, SuiteEntry] = {
     "graph_wedge_counts": SuiteEntry(graph_wedge_counts, GRAPH_WEDGES_SQL, ("J1", "A6")),
+    "udtf_explode_props": SuiteEntry(udtf_explode_props, UDTF_PROPS_SQL, ("W4", "V8")),
     "grouping_sets_orders": SuiteEntry(grouping_sets_orders, GROUPING_SETS_SQL, ("A6",)),
     "approx_stats_lineitem": SuiteEntry(approx_stats_lineitem, None, ("A6",)),
     "asof_prev_purchase": SuiteEntry(asof_prev_purchase, ASOF_SQL, ("J7", "W2")),
