@@ -444,9 +444,154 @@ FROM events e, LATERAL (SELECT unnest(json_keys(e.props)) AS key) k
 """
 
 
+# --------------------------------------------------------------------------
+# Rolling-hash document fingerprint (W5): Karp-Rabin polynomial hash over
+# the character stream, computed as a sequential fold -- F.aggregate keeps
+# it one JVM expression per document (no explode, no shuffle).
+# --------------------------------------------------------------------------
+
+_RH_BASE = 31
+_RH_MOD = 2_147_483_647  # 2^31 - 1; acc*31 + 127 stays well inside int64
+
+
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))
+    rh = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * _RH_BASE + F.ascii(c)) % _RH_MOD,
+    )
+    return d.select("doc_id", rh.alias("rolling_hash"))
+
+
+ROLLING_HASH_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(split(text, ''), c -> c <> ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+           (acc, c) -> (acc * {_RH_BASE} + c) % {_RH_MOD}
+       ) AS rolling_hash
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN (W5 scale path, the clustering alternative to sign-LSH):
+# deterministic training-free centroids (the first _IVF_K vectors), each
+# vector assigned to its argmax-dot centroid, then exact top-3 cosine
+# search within the query's own cell (nprobe=1). At 100 TB the cell id is
+# the partition key and centroids are broadcast.
+# --------------------------------------------------------------------------
+
+_IVF_K = 8
+
+
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qv = ext._quantized(spark, sf_dir)
+    cents = qv.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    dots = (
+        qv.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "q",
+            "cid",
+            F.aggregate(
+                F.zip_with("q", "cq", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("cdot"),
+        )
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("cdot").desc(), F.col("cid"))
+    assigned = (
+        dots.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "q", F.col("cid").alias("cell"))
+    )
+    norms = qv.select(
+        "vec_id",
+        F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x * x).alias("n2"),
+    )
+    a = assigned.filter(F.col("vec_id") < 10).alias("a")
+    b = assigned.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") != F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+    )
+    na = norms.select(F.col("vec_id").alias("query_id"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("n2").alias("nb2"))
+    scored = (
+        pairs.join(F.broadcast(na), "query_id")
+        .join(nb, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+IVF_ANN_SQL = "WITH " + ext._QUANT_ELEMS_SQL + f"""
+, cdots AS (
+    SELECT v.vec_id, c.vec_id AS cid, CAST(SUM(v.qe * c.qe) AS BIGINT) AS cdot
+    FROM elems v JOIN elems c ON c.d = v.d AND c.vec_id < {_IVF_K}
+    GROUP BY v.vec_id, c.vec_id
+),
+assigned AS (
+    SELECT vec_id, cid AS cell
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cdot DESC, cid) AS rn
+          FROM cdots) z
+    WHERE rn = 1
+),
+pairs AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           CAST(SUM(ea.qe * eb.qe) AS BIGINT) AS dot
+    FROM assigned a
+    JOIN assigned b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+    JOIN elems ea ON ea.vec_id = a.vec_id
+    JOIN elems eb ON eb.vec_id = b.vec_id AND eb.d = ea.d
+    WHERE a.vec_id < 10
+    GROUP BY a.vec_id, b.vec_id
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM pairs
+    JOIN norms na ON na.vec_id = query_id
+    JOIN norms nb ON nb.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored) z
+WHERE rnk <= 3
+"""
+
+
 ENTRIES: dict[str, SuiteEntry] = {
     "graph_wedge_counts": SuiteEntry(graph_wedge_counts, GRAPH_WEDGES_SQL, ("J1", "A6")),
     "udtf_explode_props": SuiteEntry(udtf_explode_props, UDTF_PROPS_SQL, ("W4", "V8")),
+    "rolling_hash_fingerprint": SuiteEntry(rolling_hash_fingerprint, ROLLING_HASH_SQL, ("W5",)),
+    "ivf_ann_topk": SuiteEntry(ivf_ann_topk, IVF_ANN_SQL, ("W5",)),
     "grouping_sets_orders": SuiteEntry(grouping_sets_orders, GROUPING_SETS_SQL, ("A6",)),
     "approx_stats_lineitem": SuiteEntry(approx_stats_lineitem, None, ("A6",)),
     "asof_prev_purchase": SuiteEntry(asof_prev_purchase, ASOF_SQL, ("J7", "W2")),
