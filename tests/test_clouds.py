@@ -14,6 +14,12 @@ from phageclouds_graphdatabase_spark.sources import golden
 
 GOLDEN = "/root/reference/Tequatrovirus_025_clouds.html"
 
+# (filename, threshold, expected nodes, expected edges) -- BASELINE.md
+TAXON_GOLDENS = [
+    ("Tequatrovirus_015_clouds.html", 0.15, 156, 11504),
+    ("Tequatrovirus_025_clouds.html", 0.25, 264, 23247),
+]
+
 
 def node_ids(df):
     return {r.id for r in df.select("id").collect()}
@@ -131,28 +137,29 @@ def test_family_palette_and_rank_extraction(spark, phage_nodes, shares_dna, line
 
 @pytest.mark.skipif(not os.path.exists(GOLDEN), reason="reference goldens absent")
 class TestGoldenParity:
-    @pytest.fixture(scope="class")
-    def golden_run(self, spark):
-        g_nodes, g_edges = golden.golden_frames(spark, GOLDEN)
-        in_nodes, in_edges = golden.reconstruct_taxon_input(spark, GOLDEN, "Tequatrovirus")
-        res = clouds.clouds_by_taxon(in_nodes, in_edges, "Tequatrovirus", 0.25)
-        return g_nodes, g_edges, res
+    @pytest.fixture(scope="class", params=TAXON_GOLDENS, ids=lambda p: p[0])
+    def golden_run(self, request, spark):
+        fname, threshold, n_nodes, n_edges = request.param
+        path = os.path.join("/root/reference", fname)
+        g_nodes, g_edges = golden.golden_frames(spark, path)
+        in_nodes, in_edges = golden.reconstruct_taxon_input(spark, path, "Tequatrovirus")
+        res = clouds.clouds_by_taxon(in_nodes, in_edges, "Tequatrovirus", threshold)
+        return g_nodes, g_edges, res, n_nodes, n_edges
 
     def test_golden_cardinalities(self, golden_run):
-        g_nodes, g_edges, res = golden_run
-        # BASELINE.md: 264 nodes / 23,247 edges.
-        assert g_nodes.count() == 264 and g_edges.count() == 23247
-        assert res.nodes.count() == 264 and res.edges.count() == 23247
+        g_nodes, g_edges, res, n_nodes, n_edges = golden_run
+        assert g_nodes.count() == n_nodes and g_edges.count() == n_edges
+        assert res.nodes.count() == n_nodes and res.edges.count() == n_edges
 
     def test_golden_node_parity(self, golden_run):
-        g_nodes, _, res = golden_run
+        g_nodes, _, res, *_ = golden_run
         got = {(r.id, r.color_background, r.size) for r in res.nodes.collect()}
         want = {(r.id, r.color_background, r.size) for r in g_nodes.collect()}
         assert got == want
 
     def test_golden_edge_parity_bit_exact(self, golden_run):
         # value = t - distance + 0.1 with identical IEEE ops -> bit-exact.
-        _, g_edges, res = golden_run
+        _, g_edges, res, *_ = golden_run
         got = {(r.src, r.dst, r.weight, r.value) for r in res.edges.collect()}
         want = {(r.src, r.dst, r.weight, r.value) for r in g_edges.collect()}
         assert got == want
