@@ -11,8 +11,9 @@ package re-expresses every capability Spark-first:
 - per-row pandas ``df.apply`` derivations become native column expressions
   inside whole-stage codegen,
 - the ete3/sqlite taxonomy side-channel becomes a broadcast dimension table,
-- "phage clouds" (connected components) get a DataFrame-native
-  large-star/small-star implementation,
+- "phage clouds" (connected components) get a DataFrame-native hash-min
+  label propagation with pointer jumping (FastSV-style, O(log diameter)
+  rounds),
 - plus the LLM-data-pipeline extension surface: dedup (exact/MinHash-LSH/
   SimHash/Jaccard), similarity search over embeddings, text analysis, and
   Structured Streaming over event tables.

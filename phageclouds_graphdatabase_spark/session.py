@@ -64,6 +64,15 @@ def get_spark(
     if master is not None:
         builder = builder.master(master)
     conf = dict(_DEFAULT_CONF)
+    if master is not None and master.startswith("local"):
+        # PySpark's self-launched JVM defaults to -Xmx1g regardless of
+        # machine size; in local mode that one heap carries the driver,
+        # every executor thread, broadcasts AND the block-manager cache --
+        # broadcast builds OOM at reference-full-scale (640k-node graph)
+        # under the default. Only effective at JVM launch (first session).
+        conf.setdefault(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

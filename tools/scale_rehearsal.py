@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Scale rehearsal: run the cloud pipelines at the reference's FULL graph
+scale (the paper's ~640k genomes, README.md:3 of the reference) instead of
+the sf0.1 bench tables, and print one JSON line of timings.
+
+Generates a deterministic synthetic phage graph (power-law degree skew, near-
+clique clusters -- the golden-profile shape) under /tmp, writes it in the
+at-rest layout (distance-sorted Parquet), then times:
+  - taxon cloud extraction (seed -> expand -> induced -> attrs)
+  - connected components over the full thresholded graph
+  - degree table
+
+Usage: python tools/scale_rehearsal.py [--nodes 640000] [--avg-degree 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from phageclouds_graphdatabase_spark.operators import graph as G
+from phageclouds_graphdatabase_spark.plans import clouds
+from phageclouds_graphdatabase_spark.session import get_spark
+from phageclouds_graphdatabase_spark.sources import sinks
+
+SOURCES = np.array(
+    ["NCBI", "Tara", "GPD_Isolate", "GPD_Metagenome", "GTDB_predicted_prophages"]
+)
+TAXA = np.array(
+    ["Tequatrovirus", "Lambdavirus", "Bastillevirus", "Okubovirus", "Pahexavirus"]
+)
+
+
+def generate(out_dir: str, n_nodes: int, avg_degree: int, seed: int = 42) -> None:
+    rng = np.random.default_rng(seed)
+    acc = np.array([f"ACC{i:07d}" for i in range(n_nodes)])
+    source = SOURCES[rng.choice(len(SOURCES), n_nodes, p=[0.75, 0.05, 0.08, 0.07, 0.05])]
+    taxon = TAXA[rng.integers(0, len(TAXA), n_nodes)]
+    genome_size = rng.integers(12_000, 372_000, n_nodes)
+
+    # Cluster structure: nodes assigned to power-law-sized clusters; edges
+    # mostly intra-cluster (near-cliques, like the goldens) + random
+    # inter-cluster background. Stored once per pair, arbitrary direction.
+    n_clusters = max(n_nodes // 200, 1)
+    cluster = rng.zipf(1.5, n_nodes) % n_clusters
+    n_edges = n_nodes * avg_degree // 2
+
+    intra = int(n_edges * 0.8)
+    order = np.argsort(cluster, kind="stable")
+    sorted_nodes = order
+    # intra-cluster edges: pick a node, partner with a near neighbor in the
+    # cluster-sorted order (same cluster with high probability)
+    i1 = rng.integers(0, n_nodes, intra)
+    off = rng.integers(1, 50, intra)
+    j1 = np.minimum(i1 + off, n_nodes - 1)
+    src_i = sorted_nodes[i1]
+    dst_i = sorted_nodes[j1]
+    # inter-cluster background
+    inter = n_edges - intra
+    src_x = rng.integers(0, n_nodes, inter)
+    dst_x = rng.integers(0, n_nodes, inter)
+
+    src = np.concatenate([src_i, src_x])
+    dst = np.concatenate([dst_i, dst_x])
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # one direction per unordered pair (golden invariant)
+    lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+    pair = lo.astype(np.int64) * n_nodes + hi
+    _, first = np.unique(pair, return_index=True)
+    src, dst = src[first], dst[first]
+    distance = np.round(rng.beta(2, 5, len(src)) * 0.5, 6)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "accession": acc,
+                "source": source,
+                "taxonomy": np.char.add("Viruses;Duplodnaviria;", taxon.astype(str)),
+                "genome_size": genome_size,
+                "genus": taxon,
+            }
+        ),
+        os.path.join(out_dir, "nodes_raw.parquet"),
+    )
+    pq.write_table(
+        pa.table({"src": acc[src], "dst": acc[dst], "distance": distance}),
+        os.path.join(out_dir, "edges_raw.parquet"),
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=640_000)
+    ap.add_argument("--avg-degree", type=int, default=8)
+    ap.add_argument("--work-dir", default="/tmp/phageclouds_scale")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    work = args.work_dir
+    shutil.rmtree(work, ignore_errors=True)
+    t0 = time.time()
+    generate(work, args.nodes, args.avg_degree)
+    t_gen = time.time() - t0
+
+    spark = get_spark("scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ingest into the at-rest layout (distance-sorted edge Parquet)
+    t0 = time.time()
+    edges_raw = spark.read.parquet(os.path.join(work, "edges_raw.parquet"))
+    sinks.write_edges_at_rest(edges_raw, os.path.join(work, "edges"), num_files=32)
+    nodes_raw = spark.read.parquet(os.path.join(work, "nodes_raw.parquet"))
+    nodes_raw.write.mode("overwrite").parquet(os.path.join(work, "nodes"))
+    t_ingest = time.time() - t0
+
+    nodes = spark.read.parquet(os.path.join(work, "nodes"))
+    edges = spark.read.parquet(os.path.join(work, "edges"))
+    n_edges = edges.count()
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    res = clouds.clouds_by_taxon(nodes, edges, "Tequatrovirus", 0.15)
+    cloud_nodes = res.nodes.count()
+    cloud_edges = res.edges.count()
+    timings["taxon_cloud_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    deg = G.degrees(edges.filter("distance <= 0.15"))
+    deg.write.format("noop").mode("overwrite").save()
+    timings["degrees_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    comp = G.cloud_membership(edges, 0.15)
+    n_clouds = comp.select("component").distinct().count()
+    timings["components_sec"] = round(time.time() - t0, 2)
+
+    print(
+        json.dumps(
+            {
+                "n_nodes": args.nodes,
+                "n_edges": n_edges,
+                "gen_sec": round(t_gen, 2),
+                "ingest_sec": round(t_ingest, 2),
+                "cloud_nodes": cloud_nodes,
+                "cloud_edges": cloud_edges,
+                "n_clouds": n_clouds,
+                **timings,
+            }
+        )
+    )
+    if not args.keep:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
