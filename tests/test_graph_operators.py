@@ -84,7 +84,11 @@ def _union_find_components(edges, nodes):
     return {n: find(n) for n in nodes}
 
 
-def test_connected_components_matches_union_find(spark, shares_dna, phage_nodes):
+import pytest
+
+
+@pytest.mark.parametrize("method", ["hashmin", "contract"])
+def test_connected_components_matches_union_find(spark, shares_dna, phage_nodes, method):
     thr = 0.25
     all_nodes = [r[0] for r in NODE_ROWS]
     got = {
@@ -92,6 +96,7 @@ def test_connected_components_matches_union_find(spark, shares_dna, phage_nodes)
         for r in G.connected_components(
             shares_dna.filter(F.col("distance") <= thr),
             nodes=phage_nodes.select(F.col("accession").alias("id")),
+            method=method,
         ).collect()
     }
     edges = [(s, d) for s, d, w in EDGE_ROWS if w <= thr]

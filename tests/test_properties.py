@@ -4,6 +4,7 @@ pure-Python model is the oracle."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -84,9 +85,10 @@ def test_induced_subset_of_thresholded(spark, g):
     assert got == {(a, b) for (a, b) in thresholded if a in node_set and b in node_set}
 
 
-@given(graphs())
+@pytest.mark.parametrize("method", ["hashmin", "contract"])
+@given(g=graphs())
 @SETTINGS
-def test_components_match_model_and_idempotent(spark, g):
+def test_components_match_model_and_idempotent(spark, g, method):
     edges, seeds = g
     e, _ = _dfs(spark, edges, seeds)
     qual = [(a, b) for (a, b, w) in edges if w <= THRESHOLD]
@@ -96,7 +98,7 @@ def test_components_match_model_and_idempotent(spark, g):
     labels = {
         r.id: r.component
         for r in G.connected_components(
-            e.filter(F.col("distance") <= THRESHOLD)
+            e.filter(F.col("distance") <= THRESHOLD), method=method
         ).collect()
     }
     # union-find model
@@ -118,7 +120,7 @@ def test_components_match_model_and_idempotent(spark, g):
     again = {
         r.id: r.component
         for r in G.connected_components(
-            e.filter(F.col("distance") <= THRESHOLD)
+            e.filter(F.col("distance") <= THRESHOLD), method=method
         ).collect()
     }
     assert again == labels
