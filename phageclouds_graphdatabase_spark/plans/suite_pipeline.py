@@ -339,6 +339,47 @@ FROM events GROUP BY 1, 2
 """
 
 
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState custom stateful operator, driven through
+    the driver contract: per-user running totals over the event stream. The
+    source is one parquet file -> one micro-batch, so the update-mode output
+    IS the final state, which the batch aggregation oracle checks."""
+    from phageclouds_graphdatabase_spark.streaming import events as stream
+
+    s = stream.read_events_stream(spark, sf_dir)
+    rows = stream.run_available_now(
+        stream.running_user_totals(s), output_mode="update"
+    )
+    final: dict = {}
+    for r in rows:  # last row per user wins (single batch -> one row each)
+        final[r.user_id] = (r.n_events, r.sum_value_cents)
+    return spark.createDataFrame(
+        [(k, n, s_) for k, (n, s_) in final.items()],
+        "user_id long, n_events long, sum_value_cents long",
+    )
+
+
+STREAM_USER_TOTALS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY user_id
+"""
+
+
+def skew_safe_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation from operators/skew.py in the driver
+    contract: result-identical to a plain groupBy-count, but the reduce side
+    of a dominant key splits across salts first (SCALE.md skew policy)."""
+    from phageclouds_graphdatabase_spark.operators.skew import two_phase_count
+
+    return two_phase_count(t(spark, sf_dir, "events"), "event_type", n_salts=8)
+
+
+SKEW_COUNTS_SQL = """
+SELECT event_type, COUNT(*) AS count FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Motif matching (J1 multi-way joins, GraphFrames-style): wedge counting
 # (a)-[]->(b)<-[]-(c) on the induced subgraph. (The derived graph is
@@ -603,4 +644,6 @@ ENTRIES: dict[str, SuiteEntry] = {
         presentation_columns, PRESENTATION_SQL, ("V3", "V5", "V6", "J6")
     ),
     "stream_tumbling_counts": SuiteEntry(stream_tumbling_counts, STREAM_TUMBLING_SQL, ("W3",)),
+    "stream_user_totals": SuiteEntry(stream_user_totals, STREAM_USER_TOTALS_SQL, ("W3", "W4")),
+    "skew_safe_event_counts": SuiteEntry(skew_safe_event_counts, SKEW_COUNTS_SQL, ("A6",)),
 }
