@@ -42,16 +42,23 @@ class CloudResult:
     threshold: float
 
 
-def _present_edges(edges: DataFrame, threshold: float) -> DataFrame:
+def _present_edges(
+    edges: DataFrame, threshold: float, with_title: bool = False
+) -> DataFrame:
     """Edge presentation columns (V4): value = t - distance + 0.1, gray
-    color (/root/reference/phageclouds_gdb.py:112-116)."""
-    return edges.select(
-        "src",
-        "dst",
+    color (/root/reference/phageclouds_gdb.py:112-116). The host/family
+    scripts additionally set the hover title to the raw weight
+    (goldens embed it); the taxon script does not."""
+    cols = [
+        F.col("src"),
+        F.col("dst"),
         F.col("distance").alias("weight"),
         derive.edge_value(F.col("distance"), threshold).alias("value"),
         F.lit("lightgray").alias("color"),
-    )
+    ]
+    if with_title:
+        cols.append(F.col("distance").alias("title"))
+    return edges.select(*cols)
 
 
 def clouds_by_taxon(
@@ -189,7 +196,7 @@ def clouds_by_family(
             F.col("source"), F.col("genome_size"), rank, F.col("target_taxon")
         ).alias("title"),
     )
-    return CloudResult(out, _present_edges(induced, threshold), threshold)
+    return CloudResult(out, _present_edges(induced, threshold, with_title=True), threshold)
 
 
 def clouds_by_host(
@@ -255,4 +262,4 @@ def clouds_by_host(
         F.lit("#000000").alias("color_border"),
         derive.host_title(F.col("host_genus"), F.col("genus"), F.col("genome_size")).alias("title"),
     )
-    return CloudResult(out, _present_edges(induced, threshold), threshold)
+    return CloudResult(out, _present_edges(induced, threshold, with_title=True), threshold)

@@ -64,6 +64,123 @@ def golden_frames(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]
     return ndf, edf
 
 
+# hex -> source for the host pipeline (V2 dict inverted,
+# /root/reference/phageclouds_gdb_host.py:66). Values are unique.
+_HEX_TO_SOURCE = {
+    "#8acb4a": "NCBI",
+    "#39dede": "Tara",
+    "#f1e653": "GTDB_predicted_prophages",
+    "#9b4aed": "GPD_Isolate",
+    "#c734df": "GPD_Metagenome",
+}
+
+_HOST_TITLE_RE = re.compile(
+    r"Target host genus: (.*?)<br>Phage genus: (.*?)<br>Genome size: ([\d_]+) bp"
+)
+_FAMILY_TITLE_RE = re.compile(r"Source: (.*?)<br>Genome size: ([\d_]+)<br>(\w+): (.*)")
+
+
+def _none(s: str) -> str | None:
+    return None if s == "None" else s
+
+
+def reconstruct_host_input(
+    spark: SparkSession, path: str, host_genus: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Invert a host golden into (nodes, edges, infects) input frames.
+
+    Exactly recoverable: source (hex inverse), genome_size and phage genus
+    (title), edge distances. Not exactly recoverable: WHICH nodes were true
+    seeds -- so every node with an outgoing golden edge is made a seed
+    (infects the queried genus). That is a superset of the true seeds whose
+    expansion still lands exactly on the golden node set (all their edges
+    are golden edges, so every target is a golden node). Consequence: a
+    node's displayed any-host may differ from the golden title (our dedup
+    pins max(host_genus), the extra infects row can win), so parity tests
+    compare ids/colors/sizes/edges, not host titles."""
+    nodes, edges = parse_vis_html(path)
+    out_nodes = {e["from"] for e in edges}
+    node_rows, infects_rows = [], []
+    for n in nodes:
+        host, genus, size = _HOST_TITLE_RE.match(n["title"]).groups()
+        node_rows.append(
+            (
+                n["id"],
+                _HEX_TO_SOURCE[n["color"]["background"]],
+                "",
+                int(size.replace("_", "")),
+                _none(genus),
+            )
+        )
+        if _none(host):
+            infects_rows.append((n["id"], host))
+    for nid in out_nodes:
+        infects_rows.append((nid, host_genus))
+    ndf = spark.createDataFrame(
+        node_rows,
+        "accession string, source string, taxonomy string, genome_size long, genus string",
+    )
+    edf = spark.createDataFrame(
+        [(e["from"], e["to"], float(e["weight"])) for e in edges],
+        "src string, dst string, distance double",
+    )
+    idf = spark.createDataFrame(
+        sorted(set(infects_rows)), "src string, host_genus string"
+    )
+    return ndf, edf, idf
+
+
+def reconstruct_family_input(
+    spark: SparkSession, path: str, family: str, rank: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Invert a family golden into (nodes, edges, lineages) input frames.
+
+    Source, genome_size and the rank taxon come from the title; every NCBI
+    node is made a family member (superset of true seeds -- J4 keeps
+    edgeless seeds and expansion stays within the golden node set).
+    Palette COLORS are not comparable by design: the reference assigns
+    palette indices in Python set-iteration order (SURVEY.md §7 hard-part
+    3); parity tests compare ids/sizes/titles/edges."""
+    nodes, edges = parse_vis_html(path)
+    node_rows, lineage_rows = [], []
+    for n in nodes:
+        source, size, got_rank, taxon = _FAMILY_TITLE_RE.match(n["title"]).groups()
+        assert got_rank == rank, (got_rank, rank)
+        taxon = _none(taxon)
+        tax_blob = (
+            f"Viruses;{family};{taxon or ''}" if source == "NCBI" else f"Viruses;{taxon or ''}"
+        )
+        node_rows.append(
+            (n["id"], source, tax_blob, int(size.replace("_", "")), None)
+        )
+        lineage_rows.append(
+            (
+                n["id"],
+                0,
+                "Viruses", "", "", "",
+                family if source == "NCBI" else "",
+                taxon or "" if rank == "subfamily" else "",
+                taxon or "" if rank == "genus" else "",
+                "",
+            )
+        )
+    ndf = spark.createDataFrame(
+        node_rows,
+        "accession string, source string, taxonomy string, genome_size long, genus string",
+    )
+    edf = spark.createDataFrame(
+        [(e["from"], e["to"], float(e["weight"])) for e in edges],
+        "src string, dst string, distance double",
+    )
+    ldf = spark.createDataFrame(
+        lineage_rows,
+        "accession string, taxid long, superkingdom string, phylum string, "
+        "class string, order string, family string, subfamily string, "
+        "genus string, species string",
+    )
+    return ndf, edf, ldf
+
+
 def reconstruct_taxon_input(
     spark: SparkSession, path: str, taxon: str
 ) -> tuple[DataFrame, DataFrame]:
