@@ -366,6 +366,55 @@ FROM events GROUP BY user_id
 """
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join driven through the driver contract: the event
+    stream enriched with the (static) customer dim, aggregated per
+    (segment, type). Complete-mode output equals the batch join+agg, which
+    is the oracle."""
+    from phageclouds_graphdatabase_spark.streaming import events as stream
+
+    s = stream.read_events_stream(spark, sf_dir)
+    cust = t(spark, sf_dir, "customer")
+    rows = stream.run_available_now(
+        stream.stream_static_segment_counts(s, cust), output_mode="complete"
+    )
+    return spark.createDataFrame(
+        rows, "c_mktsegment string, event_type string, n_events long"
+    )
+
+
+STREAM_STATIC_SQL = """
+SELECT c_mktsegment, event_type, COUNT(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases x preceding clicks) through
+    the driver contract; append-mode inner join over the availableNow
+    backfill emits exactly the batch join's rows, which is the oracle."""
+    from phageclouds_graphdatabase_spark.streaming import events as stream
+
+    p = stream.read_events_stream(spark, sf_dir)
+    c = stream.read_events_stream(spark, sf_dir)
+    rows = stream.run_available_now(
+        stream.purchase_click_pairs(p, c), output_mode="append"
+    )
+    return spark.createDataFrame(
+        rows, "purchase_id long, click_id long, user_id long"
+    )
+
+
+STREAM_STREAM_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts BETWEEN p.ts - INTERVAL '10 minutes' AND p.ts
+"""
+
+
 def skew_safe_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase (salted) aggregation from operators/skew.py in the driver
     contract: result-identical to a plain groupBy-count, but the reduce side
@@ -645,5 +694,7 @@ ENTRIES: dict[str, SuiteEntry] = {
     ),
     "stream_tumbling_counts": SuiteEntry(stream_tumbling_counts, STREAM_TUMBLING_SQL, ("W3",)),
     "stream_user_totals": SuiteEntry(stream_user_totals, STREAM_USER_TOTALS_SQL, ("W3", "W4")),
+    "stream_static_join": SuiteEntry(stream_static_join, STREAM_STATIC_SQL, ("W3", "J1")),
+    "stream_stream_join": SuiteEntry(stream_stream_join, STREAM_STREAM_SQL, ("W3", "J1")),
     "skew_safe_event_counts": SuiteEntry(skew_safe_event_counts, SKEW_COUNTS_SQL, ("A6",)),
 }

@@ -134,6 +134,86 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_static_segment_counts(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join (W3): enrich the event stream with the customer
+    dimension (user_id == c_custkey), then aggregate per (segment, type).
+    The static side is re-planned each micro-batch, so dim updates between
+    batches are picked up; Catalyst broadcasts it (small dim). Run in
+    complete mode: a plain (non-windowed) streaming agg keeps running
+    totals per group in the state store."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.join(dim, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def purchase_click_pairs(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Stream-stream interval join (W3): for every purchase, the clicks by
+    the same user in the 10 minutes leading up to it. Watermarks on BOTH
+    sides plus the time-range predicate let Spark evict buffered rows once
+    they can no longer match (state stays bounded by the interval + late
+    horizon, not the stream length)."""
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+
+
+def run_foreach_batch_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> int:
+    """foreachBatch sink with exactly-once output (W5): each micro-batch is
+    written to ``{out_dir}/batch_id=N`` with overwrite mode, so a replayed
+    batch (failure between write and checkpoint commit) lands idempotently
+    on the same path. Combined with the checkpointed source offsets this
+    gives end-to-end exactly-once for any batch-capable sink, not just the
+    ones with native streaming support. Returns the number of batches
+    processed THIS run -- a rerun over the same checkpoint returns 0."""
+    import os
+
+    n_batches = [0]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+        n_batches[0] += 1
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return n_batches[0]
+
+
 def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> list:
     """Execute a streaming plan over the data available right now into an
     in-memory sink; returns the collected rows. Test/backfill harness --

@@ -58,6 +58,76 @@ def test_stream_dedup_unique_event_ids(spark, sf_dir, events_stream):
     assert len(ids) == n_distinct
 
 
+def test_stream_static_join_matches_batch(spark, sf_dir, events_stream):
+    cust = read_table(spark, sf_dir, "customer")
+    got = stream.run_available_now(
+        stream.stream_static_segment_counts(events_stream, cust),
+        output_mode="complete",
+    )
+    want = (
+        read_table(spark, sf_dir, "events")
+        .join(
+            cust.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+            "user_id",
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .count()
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(
+        (r.c_mktsegment, r.event_type, r["count"]) for r in want
+    )
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    p = stream.read_events_stream(spark, sf_dir)
+    c = stream.read_events_stream(spark, sf_dir)
+    got = stream.run_available_now(
+        stream.purchase_click_pairs(p, c), output_mode="append"
+    )
+    e = read_table(spark, sf_dir, "events")
+    pb = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cb = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = (
+        pb.join(cb, "user_id")
+        .filter(
+            (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+        )
+        .select("purchase_id", "click_id", "user_id")
+        .collect()
+    )
+    assert len(got) > 0
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_foreach_batch_exactly_once(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    s = stream.read_events_stream(spark, sf_dir)
+    n1 = stream.run_foreach_batch_parquet(stream.stream_dedup(s), out, ckpt)
+    assert n1 >= 1
+    written = spark.read.parquet(out)
+    n_distinct = (
+        read_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    )
+    assert written.count() == n_distinct
+    # Re-run over the SAME checkpoint: source offsets are committed, so no
+    # micro-batch re-executes and the output is unchanged (exactly-once).
+    s2 = stream.read_events_stream(spark, sf_dir)
+    n2 = stream.run_foreach_batch_parquet(stream.stream_dedup(s2), out, ckpt)
+    assert n2 == 0
+    assert spark.read.parquet(out).count() == n_distinct
+
+
 def test_running_user_totals_stateful(spark, sf_dir, events_stream):
     got = stream.run_available_now(
         stream.running_user_totals(events_stream), output_mode="update"
