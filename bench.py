@@ -51,18 +51,32 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    # --repeat N (or $SPARK_GRAFT_REPEAT): run the whole set N times and
+    # report the per-query MEDIAN -- cuts the ±15% JVM-warmth noise observed
+    # on the 1-2s queries. Default 1 keeps the driver's per-round run cheap.
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "1"))
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
     spark = get_spark("phageclouds-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up the JVM/session so the first timed query doesn't pay startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = SUITE[name].fn
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(repeat):
+        for name in HEADLINE:
+            fn = SUITE[name].fn
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(time.time() - t0)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    timings = {name: round(median(xs), 3) for name, xs in samples.items()}
 
     total = round(sum(timings.values()), 3)
     print(

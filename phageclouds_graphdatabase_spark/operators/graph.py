@@ -91,11 +91,21 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def _ckpt(df: DataFrame, reliable: bool) -> DataFrame:
+    """Truncate lineage between rounds. ``localCheckpoint`` stores blocks on
+    executors (fast, lost on executor failure); ``checkpoint`` writes to the
+    session's checkpoint dir (HDFS/S3 on a cluster) and survives executor
+    loss -- the difference that matters on a 1000-executor run where some
+    loss per hour is expected."""
+    return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iterations: int = 50,
     method: str = "contract",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components (W6) -- the "phage clouds" themselves: the paper's
     cloud = component of the distance-thresholded graph (reference README.md:3
@@ -117,29 +127,33 @@ def connected_components(
       pointer jumping, no contraction. Kept as the simpler reference
       implementation and differential-testing twin.
 
-    ``localCheckpoint`` each round truncates lineage (the iterative-Spark
-    failure mode, SURVEY.md §4); on a cluster swap for reliable
-    ``checkpoint()`` to survive executor loss.
+    Lineage is truncated each round (the iterative-Spark failure mode,
+    SURVEY.md §4): by ``localCheckpoint`` by default, or by reliable
+    ``checkpoint()`` when ``checkpoint_dir`` is set (pass an HDFS/S3 path
+    on a cluster to survive executor loss mid-run).
     """
-    und = (
+    reliable = checkpoint_dir is not None
+    if reliable:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    und = _ckpt(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable,
     )
     if nodes is None:
         nodes = as_node_set(und, "a")
     if method == "hashmin":
-        return _components_hashmin(und, nodes, max_iterations)
+        return _components_hashmin(und, nodes, max_iterations, reliable)
     if method == "contract":
-        return _components_contract(und, nodes, max_iterations)
+        return _components_contract(und, nodes, max_iterations, reliable)
     raise ValueError(f"unknown method {method!r} (hashmin|contract)")
 
 
 def _components_hashmin(
-    und: DataFrame, nodes: DataFrame, max_iterations: int
+    und: DataFrame, nodes: DataFrame, max_iterations: int, reliable: bool = False
 ) -> DataFrame:
-    labels = nodes.select("id", F.col("id").alias("component")).localCheckpoint()
+    labels = _ckpt(nodes.select("id", F.col("id").alias("component")), reliable)
     for _ in range(max_iterations):
         neighbor_min = (
             und.join(labels, und["b"] == labels["id"])
@@ -168,8 +182,8 @@ def _components_hashmin(
                     | (F.coalesce("_parent", "component") < F.col("component"))
                 ).alias("_changed"),
             )
-            .localCheckpoint()
         )
+        jumped = _ckpt(jumped, reliable)
         n_changed = jumped.filter(F.col("_changed")).count()
         labels = jumped.drop("_changed")
         if n_changed == 0:
@@ -178,7 +192,7 @@ def _components_hashmin(
 
 
 def _components_contract(
-    und: DataFrame, nodes: DataFrame, max_iterations: int
+    und: DataFrame, nodes: DataFrame, max_iterations: int, reliable: bool = False
 ) -> DataFrame:
     anchor = nodes.select("id", F.col("id").alias("component"))
     cur = und
@@ -196,7 +210,7 @@ def _components_contract(
         f = f.join(parent, "c", "left_outer").select(
             "id", F.coalesce("_p", "c").alias("c")
         )
-        f = f.localCheckpoint()
+        f = _ckpt(f, reliable)
         # compose into the running labels lazily (anchor.component lives in
         # the current supernode space); rounds are few (O(log n)) and every
         # f is checkpointed, so the join chain stays shallow and cheap --
@@ -215,10 +229,10 @@ def _components_contract(
             .filter(F.col("a") != F.col("b"))
         )
         # keep both directions so min(closed nbhd) sees every neighbor.
-        cur = (
+        cur = _ckpt(
             cur.unionByName(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            reliable,
         )
     return anchor
 

@@ -107,6 +107,32 @@ def test_connected_components_matches_union_find(spark, shares_dna, phage_nodes,
     assert got["C1"] == "A1" and got["B3"] == "B1" and got["E1"] == "E1"
 
 
+@pytest.mark.parametrize("method", ["hashmin", "contract"])
+def test_connected_components_reliable_checkpoint(
+    spark, shares_dna, phage_nodes, tmp_path, method
+):
+    """checkpoint_dir swaps localCheckpoint for reliable checkpoint():
+    identical labels, and the checkpoint files actually land in the dir
+    (what survives executor loss on a cluster)."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    got = {
+        r.id: r.component
+        for r in G.connected_components(
+            shares_dna.filter(F.col("distance") <= 0.25),
+            nodes=phage_nodes.select(F.col("accession").alias("id")),
+            method=method,
+            checkpoint_dir=ckpt,
+        ).collect()
+    }
+    want = _union_find_components(
+        [(s, d) for s, d, w in EDGE_ROWS if w <= 0.25], [r[0] for r in NODE_ROWS]
+    )
+    assert got == want
+    assert any(files for _, _, files in os.walk(ckpt))
+
+
 def test_cloud_membership_sizes(spark, shares_dna):
     cm = {r.id: r.cloud_size for r in G.cloud_membership(shares_dna, 0.25).collect()}
     assert cm["A1"] == 4 and cm["B2"] == 3 and cm["D2"] == 2 and cm["F1"] == 2
