@@ -75,6 +75,63 @@ def read_infects(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(schemas.INFECTS).parquet(path)
 
 
+# --------------------------------------------------------------------------
+# Bucketed graph catalog (SCALE.md "data layout"): persist the graph tables
+# bucketed on their join keys so the hot joins (expand / induced-subgraph /
+# components when the node side is too big to broadcast) are SortMergeJoins
+# with ZERO Exchange -- proven shuffle-free in tests/test_bucketing.py and
+# here wired as the at-rest storage option the pipelines can read from.
+# --------------------------------------------------------------------------
+
+# table -> bucket key. Nodes bucket on accession, edges+infects on src, so
+# every (edges JOIN nodes ON src=accession) pair is co-located.
+GRAPH_BUCKET_KEYS = {
+    "phage_nodes": "accession",
+    "shares_dna": "src",
+    "infects": "src",
+}
+
+
+def write_graph_bucketed(
+    frames: dict[str, DataFrame],
+    location: str,
+    n_buckets: int = 64,
+    prefix: str = "pc",
+) -> dict[str, str]:
+    """Persist graph tables (any subset of GRAPH_BUCKET_KEYS) as bucketed
+    catalog tables under ``location``. Returns {logical name: table name}.
+    n_buckets sizes to the cluster: at the 100 TB tier pick
+    ~2-4x total executor cores so each bucket is one task's worth."""
+    out = {}
+    for name, df in frames.items():
+        key = GRAPH_BUCKET_KEYS[name]
+        tbl = f"{prefix}_{name}"
+        (
+            df.write.mode("overwrite")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .option("path", os.path.join(location, tbl))
+            .saveAsTable(tbl)
+        )
+        out[name] = tbl
+    return out
+
+
+def read_graph_bucketed(
+    spark: SparkSession, prefix: str = "pc"
+) -> dict[str, DataFrame]:
+    """Read back whichever bucketed graph tables exist in the catalog.
+    Frames carry the bucketing spec, so joins on the bucket key skip the
+    shuffle; callers fall back to the plain parquet readers when a table
+    is absent."""
+    out = {}
+    for name in GRAPH_BUCKET_KEYS:
+        tbl = f"{prefix}_{name}"
+        if spark.catalog.tableExists(tbl):
+            out[name] = spark.table(tbl)
+    return out
+
+
 def read_lineages_csv(spark: SparkSession, path: str) -> DataFrame:
     """Taxonomy dimension (S4/S5): the committed lineages CSV *is* the dim
     table that replaces per-row ete3 sqlite lookups

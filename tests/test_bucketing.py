@@ -21,6 +21,46 @@ def no_broadcast(spark):
     spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
+def test_graph_catalog_roundtrip_and_pipeline_parity(
+    spark, tmp_path, phage_nodes, shares_dna, no_broadcast
+):
+    """write_graph_bucketed -> read_graph_bucketed: the edges-nodes join is
+    shuffle-free on the edge side, and clouds_by_taxon over the bucketed
+    frames returns exactly what it returns over the in-memory frames."""
+    from phageclouds_graphdatabase_spark.plans import clouds
+    from phageclouds_graphdatabase_spark.sources import readers
+
+    tag = "t" + uuid.uuid4().hex[:8]
+    try:
+        readers.write_graph_bucketed(
+            {"phage_nodes": phage_nodes, "shares_dna": shares_dna},
+            str(tmp_path),
+            n_buckets=4,
+            prefix=tag,
+        )
+        got = readers.read_graph_bucketed(spark, prefix=tag)
+        assert set(got) == {"phage_nodes", "shares_dna"}
+        nb, eb = got["phage_nodes"], got["shares_dna"]
+
+        joined = eb.join(nb, eb["src"] == nb["accession"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # nodes are bucketed on accession, edges on src: both sides arrive
+        # pre-partitioned, so no Exchange anywhere in the join.
+        assert "Exchange" not in plan, plan
+
+        want = clouds.clouds_by_taxon(phage_nodes, shares_dna, "Tequatrovirus", 0.25)
+        have = clouds.clouds_by_taxon(nb, eb, "Tequatrovirus", 0.25)
+        assert sorted(map(tuple, have.nodes.collect())) == sorted(
+            map(tuple, want.nodes.collect())
+        )
+        assert sorted(map(tuple, have.edges.collect())) == sorted(
+            map(tuple, want.edges.collect())
+        )
+    finally:
+        for name in readers.GRAPH_BUCKET_KEYS:
+            spark.sql(f"DROP TABLE IF EXISTS {tag}_{name}")
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path, no_broadcast):
     tag = uuid.uuid4().hex[:8]
     edges = spark.range(2000).select(

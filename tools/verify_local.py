@@ -91,8 +91,16 @@ def main() -> int:
         print(f"  {status:<12} {name:<32} {detail}  [{results[name][2]:.1f}s]")
 
     print(f"\n{n_pass} pass / {n_fail} fail")
+    # --only runs merge into the existing record instead of clobbering it.
+    merged = {}
+    if only and os.path.exists("VERIFY_LOCAL.json"):
+        with open("VERIFY_LOCAL.json") as f:
+            merged = json.load(f)
+    merged.update(
+        {k: {"status": v[0], "detail": v[1], "sec": round(v[2], 2)} for k, v in results.items()}
+    )
     with open("VERIFY_LOCAL.json", "w") as f:
-        json.dump({k: {"status": v[0], "detail": v[1], "sec": round(v[2], 2)} for k, v in results.items()}, f, indent=1)
+        json.dump(merged, f, indent=1)
     return 1 if n_fail else 0
 
 
