@@ -428,6 +428,42 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.03
 """
 )
 
+def neardup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shape Jaccard near-dup: frequency-capped candidate
+    generation (df <= 5) + exact full-set verification
+    (operators/dedup.py). Reducer cost bounded by cap^2 per shingle
+    regardless of how viral a shingle gets."""
+    from phageclouds_graphdatabase_spark.operators.dedup import jaccard_pairs_capped
+
+    return jaccard_pairs_capped(_shingled(spark, sf_dir), 0.03, freq_cap=5)
+
+
+NEARDUP_JACCARD_CAPPED_SQL = (
+    "WITH " + _SHINGLE_CTE + """
+, dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM dsh GROUP BY shingle),
+idx AS (SELECT dsh.doc_id, dsh.shingle FROM dsh JOIN dfreq USING (shingle) WHERE df <= 5),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+shared AS (
+    SELECT doc_a, doc_b, COUNT(*) AS n_shared
+    FROM cand
+    JOIN dsh a ON a.doc_id = doc_a
+    JOIN dsh b ON b.doc_id = doc_b AND b.shingle = a.shingle
+    GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, n_shared,
+       CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.03
+"""
+)
+
 _SIMHASH_BITS = 16
 _HI_NIBBLE = ("8", "9", "a", "b", "c", "d", "e", "f")
 
@@ -806,6 +842,9 @@ ENTRIES: dict[str, SuiteEntry] = {
     "dedup_exact_docs": SuiteEntry(dedup_exact_docs, DEDUP_EXACT_SQL, ("W5", "A6")),
     "minhash_signatures": SuiteEntry(minhash_signatures, MINHASH_SQL, ("W5",)),
     "neardup_jaccard_pairs": SuiteEntry(neardup_jaccard_pairs, NEARDUP_JACCARD_SQL, ("W5", "J7")),
+    "neardup_jaccard_capped": SuiteEntry(
+        neardup_jaccard_capped, NEARDUP_JACCARD_CAPPED_SQL, ("W5", "J7")
+    ),
     "simhash_fingerprint": SuiteEntry(simhash_fingerprint, SIMHASH_SQL, ("W5",)),
     "knn_cosine_bruteforce": SuiteEntry(knn_cosine_bruteforce, KNN_SQL, ("W5",)),
     "ann_lsh_buckets": SuiteEntry(ann_lsh_buckets, ANN_LSH_SQL, ("W5",)),
