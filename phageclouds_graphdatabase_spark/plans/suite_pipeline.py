@@ -6,6 +6,8 @@ each with a DuckDB oracle twin.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -415,6 +417,24 @@ FROM events p JOIN events c
 """
 
 
+def vis_html_golden_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 DataSource API): every reference
+    vis.js HTML network scanned as one nodes table, one file per partition.
+    Rows-only check: the source reads HTML, which DuckDB can't oracle."""
+    from phageclouds_graphdatabase_spark.sources import vis_datasource
+
+    vis_datasource.register(spark)
+    ref = "/root/reference"
+    if not os.path.isdir(ref):
+        return spark.createDataFrame([], vis_datasource.NODES_SCHEMA)
+    return (
+        spark.read.format("vis_html")
+        .option("kind", "nodes")
+        .load(ref)
+        .orderBy("_file", "id")
+    )
+
+
 def skew_safe_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase (salted) aggregation from operators/skew.py in the driver
     contract: result-identical to a plain groupBy-count, but the reduce side
@@ -531,6 +551,51 @@ UDTF_PROPS_SQL = """
 SELECT e.event_id, k.key AS prop_key,
        CAST(json_extract(e.props, '$.' || k.key) AS VARCHAR) AS prop_value
 FROM events e, LATERAL (SELECT unnest(json_keys(e.props)) AS key) k
+"""
+
+
+def udtf_table_arg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE() argument (Spark 4): top-2 orders per
+    customer. PARTITION BY routes each customer's rows to one UDTF
+    instance, which accumulates in eval() and emits from terminate() --
+    the SQL-native form of a custom per-group table function. (The
+    DataFrame twin is a rank window; this exercises the TABLE() surface.)"""
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_custkey bigint, o_orderkey bigint, o_totalprice_cents bigint")
+    class TopOrders:
+        def __init__(self):
+            self._rows: list = []
+
+        def eval(self, row):
+            self._rows.append(
+                (row["o_custkey"], row["o_orderkey"], row["o_totalprice"])
+            )
+
+        def terminate(self):
+            self._rows.sort(key=lambda r: (-r[2], r[1]))
+            for ck, ok, tp in self._rows[:2]:
+                yield ck, ok, int(math.floor(tp * 100.0 + 0.5))
+
+    spark.udtf.register("top_orders", TopOrders)
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        "SELECT * FROM top_orders(TABLE(orders_v) PARTITION BY o_custkey)"
+    )
+
+
+UDTF_TABLE_ARG_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS o_totalprice_cents
+FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+           ) AS rn
+    FROM orders
+) WHERE rn <= 2
 """
 
 
@@ -680,6 +745,7 @@ WHERE rnk <= 3
 ENTRIES: dict[str, SuiteEntry] = {
     "graph_wedge_counts": SuiteEntry(graph_wedge_counts, GRAPH_WEDGES_SQL, ("J1", "A6")),
     "udtf_explode_props": SuiteEntry(udtf_explode_props, UDTF_PROPS_SQL, ("W4", "V8")),
+    "udtf_table_arg_topk": SuiteEntry(udtf_table_arg_topk, UDTF_TABLE_ARG_SQL, ("W4", "V8")),
     "rolling_hash_fingerprint": SuiteEntry(rolling_hash_fingerprint, ROLLING_HASH_SQL, ("W5",)),
     "ivf_ann_topk": SuiteEntry(ivf_ann_topk, IVF_ANN_SQL, ("W5",)),
     "grouping_sets_orders": SuiteEntry(grouping_sets_orders, GROUPING_SETS_SQL, ("A6",)),
@@ -696,5 +762,6 @@ ENTRIES: dict[str, SuiteEntry] = {
     "stream_user_totals": SuiteEntry(stream_user_totals, STREAM_USER_TOTALS_SQL, ("W3", "W4")),
     "stream_static_join": SuiteEntry(stream_static_join, STREAM_STATIC_SQL, ("W3", "J1")),
     "stream_stream_join": SuiteEntry(stream_stream_join, STREAM_STREAM_SQL, ("W3", "J1")),
+    "vis_html_golden_scan": SuiteEntry(vis_html_golden_scan, None, ("S6",)),
     "skew_safe_event_counts": SuiteEntry(skew_safe_event_counts, SKEW_COUNTS_SQL, ("A6",)),
 }

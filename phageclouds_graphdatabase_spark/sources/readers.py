@@ -132,6 +132,61 @@ def read_graph_bucketed(
     return out
 
 
+# --------------------------------------------------------------------------
+# Neo4j live connector (S1 optional path): read the reference's ACTUAL
+# database through the Neo4j Spark Connector instead of Parquet exports.
+# The option layout mirrors the reference's bolt connection
+# (/root/reference/phageclouds_gdb.py:9-42: bolt URL + basic auth) and its
+# graph model (:Phage nodes, [:sharesDNA] relationships). Requires the
+# org.neo4j.spark connector jar on the classpath; read_neo4j_* raise
+# Spark's DATA_SOURCE_NOT_FOUND otherwise (contract-tested either way).
+# --------------------------------------------------------------------------
+
+NEO4J_FORMAT = "org.neo4j.spark"
+
+
+def neo4j_options(url: str, user: str, password: str) -> dict[str, str]:
+    return {
+        "url": url,
+        "authentication.type": "basic",
+        "authentication.basic.username": user,
+        "authentication.basic.password": password,
+    }
+
+
+def read_neo4j_phage_nodes(
+    spark: SparkSession, url: str, user: str, password: str
+) -> DataFrame:
+    """:Phage node table via the connector's labels mode (pushes property
+    projection into Cypher server-side)."""
+    return (
+        spark.read.format(NEO4J_FORMAT)
+        .options(**neo4j_options(url, user, password))
+        .option("labels", ":Phage")
+        .load()
+    )
+
+
+def read_neo4j_shares_dna(
+    spark: SparkSession, url: str, user: str, password: str
+) -> DataFrame:
+    """[:sharesDNA] edge table via relationship mode; source/target node ids
+    map onto the (src, dst, distance) edge convention."""
+    return (
+        spark.read.format(NEO4J_FORMAT)
+        .options(**neo4j_options(url, user, password))
+        .option("relationship", "sharesDNA")
+        .option("relationship.source.labels", ":Phage")
+        .option("relationship.target.labels", ":Phage")
+        .load()
+        .selectExpr(
+            "`source.accession` AS src",
+            "`target.accession` AS dst",
+            "`rel.distance` AS distance",
+        )
+    )
+
+
 def read_lineages_csv(spark: SparkSession, path: str) -> DataFrame:
     """Taxonomy dimension (S4/S5): the committed lineages CSV *is* the dim
     table that replaces per-row ete3 sqlite lookups
