@@ -1,0 +1,73 @@
+"""Physical-plan assertions (SURVEY.md §4, SCALE.md): the scale properties
+the engine is designed around must be visible in the executed plan, not just
+claimed -- predicate pushdown to the Parquet scan, column pruning, broadcast
+joins for node sets/dims, and whole-stage codegen on the hot aggregations.
+A refactor that silently loses one of these fails here, long before it is
+slow enough to notice at sf0.1."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from phageclouds_graphdatabase_spark.plans import suite_extensions as ext
+from phageclouds_graphdatabase_spark.plans import suite_relational as rel
+from phageclouds_graphdatabase_spark.sources.readers import read_table
+
+
+def explain_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def full_explain(df) -> str:
+    # includes the FileScan line with PushedFilters/ReadSchema
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_distance_filter_pushed_to_parquet_scan(spark, sf_dir):
+    e = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 25)
+    plan = full_explain(e)
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_quantity" in plan, plan
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    df = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = full_explain(df)
+    # ReadSchema carries only the projected columns, not all 16
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_graph_expand_broadcasts_node_set(spark, sf_dir):
+    df = ext.graph_expand_nodes(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_q1_stays_in_whole_stage_codegen(spark, sf_dir):
+    df = rel.q1_pricing_summary(spark, sf_dir)
+    df.collect()  # AQE reveals codegen spans only in the final plan
+    plan = explain_str(df)
+    # '*(n) ' prefixes mark WholeStageCodegen stages in executedPlan strings
+    assert "*(1)" in plan and "HashAggregate" in plan, plan
+    # the aggregation itself is JVM-side: no Python eval anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hot_path_queries_avoid_row_python_udfs(spark, sf_dir):
+    # every headline bench query must stay off row-at-a-time Python UDFs
+    from bench import HEADLINE
+    from phageclouds_graphdatabase_spark.plans.suite import SUITE
+
+    offenders = []
+    for name in HEADLINE:
+        if name in ("graph_components",):  # iterative: plan materialized per round
+            continue
+        plan = explain_str(SUITE[name].fn(spark, sf_dir))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
