@@ -237,6 +237,47 @@ def _components_contract(
     return anchor
 
 
+def k_hop(
+    seeds: DataFrame,
+    edges: DataFrame,
+    k: int,
+    threshold: float | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """Variable-length path expand -- the Cypher
+    ``MATCH (s)-[:sharesDNA*1..k]->(n)`` generalization of J2: BFS levels
+    ``(id, hops)`` where ``hops`` is the MINIMUM hop count from any seed,
+    bounded by ``k``. Frontier-at-a-time: each round joins only the NEW
+    frontier against the edge list and anti-joins the visited set, so
+    per-round cost tracks frontier edges, not the whole reachable set
+    (AQE broadcasts the frontier while it is small; rounds checkpoint to
+    keep lineage flat). Early-exits when a frontier empties."""
+    e = edges if threshold is None else edges.filter(F.col("distance") <= F.lit(threshold))
+    e = e.select("src", "dst")
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    visited = (
+        seeds.select("id").distinct().withColumn("hops", F.lit(0)).localCheckpoint()
+    )
+    frontier = visited.select("id")
+    for i in range(1, k + 1):
+        nxt = (
+            e.join(frontier, e["src"] == frontier["id"], "left_semi")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("hops", F.lit(i))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("id")
+    return visited
+
+
 def cloud_membership(
     edges: DataFrame,
     threshold: float,

@@ -91,6 +91,48 @@ def graph_induced_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAPH_INDUCED_SQL = _GRAPH_CTE + "SELECT src, dst, distance FROM induced"
 
 
+def graph_khop_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length path expand (Cypher MATCH (s)-[*1..3]-(n)): BFS
+    levels to depth 3, undirected, over the derived graph. The oracle
+    unrolls the three frontiers as chained plain CTEs (NOT WITH RECURSIVE
+    -- see the _GRAPH_CTE note on DuckDB 1.0 sibling-CTE corruption)."""
+    return G.k_hop(
+        graph_seeds(spark, sf_dir),
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+        k=3,
+        threshold=GRAPH_THRESHOLD,
+        directed=False,
+    )
+
+
+GRAPH_KHOP_SQL = f"""
+WITH edges AS ({GRAPH_EDGES_SQL}),
+und AS (
+    SELECT src, dst FROM edges WHERE distance <= {GRAPH_THRESHOLD}
+    UNION
+    SELECT dst AS src, src AS dst FROM edges WHERE distance <= {GRAPH_THRESHOLD}
+),
+h0 AS ({GRAPH_SEEDS_SQL}),
+h1 AS (
+    SELECT DISTINCT u.dst AS id FROM und u JOIN h0 ON u.src = h0.id
+    WHERE u.dst NOT IN (SELECT id FROM h0)
+),
+h2 AS (
+    SELECT DISTINCT u.dst AS id FROM und u JOIN h1 ON u.src = h1.id
+    WHERE u.dst NOT IN (SELECT id FROM h0) AND u.dst NOT IN (SELECT id FROM h1)
+),
+h3 AS (
+    SELECT DISTINCT u.dst AS id FROM und u JOIN h2 ON u.src = h2.id
+    WHERE u.dst NOT IN (SELECT id FROM h0) AND u.dst NOT IN (SELECT id FROM h1)
+      AND u.dst NOT IN (SELECT id FROM h2)
+)
+SELECT id, CAST(0 AS INTEGER) AS hops FROM h0
+UNION ALL SELECT id, 1 FROM h1
+UNION ALL SELECT id, 2 FROM h2
+UNION ALL SELECT id, 3 FROM h3
+"""
+
+
 def graph_degrees_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node degrees over the induced subgraph (cloud analytics)."""
     return G.degrees(graph_induced_edges(spark, sf_dir)).select(
@@ -833,6 +875,7 @@ FROM documents
 ENTRIES: dict[str, SuiteEntry] = {
     "graph_expand_nodes": SuiteEntry(graph_expand_nodes, GRAPH_EXPAND_SQL, ("J2", "A3", "P5")),
     "graph_induced_edges": SuiteEntry(graph_induced_edges, GRAPH_INDUCED_SQL, ("J3", "P3")),
+    "graph_khop_levels": SuiteEntry(graph_khop_levels, GRAPH_KHOP_SQL, ("J2", "W6")),
     "graph_degrees": SuiteEntry(graph_degrees_q, GRAPH_DEGREES_SQL, ("A6", "J7")),
     "graph_optional_host": SuiteEntry(graph_optional_host, GRAPH_OPTIONAL_SQL, ("J4", "J5", "A4")),
     "graph_components": SuiteEntry(graph_components_q, GRAPH_COMPONENTS_SQL, ("W6",)),

@@ -107,6 +107,31 @@ def test_connected_components_matches_union_find(spark, shares_dna, phage_nodes,
     assert got["C1"] == "A1" and got["B3"] == "B1" and got["E1"] == "E1"
 
 
+def hops(df):
+    return {(r.id, r.hops) for r in df.collect()}
+
+
+def test_k_hop_directed_levels(spark, shares_dna):
+    # C1 -0.10-> A1 -> {A2, A3}; A3 -0.40-> B1 is over the threshold.
+    got = hops(G.k_hop(seed_df(spark, "C1"), shares_dna, k=2, threshold=0.25))
+    assert got == {("C1", 0), ("A1", 1), ("A2", 2), ("A3", 2)}
+
+
+def test_k_hop_min_hop_wins_and_early_exit(spark, shares_dna):
+    # A3 is reachable at hop 2 via A1->A2->A3 AND hop 1 via A1->A3: BFS
+    # must record 1. k=10 early-exits once the frontier empties.
+    got = hops(G.k_hop(seed_df(spark, "A1"), shares_dna, k=10, threshold=0.25))
+    assert got == {("A1", 0), ("A2", 1), ("A3", 1)}
+
+
+def test_k_hop_undirected_crosses_edge_direction(spark, shares_dna):
+    # undirected: B1 -> B2 (out-edge) then B2 -> B3 (IN-edge B3->B2).
+    got = hops(
+        G.k_hop(seed_df(spark, "B1"), shares_dna, k=2, threshold=0.25, directed=False)
+    )
+    assert got == {("B1", 0), ("B2", 1), ("B3", 2)}
+
+
 @pytest.mark.parametrize("method", ["hashmin", "contract"])
 def test_connected_components_reliable_checkpoint(
     spark, shares_dna, phage_nodes, tmp_path, method
