@@ -278,6 +278,54 @@ def k_hop(
     return visited
 
 
+def pagerank_scaled(
+    edges: DataFrame,
+    iterations: int = 2,
+    scale: int = 1_000_000,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration PageRank in INTEGER arithmetic: scores scaled to
+    ``scale`` units, damping d = d_num/d_den applied as integer
+    multiply-then-div. Every operation (sum, div) is exact and
+    order-independent, so the result is bit-identical across engines and
+    partitionings -- the property that makes an iterative analytics op
+    oracle-checkable at all (float PageRank differs per reduction order).
+    Returns (id, pr_scaled); nodes with no in-edges settle at the base
+    (1-d) mass. Distributed shape: per-iteration cost is one edges-scores
+    join + one groupBy(dst) sum, both shuffle-partitioned by key; scores
+    checkpoint per round to keep lineage flat."""
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    od = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("od"))
+    base = (scale * (d_den - d_num)) // d_den
+    pr = nodes.withColumn("pr_scaled", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr.join(od, "id"), e["src"] == F.col("id"))
+            .select(F.col("dst"), F.expr("pr_scaled div od").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left_outer")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(f"({d_num} * coalesce(s, 0L)) div {d_den}")
+                ).cast("long").alias("pr_scaled"),
+            )
+            .localCheckpoint()
+        )
+    return pr
+
+
 def cloud_membership(
     edges: DataFrame,
     threshold: float,

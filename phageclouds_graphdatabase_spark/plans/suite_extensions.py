@@ -133,6 +133,40 @@ UNION ALL SELECT id, 3 FROM h3
 """
 
 
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration integer-scaled PageRank over the thresholded derived
+    graph (the GraphX-analytics surface on DataFrames, W6). Integer
+    arithmetic makes the iterative result order-independent, hence
+    hash-exact against the unrolled SQL oracle."""
+    return G.pagerank_scaled(
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD), iterations=2
+    )
+
+
+GRAPH_PAGERANK_SQL = f"""
+WITH e AS (
+    SELECT src, dst FROM ({GRAPH_EDGES_SQL}) WHERE distance <= {GRAPH_THRESHOLD}
+),
+n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+od AS (SELECT src AS id, COUNT(*) AS od FROM e GROUP BY src),
+c1 AS (
+    SELECT e.dst, SUM(1000000 // od.od) AS s
+    FROM e JOIN od ON e.src = od.id GROUP BY e.dst
+),
+p1 AS (
+    SELECT n.id, CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS pr
+    FROM n LEFT JOIN c1 ON n.id = c1.dst
+),
+c2 AS (
+    SELECT e.dst, SUM(p1.pr // od.od) AS s
+    FROM e JOIN od ON e.src = od.id JOIN p1 ON p1.id = e.src
+    GROUP BY e.dst
+)
+SELECT n.id, CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS pr_scaled
+FROM n LEFT JOIN c2 ON n.id = c2.dst
+"""
+
+
 def graph_degrees_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node degrees over the induced subgraph (cloud analytics)."""
     return G.degrees(graph_induced_edges(spark, sf_dir)).select(
@@ -876,6 +910,7 @@ ENTRIES: dict[str, SuiteEntry] = {
     "graph_expand_nodes": SuiteEntry(graph_expand_nodes, GRAPH_EXPAND_SQL, ("J2", "A3", "P5")),
     "graph_induced_edges": SuiteEntry(graph_induced_edges, GRAPH_INDUCED_SQL, ("J3", "P3")),
     "graph_khop_levels": SuiteEntry(graph_khop_levels, GRAPH_KHOP_SQL, ("J2", "W6")),
+    "graph_pagerank": SuiteEntry(graph_pagerank, GRAPH_PAGERANK_SQL, ("W6", "A6")),
     "graph_degrees": SuiteEntry(graph_degrees_q, GRAPH_DEGREES_SQL, ("A6", "J7")),
     "graph_optional_host": SuiteEntry(graph_optional_host, GRAPH_OPTIONAL_SQL, ("J4", "J5", "A4")),
     "graph_components": SuiteEntry(graph_components_q, GRAPH_COMPONENTS_SQL, ("W6",)),

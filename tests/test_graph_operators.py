@@ -132,6 +132,27 @@ def test_k_hop_undirected_crosses_edge_direction(spark, shares_dna):
     assert got == {("B1", 0), ("B2", 1), ("B3", 2)}
 
 
+def test_pagerank_scaled_hand_computed(spark, shares_dna):
+    """2-iteration integer PageRank on the t<=0.25 fixture graph, every
+    value hand-derived (scale 1e6, d=85/100, base 150000)."""
+    got = {
+        r.id: r.pr_scaled
+        for r in G.pagerank_scaled(
+            shares_dna.filter(F.col("distance") <= 0.25), iterations=2
+        ).collect()
+    }
+    assert got == {
+        "A1": 277_500,   # only in-edge C1, which holds base mass after iter1
+        "A2": 575_000,   # half of A1's 1_000_000
+        "A3": 1_063_750, # A1/2 + A2's full iter-1 mass
+        "B2": 405_000,   # B1 + B3, both at base after iter1
+        "D2": 277_500,
+        "F2": 277_500,
+        "B1": 150_000, "B3": 150_000, "C1": 150_000,
+        "D1": 150_000, "F1": 150_000,
+    }
+
+
 @pytest.mark.parametrize("method", ["hashmin", "contract"])
 def test_connected_components_reliable_checkpoint(
     spark, shares_dna, phage_nodes, tmp_path, method
