@@ -134,6 +134,43 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The Spark 4 ``transformWithStateInPandas`` twin of
+    running_user_totals: the same per-user running (count, sum-of-cents),
+    expressed through the new StatefulProcessor API (explicit ValueState
+    handle, RocksDB-backed on a cluster). Kept alongside the
+    applyInPandasWithState version as the forward-compatible form --
+    differential-tested against it in tests/test_streaming.py."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                s += int((pdf["value"] * 100.0 + 0.5).apply(float).apply(int).sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value_cents": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=_RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_static_segment_counts(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static join (W3): enrich the event stream with the customer
     dimension (user_id == c_custkey), then aggregate per (segment, type).

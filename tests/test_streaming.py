@@ -109,6 +109,42 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, sf_dir):
+    """Differential test: the Spark 4 StatefulProcessor implementation must
+    produce the same final per-user totals as the applyInPandasWithState
+    one (and hence the batch aggregation). transformWithStateInPandas
+    speaks protobuf to its state server, so it needs google.protobuf --
+    absent in this container; the implementation is exercised wherever the
+    dependency exists."""
+    pytest.importorskip("google.protobuf.descriptor")
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = stream.run_available_now(
+            stream.running_user_totals_tws(stream.read_events_stream(spark, sf_dir)),
+            output_mode="update",
+        )
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    final = {}
+    for r in got:
+        final[r.user_id] = (r.n_events, r.sum_value_cents)
+    want_rows = stream.run_available_now(
+        stream.running_user_totals(stream.read_events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    want = {}
+    for r in want_rows:
+        want[r.user_id] = (r.n_events, r.sum_value_cents)
+    assert final == want and len(final) > 0
+
+
 def test_foreach_batch_exactly_once(spark, sf_dir, tmp_path):
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
