@@ -394,6 +394,102 @@ FROM documents
 GROUP BY md5(text)
 """
 
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data cleaning pipeline, composed from the
+    W5 operators in their production order: language filter (en) ->
+    quality filter (drop stopword-heavy) -> exact dedup (min doc_id per
+    md5 keeps one copy) -> near-dup removal (n-gram jaccard >= 0.8 drops
+    the larger doc_id of each pair). Returns the surviving corpus
+    (doc_id, n_tokens). Each stage only shrinks its input, so the
+    expensive near-dup join runs over the already-filtered survivor set --
+    the ordering that matters at 100 TB."""
+    from phageclouds_graphdatabase_spark.operators.dedup import jaccard_pairs_capped
+
+    lang_keep = (
+        lang_id_ngram(spark, sf_dir)
+        .filter(F.col("predicted_lang") == "en")
+        .select("doc_id")
+    )
+    qual_keep = (
+        text_quality_score(spark, sf_dir)
+        .filter(F.col("quality") != "stopword-heavy")
+        .select("doc_id", "n_tokens")
+    )
+    s12 = qual_keep.join(lang_keep, "doc_id")
+    d = t(spark, sf_dir, "documents").join(
+        s12.select("doc_id"), "doc_id", "left_semi"
+    )
+    keepers = (
+        d.groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s3 = s12.join(keepers, "doc_id", "left_semi")
+    sh = _shingled(spark, sf_dir).join(s3.select("doc_id"), "doc_id", "left_semi")
+    dropped = (
+        jaccard_pairs_capped(sh, min_jaccard=0.8)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return s3.join(dropped, "doc_id", "left_anti")
+
+
+CORPUS_CLEAN_SQL = r"""
+WITH lc AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\bdata\b'))   AS c1,
+           len(regexp_extract_all(text, '\btable\b'))  AS c2,
+           len(regexp_extract_all(text, '\brow\b'))    AS c3,
+           len(regexp_extract_all(text, '\bwindow\b')) AS c4
+    FROM documents
+),
+lang AS (SELECT doc_id FROM lc WHERE c1 >= c2 AND c1 >= c3 AND c1 >= c4),
+w AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+    FROM documents
+),
+qc AS (
+    SELECT doc_id, len(w) AS n_tok,
+           len(list_filter(w, x -> x = 'a' OR x = 'the')) AS n_stop,
+           len(list_distinct(w)) AS n_distinct
+    FROM w
+),
+qual AS (
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens FROM qc
+    WHERE CAST(n_distinct AS DOUBLE) / n_tok >= 0.5
+       OR CAST(n_stop AS DOUBLE) / n_tok < 0.15
+),
+s12 AS (SELECT q.doc_id, q.n_tokens FROM qual q JOIN lang l ON q.doc_id = l.doc_id),
+keepers AS (
+    SELECT MIN(d.doc_id) AS doc_id
+    FROM documents d JOIN s12 ON d.doc_id = s12.doc_id
+    GROUP BY md5(d.text)
+),
+s3 AS (SELECT s12.doc_id, s12.n_tokens FROM s12 JOIN keepers k ON s12.doc_id = k.doc_id),
+ix AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM w),
+shin AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM ix),
+dsh AS (
+    SELECT DISTINCT s.doc_id, s.shingle FROM shin s JOIN s3 ON s.doc_id = s3.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+shared AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+dropped AS (
+    SELECT DISTINCT doc_b AS doc_id
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.8
+)
+SELECT s3.doc_id, s3.n_tokens
+FROM s3 LEFT JOIN dropped dr ON s3.doc_id = dr.doc_id
+WHERE dr.doc_id IS NULL
+"""
+
+
 _MINHASH_K = 4
 
 
@@ -922,6 +1018,9 @@ ENTRIES: dict[str, SuiteEntry] = {
     "neardup_jaccard_pairs": SuiteEntry(neardup_jaccard_pairs, NEARDUP_JACCARD_SQL, ("W5", "J7")),
     "neardup_jaccard_capped": SuiteEntry(
         neardup_jaccard_capped, NEARDUP_JACCARD_CAPPED_SQL, ("W5", "J7")
+    ),
+    "corpus_clean_pipeline": SuiteEntry(
+        corpus_clean_pipeline, CORPUS_CLEAN_SQL, ("W5", "P8", "A4")
     ),
     "simhash_fingerprint": SuiteEntry(simhash_fingerprint, SIMHASH_SQL, ("W5",)),
     "knn_cosine_bruteforce": SuiteEntry(knn_cosine_bruteforce, KNN_SQL, ("W5",)),
