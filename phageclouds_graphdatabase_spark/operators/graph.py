@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 
 def as_node_set(df: DataFrame, col: str) -> DataFrame:
@@ -106,6 +107,7 @@ def connected_components(
     max_iterations: int = 50,
     method: str = "contract",
     checkpoint_dir: str | None = None,
+    relabel_ids: bool | None = None,
 ) -> DataFrame:
     """Connected components (W6) -- the "phage clouds" themselves: the paper's
     cloud = component of the distance-thresholded graph (reference README.md:3
@@ -131,10 +133,59 @@ def connected_components(
     SURVEY.md §4): by ``localCheckpoint`` by default, or by reliable
     ``checkpoint()`` when ``checkpoint_dir`` is set (pass an HDFS/S3 path
     on a cluster to survive executor loss mid-run).
+
+    ``relabel_ids`` (default: auto = on for string ids) dictionary-encodes
+    node ids to longs before the loop and decodes after -- the contract
+    GraphX imposes on every graph (VertexId = Long), for the same reason:
+    every round shuffles and compares ids O(edges) times, and an 8-byte
+    monomorphic key beats a variable-length string in shuffle bytes, sort
+    comparisons, and agg hash probes. The final label is still the MIN
+    ORIGINAL id per component (decoded via a per-component min), so the
+    result is identical either way.
     """
     reliable = checkpoint_dir is not None
     if reliable:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    if relabel_ids is None:
+        relabel_ids = isinstance(edges.schema["src"].dataType, StringType)
+    if relabel_ids:
+        ids = edges.select(F.col("src").alias("id")).unionByName(
+            edges.select(F.col("dst").alias("id"))
+        )
+        if nodes is not None:
+            ids = ids.unionByName(nodes.select("id"))
+        # Eager checkpoint pins the generated ids: monotonically_increasing_id
+        # is partitioning-dependent, so the mapping must be materialized once
+        # and reused, never recomputed per probe.
+        mapping = _ckpt(
+            ids.distinct().withColumn("_nid", F.monotonically_increasing_id()),
+            reliable,
+        )
+        enc_src = mapping.select(F.col("id").alias("src"), F.col("_nid").alias("_sn"))
+        enc_dst = mapping.select(F.col("id").alias("dst"), F.col("_nid").alias("_dn"))
+        edges_l = (
+            edges.select("src", "dst")
+            .join(enc_src, "src")
+            .join(enc_dst, "dst")
+            .select(F.col("_sn").alias("src"), F.col("_dn").alias("dst"))
+        )
+        comp_l = connected_components(
+            edges_l,
+            nodes=mapping.select(F.col("_nid").alias("id")),
+            max_iterations=max_iterations,
+            method=method,
+            checkpoint_dir=checkpoint_dir,
+            relabel_ids=False,
+        )
+        decoded = (
+            comp_l.withColumnRenamed("id", "_nid")
+            .join(mapping, "_nid")
+            .select("id", "component")
+        )
+        labels = decoded.groupBy("component").agg(F.min("id").alias("_label"))
+        return decoded.join(labels, "component").select(
+            "id", F.col("_label").alias("component")
+        )
     und = _ckpt(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))

@@ -107,6 +107,26 @@ def test_connected_components_matches_union_find(spark, shares_dna, phage_nodes,
     assert got["C1"] == "A1" and got["B3"] == "B1" and got["E1"] == "E1"
 
 
+@pytest.mark.parametrize("method", ["hashmin", "contract"])
+def test_connected_components_relabel_equivalence(
+    spark, shares_dna, phage_nodes, method
+):
+    # The long-id dictionary encoding is a pure execution optimization: the
+    # decoded result must be bit-identical to iterating on the string ids.
+    thr = 0.25
+    e = shares_dna.filter(F.col("distance") <= thr)
+    kw = dict(nodes=phage_nodes.select(F.col("accession").alias("id")), method=method)
+    on = {
+        (r.id, r.component)
+        for r in G.connected_components(e, relabel_ids=True, **kw).collect()
+    }
+    off = {
+        (r.id, r.component)
+        for r in G.connected_components(e, relabel_ids=False, **kw).collect()
+    }
+    assert on == off
+
+
 def hops(df):
     return {(r.id, r.hops) for r in df.collect()}
 
