@@ -481,6 +481,92 @@ GROUP BY e1.dst
 )
 
 
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (the GraphFrames `triangleCount` surface) on
+    the supplier co-supply graph: S_i -- S_j iff both supply some part
+    (unipartite, so triangles exist, unlike the bipartite derived graph).
+
+    Scale design: edges are ORIENTED from the endpoint with the smaller
+    (degree, id) to the larger before the wedge self-join, so each triangle
+    is enumerated exactly once and the join fan-out per node is bounded by
+    out-degree under the degree total order (O(edges^1.5) work overall, the
+    arboricity bound) instead of the unoriented max-degree^2 blow-up on hub
+    nodes. The oracle counts the same triangles via the id-canonical
+    3-join; per-corner counts are orientation-invariant."""
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("s"),
+    ).distinct()
+    e = (
+        ps.alias("x")
+        .join(ps.alias("y"), "p")
+        .filter(F.col("x.s") < F.col("y.s"))
+        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # Orient each edge up the (degree, id) total order, keeping the head's
+    # rank columns for the wedge ordering below.
+    lead_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.when(lead_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lead_a, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lead_a, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+    ).cache()
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    wedge_lt = (F.col("e1.dv") < F.col("e2.dv")) | (
+        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    tri = (
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_lt)
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+            "left_semi",
+        )
+        .select(F.col("e1.u").alias("c1"), F.col("e1.v").alias("c2"), F.col("e2.v").alias("c3"))
+    )
+    return (
+        tri.select(F.explode(F.array("c1", "c2", "c3")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+GRAPH_TRIANGLES_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey AS p, 'S' || l_suppkey AS s FROM lineitem),
+e AS (
+    SELECT DISTINCT x.s AS a, y.s AS b
+    FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s
+),
+tri AS (
+    SELECT e1.a AS c1, e1.b AS c2, e2.b AS c3
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT n AS id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+    SELECT c1 AS n FROM tri
+    UNION ALL SELECT c2 FROM tri
+    UNION ALL SELECT c3 FROM tri
+)
+GROUP BY n
+"""
+
+
 # --------------------------------------------------------------------------
 # GROUPING SETS (A6 completion beyond rollup/cube): independent grouping
 # dimensions in one pass.
@@ -744,6 +830,9 @@ WHERE rnk <= 3
 
 ENTRIES: dict[str, SuiteEntry] = {
     "graph_wedge_counts": SuiteEntry(graph_wedge_counts, GRAPH_WEDGES_SQL, ("J1", "A6")),
+    "graph_triangle_counts": SuiteEntry(
+        graph_triangle_counts, GRAPH_TRIANGLES_SQL, ("J1", "W6")
+    ),
     "udtf_explode_props": SuiteEntry(udtf_explode_props, UDTF_PROPS_SQL, ("W4", "V8")),
     "udtf_table_arg_topk": SuiteEntry(udtf_table_arg_topk, UDTF_TABLE_ARG_SQL, ("W4", "V8")),
     "rolling_hash_fingerprint": SuiteEntry(rolling_hash_fingerprint, ROLLING_HASH_SQL, ("W5",)),
