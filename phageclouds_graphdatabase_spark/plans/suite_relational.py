@@ -379,6 +379,68 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def pivot_flag_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/P6 relational pivot: `groupBy().pivot()` with an EXPLICIT value
+    list -- without one Spark runs an extra distinct-scan job over 100 TB
+    just to learn the column set, and the plan stops being statically
+    analyzable. With the list it compiles to one pass of conditional
+    aggregates (same shape as the oracle's FILTER clauses). Pivot cells
+    with no input rows are NULL in Spark, 0 under DuckDB's COUNT FILTER;
+    coalesce pins the two to the same value."""
+    li = t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)).cast("long"))
+    )
+    return p.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
+    )
+
+
+PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_f,
+       CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_o
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def unpivot_lineitem_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/P6 unpivot (melt): wide (l_tax, l_discount) columns to long
+    (measure, value) rows via `DataFrame.unpivot`, then a cents-quantized
+    aggregate per (returnflag, measure). Unpivot is a zero-shuffle narrow
+    transformation (each row expands locally); the only shuffle is the
+    final aggregation. Oracle: UNION ALL of the two measures."""
+    li = t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_tax", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(cents(F.col("value"))).alias("sum_value_cents"),
+    )
+
+
+UNPIVOT_SQL = """
+SELECT l_returnflag, measure,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM (
+    SELECT l_returnflag, 'l_tax' AS measure, l_tax AS value FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'l_discount' AS measure, l_discount AS value FROM lineitem
+)
+GROUP BY l_returnflag, measure
+"""
+
+
 def dedup_last_wins_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 distinct-by-key with deterministic last-write-wins: the engine form
     of the reference's `defaultdict(dict).update()` keyed on accession
@@ -685,6 +747,10 @@ ENTRIES: dict[str, SuiteEntry] = {
     "grouped_agg_stats": SuiteEntry(grouped_agg_stats, GROUPED_AGG_SQL, ("A6",)),
     "rollup_status_priority": SuiteEntry(rollup_status_priority, ROLLUP_SQL, ("A6",)),
     "cube_returnflag_linestatus": SuiteEntry(cube_returnflag_linestatus, CUBE_SQL, ("A6",)),
+    "pivot_flag_by_status": SuiteEntry(pivot_flag_by_status, PIVOT_SQL, ("A6", "P6")),
+    "unpivot_lineitem_rates": SuiteEntry(
+        unpivot_lineitem_rates, UNPIVOT_SQL, ("A6", "P6")
+    ),
     "dedup_last_wins_events": SuiteEntry(dedup_last_wins_events, DEDUP_LAST_WINS_SQL, ("A4", "W2")),
     "set_ops_nations": SuiteEntry(set_ops_nations, SET_OPS_SQL, ("A2", "A3")),
     "window_rank_suppliers": SuiteEntry(window_rank_suppliers, WINDOW_RANK_SQL, ("W2",)),
