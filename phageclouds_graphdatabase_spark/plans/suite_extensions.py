@@ -557,8 +557,13 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard, via a shingle inverted-index
     self-join (the scalable shape: no all-pairs cross join; candidate pairs
     are generated only where at least one shingle collides). All counts are
-    integers, so the jaccard double matches the oracle exactly."""
-    sh = _shingled(spark, sf_dir).distinct()
+    integers, so the jaccard double matches the oracle exactly.
+
+    The distinct shingle set feeds THREE plan positions (sizes, both join
+    sides); Catalyst reuses none of them (0 ReusedExchange, 4 posexplode
+    pipelines in the physical plan), so cache it -- same hazard as the
+    graph node sets (plans/suite_extensions.py graph_induced_edges)."""
+    sh = _shingled(spark, sf_dir).distinct().cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -101,6 +101,10 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    # Both join sides re-run the whole shingle->minhash pipeline without this
+    # (2 full Scan+posexplode chains in the physical plan, 0 ReusedExchange);
+    # the cached band table is just (doc_id, band, 32-hex) -- tiny.
+    bands = bands.cache()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -115,7 +115,19 @@ def main() -> None:
     generate(work, args.nodes, args.avg_degree)
     t_gen = time.time() - t0
 
-    spark = get_spark("scale-rehearsal")
+    # Size the session to the graph, the way a cluster submit would:
+    # initial shuffle partitions scale with the data (AQE only coalesces
+    # DOWN, so the static number is the upper bound on sort size per task --
+    # 32 partitions at 20M nodes puts ~2.4M edge rows in one in-memory sort
+    # and dies with UNABLE_TO_ACQUIRE_MEMORY), and the local heap grows past
+    # the 16g default for 10M+ nodes.
+    os.environ.setdefault(
+        "SPARK_GRAFT_DRIVER_MEM", "48g" if args.nodes >= 10_000_000 else "16g"
+    )
+    spark = get_spark(
+        "scale-rehearsal",
+        shuffle_partitions=max(32, args.nodes // 100_000),
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # ingest into the at-rest layout (distance-sorted edge Parquet)
