@@ -11,6 +11,7 @@ from phageclouds_graphdatabase_spark.plans import (
     suite_extensions,
     suite_pipeline,
     suite_relational,
+    suite_training,
 )
 from phageclouds_graphdatabase_spark.plans._suite_helpers import SuiteEntry
 
@@ -18,6 +19,7 @@ SUITE: dict[str, SuiteEntry] = {
     **suite_relational.ENTRIES,
     **suite_extensions.ENTRIES,
     **suite_pipeline.ENTRIES,
+    **suite_training.ENTRIES,
 }
 
 

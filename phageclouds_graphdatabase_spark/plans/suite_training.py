@@ -1,0 +1,306 @@
+"""Third wave of LLM-training-data-pipeline operators (SURVEY.md §2 W5
+north-star row): the dataset-construction steps that sit between a cleaned
+corpus and a training run -- deterministic split, sequence packing, global
+shuffle order, stratified sampling, source-mixture budgeting, and benchmark
+contamination -- each with a DuckDB oracle twin.
+
+Cross-engine determinism leans on one primitive: ``md5(CAST(doc_id AS
+string))`` produces identical lowercase hex in Spark and DuckDB
+(plans/_suite_helpers.py module docstring), so hash-ordered ranks, hash
+thresholds, and hash buckets agree bit-for-bit. No RNG anywhere: every
+"random" choice is a pure function of the row key, which is also what a
+100 TB pipeline wants (re-runs and backfills land identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from phageclouds_graphdatabase_spark.plans import suite_extensions as ext
+from phageclouds_graphdatabase_spark.plans._suite_helpers import SuiteEntry, t, tokens
+
+_TOKENS_SQL = (
+    r"CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), "
+    r"x -> x <> '')) AS BIGINT)"
+)
+
+
+def _doc_hash() -> F.Column:
+    """The shared determinism primitive: md5 of the decimal doc_id."""
+    return F.md5(F.col("doc_id").cast("string"))
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split: the first hex nibble of md5(doc_id)
+# partitions U(0,1) into 16 equal slices -> 12/2/2 = 75% / 12.5% / 12.5%.
+# Pure per-row map: no shuffle, no state, survives any re-partitioning, and
+# a re-run (or a late-arriving shard) lands every doc in the same split --
+# the property that matters when the corpus is 100 TB and splits must be
+# stable across incremental rebuilds.
+# --------------------------------------------------------------------------
+
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    h = F.substring(_doc_hash(), 1, 1)
+    split = (
+        F.when(h < "c", F.lit("train"))
+        .when(h < "e", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", "lang", h.alias("bucket_hex"), split.alias("split"))
+
+
+SPLIT_SQL = """
+SELECT doc_id, lang,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket_hex,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (concat-then-chunk): documents are concatenated in
+# doc_id order and cut into fixed-capacity context windows; each doc gets
+# (chunk_id, chunk_offset) = divmod(exclusive-prefix-token-sum, capacity).
+#
+# Scale design: a single global window would funnel 100 TB through ONE
+# task, so the prefix sum is two-phase -- a per-bucket window (doc_id range
+# buckets, embarrassingly parallel) plus a bucket-offset table that is one
+# row per bucket (tiny, broadcast). The oracle computes the same numbers
+# with the naive global window; results are identical by associativity of
+# integer addition.
+# --------------------------------------------------------------------------
+
+_PACK_CAPACITY = 512
+_PACK_BUCKET = 100  # doc_ids per prefix-sum bucket
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .withColumn("bucket", F.floor(F.col("doc_id") / _PACK_BUCKET))
+    )
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("local_cum", F.sum("n_tokens").over(wloc))
+    totals = d.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "boff", F.coalesce(F.sum("btot").over(woff), F.lit(0))
+    ).select("bucket", "boff")
+    start = F.col("local_cum") + F.col("boff") - F.col("n_tokens")
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(start / _PACK_CAPACITY).cast("long").alias("chunk_id"),
+            (start % _PACK_CAPACITY).cast("long").alias("chunk_offset"),
+        )
+    )
+
+
+PACK_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, {_TOKENS_SQL} AS n_tokens FROM documents
+), c AS (
+    SELECT doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             - n_tokens AS start
+    FROM tok
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR(start / {_PACK_CAPACITY}) AS BIGINT) AS chunk_id,
+       CAST(start % {_PACK_CAPACITY} AS BIGINT) AS chunk_offset
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic global shuffle order (training-epoch ordering): position =
+# rank of (md5(doc_id), doc_id). Same two-phase shape as packing, keyed by
+# the hash's first nibble (16 buckets whose lexicographic order IS the
+# global hash order, because the nibble is a prefix of the sort key) --
+# per-bucket ranks run in parallel, bucket offsets are a 16-row table.
+# --------------------------------------------------------------------------
+
+def shuffle_order_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", _doc_hash().alias("h"))
+    d = d.withColumn("bucket", F.substring("h", 1, 1))
+    wloc = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    local = d.withColumn("local_rn", F.row_number().over(wloc).cast("long"))
+    counts = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "boff", F.coalesce(F.sum("n").over(woff), F.lit(0))
+    ).select("bucket", "boff")
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .select("doc_id", (F.col("boff") + F.col("local_rn")).cast("long").alias("position"))
+    )
+
+
+SHUFFLE_ORDER_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+            AS BIGINT) AS position
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Stratified sample: k docs per language, chosen by hash rank (uniform
+# within stratum, deterministic across runs). The window partitions by the
+# stratum key, so work distributes across executors by language; no stratum
+# ever funnels through a single global sort.
+# --------------------------------------------------------------------------
+
+_STRAT_K = 20
+
+
+def stratified_sample_bylang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", _doc_hash().alias("h"))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _STRAT_K)
+        .select("doc_id", "lang", F.col("rn").alias("sample_rank"))
+    )
+
+
+STRATIFIED_SQL = f"""
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank
+FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents
+)
+WHERE rn <= {_STRAT_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Source-mixture budgeting: each source contributes documents, in hash
+# order, until its token budget is exhausted (the "data mixture" step that
+# turns per-domain weights into a concrete doc selection). Running sum per
+# source -> keep while cum <= budget. Partitioned window = parallel across
+# sources; at 100 TB the budget comparison happens map-side after one
+# shuffle on the source key.
+# --------------------------------------------------------------------------
+
+_MIX_BUDGET = 400  # tokens per source
+
+
+def source_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        _doc_hash().alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _MIX_BUDGET)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+MIXTURE_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, source, {_TOKENS_SQL} AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+    FROM tok
+)
+WHERE cum_tokens <= {_MIX_BUDGET}
+"""
+
+
+# --------------------------------------------------------------------------
+# Benchmark contamination: fraction of each corpus document's distinct word
+# 3-grams that appear in a "benchmark" set (here: doc_id < 25 stands in for
+# the eval suite). The benchmark shingle set is small by construction, so
+# it broadcasts -- the corpus side never shuffles; a left join keeps
+# zero-overlap docs. Reuses the shared shingle pipeline
+# (plans/suite_extensions.py _shingled).
+# --------------------------------------------------------------------------
+
+_BENCH_MAX_DOC = 25
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = ext._shingled(spark, sf_dir).distinct()
+    bench = (
+        sh.filter(F.col("doc_id") < _BENCH_MAX_DOC)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = sh.filter(F.col("doc_id") >= _BENCH_MAX_DOC)
+    return (
+        corpus.join(F.broadcast(bench), "shingle", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.col("n_contaminated").cast("double") / F.col("n_shingles").cast("double"),
+        )
+    )
+
+
+CONTAMINATION_SQL = (
+    "WITH "
+    + ext._SHINGLE_CTE
+    + f""",
+dsh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+bench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id < {_BENCH_MAX_DOC})
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS contamination
+FROM dsh d LEFT JOIN bench b ON d.shingle = b.shingle
+WHERE d.doc_id >= {_BENCH_MAX_DOC}
+GROUP BY d.doc_id
+"""
+)
+
+
+ENTRIES: dict[str, SuiteEntry] = {
+    "split_train_val_test": SuiteEntry(split_train_val_test, SPLIT_SQL, ("W5", "P6")),
+    "pack_sequences": SuiteEntry(pack_sequences, PACK_SQL, ("W5", "W2")),
+    "shuffle_order_global": SuiteEntry(shuffle_order_global, SHUFFLE_ORDER_SQL, ("W5", "W2")),
+    "stratified_sample_bylang": SuiteEntry(
+        stratified_sample_bylang, STRATIFIED_SQL, ("W5", "W2")
+    ),
+    "source_mixture_budget": SuiteEntry(source_mixture_budget, MIXTURE_SQL, ("W5", "W2")),
+    "contamination_check": SuiteEntry(contamination_check, CONTAMINATION_SQL, ("W5", "J7")),
+}
