@@ -186,14 +186,26 @@ def connected_components(
         return decoded.join(labels, "component").select(
             "id", F.col("_label").alias("component")
         )
+    # Canonical-pair dedup: distinct() on (least, greatest) pushes E rows
+    # through the shuffle instead of 2E for distinct-after-mirror, and the
+    # mirror of a distinct a<b set is disjoint from it, so the union needs
+    # no second dedup. Self-loops drop out (they never join components) but
+    # only after the node set is derived, so a node seen solely in a
+    # self-loop still gets its singleton label.
+    canon = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    if nodes is None:
+        nodes = (
+            canon.select(F.col("a").alias("id"))
+            .unionByName(canon.select(F.col("b").alias("id")))
+            .distinct()
+        )
+    pairs = canon.filter(F.col("a") != F.col("b"))
     und = _ckpt(
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .distinct(),
+        pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))),
         reliable,
     )
-    if nodes is None:
-        nodes = as_node_set(und, "a")
     if method == "hashmin":
         return _components_hashmin(und, nodes, max_iterations, reliable)
     if method == "contract":
@@ -279,10 +291,14 @@ def _components_contract(
             .select(F.col("_ca").alias("a"), F.col("_cb").alias("b"))
             .filter(F.col("a") != F.col("b"))
         )
-        # keep both directions so min(closed nbhd) sees every neighbor.
+        # keep both directions so min(closed nbhd) sees every neighbor;
+        # dedup on the canonical orientation (E' shuffle rows, not 2E') and
+        # mirror afterwards -- disjoint by a<b, so no second distinct.
+        canon = cur.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        ).distinct()
         cur = _ckpt(
-            cur.unionByName(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
-            .distinct(),
+            canon.unionByName(canon.select(F.col("b").alias("a"), F.col("a").alias("b"))),
             reliable,
         )
     return anchor

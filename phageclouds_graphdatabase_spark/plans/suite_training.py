@@ -294,6 +294,61 @@ GROUP BY d.doc_id
 )
 
 
+# --------------------------------------------------------------------------
+# Exact cross-engine Pearson correlation (corpus QA: do the cheap byte
+# counts track real token counts per language?). Built-in corr() sums
+# doubles in partition order -- not reproducible across engines or even
+# across runs -- so this computes the five integer sufficient statistics
+# exactly (n_chars and n_tokens are both integers) and applies one IEEE
+# double formula written identically on both sides. The integer sums hold
+# to ~1e9 rows/group at these magnitudes; past that, scale the inputs down
+# (same trick as cents()) before summing.
+# --------------------------------------------------------------------------
+
+def corr_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        F.size(tokens(F.col("text"))).cast("long").alias("y"),
+    )
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        (num / (F.sqrt(dx) * F.sqrt(dy))).alias("corr_chars_tokens"),
+    )
+
+
+CORR_SQL = f"""
+WITH d AS (
+    SELECT lang, n_chars AS x, {_TOKENS_SQL} AS y FROM documents
+), s AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM d GROUP BY lang
+)
+SELECT lang, n AS n_docs,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_chars_tokens
+FROM s
+"""
+
+
 ENTRIES: dict[str, SuiteEntry] = {
     "split_train_val_test": SuiteEntry(split_train_val_test, SPLIT_SQL, ("W5", "P6")),
     "pack_sequences": SuiteEntry(pack_sequences, PACK_SQL, ("W5", "W2")),
@@ -303,4 +358,5 @@ ENTRIES: dict[str, SuiteEntry] = {
     ),
     "source_mixture_budget": SuiteEntry(source_mixture_budget, MIXTURE_SQL, ("W5", "W2")),
     "contamination_check": SuiteEntry(contamination_check, CONTAMINATION_SQL, ("W5", "J7")),
+    "corr_chars_tokens": SuiteEntry(corr_chars_tokens, CORR_SQL, ("A6", "W5")),
 }
