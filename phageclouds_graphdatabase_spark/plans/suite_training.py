@@ -349,6 +349,104 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# Time-range rolling aggregate (W2 RANGE frame): per-user spend over the
+# trailing 10 minutes at every event. Spark's rangeBetween needs a numeric
+# order key, so the frame runs over epoch seconds -- which also makes the
+# frame arithmetic engine-agnostic (no interval-type semantics to align).
+# Integer cents keep the sums exact. Partitioned by user -> parallel.
+# --------------------------------------------------------------------------
+
+def events_rolling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from phageclouds_graphdatabase_spark.plans._suite_helpers import cents
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("epoch"),
+        cents(F.col("value")).alias("v_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum("v_cents").over(w).alias("spend_10min_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_events_10min"),
+    )
+
+
+ROLLING_10MIN_SQL = """
+WITH e AS (
+    SELECT event_id, user_id, epoch(ts)::BIGINT AS ep,
+           CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_cents
+    FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(v_cents) OVER (PARTITION BY user_id ORDER BY ep
+            RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS spend_10min_cents,
+       CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ep
+            RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_events_10min
+FROM e
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact grouped median (A6): engines disagree on percentile interpolation
+# modes, so the median is computed from ranks -- the mean of the middle one
+# (odd n) or two (even n) order-statistics, in integer cents with one final
+# IEEE division by 2. Deterministic in both engines by construction.
+# --------------------------------------------------------------------------
+
+def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from phageclouds_graphdatabase_spark.plans._suite_helpers import cents
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority", cents(F.col("o_totalprice")).alias("p_cents")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("p_cents", F.lit(1))
+    ranked = o.select(
+        "o_orderpriority",
+        "p_cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderpriority")).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor(F.col("n") / 2) + 1)
+    )
+    return mid.groupBy("o_orderpriority").agg(
+        (F.sum("p_cents") / F.count(F.lit(1))).alias("median_cents"),
+        F.max("n").cast("long").alias("n_orders"),
+    )
+
+
+MEDIAN_SQL = """
+WITH c AS (
+    SELECT o_orderpriority,
+           CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS p_cents
+    FROM orders
+), ranked AS (
+    SELECT o_orderpriority, p_cents,
+           row_number() OVER (PARTITION BY o_orderpriority ORDER BY p_cents) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM c
+)
+SELECT o_orderpriority,
+       CAST(SUM(p_cents) AS DOUBLE) / COUNT(*) AS median_cents,
+       CAST(MAX(n) AS BIGINT) AS n_orders
+FROM ranked
+WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+   OR rn = CAST(FLOOR(n / 2.0) AS BIGINT) + 1
+GROUP BY o_orderpriority
+"""
+
+
 ENTRIES: dict[str, SuiteEntry] = {
     "split_train_val_test": SuiteEntry(split_train_val_test, SPLIT_SQL, ("W5", "P6")),
     "pack_sequences": SuiteEntry(pack_sequences, PACK_SQL, ("W5", "W2")),
@@ -359,4 +457,6 @@ ENTRIES: dict[str, SuiteEntry] = {
     "source_mixture_budget": SuiteEntry(source_mixture_budget, MIXTURE_SQL, ("W5", "W2")),
     "contamination_check": SuiteEntry(contamination_check, CONTAMINATION_SQL, ("W5", "J7")),
     "corr_chars_tokens": SuiteEntry(corr_chars_tokens, CORR_SQL, ("A6", "W5")),
+    "events_rolling_10min": SuiteEntry(events_rolling_10min, ROLLING_10MIN_SQL, ("W2",)),
+    "median_order_value": SuiteEntry(median_order_value, MEDIAN_SQL, ("A6", "W2")),
 }
