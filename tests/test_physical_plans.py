@@ -71,3 +71,28 @@ def test_hot_path_queries_avoid_row_python_udfs(spark, sf_dir):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_full_suite_plan_sweep(spark, sf_dir):
+    """Every suite query's physical plan is screened for the two patterns
+    that do not survive 100 TB: an unconstrained CartesianProduct and
+    row-at-a-time Python eval (BatchEvalPython) outside the two UDTF
+    queries whose point IS the Python table function. Arrow-batched nodes
+    (ArrowEvalPython / MapInPandas) are the sanctioned Python path and are
+    allowed. Streaming entries execute eagerly (their result is already a
+    local relation) and are exercised by tests/test_streaming.py instead."""
+    from phageclouds_graphdatabase_spark.plans.suite import SUITE
+
+    python_udtf_ok = {"udtf_explode_props", "udtf_table_arg_topk"}
+    skip = {n for n in SUITE if n.startswith("stream_")} | {"vis_html_golden_scan"}
+    cartesian, row_python = [], []
+    for name, entry in sorted(SUITE.items()):
+        if name in skip:
+            continue
+        plan = explain_str(entry.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if "BatchEvalPython" in plan and name not in python_udtf_ok:
+            row_python.append(name)
+    assert not cartesian, f"cartesian products in: {cartesian}"
+    assert not row_python, f"row-at-a-time Python in: {row_python}"
