@@ -447,6 +447,66 @@ GROUP BY o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# Real-codec proof through the driver contract (W4): each document's first
+# 48 bytes render into a 4x4 RGB PPM payload (Arrow-batched), the REAL
+# pure-numpy decoder (operators/multimodal.py) decodes it back, and the
+# oracle -- which never sees an image -- computes the expected channel
+# means directly from the text's character codes. A value match proves the
+# decode + stats path bit-for-bit, not just its schema. (Corpus is ASCII,
+# so character positions == byte positions in both engines.)
+# --------------------------------------------------------------------------
+
+def image_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from phageclouds_graphdatabase_spark.operators import multimodal as mm
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")[:48].ljust(48, b" ")
+                payloads.append(
+                    mm.encode_ppm(np.frombuffer(raw, np.uint8).reshape(4, 4, 3))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["image"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    media = d.mapInPandas(build, mm.MEDIA_COLUMNS)
+    return mm.image_stats(media)
+
+
+IMAGE_STATS_SQL = """
+WITH ch AS (
+    SELECT doc_id,
+           list_transform(
+               list_filter(split(substr(text || repeat(' ', 48), 1, 48), ''),
+                           c -> c <> ''),
+               c -> CAST(ascii(c) AS BIGINT)) AS codes
+    FROM documents
+)
+SELECT doc_id AS media_id, 4 AS width, 4 AS height,
+       CAST(list_sum(list_transform(range(0, 16), i -> codes[i*3 + 1])) AS DOUBLE)
+         / 16 AS mean_r,
+       CAST(list_sum(list_transform(range(0, 16), i -> codes[i*3 + 2])) AS DOUBLE)
+         / 16 AS mean_g,
+       CAST(list_sum(list_transform(range(0, 16), i -> codes[i*3 + 3])) AS DOUBLE)
+         / 16 AS mean_b
+FROM ch
+"""
+
+
 ENTRIES: dict[str, SuiteEntry] = {
     "split_train_val_test": SuiteEntry(split_train_val_test, SPLIT_SQL, ("W5", "P6")),
     "pack_sequences": SuiteEntry(pack_sequences, PACK_SQL, ("W5", "W2")),
@@ -459,4 +519,5 @@ ENTRIES: dict[str, SuiteEntry] = {
     "corr_chars_tokens": SuiteEntry(corr_chars_tokens, CORR_SQL, ("A6", "W5")),
     "events_rolling_10min": SuiteEntry(events_rolling_10min, ROLLING_10MIN_SQL, ("W2",)),
     "median_order_value": SuiteEntry(median_order_value, MEDIAN_SQL, ("A6", "W2")),
+    "image_stats_real": SuiteEntry(image_stats_real, IMAGE_STATS_SQL, ("W4",)),
 }
