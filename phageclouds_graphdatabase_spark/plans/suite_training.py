@@ -507,6 +507,44 @@ FROM ch
 """
 
 
+# --------------------------------------------------------------------------
+# Incremental dedup (continuous ingestion): a new batch (doc_id >= cutoff
+# stands in for "today's crawl") survives only if its content hash is (a)
+# absent from the already-ingested corpus -- an anti join on md5(text), the
+# 64-hex key being the only thing shuffled -- and (b) the first occurrence
+# within the batch itself (min doc_id per hash). At 100 TB the corpus side
+# is a bucketed hash index, so the anti join co-locates without a corpus
+# re-shuffle.
+# --------------------------------------------------------------------------
+
+_INGEST_CUTOFF = 400
+
+
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("h")
+    )
+    corpus = d.filter(F.col("doc_id") < _INGEST_CUTOFF)
+    batch = d.filter(F.col("doc_id") >= _INGEST_CUTOFF)
+    first = batch.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        first.join(corpus.select("h"), "h", "left_anti")
+        .select("doc_id", F.col("h").alias("content_md5"))
+    )
+
+
+DEDUP_INCR_SQL = f"""
+WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+first AS (
+    SELECT h, MIN(doc_id) AS doc_id FROM d
+    WHERE doc_id >= {_INGEST_CUTOFF} GROUP BY h
+)
+SELECT f.doc_id, f.h AS content_md5
+FROM first f
+ANTI JOIN (SELECT h FROM d WHERE doc_id < {_INGEST_CUTOFF}) c ON f.h = c.h
+"""
+
+
 ENTRIES: dict[str, SuiteEntry] = {
     "split_train_val_test": SuiteEntry(split_train_val_test, SPLIT_SQL, ("W5", "P6")),
     "pack_sequences": SuiteEntry(pack_sequences, PACK_SQL, ("W5", "W2")),
@@ -520,4 +558,7 @@ ENTRIES: dict[str, SuiteEntry] = {
     "events_rolling_10min": SuiteEntry(events_rolling_10min, ROLLING_10MIN_SQL, ("W2",)),
     "median_order_value": SuiteEntry(median_order_value, MEDIAN_SQL, ("A6", "W2")),
     "image_stats_real": SuiteEntry(image_stats_real, IMAGE_STATS_SQL, ("W4",)),
+    "dedup_incremental_exact": SuiteEntry(
+        dedup_incremental_exact, DEDUP_INCR_SQL, ("W5", "A4", "J7")
+    ),
 }
