@@ -6,10 +6,12 @@ never round-trips through the driver). All per-item compute runs as
 Arrow-batched ``mapInPandas`` so the Spark-side plumbing (schema, batch
 shape, partitioning) is the production path.
 
-Codec status: uncompressed raster images (PPM ``P6`` and 24-bit
-uncompressed BMP) decode, resize, and feature-extract FOR REAL in pure
-numpy -- no external libraries -- via ``image_stats`` / ``resize_images``.
-Compressed formats (PNG/JPEG) and audio/video kernels are NOT decodable in
+Codec status: raster images decode, resize, and feature-extract FOR REAL
+with no external libraries via ``image_stats`` / ``resize_images``:
+PPM ``P6`` and 24-bit uncompressed BMP in pure numpy, and PNG (8-bit
+depth, all five scanline filters, gray/RGB/palette/alpha color types,
+non-interlaced) via stdlib ``zlib`` + numpy unfiltering. JPEG and the
+audio/video kernels are NOT decodable in
 this runtime and stay stubbed: ``decode_media`` raises
 ``NotImplementedError`` per unsupported kind unless
 ``deterministic_fake=True``, which produces seeded fake features with the
@@ -20,6 +22,8 @@ batching, schema, fan-out of frame samples -- is the production path.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Callable, Iterator
 
 import numpy as np
@@ -159,16 +163,175 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(arr[::-1] if h > 0 else arr)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# channels per PNG color type: 0 gray, 2 RGB, 3 palette index, 4 gray+alpha,
+# 6 RGBA (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(data: bytes) -> Iterator[tuple[bytes, bytes]]:
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        yield typ, data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + payload + crc
+        if typ == b"IEND":
+            break
+
+
+def _unfilter_scanline(
+    ft: int, line: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Reverse one PNG scanline filter (spec §9.2). None/Up/Sub are
+    vectorized (Sub is a cumulative sum mod 256 per byte lane); Average and
+    Paeth carry a left-neighbor dependency, so they run as a per-byte loop --
+    correctness path, only taken when the encoder chose those filters."""
+    if ft == 0:
+        return line
+    if ft == 2:
+        return line + prev  # uint8 addition wraps mod 256
+    if ft == 1:
+        lanes = line.reshape(-1, bpp).astype(np.uint64)
+        return (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+    ln = line.astype(np.int32)
+    pv = prev.astype(np.int32)
+    out = np.zeros(len(line), np.int32)
+    for x in range(len(line)):
+        a = out[x - bpp] if x >= bpp else 0
+        b = pv[x]
+        if ft == 3:
+            out[x] = (ln[x] + ((a + b) >> 1)) & 0xFF
+        elif ft == 4:
+            c = pv[x - bpp] if x >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (ln[x] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {ft}")
+    return out.astype(np.uint8)
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """PNG -> HxWx3 uint8 RGB, stdlib zlib + numpy only. Supports bit depth
+    8, color types 0/2/3/4/6, all five scanline filters, non-interlaced.
+    Gray replicates to 3 channels, palette indices resolve through PLTE,
+    alpha is dropped (stats/resize operate on color planes)."""
+    if not data.startswith(_PNG_SIG):
+        raise NotImplementedError("not a PNG payload")
+    ihdr, plte, idat = None, None, []
+    for typ, chunk in _png_chunks(data):
+        if typ == b"IHDR":
+            ihdr = chunk
+        elif typ == b"PLTE":
+            plte = chunk
+        elif typ == b"IDAT":
+            idat.append(chunk)
+    if ihdr is None or len(ihdr) != 13:
+        raise NotImplementedError("malformed PNG: missing IHDR chunk")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG (depth={depth}, color={color}, "
+            f"interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError("truncated PNG pixel data")
+    rows = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=off + 1)
+        prev = _unfilter_scanline(raw[off], line, prev, ch)
+        rows[y] = prev
+    arr = rows.reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise NotImplementedError("palette PNG without PLTE chunk")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        return np.ascontiguousarray(pal[arr[..., 0]])
+    if color in (0, 4):
+        return np.ascontiguousarray(np.repeat(arr[..., :1], 3, axis=2))
+    return np.ascontiguousarray(arr[..., :3])
+
+
+def _filter_scanline(
+    ft: int, line: np.ndarray, prev: np.ndarray, bpp: int
+) -> np.ndarray:
+    """Apply a PNG scanline filter on encode (inverse of
+    ``_unfilter_scanline``); recon values are the inputs, so every filter
+    vectorizes."""
+    ln = line.astype(np.int32)
+    pv = prev.astype(np.int32)
+    a = np.concatenate([np.zeros(bpp, np.int32), ln[:-bpp]]) if len(ln) > bpp else np.zeros_like(ln)
+    if ft == 0:
+        out = ln
+    elif ft == 1:
+        out = ln - a
+    elif ft == 2:
+        out = ln - pv
+    elif ft == 3:
+        out = ln - ((a + pv) >> 1)
+    elif ft == 4:
+        c = np.concatenate([np.zeros(bpp, np.int32), pv[:-bpp]]) if len(pv) > bpp else np.zeros_like(pv)
+        p = a + pv - c
+        pa, pb, pc = np.abs(p - a), np.abs(p - pv), np.abs(p - c)
+        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, pv, c))
+        out = ln - pred
+    else:
+        raise NotImplementedError(f"unknown PNG filter type {ft}")
+    return (out & 0xFF).astype(np.uint8)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """HxWx3 uint8 RGB -> real PNG (IHDR/IDAT/IEND, zlib, CRCs).
+    ``filter_type`` selects the per-scanline filter (0-4), exercising every
+    unfilter path on round-trip."""
+    arr = np.ascontiguousarray(arr, np.uint8)
+    h, w = arr.shape[:2]
+    stride = w * 3
+    flat = arr.reshape(h, stride)
+    prev = np.zeros(stride, np.uint8)
+    parts = []
+    for y in range(h):
+        parts.append(bytes([filter_type]))
+        parts.append(_filter_scanline(filter_type, flat[y], prev, 3).tobytes())
+        prev = flat[y]
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            len(payload).to_bytes(4, "big")
+            + typ
+            + payload
+            + zlib.crc32(typ + payload).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(parts), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image_array(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes; NotImplementedError marks the compressed
-    formats a real Pillow install would add."""
+    """Dispatch on magic bytes; NotImplementedError marks the formats a
+    real Pillow install would add (JPEG)."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "compressed image codecs (PNG/JPEG) not available in this runtime; "
-        "only PPM P6 / 24-bit BMP decode natively"
+        "JPEG codec not available in this runtime; "
+        "PPM P6 / 24-bit BMP / 8-bit PNG decode natively"
     )
 
 

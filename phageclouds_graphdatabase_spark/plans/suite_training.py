@@ -487,6 +487,41 @@ def image_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_stats(media)
 
 
+def png_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract proof as ``image_stats_real`` but through the REAL PNG
+    codec: each document's first 48 bytes become a 4x4 RGB PNG (stdlib zlib
+    deflate, per-row scanline filter cycling 0-4 by doc_id so every
+    unfilter path runs), then the pure-numpy PNG decoder recovers the
+    pixels and computes channel means. The oracle never sees an image --
+    a value match proves compress -> filter -> unfilter -> decode exactly."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from phageclouds_graphdatabase_spark.operators import multimodal as mm
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")[:48].ljust(48, b" ")
+                arr = np.frombuffer(raw, np.uint8).reshape(4, 4, 3)
+                payloads.append(mm.encode_png(arr, filter_type=int(doc_id) % 5))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["image"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    media = d.mapInPandas(build, mm.MEDIA_COLUMNS)
+    return mm.image_stats(media)
+
+
 IMAGE_STATS_SQL = """
 WITH ch AS (
     SELECT doc_id,
@@ -558,6 +593,7 @@ ENTRIES: dict[str, SuiteEntry] = {
     "events_rolling_10min": SuiteEntry(events_rolling_10min, ROLLING_10MIN_SQL, ("W2",)),
     "median_order_value": SuiteEntry(median_order_value, MEDIAN_SQL, ("A6", "W2")),
     "image_stats_real": SuiteEntry(image_stats_real, IMAGE_STATS_SQL, ("W4",)),
+    "png_stats_real": SuiteEntry(png_stats_real, IMAGE_STATS_SQL, ("W4",)),
     "dedup_incremental_exact": SuiteEntry(
         dedup_incremental_exact, DEDUP_INCR_SQL, ("W5", "A4", "J7")
     ),
