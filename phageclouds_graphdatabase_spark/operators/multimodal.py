@@ -10,8 +10,9 @@ Codec status: raster images decode, resize, and feature-extract FOR REAL
 with no external libraries via ``image_stats`` / ``resize_images``:
 PPM ``P6`` and 24-bit uncompressed BMP in pure numpy, and PNG (8-bit
 depth, all five scanline filters, gray/RGB/palette/alpha color types,
-non-interlaced) via stdlib ``zlib`` + numpy unfiltering. JPEG and the
-audio/video kernels are NOT decodable in
+non-interlaced) via stdlib ``zlib`` + numpy unfiltering. WAV audio (RIFF
+8/16-bit PCM) decodes for real too via ``audio_stats``. JPEG and the
+compressed audio/video kernels are NOT decodable in
 this runtime and stay stubbed: ``decode_media`` raises
 ``NotImplementedError`` per unsupported kind unless
 ``deterministic_fake=True``, which produces seeded fake features with the
@@ -394,6 +395,95 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         run, schema="media_id bigint, payload binary"
+    )
+
+
+# --------------------------------------------------------------------------
+# Real WAV (RIFF PCM) audio codec -- pure struct/numpy, no external library.
+# 16-bit signed and 8-bit unsigned PCM decode; compressed audio (MP3/AAC/
+# FLAC) keeps the codec-missing marker.
+# --------------------------------------------------------------------------
+
+
+def _decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM -> (sample_rate, int16 array of shape
+    (n_frames, n_channels)). 8-bit unsigned widens to int16 (centered);
+    non-PCM or other depths raise the codec-missing marker."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        typ = data[pos : pos + 4]
+        ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + ln]
+        if typ == b"fmt ":
+            fmt = body
+        elif typ == b"data":
+            pcm = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise NotImplementedError("malformed WAV: missing fmt/data chunk")
+    audio_format, n_ch, rate, _brate, _balign, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format != 1 or n_ch < 1:
+        raise NotImplementedError(
+            f"only uncompressed PCM WAV (format={audio_format})"
+        )
+    if bits == 16:
+        samples = np.frombuffer(pcm, "<i2", count=len(pcm) // 2)
+    elif bits == 8:
+        samples = np.frombuffer(pcm, np.uint8).astype(np.int16) - 128
+    else:
+        raise NotImplementedError(f"only 8/16-bit PCM WAV (bits={bits})")
+    n_frames = len(samples) // n_ch
+    return rate, samples[: n_frames * n_ch].reshape(n_frames, n_ch)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """(n_frames, n_channels) int16 -> 16-bit PCM RIFF/WAVE bytes."""
+    arr = np.ascontiguousarray(np.atleast_2d(samples).T if samples.ndim == 1 else samples, "<i2")
+    n_frames, n_ch = arr.shape
+    pcm = arr.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_id bigint, sample_rate int, n_frames bigint, n_channels int, "
+    "sum_sq bigint, peak int"
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode + exact integer statistics (Arrow batches): sample
+    rate, frame/channel counts, sum of squared samples, and peak absolute
+    amplitude for every WAV payload. Integer outputs keep the stats exact
+    across engines; rms/duration derive from them losslessly downstream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "n_frames", "n_channels", "sum_sq", "peak"
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, arr = _decode_wav(bytes(payload))
+                a64 = arr.astype(np.int64)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(arr.shape[0])
+                out["n_channels"].append(arr.shape[1])
+                out["sum_sq"].append(int((a64 * a64).sum()))
+                out["peak"].append(int(np.abs(a64).max()) if a64.size else 0)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=AUDIO_STATS_SCHEMA
     )
 
 

@@ -522,6 +522,65 @@ def png_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_stats(media)
 
 
+def wav_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec through the driver contract: each document's first
+    64 bytes become 32 mono int16 PCM samples in a RIFF/WAVE payload, the
+    pure-numpy WAV decoder recovers them, and ``audio_stats`` emits exact
+    integer statistics. The oracle derives the same sum-of-squares and peak
+    straight from character codes (ASCII corpus: sample i =
+    code[2i] + 256*code[2i+1], always positive since codes < 128)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from phageclouds_graphdatabase_spark.operators import multimodal as mm
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")[:64].ljust(64, b" ")
+                samples = np.frombuffer(raw, "<i2")
+                payloads.append(mm.encode_wav(samples, rate=8000))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["audio"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    media = d.mapInPandas(build, mm.MEDIA_COLUMNS)
+    return mm.audio_stats(media)
+
+
+WAV_STATS_SQL = """
+WITH ch AS (
+    SELECT doc_id,
+           list_transform(
+               list_filter(split(substr(text || repeat(' ', 64), 1, 64), ''),
+                           c -> c <> ''),
+               c -> CAST(ascii(c) AS BIGINT)) AS codes
+    FROM documents
+), s AS (
+    SELECT doc_id,
+           list_transform(range(0, 32),
+                          i -> codes[2*i + 1] + 256 * codes[2*i + 2]) AS v
+    FROM ch
+)
+SELECT doc_id AS media_id,
+       8000 AS sample_rate,
+       CAST(32 AS BIGINT) AS n_frames,
+       1 AS n_channels,
+       CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS sum_sq,
+       CAST(list_max(v) AS INTEGER) AS peak
+FROM s
+"""
+
+
 IMAGE_STATS_SQL = """
 WITH ch AS (
     SELECT doc_id,
@@ -594,6 +653,7 @@ ENTRIES: dict[str, SuiteEntry] = {
     "median_order_value": SuiteEntry(median_order_value, MEDIAN_SQL, ("A6", "W2")),
     "image_stats_real": SuiteEntry(image_stats_real, IMAGE_STATS_SQL, ("W4",)),
     "png_stats_real": SuiteEntry(png_stats_real, IMAGE_STATS_SQL, ("W4",)),
+    "wav_stats_real": SuiteEntry(wav_stats_real, WAV_STATS_SQL, ("W4",)),
     "dedup_incremental_exact": SuiteEntry(
         dedup_incremental_exact, DEDUP_INCR_SQL, ("W5", "A4", "J7")
     ),

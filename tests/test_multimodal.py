@@ -224,6 +224,68 @@ def test_png_rgba_drops_alpha():
     np.testing.assert_array_equal(got, rgba[..., :3])
 
 
+# ---------------------------------------------------------------------------
+# Real WAV codec: RIFF PCM parse in struct/numpy; 8/16-bit, mono/stereo,
+# word-aligned chunk skipping; exact integer stats through audio_stats.
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_mono_stereo():
+    rng = np.random.default_rng(13)
+    for shape in [(10,), (7, 2), (64, 1)]:
+        arr = rng.integers(-32768, 32768, shape, dtype=np.int16)
+        rate, back = mm._decode_wav(mm.encode_wav(arr, 44100))
+        want = arr.reshape(-1, 1) if arr.ndim == 1 else arr
+        assert rate == 44100
+        np.testing.assert_array_equal(back, want)
+
+
+def test_wav_8bit_and_chunk_padding():
+    pcm = bytes(range(0, 200, 10))  # 20 unsigned 8-bit samples, 2 channels
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 16000, 2, 8)
+    odd = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # padded chunk
+    body = (
+        b"WAVE" + odd
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    )
+    rate, arr = mm._decode_wav(b"RIFF" + len(body).to_bytes(4, "little") + body)
+    assert (rate, arr.shape) == (8000, (10, 2))
+    np.testing.assert_array_equal(
+        arr.reshape(-1), np.array(range(0, 200, 10), np.int16) - 128
+    )
+
+
+def test_wav_compressed_raises_codec_marker():
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 16)  # 85 = MP3
+    body = (
+        b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + (0).to_bytes(4, "little")
+    )
+    with pytest.raises(NotImplementedError, match="PCM"):
+        mm._decode_wav(b"RIFF" + len(body).to_bytes(4, "little") + body)
+
+
+def test_audio_stats_exact(spark):
+    rng = np.random.default_rng(17)
+    clips = {
+        10: rng.integers(-32768, 32768, (32, 1), dtype=np.int16),
+        11: rng.integers(-32768, 32768, (16, 2), dtype=np.int16),
+    }
+    rows = [(mid, "audio", mm.encode_wav(a, 22050)) for mid, a in clips.items()]
+    rows.append((12, "image", b"P6\n1 1\n255\n\x00\x00\x00"))  # filtered out
+    media = spark.createDataFrame(rows, mm.MEDIA_COLUMNS)
+    got = {r.media_id: r for r in mm.audio_stats(media).collect()}
+    assert set(got) == set(clips)
+    for mid, a in clips.items():
+        r = got[mid]
+        a64 = a.astype(np.int64)
+        assert r.sample_rate == 22050
+        assert (r.n_frames, r.n_channels) == a.shape
+        assert r.sum_sq == int((a64 * a64).sum())
+        assert r.peak == int(np.abs(a64).max())
+
+
 def test_png_malformed_raises_codec_marker():
     with pytest.raises(NotImplementedError, match="IHDR"):
         mm.decode_image_array(b"\x89PNG\r\n\x1a\nrest")
