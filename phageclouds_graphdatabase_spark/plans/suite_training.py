@@ -581,6 +581,65 @@ FROM s
 """
 
 
+def avi_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container through the driver contract: each document's
+    first 96 bytes become a 2-frame 4x4 RGB uncompressed AVI, the RIFF
+    parser + DIB frame decoder sample both frames, and
+    ``video_frame_stats`` emits exact integer channel sums. The oracle
+    derives the same sums straight from character codes -- a value match
+    proves container parse -> frame decode -> sampling bit-for-bit."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from phageclouds_graphdatabase_spark.operators import multimodal as mm
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")[:96].ljust(96, b" ")
+                frames = [
+                    np.frombuffer(raw[48 * f : 48 * (f + 1)], np.uint8).reshape(4, 4, 3)
+                    for f in range(2)
+                ]
+                payloads.append(mm.encode_avi(frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["video"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    media = d.mapInPandas(build, mm.MEDIA_COLUMNS)
+    return mm.video_frame_stats(media, n_frames=2)
+
+
+AVI_FRAMES_SQL = """
+WITH ch AS (
+    SELECT doc_id,
+           list_transform(
+               list_filter(split(substr(text || repeat(' ', 96), 1, 96), ''),
+                           c -> c <> ''),
+               c -> CAST(ascii(c) AS BIGINT)) AS codes
+    FROM documents
+)
+SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+       4 AS width, 4 AS height,
+       CAST(list_sum(list_transform(range(0, 16), i -> codes[48*f + 3*i + 1]))
+            AS BIGINT) AS sum_r,
+       CAST(list_sum(list_transform(range(0, 16), i -> codes[48*f + 3*i + 2]))
+            AS BIGINT) AS sum_g,
+       CAST(list_sum(list_transform(range(0, 16), i -> codes[48*f + 3*i + 3]))
+            AS BIGINT) AS sum_b
+FROM ch, (SELECT unnest(range(0, 2)) AS f)
+"""
+
+
 IMAGE_STATS_SQL = """
 WITH ch AS (
     SELECT doc_id,
@@ -654,6 +713,7 @@ ENTRIES: dict[str, SuiteEntry] = {
     "image_stats_real": SuiteEntry(image_stats_real, IMAGE_STATS_SQL, ("W4",)),
     "png_stats_real": SuiteEntry(png_stats_real, IMAGE_STATS_SQL, ("W4",)),
     "wav_stats_real": SuiteEntry(wav_stats_real, WAV_STATS_SQL, ("W4",)),
+    "avi_frames_real": SuiteEntry(avi_frames_real, AVI_FRAMES_SQL, ("W4",)),
     "dedup_incremental_exact": SuiteEntry(
         dedup_incremental_exact, DEDUP_INCR_SQL, ("W5", "A4", "J7")
     ),

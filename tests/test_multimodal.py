@@ -286,6 +286,38 @@ def test_audio_stats_exact(spark):
         assert r.peak == int(np.abs(a64).max())
 
 
+# ---------------------------------------------------------------------------
+# Real AVI video container: RIFF walk, avih dimensions, raw DIB frames.
+# ---------------------------------------------------------------------------
+
+
+def test_avi_roundtrip_and_frame_stats(spark):
+    rng = np.random.default_rng(19)
+    frames = [rng.integers(0, 256, (4, 5, 3), dtype=np.uint8) for _ in range(4)]
+    avi = mm.encode_avi(frames)
+    w, h, raw = mm._parse_avi(avi)
+    assert (w, h, len(raw)) == (5, 4, 4)
+    for f, r in zip(frames, raw):
+        np.testing.assert_array_equal(mm.decode_dib_frame(r, w, h), f)
+
+    media = spark.createDataFrame(
+        [(20, "video", avi), (21, "audio", b"not video")], mm.MEDIA_COLUMNS
+    )
+    rows = mm.video_frame_stats(media, n_frames=2).collect()
+    assert [(r.media_id, r.frame_idx) for r in rows] == [(20, 0), (20, 2)]
+    for r in rows:
+        want = frames[r.frame_idx].astype(np.int64).reshape(-1, 3).sum(axis=0)
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(x) for x in want)
+        assert (r.width, r.height) == (5, 4)
+
+
+def test_avi_malformed_raises_codec_marker():
+    with pytest.raises(NotImplementedError, match="AVI"):
+        mm._parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(NotImplementedError, match="avih"):
+        mm._parse_avi(b"RIFF\x04\x00\x00\x00AVI ")
+
+
 def test_png_malformed_raises_codec_marker():
     with pytest.raises(NotImplementedError, match="IHDR"):
         mm.decode_image_array(b"\x89PNG\r\n\x1a\nrest")
