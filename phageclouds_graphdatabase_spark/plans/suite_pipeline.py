@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from phageclouds_graphdatabase_spark.plans import _suite_helpers as h
 from phageclouds_graphdatabase_spark.plans import suite_extensions as ext
 from phageclouds_graphdatabase_spark.plans._suite_helpers import SuiteEntry, t
 
@@ -549,6 +550,162 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood node similarity (the Neo4j GDS ``nodeSimilarity``
+    surface, the natural companion to the reference's distance-threshold
+    clouds): Jaccard of S-neighbor sets between part nodes of the derived
+    bipartite graph, top-10 most-similar per node (the GDS topK default)
+    with a deterministic (jaccard desc, id) tie-break.
+
+    Scale design: intersections come from a partial-agg'd co-neighbor
+    self-join keyed on the shared neighbor -- the only shuffle of edge
+    cardinality; degree tables are node-cardinality and broadcast. Hub
+    neighbors fan out quadratically, which is the same skew the dedup
+    family already handles -- at 100 TB the production fix is the
+    frequency-cap + exact-verify pattern of
+    operators/dedup.py:jaccard_pairs_capped. Jaccard = inter/(da+db-inter)
+    from exact ints, so the doubles are correctly-rounded identically in
+    both engines."""
+    e = h.graph_edges(spark, sf_dir, threshold=h.GRAPH_THRESHOLD).select("src", "dst")
+    inter = (
+        e.alias("x")
+        .join(e.alias("y"), "dst")
+        .filter(F.col("x.src") < F.col("y.src"))
+        .groupBy(F.col("x.src").alias("a"), F.col("y.src").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    deg = e.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    scored = (
+        inter.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a", "b",
+            F.col("inter").cast("long").alias("inter"),
+            (F.col("da") + F.col("db") - F.col("inter")).cast("long").alias("union_sz"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("da") + F.col("db") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    # symmetric pairs -> per-node ranking needs both orientations
+    sym = scored.unionByName(
+        scored.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "inter", "union_sz", "jaccard"
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.col("jaccard").desc(), F.col("b"))
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("a", "b", "inter", "union_sz", "jaccard", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+GRAPH_NODE_SIM_SQL = f"""
+WITH e AS (
+    SELECT src, dst FROM ({h.GRAPH_EDGES_SQL}) _e WHERE distance <= {h.GRAPH_THRESHOLD}
+),
+inter AS (
+    SELECT x.src AS a, y.src AS b, COUNT(*) AS inter
+    FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
+    GROUP BY x.src, y.src
+),
+deg AS (SELECT src AS n, COUNT(*) AS d FROM e GROUP BY src),
+scored AS (
+    SELECT a, b, CAST(inter AS BIGINT) AS inter,
+           CAST(da.d + db.d - inter AS BIGINT) AS union_sz,
+           CAST(inter AS DOUBLE) / (da.d + db.d - inter) AS jaccard
+    FROM inter JOIN deg da ON da.n = a JOIN deg db ON db.n = b
+),
+sym AS (
+    SELECT a, b, inter, union_sz, jaccard FROM scored
+    UNION ALL
+    SELECT b AS a, a AS b, inter, union_sz, jaccard FROM scored
+)
+SELECT a, b, inter, union_sz, jaccard, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY a
+                                   ORDER BY jaccard DESC, b) AS rnk
+      FROM sym) z
+WHERE rnk <= 10
+"""
+
+
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (Neo4j GDS
+    ``localClusteringCoefficient``): lcc = 2*triangles / (deg*(deg-1)) on
+    the supplier co-supply graph, 0 for degree < 2. Reuses the
+    degree-oriented triangle counts (same O(edges^1.5) enumeration) and a
+    node-cardinality degree table; both divisions are exact-int inputs so
+    the doubles match the oracle bit-for-bit."""
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("s"),
+    ).distinct()
+    e = (
+        ps.alias("x")
+        .join(ps.alias("y"), "p")
+        .filter(F.col("x.s") < F.col("y.s"))
+        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = graph_triangle_counts(spark, sf_dir)
+    return (
+        deg.join(tri, "id", "left_outer")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.coalesce("n_triangles", F.lit(0)).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)),
+            )
+            .otherwise(0.0)
+            .alias("lcc"),
+        )
+    )
+
+
+GRAPH_LCC_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey AS p, 'S' || l_suppkey AS s FROM lineitem),
+e AS (
+    SELECT DISTINCT x.s AS a, y.s AS b
+    FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s
+),
+deg AS (
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+    GROUP BY id
+),
+tri AS (
+    SELECT e1.a AS c1, e1.b AS c2, e2.b AS c3
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcnt AS (
+    SELECT n AS id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT c1 AS n FROM tri UNION ALL SELECT c2 FROM tri UNION ALL SELECT c3 FROM tri)
+    GROUP BY n
+)
+SELECT deg.id, deg.degree,
+       CAST(COALESCE(tcnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.degree >= 2
+            THEN 2.0 * COALESCE(tcnt.n_triangles, 0) / (deg.degree * (deg.degree - 1))
+            ELSE 0.0 END AS lcc
+FROM deg LEFT JOIN tcnt ON tcnt.id = deg.id
+"""
+
+
 GRAPH_TRIANGLES_SQL = """
 WITH ps AS (SELECT DISTINCT l_partkey AS p, 'S' || l_suppkey AS s FROM lineitem),
 e AS (
@@ -836,6 +993,12 @@ ENTRIES: dict[str, SuiteEntry] = {
     "graph_wedge_counts": SuiteEntry(graph_wedge_counts, GRAPH_WEDGES_SQL, ("J1", "A6")),
     "graph_triangle_counts": SuiteEntry(
         graph_triangle_counts, GRAPH_TRIANGLES_SQL, ("J1", "W6")
+    ),
+    "graph_node_similarity": SuiteEntry(
+        graph_node_similarity, GRAPH_NODE_SIM_SQL, ("J1", "W6", "W5")
+    ),
+    "graph_clustering_coefficient": SuiteEntry(
+        graph_clustering_coefficient, GRAPH_LCC_SQL, ("J1", "W6")
     ),
     "udtf_explode_props": SuiteEntry(udtf_explode_props, UDTF_PROPS_SQL, ("W4", "V8")),
     "udtf_table_arg_topk": SuiteEntry(udtf_table_arg_topk, UDTF_TABLE_ARG_SQL, ("W4", "V8")),

@@ -1,6 +1,7 @@
-"""Multimodal operator tests (W4): the Arrow plumbing is real, the codec
-kernels are stubbed -- decode raises NotImplementedError unless the
-deterministic fake is requested (container has no image/audio libs)."""
+"""Multimodal operator tests (W4). Native codecs are REAL for PPM/BMP/PNG
+images, PCM WAV audio, and uncompressed AVI video; payloads no native
+codec handles (JPEG/MP3/...) raise NotImplementedError from decode unless
+the deterministic fake is requested (container has no image/audio libs)."""
 
 from __future__ import annotations
 
@@ -286,6 +287,30 @@ def test_audio_stats_exact(spark):
         assert r.peak == int(np.abs(a64).max())
 
 
+def test_decode_media_real_features(spark):
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    clip = rng.integers(-32768, 32768, (16, 1), dtype=np.int16)
+    vid = [rng.integers(0, 256, (2, 2, 3), dtype=np.uint8) for _ in range(3)]
+    media = spark.createDataFrame(
+        [
+            (30, "image", mm.encode_png(img)),
+            (31, "audio", mm.encode_wav(clip, 8000)),
+            (32, "video", mm.encode_avi(vid)),
+        ],
+        mm.MEDIA_COLUMNS,
+    )
+    # no deterministic_fake needed: every payload has a native codec
+    rows = {r.media_id: r for r in mm.decode_media(media).collect()}
+    assert set(rows) == {30, 31, 32}
+    px = img.astype(np.float32).reshape(-1, 3)
+    assert rows[30].feature[:3] == pytest.approx(px.mean(0).tolist())
+    s = clip.astype(np.float32)
+    assert rows[31].feature[0] == pytest.approx(float(s.mean()))
+    assert rows[31].feature[4:6] == [16.0, 1.0]  # frames, channels
+    assert rows[32].feature[9:12] == [2.0, 2.0, 3.0]  # w, h, n_frames
+
+
 # ---------------------------------------------------------------------------
 # Real AVI video container: RIFF walk, avih dimensions, raw DIB frames.
 # ---------------------------------------------------------------------------
@@ -316,6 +341,52 @@ def test_avi_malformed_raises_codec_marker():
         mm._parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
     with pytest.raises(NotImplementedError, match="avih"):
         mm._parse_avi(b"RIFF\x04\x00\x00\x00AVI ")
+
+
+# ---------------------------------------------------------------------------
+# Property-based codec round-trips (hypothesis): arbitrary pixel/sample
+# content through encode -> decode must be the identity, for every PNG
+# scanline filter and for mono/stereo WAV and multi-frame AVI.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_DIMS = st.integers(min_value=1, max_value=12)
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=_DIMS, h=_DIMS, ft=st.integers(0, 4), seed=st.integers(0, 2**31 - 1))
+def test_prop_png_roundtrip(w, h, ft, seed):
+    arr = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        mm.decode_image_array(mm.encode_png(arr, filter_type=ft)), arr
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 64),
+    ch=st.integers(1, 3),
+    rate=st.sampled_from([8000, 22050, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_prop_wav_roundtrip(n, ch, rate, seed):
+    arr = np.random.default_rng(seed).integers(-32768, 32768, (n, ch), dtype=np.int16)
+    got_rate, got = mm._decode_wav(mm.encode_wav(arr, rate))
+    assert got_rate == rate
+    np.testing.assert_array_equal(got, arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=_DIMS, h=_DIMS, nf=st.integers(1, 5), seed=st.integers(0, 2**31 - 1))
+def test_prop_avi_roundtrip(w, h, nf, seed):
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(nf)]
+    gw, gh, raw = mm._parse_avi(mm.encode_avi(frames))
+    assert (gw, gh, len(raw)) == (w, h, nf)
+    for f, r in zip(frames, raw):
+        np.testing.assert_array_equal(mm.decode_dib_frame(r, gw, gh), f)
 
 
 def test_png_malformed_raises_codec_marker():
