@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from phageclouds_graphdatabase_spark.plans.suite import SUITE
 from phageclouds_graphdatabase_spark.session import get_spark
+from phageclouds_graphdatabase_spark.sources.readers import read_table
 
 # Headline set: the flagship graph pipeline + one representative per operator
 # family (scan/agg, join+topk, 6-way join, windows, events, dedup family,
@@ -69,7 +70,9 @@ def main() -> None:
     for tbl in ("lineitem", "orders", "customer", "supplier", "nation",
                 "region", "part", "events", "documents", "embeddings"):
         try:
-            spark.read.parquet(f"{sf_dir}/{tbl}.parquet").limit(1).collect()
+            # read_table, not spark.read: events.parquet stores
+            # TIMESTAMP(NANOS) and needs the nanosAsLong conf it sets.
+            read_table(spark, sf_dir, tbl).limit(1).collect()
         except Exception:
             pass
 
