@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 def as_node_set(df: DataFrame, col: str) -> DataFrame:
@@ -101,6 +101,46 @@ def _ckpt(df: DataFrame, reliable: bool) -> DataFrame:
     return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
 
 
+def _components_local(
+    edges: DataFrame, nodes: DataFrame | None
+) -> DataFrame:
+    """Driver-local union-find for graphs under the small-graph threshold.
+
+    Union-by-min with path compression: roots always carry the MIN id of
+    their component, so labels are identical to the distributed min-label
+    loop (comparisons are Python string/int ordering == Spark's binary
+    ordering for the ASCII/numeric ids this engine uses). One Arrow
+    transfer in, one createDataFrame out -- no iterative jobs at all."""
+    id_type = edges.schema["src"].dataType
+    pdf = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).toPandas()
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf["a"], pdf["b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo  # union by min: the root IS the component label
+    if nodes is not None:
+        for (n,) in nodes.select("id").toPandas().itertuples(index=False):
+            find(n)
+    labels = [(x, find(x)) for x in list(parent)]
+    schema = StructType(
+        [StructField("id", id_type, False), StructField("component", id_type, False)]
+    )
+    return edges.sparkSession.createDataFrame(labels, schema)
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
@@ -108,6 +148,7 @@ def connected_components(
     method: str = "contract",
     checkpoint_dir: str | None = None,
     relabel_ids: bool | None = None,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components (W6) -- the "phage clouds" themselves: the paper's
     cloud = component of the distance-thresholded graph (reference README.md:3
@@ -134,6 +175,15 @@ def connected_components(
     ``checkpoint()`` when ``checkpoint_dir`` is set (pass an HDFS/S3 path
     on a cluster to survive executor loss mid-run).
 
+    ``local_threshold``: when the RAW edge count is at or under this bound
+    (default 1M rows, well inside driver memory), skip the iterative loop
+    entirely and run a driver-local union-find -- the same adaptive
+    small-input cutover as a broadcast join, trading one cheap count job
+    for the whole round loop. Labels are identical (union-by-min == the
+    distributed min-label fixpoint). Pass 0 to force the distributed path;
+    at rehearsal scale (195M edges) the count costs seconds and the
+    distributed loop runs as before.
+
     ``relabel_ids`` (default: auto = on for string ids) dictionary-encodes
     node ids to longs before the loop and decodes after -- the contract
     GraphX imposes on every graph (VertexId = Long), for the same reason:
@@ -143,6 +193,8 @@ def connected_components(
     ORIGINAL id per component (decoded via a per-component min), so the
     result is identical either way.
     """
+    if local_threshold and edges.count() <= local_threshold:
+        return _components_local(edges, nodes)
     reliable = checkpoint_dir is not None
     if reliable:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -176,6 +228,7 @@ def connected_components(
             method=method,
             checkpoint_dir=checkpoint_dir,
             relabel_ids=False,
+            local_threshold=0,  # outer count already exceeded the bound
         )
         decoded = (
             comp_l.withColumnRenamed("id", "_nid")

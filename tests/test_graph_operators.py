@@ -88,7 +88,12 @@ import pytest
 
 
 @pytest.mark.parametrize("method", ["hashmin", "contract"])
-def test_connected_components_matches_union_find(spark, shares_dna, phage_nodes, method):
+@pytest.mark.parametrize("local_threshold", [1_000_000, 0])
+def test_connected_components_matches_union_find(
+    spark, shares_dna, phage_nodes, method, local_threshold
+):
+    # local_threshold=1M exercises the driver-local fast path (this graph
+    # is tiny); 0 forces the distributed loop. Labels must be identical.
     thr = 0.25
     all_nodes = [r[0] for r in NODE_ROWS]
     got = {
@@ -97,6 +102,7 @@ def test_connected_components_matches_union_find(spark, shares_dna, phage_nodes,
             shares_dna.filter(F.col("distance") <= thr),
             nodes=phage_nodes.select(F.col("accession").alias("id")),
             method=method,
+            local_threshold=local_threshold,
         ).collect()
     }
     edges = [(s, d) for s, d, w in EDGE_ROWS if w <= thr]
@@ -115,7 +121,11 @@ def test_connected_components_relabel_equivalence(
     # decoded result must be bit-identical to iterating on the string ids.
     thr = 0.25
     e = shares_dna.filter(F.col("distance") <= thr)
-    kw = dict(nodes=phage_nodes.select(F.col("accession").alias("id")), method=method)
+    kw = dict(
+        nodes=phage_nodes.select(F.col("accession").alias("id")),
+        method=method,
+        local_threshold=0,  # the encoding only exists on the distributed path
+    )
     on = {
         (r.id, r.component)
         for r in G.connected_components(e, relabel_ids=True, **kw).collect()
@@ -190,6 +200,7 @@ def test_connected_components_reliable_checkpoint(
             nodes=phage_nodes.select(F.col("accession").alias("id")),
             method=method,
             checkpoint_dir=ckpt,
+            local_threshold=0,  # checkpointing only exists on the distributed path
         ).collect()
     }
     want = _union_find_components(

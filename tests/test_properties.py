@@ -98,7 +98,8 @@ def test_components_match_model_and_idempotent(spark, g, method):
     labels = {
         r.id: r.component
         for r in G.connected_components(
-            e.filter(F.col("distance") <= THRESHOLD), method=method
+            e.filter(F.col("distance") <= THRESHOLD), method=method,
+            local_threshold=0,  # property-check the DISTRIBUTED loop
         ).collect()
     }
     # union-find model
@@ -120,7 +121,8 @@ def test_components_match_model_and_idempotent(spark, g, method):
     again = {
         r.id: r.component
         for r in G.connected_components(
-            e.filter(F.col("distance") <= THRESHOLD), method=method
+            e.filter(F.col("distance") <= THRESHOLD), method=method,
+            local_threshold=0,  # property-check the DISTRIBUTED loop
         ).collect()
     }
     assert again == labels
