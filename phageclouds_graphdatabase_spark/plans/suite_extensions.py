@@ -727,7 +727,11 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors (vec_id < 10): the exact
     ANN baseline. zip_with + aggregate keeps the dot product JVM-side; the
     query side is broadcast so the scan of the candidate side streams."""
-    qv = _quantized(spark, sf_dir)
+    # qv feeds 4 join positions (query side, candidate side, both norm
+    # tables); Catalyst re-derives each instance, so cache the quantized
+    # vectors once -- node-cardinality, safely in memory at any scale the
+    # brute-force product itself is viable.
+    qv = _quantized(spark, sf_dir).cache()
     norms = qv.select(
         "vec_id",
         F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x * x).alias("n2"),
