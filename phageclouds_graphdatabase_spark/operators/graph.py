@@ -193,7 +193,14 @@ def connected_components(
     ORIGINAL id per component (decoded via a per-component min), so the
     result is identical either way.
     """
-    if local_threshold and edges.count() <= local_threshold:
+    # limit(N+1).count(), not count(): the probe only has to answer
+    # "more than N rows?", and CollectLimit stops the scan as soon as N+1
+    # rows surface -- on a 195M-edge input the decision costs a partial
+    # scan, not a full pass.
+    if (
+        local_threshold
+        and edges.limit(local_threshold + 1).count() <= local_threshold
+    ):
         return _components_local(edges, nodes)
     reliable = checkpoint_dir is not None
     if reliable:

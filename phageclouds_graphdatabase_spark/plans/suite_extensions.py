@@ -224,7 +224,9 @@ def graph_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = graph_seeds(spark, sf_dir)
     edges = graph_edges(spark, sf_dir, GRAPH_THRESHOLD).cache()
     ns = G.expand(seeds, edges, GRAPH_THRESHOLD).cache()
-    induced = G.induced_subgraph(ns, edges, GRAPH_THRESHOLD)
+    # cache: the components operator reads the induced edges twice (the
+    # small-graph probe, then the union-find collect or round loop).
+    induced = G.induced_subgraph(ns, edges, GRAPH_THRESHOLD).cache()
     return G.connected_components(induced, nodes=ns)
 
 
