@@ -10,7 +10,8 @@ Codec status: raster images decode, resize, and feature-extract FOR REAL
 with no external libraries via ``image_stats`` / ``resize_images``:
 PPM ``P6`` and 24-bit uncompressed BMP in pure numpy, and PNG (8-bit
 depth, all five scanline filters, gray/RGB/palette/alpha color types,
-non-interlaced) via stdlib ``zlib`` + numpy unfiltering. WAV audio (RIFF
+non-interlaced) via stdlib ``zlib`` + numpy unfiltering, GIF87a/89a via a
+pure-Python 12-bit LZW decoder (encoder too). WAV audio (RIFF
 8/16-bit PCM) decodes for real too via ``audio_stats``, and uncompressed
 AVI video (raw DIB frames) parses and frame-samples for real via
 ``video_frame_stats``. JPEG and the
@@ -376,9 +377,11 @@ def decode_image_array(payload: bytes) -> np.ndarray:
         return _decode_bmp(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     raise NotImplementedError(
         "JPEG codec not available in this runtime; "
-        "PPM P6 / 24-bit BMP / 8-bit PNG decode natively"
+        "PPM P6 / 24-bit BMP / 8-bit PNG / GIF decode natively"
     )
 
 
@@ -441,6 +444,183 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         run, schema="media_id bigint, payload binary"
+    )
+
+
+# --------------------------------------------------------------------------
+# Real GIF codec -- pure-Python LZW (12-bit, clear/end codes, dynamic code
+# width) + palette lookup. GIF87a/89a, first frame, non-interlaced; local
+# and global color tables. The encoder emits real LZW so round-trips
+# exercise every decoder path (dictionary growth, width bumps, the
+# code==next_code corner, dictionary-full resets).
+# --------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, list[int]] = {i: [i] for i in range(clear)}
+    next_code = end + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: [i] for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + [prev[0]]
+            else:
+                raise NotImplementedError("corrupt GIF LZW stream")
+            if next_code < 4096:
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    out_bits: list[int] = []  # (code, width) flattened as bit stream
+
+    state = {"acc": 0, "nbits": 0, "bytes": bytearray()}
+
+    def emit(code: int, width: int) -> None:
+        state["acc"] |= code << state["nbits"]
+        state["nbits"] += width
+        while state["nbits"] >= 8:
+            state["bytes"].append(state["acc"] & 0xFF)
+            state["acc"] >>= 8
+            state["nbits"] -= 8
+
+    def reset() -> tuple[dict, int, int]:
+        return {(i,): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, code_size = reset()
+    emit(clear, code_size)
+    w: tuple[int, ...] = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        table[wk] = next_code
+        next_code += 1
+        # one add LATER than the decoder's bump: the decoder lags the
+        # encoder by exactly one dictionary entry, so widths line up at
+        # the same position in the code stream.
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        w = (k,)
+        if next_code >= 4096:
+            emit(clear, code_size)
+            table, next_code, code_size = reset()
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    if state["nbits"]:
+        state["bytes"].append(state["acc"] & 0xFF)
+    return bytes(state["bytes"])
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
+    """GIF -> HxWx3 uint8 RGB (first frame). Interlaced images raise the
+    codec-missing marker; transparency is ignored (palette color used)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF payload")
+    pos = 6
+    packed = data[pos + 4]
+    pos += 7  # logical screen descriptor
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, count=n * 3, offset=pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise NotImplementedError(f"unknown GIF block 0x{block:02x}")
+        w = int.from_bytes(data[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(data[pos + 6 : pos + 8], "little")
+        ipacked = data[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(data, np.uint8, count=n * 3, offset=pos).reshape(-1, 3)
+            pos += n * 3
+        if pal is None:
+            raise NotImplementedError("GIF image without a color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _lzw_decode(bytes(lzw), min_code)
+        if len(idx) < w * h:
+            raise NotImplementedError("truncated GIF pixel data")
+        arr = np.asarray(idx[: w * h], np.int32).reshape(h, w)
+        return np.ascontiguousarray(pal[arr])
+    raise NotImplementedError("GIF contains no image block")
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB (<= 256 distinct colors) -> real GIF89a with LZW
+    compression and a global color table."""
+    arr = np.ascontiguousarray(arr, np.uint8)
+    h, w = arr.shape[:2]
+    pal, inverse = np.unique(arr.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise NotImplementedError("GIF encoder needs <= 256 distinct colors")
+    depth = max(1, int(len(pal) - 1).bit_length())  # palette size field
+    n_entries = 1 << depth
+    palette = np.zeros((n_entries, 3), np.uint8)
+    palette[: len(pal)] = pal
+    min_code = max(2, depth)
+    lzw = _lzw_encode([int(i) for i in inverse], min_code)
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        sub += bytes([len(chunk)]) + chunk
+    sub += b"\x00"
+    screen = struct.pack("<HHBBB", w, h, 0x80 | 0x70 | (depth - 1), 0, 0)
+    image = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    return (
+        b"GIF89a" + screen + palette.tobytes()
+        + image + bytes([min_code]) + bytes(sub) + b"\x3b"
     )
 
 

@@ -640,6 +640,41 @@ FROM ch, (SELECT unnest(range(0, 2)) AS f)
 """
 
 
+def gif_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract proof as ``png_stats_real`` but through the REAL GIF
+    codec: each document's first 48 bytes become a 4x4 RGB image (at most
+    16 distinct colors, always palette-encodable), LZW-compressed into a
+    GIF89a payload, then decoded back via the pure-Python LZW decoder.
+    A value match proves palette build -> LZW encode -> decode -> palette
+    lookup bit-for-bit against an oracle that never sees an image."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from phageclouds_graphdatabase_spark.operators import multimodal as mm
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")[:48].ljust(48, b" ")
+                arr = np.frombuffer(raw, np.uint8).reshape(4, 4, 3)
+                payloads.append(mm.encode_gif(arr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["image"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    media = d.mapInPandas(build, mm.MEDIA_COLUMNS)
+    return mm.image_stats(media)
+
+
 IMAGE_STATS_SQL = """
 WITH ch AS (
     SELECT doc_id,
@@ -714,6 +749,7 @@ ENTRIES: dict[str, SuiteEntry] = {
     "png_stats_real": SuiteEntry(png_stats_real, IMAGE_STATS_SQL, ("W4",)),
     "wav_stats_real": SuiteEntry(wav_stats_real, WAV_STATS_SQL, ("W4",)),
     "avi_frames_real": SuiteEntry(avi_frames_real, AVI_FRAMES_SQL, ("W4",)),
+    "gif_stats_real": SuiteEntry(gif_stats_real, IMAGE_STATS_SQL, ("W4",)),
     "dedup_incremental_exact": SuiteEntry(
         dedup_incremental_exact, DEDUP_INCR_SQL, ("W5", "A4", "J7")
     ),

@@ -65,6 +65,10 @@ def test_resize_stub_raises(media):
 # ---------------------------------------------------------------------------
 
 import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_DIMS = st.integers(min_value=1, max_value=12)
 
 
 def _ppm_bytes(arr):
@@ -226,6 +230,59 @@ def test_png_rgba_drops_alpha():
 
 
 # ---------------------------------------------------------------------------
+# Real GIF codec: pure-Python LZW + palette lookup.
+# ---------------------------------------------------------------------------
+
+
+def test_gif_known_byte_vector():
+    # Canonical minimal GIF (1x1 white pixel, global color table, the
+    # widely-published smallest-GIF example) -- proves interop with bytes
+    # produced by real-world encoders, not just our own.
+    gif = bytes.fromhex(
+        "474946383961010001008000"
+        "00ffffff000000"
+        "2c00000000010001000002024401003b"
+    )
+    got = mm.decode_image_array(gif)
+    np.testing.assert_array_equal(got, np.full((1, 1, 3), 255, np.uint8))
+
+
+def test_gif_roundtrip_paths():
+    rng = np.random.default_rng(37)
+    # growth + cScSc corner via long runs; full-dictionary reset via noise
+    pal3 = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    runs = pal3[np.repeat(np.arange(3), 500)[:1200].reshape(30, 40) % 3]
+    pal256 = np.unique(rng.integers(0, 256, (256, 3), dtype=np.uint8), axis=0)
+    noise = pal256[rng.integers(0, len(pal256), (120, 120))]
+    for arr in (runs, noise):
+        np.testing.assert_array_equal(
+            mm.decode_image_array(mm.encode_gif(arr)), arr
+        )
+
+
+@settings(max_examples=20, deadline=None)
+@given(w=_DIMS, h=_DIMS, ncol=st.integers(1, 16), seed=st.integers(0, 2**31 - 1))
+def test_prop_gif_roundtrip(w, h, ncol, seed):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    arr = pal[rng.integers(0, ncol, (h, w))]
+    np.testing.assert_array_equal(mm.decode_image_array(mm.encode_gif(arr)), arr)
+
+
+def test_gif_interlace_raises_codec_marker():
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    gif = bytearray(mm.encode_gif(arr))
+    # image descriptor packed byte: header(6) + screen(7) + GCT + 0x2c + 8
+    gct = 2 << ((gif[10] & 0x07))
+    ipacked_at = 6 + 7 + gct * 3 + 9
+    assert gif[ipacked_at - 9] == 0x2C
+    gif[ipacked_at] |= 0x40  # set interlace flag
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        mm.decode_image_array(bytes(gif))
+
+
+# ---------------------------------------------------------------------------
 # Real WAV codec: RIFF PCM parse in struct/numpy; 8/16-bit, mono/stereo,
 # word-aligned chunk skipping; exact integer stats through audio_stats.
 # ---------------------------------------------------------------------------
@@ -348,11 +405,6 @@ def test_avi_malformed_raises_codec_marker():
 # content through encode -> decode must be the identity, for every PNG
 # scanline filter and for mono/stereo WAV and multi-frame AVI.
 # ---------------------------------------------------------------------------
-
-from hypothesis import given, settings
-from hypothesis import strategies as st
-
-_DIMS = st.integers(min_value=1, max_value=12)
 
 
 @settings(max_examples=25, deadline=None)
