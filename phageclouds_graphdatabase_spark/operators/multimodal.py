@@ -11,12 +11,13 @@ with no external libraries via ``image_stats`` / ``resize_images``:
 PPM ``P6`` and 24-bit uncompressed BMP in pure numpy, and PNG (8-bit
 depth, all five scanline filters, gray/RGB/palette/alpha color types,
 non-interlaced) via stdlib ``zlib`` + numpy unfiltering, GIF87a/89a via a
-pure-Python 12-bit LZW decoder (encoder too). WAV audio (RIFF
-8/16-bit PCM) decodes for real too via ``audio_stats``, and uncompressed
-AVI video (raw DIB frames) parses and frame-samples for real via
-``video_frame_stats``. JPEG and the
-compressed audio/video kernels are NOT decodable in
-this runtime and stay stubbed: ``decode_media`` raises
+pure-Python 12-bit LZW decoder (encoder too), and JPEG (baseline SOF0 and
+lossless SOF3, ``operators/jpeg.py``) in pure numpy. WAV audio (RIFF
+8/16-bit PCM) decodes for real too via ``audio_stats``, and AVI video
+parses and frame-samples for real via ``video_frame_stats`` -- both
+uncompressed DIB frames and Motion-JPEG '00dc' frames. Only truly
+library-bound kernels (MP3/AAC audio, inter-frame video codecs,
+progressive JPEG) stay stubbed: ``decode_media`` raises
 ``NotImplementedError`` per unsupported kind unless
 ``deterministic_fake=True``, which produces seeded fake features with the
 exact schema/shape real decoders would emit. Everything around the stubs --
@@ -77,7 +78,7 @@ def _real_feature(payload: bytes, kind: str) -> np.ndarray | None:
             )
         elif kind == "video":
             w, h, frames = _parse_avi(payload)
-            first = decode_dib_frame(frames[0], w, h).astype(np.float32)
+            first = decode_video_frame(frames[0], w, h).astype(np.float32)
             px = first.reshape(-1, 3)
             stats = np.concatenate(
                 [px.mean(0), px.min(0), px.max(0),
@@ -379,9 +380,13 @@ def decode_image_array(payload: bytes) -> np.ndarray:
         return _decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from phageclouds_graphdatabase_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG codec not available in this runtime; "
-        "PPM P6 / 24-bit BMP / 8-bit PNG / GIF decode natively"
+        "no native codec for this payload; "
+        "PPM P6 / 24-bit BMP / 8-bit PNG / GIF / JPEG decode natively"
     )
 
 
@@ -763,9 +768,15 @@ def decode_dib_frame(frame: bytes, width: int, height: int) -> np.ndarray:
     return np.ascontiguousarray(arr[::-1])
 
 
-def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
-    """List of HxWx3 uint8 RGB frames -> minimal uncompressed AVI
-    (RIFF { LIST hdrl { avih }, LIST movi { 00db ... } })."""
+def encode_avi(
+    frames: list[np.ndarray], fps: int = 10, codec: str = "raw", quality: int = 90
+) -> bytes:
+    """List of HxWx3 uint8 RGB frames -> minimal AVI
+    (RIFF { LIST hdrl { avih }, LIST movi { frames } }).
+
+    ``codec="raw"`` stores uncompressed DIB '00db' chunks; ``codec="mjpg"``
+    stores each frame as a baseline JPEG in a '00dc' chunk (Motion JPEG,
+    the standard compressed-AVI layout)."""
     h, w = frames[0].shape[:2]
     stride = (w * 3 + 3) // 4 * 4
 
@@ -779,12 +790,33 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
             b"\x00" if len(payload) & 1 else b""
         )
 
+    if codec == "mjpg":
+        from phageclouds_graphdatabase_spark.operators.jpeg import encode_jpeg_baseline
+
+        body = b"".join(
+            chunk(b"00dc", encode_jpeg_baseline(f, quality=quality)) for f in frames
+        )
+    elif codec == "raw":
+        body = b"".join(chunk(b"00db", dib(f)) for f in frames)
+    else:
+        raise NotImplementedError(f"AVI codec {codec!r} not supported")
+
     avih = struct.pack(
         "<14I", 1_000_000 // fps, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
     )
     hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
-    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00db", dib(f)) for f in frames))
+    movi = chunk(b"LIST", b"movi" + body)
     return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_video_frame(frame: bytes, width: int, height: int) -> np.ndarray:
+    """One movi frame chunk -> HxWx3 uint8 RGB: Motion-JPEG frames (SOI
+    magic) through the native JPEG decoder, anything else as raw DIB."""
+    if frame[:2] == b"\xff\xd8":
+        from phageclouds_graphdatabase_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(frame)
+    return decode_dib_frame(frame, width, height)
 
 
 VIDEO_FRAME_STATS_SCHEMA = (
@@ -810,7 +842,7 @@ def video_frame_stats(media: DataFrame, n_frames: int = 2) -> DataFrame:
                 take = min(n_frames, total)
                 for i in range(take):
                     idx = i * total // take
-                    arr = decode_dib_frame(frames[idx], w, h).astype(np.int64)
+                    arr = decode_video_frame(frames[idx], w, h).astype(np.int64)
                     sums = arr.reshape(-1, 3).sum(axis=0)
                     out["media_id"].append(mid)
                     out["frame_idx"].append(idx)

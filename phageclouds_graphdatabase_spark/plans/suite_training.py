@@ -695,6 +695,167 @@ FROM ch
 """
 
 
+def jpeg_lossless_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG through the driver contract, lossless process (T.81 SOF3):
+    each document's first 48 bytes become a 4x4 RGB image, Huffman+predictor
+    encoded (the predictor cycles over all seven spec predictors by doc_id)
+    and decoded back. Lossless JPEG is bit-exact, so the same oracle as the
+    other image codecs proves predict -> Huffman encode -> decode ->
+    un-predict bit-for-bit."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from phageclouds_graphdatabase_spark.operators import jpeg as J
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")[:48].ljust(48, b" ")
+                arr = np.frombuffer(raw, np.uint8).reshape(4, 4, 3)
+                payloads.append(J.encode_jpeg_lossless(arr, 1 + int(doc_id) % 7))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["image"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    from phageclouds_graphdatabase_spark.operators import multimodal as mm
+
+    media = d.mapInPandas(build, mm.MEDIA_COLUMNS)
+    return mm.image_stats(media)
+
+
+def _blocky16(codes: "np.ndarray") -> "np.ndarray":
+    """Four byte values -> 16x16x3 image of flat 8x8 gray blocks. Every
+    block is DC-only in the DCT domain, so baseline JPEG at quality 100
+    (all-ones quant table) reproduces it bit-exactly -- the provable slice
+    of a lossy codec."""
+    import numpy as np
+
+    img = np.zeros((16, 16), np.uint8)
+    for i, v in enumerate(codes[:4]):
+        r, c = divmod(i, 2)
+        img[8 * r : 8 * r + 8, 8 * c : 8 * c + 8] = v
+    return np.repeat(img[..., None], 3, -1)
+
+
+def jpeg_baseline_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG (SOF0) through the driver contract: each
+    document's first 4 bytes become a 16x16 blockwise-flat grayscale image,
+    pushed through the full DCT encode path (level shift, 2-D DCT,
+    quantize, zigzag, run-length Huffman) at quality 100 and decoded back.
+    DC-only blocks make the lossy pipeline exact, so the oracle computes
+    the stats straight from character codes."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from phageclouds_graphdatabase_spark.operators import jpeg as J
+    from phageclouds_graphdatabase_spark.operators import multimodal as mm
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")[:4].ljust(4, b" ")
+                img = _blocky16(np.frombuffer(raw, np.uint8))
+                payloads.append(J.encode_jpeg_baseline(img, quality=100))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["image"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    media = d.mapInPandas(build, mm.MEDIA_COLUMNS)
+    return mm.image_stats(media)
+
+
+JPEG_BASELINE_STATS_SQL = """
+WITH ch AS (
+    SELECT doc_id,
+           list_transform(
+               list_filter(split(substr(text || repeat(' ', 4), 1, 4), ''),
+                           c -> c <> ''),
+               c -> CAST(ascii(c) AS BIGINT)) AS codes
+    FROM documents
+)
+SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+       CAST(codes[1] + codes[2] + codes[3] + codes[4] AS DOUBLE) / 4 AS mean_r,
+       CAST(codes[1] + codes[2] + codes[3] + codes[4] AS DOUBLE) / 4 AS mean_g,
+       CAST(codes[1] + codes[2] + codes[3] + codes[4] AS DOUBLE) / 4 AS mean_b
+FROM ch
+"""
+
+
+def mjpeg_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed video through the driver contract: each document's
+    first 8 bytes become a 2-frame Motion-JPEG AVI (each frame a 16x16
+    blockwise-flat baseline JPEG at quality 100), the RIFF parser samples
+    both frames, and the JPEG decoder reconstructs them exactly. The oracle
+    derives the channel sums straight from character codes -- container
+    parse -> MJPEG frame decode -> sampling, bit-for-bit."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from phageclouds_graphdatabase_spark.operators import multimodal as mm
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")[:8].ljust(8, b" ")
+                codes = np.frombuffer(raw, np.uint8)
+                frames = [_blocky16(codes[:4]), _blocky16(codes[4:])]
+                payloads.append(mm.encode_avi(frames, codec="mjpg", quality=100))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["video"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    media = d.mapInPandas(build, mm.MEDIA_COLUMNS)
+    return mm.video_frame_stats(media, n_frames=2)
+
+
+MJPEG_FRAMES_SQL = """
+WITH ch AS (
+    SELECT doc_id,
+           list_transform(
+               list_filter(split(substr(text || repeat(' ', 8), 1, 8), ''),
+                           c -> c <> ''),
+               c -> CAST(ascii(c) AS BIGINT)) AS codes
+    FROM documents
+)
+SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+       16 AS width, 16 AS height,
+       CAST(64 * (codes[4*f + 1] + codes[4*f + 2] + codes[4*f + 3] + codes[4*f + 4])
+            AS BIGINT) AS sum_r,
+       CAST(64 * (codes[4*f + 1] + codes[4*f + 2] + codes[4*f + 3] + codes[4*f + 4])
+            AS BIGINT) AS sum_g,
+       CAST(64 * (codes[4*f + 1] + codes[4*f + 2] + codes[4*f + 3] + codes[4*f + 4])
+            AS BIGINT) AS sum_b
+FROM ch, (SELECT unnest(range(0, 2)) AS f)
+"""
+
+
 # --------------------------------------------------------------------------
 # Incremental dedup (continuous ingestion): a new batch (doc_id >= cutoff
 # stands in for "today's crawl") survives only if its content hash is (a)
@@ -750,6 +911,13 @@ ENTRIES: dict[str, SuiteEntry] = {
     "wav_stats_real": SuiteEntry(wav_stats_real, WAV_STATS_SQL, ("W4",)),
     "avi_frames_real": SuiteEntry(avi_frames_real, AVI_FRAMES_SQL, ("W4",)),
     "gif_stats_real": SuiteEntry(gif_stats_real, IMAGE_STATS_SQL, ("W4",)),
+    "jpeg_lossless_stats_real": SuiteEntry(
+        jpeg_lossless_stats_real, IMAGE_STATS_SQL, ("W4",)
+    ),
+    "jpeg_baseline_stats_real": SuiteEntry(
+        jpeg_baseline_stats_real, JPEG_BASELINE_STATS_SQL, ("W4",)
+    ),
+    "mjpeg_frames_real": SuiteEntry(mjpeg_frames_real, MJPEG_FRAMES_SQL, ("W4",)),
     "dedup_incremental_exact": SuiteEntry(
         dedup_incremental_exact, DEDUP_INCR_SQL, ("W5", "A4", "J7")
     ),

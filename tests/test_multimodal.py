@@ -1,7 +1,9 @@
-"""Multimodal operator tests (W4). Native codecs are REAL for PPM/BMP/PNG
-images, PCM WAV audio, and uncompressed AVI video; payloads no native
-codec handles (JPEG/MP3/...) raise NotImplementedError from decode unless
-the deterministic fake is requested (container has no image/audio libs)."""
+"""Multimodal operator tests (W4). Native codecs are REAL for PPM/BMP/PNG/
+GIF/JPEG images, PCM WAV audio, and AVI video (raw DIB and Motion-JPEG
+frames; JPEG itself is covered in tests/test_jpeg.py); payloads no native
+codec handles (MP3, inter-frame video, ...) raise NotImplementedError from
+decode unless the deterministic fake is requested (container has no
+image/audio libs)."""
 
 from __future__ import annotations
 
