@@ -1013,6 +1013,177 @@ FROM documents
 """
 
 
+_GOPHER_STOPS = ("the", "a", "of", "to", "and", "in", "is", "that")
+
+
+def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document quality filters (Rae et al. 2021 §A1.1): token
+    count bounds, mean word length band, alphabetic-word fraction, and
+    minimum stop-word count, combined into a keep decision. Every ratio is
+    exact-integer / exact-integer so the doubles (and the thresholds on
+    them) match the oracle bit-for-bit. Line-based Gopher rules are
+    inapplicable here (the synthetic corpus is single-line); the token
+    signals are the operative subset. Scales as a single narrow
+    projection-and-aggregate per document -- no shuffle beyond the scan."""
+    d = t(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
+    d = d.select(
+        "doc_id",
+        F.size("w").alias("n_tok"),
+        F.length(F.regexp_replace(F.col("text"), r"\s", "")).alias("n_chars"),
+        F.size(F.filter(F.col("w"), lambda x: x.rlike("[A-Za-z]"))).alias("n_alpha"),
+        F.size(F.filter(F.col("w"), lambda x: x.isin(*_GOPHER_STOPS))).alias("n_stop"),
+    )
+    mean_len = F.col("n_chars").cast("double") / F.col("n_tok")
+    frac_alpha = F.col("n_alpha").cast("double") / F.col("n_tok")
+    keep = (
+        F.col("n_tok").between(50, 100000)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (frac_alpha >= 0.8)
+        & (F.col("n_stop") >= 2)
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        mean_len.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        F.col("n_stop").cast("long").alias("n_stopwords"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+GOPHER_QUALITY_SQL = r"""
+WITH w AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w,
+           length(regexp_replace(text, '\s', '', 'g')) AS n_chars
+    FROM documents
+), c AS (
+    SELECT doc_id, len(w) AS n_tok, n_chars,
+           len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+           len(list_filter(w, x -> x IN ('the','a','of','to','and','in','is','that'))) AS n_stop
+    FROM w
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(n_chars AS DOUBLE) / n_tok AS mean_word_len,
+       CAST(n_alpha AS DOUBLE) / n_tok AS frac_alpha_words,
+       CAST(n_stop AS BIGINT) AS n_stopwords,
+       CAST(CASE WHEN n_tok BETWEEN 50 AND 100000
+                  AND CAST(n_chars AS DOUBLE) / n_tok >= 3.0
+                  AND CAST(n_chars AS DOUBLE) / n_tok <= 10.0
+                  AND CAST(n_alpha AS DOUBLE) / n_tok >= 0.8
+                  AND n_stop >= 2
+             THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM c
+"""
+
+
+def gopher_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal signals (Rae et al. 2021 §A1.1): fraction
+    of characters in the most frequent word 2-gram and in duplicated word
+    5-grams (occurrence-counted), plus the keep decision at the published
+    thresholds (0.20 / 0.15). Grams are built with posexplode + lead()
+    windows -- the linear-shuffle shape (the indexed-transform alternative
+    re-splits per access, the O(n^2) trap noted on ``_shingled``). The
+    2-gram argmax tie-breaks deterministically by (count DESC, gram ASC)
+    in both engines. Per-doc windows partition by doc_id, so skew is
+    bounded by document length at any corpus scale."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+
+    def grams(k: int) -> DataFrame:
+        cols = [F.col("tok").alias("t0")] + [
+            F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, k)
+        ]
+        return (
+            base.select("doc_id", *cols)
+            .filter(F.col(f"t{k-1}").isNotNull())
+            .select(
+                "doc_id",
+                F.concat_ws(" ", *[f"t{i}" for i in range(k)]).alias("gram"),
+            )
+        )
+
+    c2 = grams(2).groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    rn = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    top2 = (
+        c2.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            (F.col("cnt") * (F.length("gram") - 1)).cast("long").alias("top2_chars"),
+        )
+    )
+    c5 = grams(5).groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    dup5 = (
+        c5.filter(F.col("cnt") > 1)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * (F.length("gram") - 4)).cast("long").alias("dup5_chars")
+        )
+    )
+    out = (
+        docs.select(
+            "doc_id",
+            F.length(F.regexp_replace(F.col("text"), r"\s", "")).alias("n_chars"),
+        )
+        .join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .fillna(0, ["top2_chars", "dup5_chars"])
+    )
+    top_frac = F.col("top2_chars").cast("double") / F.col("n_chars")
+    dup_frac = F.col("dup5_chars").cast("double") / F.col("n_chars")
+    return out.select(
+        "doc_id",
+        top_frac.alias("top_2gram_frac"),
+        dup_frac.alias("dup_5gram_frac"),
+        ((top_frac <= 0.2) & (dup_frac <= 0.15)).cast("int").alias("keep"),
+    )
+
+
+GOPHER_REPETITION_SQL = r"""
+WITH w AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w,
+           length(regexp_replace(text, '\s', '', 'g')) AS n_chars
+    FROM documents
+),
+g2 AS (
+    SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+    FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM w)
+),
+c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2),
+top2 AS (
+    SELECT doc_id, cnt * (length(gram) - 1) AS top2_chars,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+    FROM c2
+),
+g5 AS (
+    SELECT doc_id,
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS gram
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM w)
+),
+c5 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g5 GROUP BY 1, 2),
+dup5 AS (
+    SELECT doc_id, SUM(cnt * (length(gram) - 4)) AS dup5_chars
+    FROM c5 WHERE cnt > 1 GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(COALESCE(t.top2_chars, 0) AS DOUBLE) / n_chars AS top_2gram_frac,
+       CAST(COALESCE(d.dup5_chars, 0) AS DOUBLE) / n_chars AS dup_5gram_frac,
+       CAST(CASE WHEN CAST(COALESCE(t.top2_chars, 0) AS DOUBLE) / n_chars <= 0.2
+                  AND CAST(COALESCE(d.dup5_chars, 0) AS DOUBLE) / n_chars <= 0.15
+             THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM w
+LEFT JOIN (SELECT doc_id, top2_chars FROM top2 WHERE rn = 1) t USING (doc_id)
+LEFT JOIN dup5 d USING (doc_id)
+"""
+
+
 ENTRIES: dict[str, SuiteEntry] = {
     "graph_expand_nodes": SuiteEntry(graph_expand_nodes, GRAPH_EXPAND_SQL, ("J2", "A3", "P5")),
     "graph_induced_edges": SuiteEntry(graph_induced_edges, GRAPH_INDUCED_SQL, ("J3", "P3")),
@@ -1042,4 +1213,10 @@ ENTRIES: dict[str, SuiteEntry] = {
     "events_dedup_earliest": SuiteEntry(events_dedup_earliest, EVENTS_DEDUP_SQL, ("W3", "A4")),
     "multimodal_metadata": SuiteEntry(multimodal_metadata, MULTIMODAL_SQL, ("W4",)),
     "pandas_udf_token_count": SuiteEntry(pandas_udf_token_count, PANDAS_UDF_SQL, ("W4",)),
+    "gopher_quality_filters": SuiteEntry(
+        gopher_quality_filters, GOPHER_QUALITY_SQL, ("W5",)
+    ),
+    "gopher_repetition_signals": SuiteEntry(
+        gopher_repetition_signals, GOPHER_REPETITION_SQL, ("W5",)
+    ),
 }
