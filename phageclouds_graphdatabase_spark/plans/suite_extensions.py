@@ -650,18 +650,43 @@ _HI_NIBBLE = ("8", "9", "a", "b", "c", "d", "e", "f")
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document fingerprint: 16 bits, bit j = sign of the sum over
     tokens of +/-1 driven by hex digit j of md5(token). Token multiplicity
-    counts (both engines explode the full token list)."""
+    counts.
+
+    Dictionary-encoded hashing: md5 runs once per DISTINCT token (the
+    vocabulary), whose +/-1 contributions broadcast-join onto per-doc token
+    counts -- sum(count * contribution) is identical to hashing every
+    occurrence, with |vocab| md5 calls instead of |corpus tokens|. The
+    right shape whenever token reuse is high (natural language: Heaps' law
+    keeps |vocab| << corpus size); for hash-unfriendly corpora where the
+    vocabulary itself won't broadcast, the inline form (hash inside the
+    per-occurrence projection) is the fallback -- same oracle either way."""
     d = t(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
-    tok = d.select("doc_id", F.explode("w").alias("tok")).withColumn(
-        "h", F.md5(F.col("tok"))
+    tok = d.select("doc_id", F.explode("w").alias("tok"))
+    counts = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        d.select(F.explode("w").alias("tok"))
+        .distinct()
+        .withColumn("h", F.md5(F.col("tok")))
+        .select(
+            "tok",
+            *[
+                F.when(
+                    F.substring(F.col("h"), j + 1, 1).isin(*_HI_NIBBLE), 1
+                ).otherwise(-1).alias(f"c{j}")
+                for j in range(_SIMHASH_BITS)
+            ],
+        )
     )
-    aggs = [
-        F.sum(
-            F.when(F.substring(F.col("h"), j + 1, 1).isin(*_HI_NIBBLE), 1).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(_SIMHASH_BITS)
-    ]
-    sums = tok.groupBy("doc_id").agg(*aggs)
+    sums = (
+        counts.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.col("cnt") * F.col(f"c{j}")).alias(f"s{j}")
+                for j in range(_SIMHASH_BITS)
+            ]
+        )
+    )
     bits = F.concat(
         *[F.when(F.col(f"s{j}") >= 0, "1").otherwise("0") for j in range(_SIMHASH_BITS)]
     )

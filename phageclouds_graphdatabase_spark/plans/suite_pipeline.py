@@ -1000,7 +1000,115 @@ WHERE rnk <= 3
 """
 
 
+# --------------------------------------------------------------------------
+# K-means training for the IVF coarse quantizer (W5): two unrolled Lloyd
+# iterations, fully declarative -- centroids stay DataFrames (no driver
+# collect, no Python loop), every join against them is a broadcast, and the
+# element-wise centroid update is a posexplode -> (cluster, dim) partial
+# aggregation (map-side combine applies, so the shuffle carries K * dim
+# rows per partition regardless of corpus size). Integer-exact cross-engine:
+# quantized vectors, integer squared-L2, floor-division centroid updates,
+# (distance, cid) lexicographic tie-breaks.
+# --------------------------------------------------------------------------
+
+_KMEANS_K = 8
+
+
+def kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # qv feeds the seed table, both assignment joins, and the update;
+    # cache once (Catalyst re-derives repeated subplans otherwise).
+    qv = ext._quantized(spark, sf_dir).cache()
+    cent0 = qv.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("c")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        pairs = qv.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "cid",
+            F.aggregate(
+                F.zip_with("q", "c", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+        # min(struct) = lexicographic (d2, cid): nearest centroid, ties to
+        # the smaller id -- same rule the oracle's ROW_NUMBER applies
+        best = pairs.groupBy("vec_id").agg(F.min(F.struct("d2", "cid")).alias("m"))
+        return best.select(
+            "vec_id", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        elems = assigned.join(qv, "vec_id").select(
+            "cid", F.posexplode("q").alias("dim", "val")
+        )
+        per_dim = (
+            elems.groupBy("cid", "dim")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cid",
+                "dim",
+                F.floor(F.col("s").cast("double") / F.col("n")).cast("long").alias("cv"),
+            )
+        )
+        return per_dim.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda x: x["cv"]
+            ).alias("c")
+        )
+
+    a2 = assign(update(assign(cent0)))
+    return a2.select(
+        "vec_id", F.col("cid").cast("long").alias("cluster"), F.col("d2").alias("dist2")
+    )
+
+
+KMEANS_SQL = f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS q
+    FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < {_KMEANS_K}),
+p1 AS (
+    SELECT q.vec_id, c0.cid,
+           CAST(list_sum(list_transform(range(1, len(q.q) + 1),
+                i -> (q.q[i] - c0.c[i]) * (q.q[i] - c0.c[i]))) AS BIGINT) AS d2
+    FROM q, c0
+),
+a1 AS (
+    SELECT vec_id, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM p1) z
+    WHERE rn = 1
+),
+e AS (
+    SELECT a1.cid, unnest(range(0, len(q.q))) AS dim, unnest(q.q) AS val
+    FROM a1 JOIN q USING (vec_id)
+),
+m AS (
+    SELECT cid, dim,
+           CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+    FROM e GROUP BY cid, dim
+),
+c1 AS (SELECT cid, list(cv ORDER BY dim) AS c FROM m GROUP BY cid),
+p2 AS (
+    SELECT q.vec_id, c1.cid,
+           CAST(list_sum(list_transform(range(1, len(q.q) + 1),
+                i -> (q.q[i] - c1.c[i]) * (q.q[i] - c1.c[i]))) AS BIGINT) AS d2
+    FROM q, c1
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster, d2 AS dist2
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM p2) z
+WHERE rn = 1
+"""
+
+
 ENTRIES: dict[str, SuiteEntry] = {
+    "kmeans_ivf_train": SuiteEntry(kmeans_ivf_train, KMEANS_SQL, ("W5",)),
     "graph_wedge_counts": SuiteEntry(graph_wedge_counts, GRAPH_WEDGES_SQL, ("J1", "A6")),
     "graph_triangle_counts": SuiteEntry(
         graph_triangle_counts, GRAPH_TRIANGLES_SQL, ("J1", "W6")
