@@ -695,6 +695,72 @@ FROM ch
 """
 
 
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+def chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-window chunking with stride overlap -- the standard
+    pretraining chunker (context windows of 32 tokens, stride 24, so
+    consecutive chunks share 8 tokens; the tail chunk is whatever remains).
+    Chunk count is pure integer arithmetic (1 if n <= size else
+    1 + ceil((n - size) / stride)), the window is an array slice, and the
+    chunk text re-concatenates the slice -- all JVM-side expressions on the
+    already-split token array, one explode, no shuffle beyond the scan."""
+    size, stride = _CHUNK_SIZE, _CHUNK_STRIDE
+    d = (
+        t(spark, sf_dir, "documents")
+        .withColumn("w", tokens(F.col("text")))
+        .withColumn("n", F.size("w"))
+    )
+    n_chunks = F.when(F.col("n") <= size, F.lit(1).cast("long")).otherwise(
+        1
+        + F.floor(
+            (F.col("n") - size + stride - 1).cast("double") / F.lit(float(stride))
+        ).cast("long")
+    )
+    c = d.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    toks = F.slice(F.col("w"), (F.col("chunk_idx") * stride + 1).cast("int"), size)
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(toks).cast("long").alias("chunk_tokens"),
+        F.concat_ws(" ", toks).alias("chunk_text"),
+    )
+
+
+CHUNK_WINDOWS_SQL = rf"""
+WITH w AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w,
+           len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n
+    FROM documents
+),
+c AS (
+    SELECT doc_id, w, n,
+           unnest(range(0, CASE WHEN n <= {_CHUNK_SIZE} THEN 1
+                ELSE 1 + CAST(FLOOR(CAST(n - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1
+                                         AS DOUBLE) / {_CHUNK_STRIDE}) AS BIGINT)
+                END)) AS chunk_idx
+    FROM w
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(w[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                  least(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n)])
+            AS BIGINT) AS chunk_tokens,
+       array_to_string(w[chunk_idx * {_CHUNK_STRIDE} + 1 :
+                         least(chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n)],
+                       ' ') AS chunk_text
+FROM c
+"""
+
+
 def jpeg_lossless_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG through the driver contract, lossless process (T.81 SOF3):
     each document's first 48 bytes become a 4x4 RGB image, Huffman+predictor
@@ -918,6 +984,7 @@ ENTRIES: dict[str, SuiteEntry] = {
         jpeg_baseline_stats_real, JPEG_BASELINE_STATS_SQL, ("W4",)
     ),
     "mjpeg_frames_real": SuiteEntry(mjpeg_frames_real, MJPEG_FRAMES_SQL, ("W4",)),
+    "chunk_token_windows": SuiteEntry(chunk_token_windows, CHUNK_WINDOWS_SQL, ("W5",)),
     "dedup_incremental_exact": SuiteEntry(
         dedup_incremental_exact, DEDUP_INCR_SQL, ("W5", "A4", "J7")
     ),
