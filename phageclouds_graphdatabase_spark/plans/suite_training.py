@@ -695,6 +695,127 @@ FROM ch
 """
 
 
+# DuckDB-side hex parse (no native hex->int cast in 1.0): fold the first 8
+# md5 nibbles into a BIGINT, matching Spark's conv(substr(h,1,8),16,10).
+_HEX8_SQL = (
+    "list_reduce(list_transform("
+    "list_filter(split(substr({h}, 1, 8), ''), c -> c <> ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+    "(a, b) -> a * 16 + b)"
+)
+
+_KMV_K = 64
+
+
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch with a DETERMINISTIC
+    exact oracle: hash each value with md5, keep the k smallest distinct
+    hashes per group, estimate |D| as (k-1)/u_k where u_k is the k-th
+    minimum normalized to (0,1]. Unlike approx_count_distinct (HLL, engine-
+    internal and unverifiable), every step here is a pure function of the
+    data, so DuckDB reproduces the estimate bit-for-bit -- the sketch
+    contract a 100 TB pipeline can regression-test. Groups smaller than k
+    fall back to the exact count (the sketch is exact below k). The top-k
+    per group is a window over distinct hashes; the heavy reduction
+    (distinct) partial-aggregates map-side."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag").alias("grp"), F.col("l_partkey").alias("v"))
+        .distinct()
+        .cache()  # feeds both the sketch and the exact-count comparison
+    )
+    h = li.select("grp", F.md5(F.col("v").cast("string")).alias("h"))
+    w = Window.partitionBy("grp").orderBy("h")
+    topk = h.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KMV_K)
+    kth = topk.groupBy("grp").agg(
+        F.max("h").alias("hk"), F.count(F.lit(1)).alias("k_eff")
+    )
+    u = F.conv(F.substring(F.col("hk"), 1, 8), 16, 10).cast("double") / F.lit(
+        4294967296.0
+    )
+    exact = li.groupBy("grp").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.when(
+        F.col("k_eff") < _KMV_K, F.col("k_eff").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) / u)
+    return (
+        kth.join(exact, "grp")
+        .select(
+            "grp",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("k_eff").cast("long").alias("k_eff"),
+            est.alias("kmv_estimate"),
+        )
+    )
+
+
+KMV_SQL = f"""
+WITH dv AS (
+    SELECT DISTINCT l_returnflag AS grp, l_partkey AS v FROM lineitem
+),
+h AS (SELECT grp, md5(CAST(v AS VARCHAR)) AS h FROM dv),
+topk AS (
+    SELECT grp, h FROM (
+        SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM h) z
+    WHERE rn <= {_KMV_K}
+),
+kth AS (SELECT grp, MAX(h) AS hk, COUNT(*) AS k_eff FROM topk GROUP BY grp),
+exact AS (SELECT grp, COUNT(*) AS n_exact FROM dv GROUP BY grp)
+SELECT grp,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(k_eff AS BIGINT) AS k_eff,
+       CASE WHEN k_eff < {_KMV_K} THEN CAST(k_eff AS DOUBLE)
+            ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                 / (CAST({_HEX8_SQL.format(h='hk')} AS DOUBLE) / 4294967296.0)
+       END AS kmv_estimate
+FROM kth JOIN exact USING (grp)
+"""
+
+
+_WS_K = 5
+
+
+def weighted_sample_bylang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (top-k by hash/weight priority):
+    per language, the k=5 documents with the smallest
+    md5(doc_id)/n_chars key -- longer documents get proportionally smaller
+    keys, i.e. higher selection odds, the A-ES reservoir idea. The priority
+    deliberately avoids ln/pow (libm transcendentals differ across engines
+    by ulps); hash-to-uint and one IEEE division are exactly rounded
+    everywhere, so the oracle matches bit-for-bit. Pure per-row key + one
+    per-group top-k window; re-runs and backfills select identical rows."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("wt")
+    )
+    key = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.col("wt").cast("double")
+    )
+    keyed = d.select("doc_id", "lang", key.alias("priority"))
+    w = Window.partitionBy("lang").orderBy(F.col("priority").asc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _WS_K)
+        .select("lang", "doc_id", F.col("rn").cast("long").alias("samp_rank"))
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, lang,
+           CAST({_HEX8_SQL.format(h="md5(CAST(doc_id AS VARCHAR))")} AS DOUBLE)
+             / CAST(n_chars AS DOUBLE) AS priority
+    FROM documents
+)
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS samp_rank
+FROM (SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rn
+      FROM keyed) z
+WHERE rn <= {_WS_K}
+"""
+
+
 _CHUNK_SIZE = 32
 _CHUNK_STRIDE = 24
 
@@ -985,6 +1106,10 @@ ENTRIES: dict[str, SuiteEntry] = {
     ),
     "mjpeg_frames_real": SuiteEntry(mjpeg_frames_real, MJPEG_FRAMES_SQL, ("W4",)),
     "chunk_token_windows": SuiteEntry(chunk_token_windows, CHUNK_WINDOWS_SQL, ("W5",)),
+    "kmv_distinct_estimate": SuiteEntry(kmv_distinct_estimate, KMV_SQL, ("A6", "W5")),
+    "weighted_sample_bylang": SuiteEntry(
+        weighted_sample_bylang, WEIGHTED_SAMPLE_SQL, ("W2", "W5")
+    ),
     "dedup_incremental_exact": SuiteEntry(
         dedup_incremental_exact, DEDUP_INCR_SQL, ("W5", "A4", "J7")
     ),
