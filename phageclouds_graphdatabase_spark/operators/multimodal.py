@@ -12,12 +12,13 @@ PPM ``P6`` and 24-bit uncompressed BMP in pure numpy, and PNG (8-bit
 depth, all five scanline filters, gray/RGB/palette/alpha color types,
 non-interlaced) via stdlib ``zlib`` + numpy unfiltering, GIF87a/89a via a
 pure-Python 12-bit LZW decoder (encoder too), and JPEG (baseline SOF0 and
-lossless SOF3, ``operators/jpeg.py``) in pure numpy. WAV audio (RIFF
-8/16-bit PCM) decodes for real too via ``audio_stats``, and AVI video
-parses and frame-samples for real via ``video_frame_stats`` -- both
-uncompressed DIB frames and Motion-JPEG '00dc' frames. Only truly
-library-bound kernels (MP3/AAC audio, inter-frame video codecs,
-progressive JPEG) stay stubbed: ``decode_media`` raises
+lossless SOF3, ``operators/jpeg.py``) in pure numpy. Audio decodes for
+real via ``audio_stats``: RIFF WAV (8/16-bit PCM) and compressed FLAC
+(``operators/flac.py`` -- lossless, bit-exact). AVI video parses and
+frame-samples for real via ``video_frame_stats`` -- both uncompressed
+DIB frames and Motion-JPEG '00dc' frames. Only truly library-bound
+kernels (MP3/AAC audio, inter-frame video codecs, progressive JPEG)
+stay stubbed: ``decode_media`` raises
 ``NotImplementedError`` per unsupported kind unless
 ``deterministic_fake=True``, which produces seeded fake features with the
 exact schema/shape real decoders would emit. Everything around the stubs --
@@ -70,7 +71,7 @@ def _real_feature(payload: bytes, kind: str) -> np.ndarray | None:
                  np.array([arr.shape[0], arr.shape[1]], np.float32)]
             )
         elif kind == "audio":
-            _rate, samples = _decode_wav(payload)
+            _rate, samples = decode_audio(payload)
             s = samples.astype(np.float32)
             stats = np.array(
                 [s.mean(), s.min(), s.max(), s.std(), s.shape[0], s.shape[1]],
@@ -685,6 +686,17 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    """Audio payload -> (sample_rate, int16 (n_frames, n_channels)): RIFF
+    WAV through the PCM decoder, fLaC through the native FLAC decoder
+    (operators/flac.py -- lossless, so both paths are bit-exact)."""
+    if payload[:4] == b"fLaC":
+        from phageclouds_graphdatabase_spark.operators.flac import decode_flac
+
+        return decode_flac(payload)
+    return _decode_wav(payload)
+
+
 AUDIO_STATS_SCHEMA = (
     "media_id bigint, sample_rate int, n_frames bigint, n_channels int, "
     "sum_sq bigint, peak int"
@@ -694,8 +706,8 @@ AUDIO_STATS_SCHEMA = (
 def audio_stats(media: DataFrame) -> DataFrame:
     """REAL audio decode + exact integer statistics (Arrow batches): sample
     rate, frame/channel counts, sum of squared samples, and peak absolute
-    amplitude for every WAV payload. Integer outputs keep the stats exact
-    across engines; rms/duration derive from them losslessly downstream."""
+    amplitude for every WAV or FLAC payload. Integer outputs keep the stats
+    exact across engines; rms/duration derive losslessly downstream."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -703,7 +715,7 @@ def audio_stats(media: DataFrame) -> DataFrame:
                 "media_id", "sample_rate", "n_frames", "n_channels", "sum_sq", "peak"
             )}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, arr = _decode_wav(bytes(payload))
+                rate, arr = decode_audio(bytes(payload))
                 a64 = arr.astype(np.int64)
                 out["media_id"].append(mid)
                 out["sample_rate"].append(rate)

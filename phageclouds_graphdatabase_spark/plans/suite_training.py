@@ -882,6 +882,43 @@ FROM c
 """
 
 
+def flac_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed audio through the driver contract: the same 32 mono
+    int16 samples as ``wav_stats_real`` but encoded as FLAC (fixed-
+    predictor + Rice coding, operators/flac.py). FLAC is lossless by
+    specification, so the identical character-code oracle applies -- a
+    value match proves predict -> Rice encode -> decode -> un-predict (and
+    both CRCs and the MD5 signature) bit-for-bit. Block size 8 forces a
+    multi-frame stream so frame sync/headers are exercised per document."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from phageclouds_graphdatabase_spark.operators import flac as FL
+    from phageclouds_graphdatabase_spark.operators import multimodal as mm
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")[:64].ljust(64, b" ")
+                samples = np.frombuffer(raw, "<i2")
+                payloads.append(FL.encode_flac(samples, rate=8000, block_size=8))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["audio"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    media = d.mapInPandas(build, mm.MEDIA_COLUMNS)
+    return mm.audio_stats(media)
+
+
 def jpeg_lossless_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG through the driver contract, lossless process (T.81 SOF3):
     each document's first 48 bytes become a 4x4 RGB image, Huffman+predictor
@@ -1106,6 +1143,7 @@ ENTRIES: dict[str, SuiteEntry] = {
     ),
     "mjpeg_frames_real": SuiteEntry(mjpeg_frames_real, MJPEG_FRAMES_SQL, ("W4",)),
     "chunk_token_windows": SuiteEntry(chunk_token_windows, CHUNK_WINDOWS_SQL, ("W5",)),
+    "flac_stats_real": SuiteEntry(flac_stats_real, WAV_STATS_SQL, ("W4",)),
     "kmv_distinct_estimate": SuiteEntry(kmv_distinct_estimate, KMV_SQL, ("A6", "W5")),
     "weighted_sample_bylang": SuiteEntry(
         weighted_sample_bylang, WEIGHTED_SAMPLE_SQL, ("W2", "W5")
