@@ -816,6 +816,58 @@ WHERE rn <= {_WS_K}
 """
 
 
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse MERGE INTO semantics, declaratively: a current table
+    (orders with o_orderkey % 3 != 0 standing in for yesterday's state)
+    merged with an updates batch (o_orderkey % 2 == 0, repriced +1 and
+    restatused 'U') -- matched rows take the update, unmatched updates
+    insert, untouched rows keep. One full-outer join on the merge key is
+    the whole plan; at scale the key is also the natural bucketing column,
+    making the join exchange-free against a bucketed current table
+    (sources/readers.py write_graph_bucketed shows the layout)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    cur = o.filter(F.col("o_orderkey") % 3 != 0).alias("c")
+    upd = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + F.lit(1.0)).alias("u_price"),
+            F.lit("U").alias("u_status"),
+        )
+        .alias("u")
+    )
+    m = cur.join(upd, "o_orderkey", "full_outer")
+    action = (
+        F.when(F.col("u.u_price").isNotNull() & F.col("c.o_totalprice").isNotNull(), "update")
+        .when(F.col("u.u_price").isNotNull(), "insert")
+        .otherwise("keep")
+    )
+    return m.select(
+        "o_orderkey",
+        F.coalesce(F.col("u.u_price"), F.col("c.o_totalprice")).alias("final_price"),
+        F.coalesce(F.col("u.u_status"), F.col("c.o_orderstatus")).alias("final_status"),
+        action.alias("action"),
+    )
+
+
+MERGE_UPSERT_SQL = """
+WITH cur AS (
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0
+),
+upd AS (
+    SELECT o_orderkey, o_totalprice + 1.0 AS u_price, 'U' AS u_status
+    FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT COALESCE(cur.o_orderkey, upd.o_orderkey) AS o_orderkey,
+       COALESCE(u_price, o_totalprice) AS final_price,
+       COALESCE(u_status, o_orderstatus) AS final_status,
+       CASE WHEN u_price IS NOT NULL AND o_totalprice IS NOT NULL THEN 'update'
+            WHEN u_price IS NOT NULL THEN 'insert'
+            ELSE 'keep' END AS action
+FROM cur FULL OUTER JOIN upd USING (o_orderkey)
+"""
+
+
 _CHUNK_SIZE = 32
 _CHUNK_STRIDE = 24
 
@@ -1144,6 +1196,7 @@ ENTRIES: dict[str, SuiteEntry] = {
     "mjpeg_frames_real": SuiteEntry(mjpeg_frames_real, MJPEG_FRAMES_SQL, ("W4",)),
     "chunk_token_windows": SuiteEntry(chunk_token_windows, CHUNK_WINDOWS_SQL, ("W5",)),
     "flac_stats_real": SuiteEntry(flac_stats_real, WAV_STATS_SQL, ("W4",)),
+    "merge_upsert_orders": SuiteEntry(merge_upsert_orders, MERGE_UPSERT_SQL, ("A4", "J7")),
     "kmv_distinct_estimate": SuiteEntry(kmv_distinct_estimate, KMV_SQL, ("A6", "W5")),
     "weighted_sample_bylang": SuiteEntry(
         weighted_sample_bylang, WEIGHTED_SAMPLE_SQL, ("W2", "W5")
