@@ -457,10 +457,18 @@ def cloud_membership(
     edges: DataFrame,
     threshold: float,
     nodes: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cloud-membership table: node id -> cloud (component) label over the
     thresholded graph, plus per-cloud size. The queryable form of the
-    PhageClouds concept."""
-    comp = connected_components(edges.filter(F.col("distance") <= F.lit(threshold)), nodes)
+    PhageClouds concept. ``checkpoint_dir`` switches the iteration to
+    reliable on-disk checkpoints (connected_components) -- required once
+    per-round lineage blocks no longer fit the executor heap (~100M nodes
+    on a 48g local heap)."""
+    comp = connected_components(
+        edges.filter(F.col("distance") <= F.lit(threshold)),
+        nodes,
+        checkpoint_dir=checkpoint_dir,
+    )
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cloud_size"))
     return comp.join(sizes, "component").select("id", "component", "cloud_size")

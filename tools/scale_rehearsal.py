@@ -122,7 +122,10 @@ def main() -> None:
     # and dies with UNABLE_TO_ACQUIRE_MEMORY), and the local heap grows past
     # the 16g default for 10M+ nodes.
     os.environ.setdefault(
-        "SPARK_GRAFT_DRIVER_MEM", "48g" if args.nodes >= 10_000_000 else "16g"
+        "SPARK_GRAFT_DRIVER_MEM",
+        "80g"
+        if args.nodes >= 80_000_000
+        else ("48g" if args.nodes >= 10_000_000 else "16g"),
     )
     spark = get_spark(
         "scale-rehearsal",
@@ -156,7 +159,11 @@ def main() -> None:
     timings["degrees_sec"] = round(time.time() - t0, 2)
 
     t0 = time.time()
-    comp = G.cloud_membership(edges, 0.15)
+    # 80M+ nodes: in-memory localCheckpoint lineage blocks overflow the
+    # heap mid-iteration (OOM observed at 100M/48g); reliable disk
+    # checkpoints bound memory at the cost of checkpoint I/O.
+    ckpt = os.path.join(work, "ckpt") if args.nodes >= 80_000_000 else None
+    comp = G.cloud_membership(edges, 0.15, checkpoint_dir=ckpt)
     n_clouds = comp.select("component").distinct().count()
     timings["components_sec"] = round(time.time() - t0, 2)
 
