@@ -46,6 +46,13 @@ HEADLINE = [
     "asof_prev_purchase",
     "events_tumbling_window",
     "events_session_window",
+    # training-pipeline additions (this round): filters, chunking, sketch,
+    # clustering -- in the headline set so their perf is tracked from the
+    # round that introduced them
+    "gopher_repetition_signals",
+    "chunk_token_windows",
+    "kmv_distinct_estimate",
+    "kmeans_ivf_train",
 ]
 
 
