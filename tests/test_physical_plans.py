@@ -73,6 +73,22 @@ def test_hot_path_queries_avoid_row_python_udfs(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_kmeans_centroid_joins_broadcast(spark, sf_dir):
+    # centroids are K rows: both assignment joins must broadcast them,
+    # never shuffle the corpus side against a tiny table
+    from phageclouds_graphdatabase_spark.plans import suite_pipeline as pipe
+
+    plan = explain_str(pipe.kmeans_ivf_train(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_simhash_vocab_join_broadcasts(spark, sf_dir):
+    # the dictionary-encoded vocabulary (distinct tokens) must broadcast
+    # onto the per-doc counts
+    plan = explain_str(ext.simhash_fingerprint(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_full_suite_plan_sweep(spark, sf_dir):
     """Every suite query's physical plan is screened for the two patterns
     that do not survive 100 TB: an unconstrained CartesianProduct and
