@@ -50,6 +50,25 @@ DECODED_SCHEMA = (
 
 FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_checksum string"
 
+# Exception surface of every native codec on malformed input. The stats
+# operators accept on_error="skip" to drop undecodable payloads instead of
+# failing the job -- at corpus scale some fraction of scraped media is
+# always corrupt, and one bad payload must not kill a 100 TB pass.
+DECODE_ERRORS = (
+    NotImplementedError,
+    ValueError,
+    IndexError,
+    KeyError,
+    OverflowError,
+    struct.error,
+    zlib.error,
+)
+
+
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
 
 def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """Deterministic stand-in for a real embedding model: seed an RNG from
@@ -409,17 +428,24 @@ IMAGE_STATS_SCHEMA = (
 )
 
 
-def image_stats(media: DataFrame) -> DataFrame:
+def image_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """REAL image decode + per-channel statistics (pure numpy, Arrow
     batches): width/height and exact float64 channel means for every
-    PPM/BMP payload. The Spark shape (filter to images, mapInPandas) is the
-    same one a Pillow-backed decoder would use."""
+    natively-decodable payload. The Spark shape (filter to images,
+    mapInPandas) is the same one a Pillow-backed decoder would use.
+    ``on_error="skip"`` drops undecodable payloads instead of failing."""
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                arr = decode_image_array(bytes(payload))
+                try:
+                    arr = decode_image_array(bytes(payload))
+                except DECODE_ERRORS:
+                    if on_error == "skip":
+                        continue
+                    raise
                 means = arr.reshape(-1, 3).mean(axis=0, dtype=np.float64)
                 out["media_id"].append(mid)
                 out["width"].append(arr.shape[1])
@@ -703,11 +729,13 @@ AUDIO_STATS_SCHEMA = (
 )
 
 
-def audio_stats(media: DataFrame) -> DataFrame:
+def audio_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """REAL audio decode + exact integer statistics (Arrow batches): sample
     rate, frame/channel counts, sum of squared samples, and peak absolute
     amplitude for every WAV or FLAC payload. Integer outputs keep the stats
-    exact across engines; rms/duration derive losslessly downstream."""
+    exact across engines; rms/duration derive losslessly downstream.
+    ``on_error="skip"`` drops undecodable payloads instead of failing."""
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -715,7 +743,12 @@ def audio_stats(media: DataFrame) -> DataFrame:
                 "media_id", "sample_rate", "n_frames", "n_channels", "sum_sq", "peak"
             )}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, arr = decode_audio(bytes(payload))
+                try:
+                    rate, arr = decode_audio(bytes(payload))
+                except DECODE_ERRORS:
+                    if on_error == "skip":
+                        continue
+                    raise
                 a64 = arr.astype(np.int64)
                 out["media_id"].append(mid)
                 out["sample_rate"].append(rate)
@@ -837,11 +870,16 @@ VIDEO_FRAME_STATS_SCHEMA = (
 )
 
 
-def video_frame_stats(media: DataFrame, n_frames: int = 2) -> DataFrame:
+def video_frame_stats(
+    media: DataFrame, n_frames: int = 2, on_error: str = "raise"
+) -> DataFrame:
     """REAL video frame sampling + exact per-channel pixel sums: parse each
-    AVI payload, sample ``n_frames`` evenly across the clip, decode the DIB
-    frames, and emit integer channel sums (cross-engine exact). The 1->N
-    Arrow fan-out is the same shape an ffmpeg-backed sampler would use."""
+    AVI payload, sample ``n_frames`` evenly across the clip, decode the
+    frames (raw DIB or Motion-JPEG), and emit integer channel sums
+    (cross-engine exact). The 1->N Arrow fan-out is the same shape an
+    ffmpeg-backed sampler would use. ``on_error="skip"`` drops
+    undecodable payloads instead of failing."""
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -849,20 +887,32 @@ def video_frame_stats(media: DataFrame, n_frames: int = 2) -> DataFrame:
                 "media_id", "frame_idx", "width", "height", "sum_r", "sum_g", "sum_b"
             )}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, frames = _parse_avi(bytes(payload))
-                total = len(frames)
-                take = min(n_frames, total)
-                for i in range(take):
-                    idx = i * total // take
-                    arr = decode_video_frame(frames[idx], w, h).astype(np.int64)
-                    sums = arr.reshape(-1, 3).sum(axis=0)
+                # the whole clip is atomic under "skip": a corrupt frame
+                # mid-payload must not leave partial rows behind
+                rows = []
+                try:
+                    w, h, frames = _parse_avi(bytes(payload))
+                    total = len(frames)
+                    take = min(n_frames, total)
+                    for i in range(take):
+                        idx = i * total // take
+                        arr = decode_video_frame(frames[idx], w, h).astype(np.int64)
+                        sums = arr.reshape(-1, 3).sum(axis=0)
+                        rows.append(
+                            (idx, w, h, int(sums[0]), int(sums[1]), int(sums[2]))
+                        )
+                except DECODE_ERRORS:
+                    if on_error == "skip":
+                        continue
+                    raise
+                for idx, w, h, sr, sg, sb in rows:
                     out["media_id"].append(mid)
                     out["frame_idx"].append(idx)
                     out["width"].append(w)
                     out["height"].append(h)
-                    out["sum_r"].append(int(sums[0]))
-                    out["sum_g"].append(int(sums[1]))
-                    out["sum_b"].append(int(sums[2]))
+                    out["sum_r"].append(sr)
+                    out["sum_g"].append(sg)
+                    out["sum_b"].append(sb)
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "video").mapInPandas(
