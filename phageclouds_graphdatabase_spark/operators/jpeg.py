@@ -15,9 +15,15 @@ Two compression processes, both real:
   general; bit-exact for blockwise-flat grayscale at quality 100 (every
   8x8 block is DC-only and the quant table is all ones), which is what
   the baseline contract query exploits.
+- **Progressive DCT (SOF2)**: multi-scan decode -- spectral selection,
+  EOB runs, and both successive-approximation refinement algorithms (DC
+  raw bits, the AC correction-bit scheme) -- plus an encoder whose scan
+  script routes every coefficient through a first scan AND a refinement
+  scan. Decodes bit-identically to the baseline path at the same quality
+  (same quantized coefficients), which is how the tests pin it.
 
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise the
-``NotImplementedError`` codec-missing marker, same convention as
+Arithmetic coding, hierarchical processes, and 12-bit DCT precision raise
+the ``NotImplementedError`` codec-missing marker, same convention as
 ``operators/multimodal.py``.
 
 Reference parity note: the reference repo (guille0387/
@@ -312,18 +318,12 @@ def _blocks_of(plane: np.ndarray) -> np.ndarray:
     return plane.reshape(h // 8, 8, w // 8, 8).swapaxes(1, 2)
 
 
-def encode_jpeg_baseline(
-    arr: np.ndarray,
-    quality: int = 90,
-    subsample: tuple[int, int] = (1, 1),
-    restart_interval: int = 0,
-) -> bytes:
-    """HxWx3 uint8 RGB (or HxW grayscale) -> baseline JFIF bytes.
-
-    ``subsample`` is the chroma (h, v) factor: (1,1)=4:4:4, (2,1)=4:2:2,
-    (2,2)=4:2:0. Grayscale ignores it (single-component scan).
-    ``restart_interval`` > 0 emits DRI + RSTn every that many MCUs (the
-    layout MJPEG streams use so frames stay independently seekable)."""
+def _quantize_components(
+    arr: np.ndarray, quality: int, subsample: tuple[int, int]
+) -> tuple:
+    """Shared front half of both DCT encoders: color transform, chroma
+    subsampling, MCU padding, 2-D DCT, quantization. Returns
+    (gray, h, w, samp, comp_q, qtabs, comp_blocks, mcux, mcuy)."""
     arr = np.asarray(arr, np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
@@ -367,18 +367,54 @@ def encode_jpeg_baseline(
         q = np.clip(q, -1023, 1023)
         q[..., 0, 0] = dc
         comp_blocks.append(q)
+    return gray, h, w, samp, comp_q, qtabs, comp_blocks, mcux, mcuy
+
+
+def _sof_sos_segments(
+    gray: bool,
+    h: int,
+    w: int,
+    samp: list,
+    comp_q: list,
+    qtabs: list,
+) -> tuple[bytes, bytes]:
+    """(DQT segments + SOF body, n/a) helper pieces shared by encoders."""
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(samp)])
+    for ci, (hi, vi) in enumerate(samp):
+        sof += bytes([ci + 1, (hi << 4) | vi, comp_q[ci]])
+    dqt = b""
+    for i, qt in enumerate(qtabs[: 1 if gray else 2]):
+        dqt += _seg(0xDB, bytes([i]) + bytes(qt.reshape(64)[_ZIGZAG].astype(np.uint8)))
+    return dqt, sof
+
+
+def encode_jpeg_baseline(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsample: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """HxWx3 uint8 RGB (or HxW grayscale) -> baseline JFIF bytes.
+
+    ``subsample`` is the chroma (h, v) factor: (1,1)=4:4:4, (2,1)=4:2:2,
+    (2,2)=4:2:0. Grayscale ignores it (single-component scan).
+    ``restart_interval`` > 0 emits DRI + RSTn every that many MCUs (the
+    layout MJPEG streams use so frames stay independently seekable)."""
+    gray, h, w, samp, comp_q, qtabs, comp_blocks, mcux, mcuy = _quantize_components(
+        arr, quality, subsample
+    )
 
     dc_enc = _build_encode(_DC_BITS, _DC_VALS)
     ac_enc = _build_encode(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * len(samp)
     rst = 0
     for m in range(mcuy * mcux):
         my, mx = divmod(m, mcux)
         if restart_interval and m and m % restart_interval == 0:
             bw.restart_marker(rst)
             rst = (rst + 1) & 7
-            pred = [0] * len(planes)
+            pred = [0] * len(samp)
         for ci, (hi, vi) in enumerate(samp):
             for by in range(vi):
                 for bx in range(hi):
@@ -400,17 +436,13 @@ def encode_jpeg_baseline(
                         code, ln = ac_enc[0x00]  # EOB
                         bw.write(code, ln)
 
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(planes)])
-    for ci, (hi, vi) in enumerate(samp):
-        sof += bytes([ci + 1, (hi << 4) | vi, comp_q[ci]])
-    sos = bytes([len(planes)])
-    for ci in range(len(planes)):
+    dqt, sof = _sof_sos_segments(gray, h, w, samp, comp_q, qtabs)
+    sos = bytes([len(samp)])
+    for ci in range(len(samp)):
         sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
     sos += bytes([0, 63, 0])
 
-    out = b"\xff\xd8"
-    for i, qt in enumerate(qtabs[: 1 if gray else 2]):
-        out += _seg(0xDB, bytes([i]) + bytes(qt.reshape(64)[_ZIGZAG].astype(np.uint8)))
+    out = b"\xff\xd8" + dqt
     if restart_interval:
         out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
     out += _seg(0xC0, sof)
@@ -418,6 +450,177 @@ def encode_jpeg_baseline(
     out += _seg(0xC4, _dht_payload(1, 0, _AC_BITS, _AC_VALS))
     out += _seg(0xDA, sos) + bw.flush() + b"\xff\xd9"
     return out
+
+
+# ---------------------------------------------------------------------------
+# Progressive DCT (SOF2): spectral selection + successive approximation.
+# Scan script: DC (all components, Al=1) -> AC per component (band 1-63,
+# Al=1) -> DC refinement (Ah=1) -> AC refinement per component (Ah=1).
+# Every coefficient therefore flows through BOTH the first-scan and the
+# refinement machinery, which is what the decoder round-trip test needs.
+# ---------------------------------------------------------------------------
+
+# AC tables for progressive scans need the EOBn symbols (0x10..0xE0) that
+# Annex K's baseline table lacks. A uniform canonical table covers all 256
+# symbols: 255 8-bit codes + one 9-bit (the all-ones 8-bit prefix stays
+# reserved, as T.81 requires).
+_UNIFORM_BITS = (0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0)
+_UNIFORM_VALS = tuple(range(256))
+
+
+def _emit_eobrun(bw: _BitWriter, ac_enc: dict, eobrun: int) -> None:
+    """EOBn: n = floor(log2(run)), extra bits carry run - 2^n."""
+    while eobrun > 0:
+        r = min(14, eobrun.bit_length() - 1)
+        chunk = min(eobrun, (1 << (r + 1)) - 1)
+        code, ln = ac_enc[r << 4]
+        bw.write(code, ln)
+        if r:
+            bw.write(chunk - (1 << r), r)
+        eobrun -= chunk
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, subsample: tuple[int, int] = (1, 1)
+) -> bytes:
+    """HxWx3 uint8 RGB (or HxW grayscale) -> progressive (SOF2) bytes with
+    both spectral selection and one successive-approximation refinement
+    pass per coefficient. Decodes to the same pixels as the baseline
+    encoder at the same quality (identical quantized coefficients)."""
+    gray, h, w, samp, comp_q, qtabs, comp_blocks, mcux, mcuy = _quantize_components(
+        arr, quality, subsample
+    )
+    n_comp = len(samp)
+    dc_enc = _build_encode(_DC_BITS, _DC_VALS)
+    ac_enc = _build_encode(_UNIFORM_BITS, _UNIFORM_VALS)
+
+    # per-component zigzag coefficient grids and real (non-padded) dims
+    zz_grids = [
+        blk.reshape(blk.shape[0], blk.shape[1], 64)[..., _ZIGZAG]
+        for blk in comp_blocks
+    ]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    real_dims = []
+    for hi, vi in samp:
+        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+        real_dims.append((-(-ch // 8), -(-cw // 8)))
+
+    def sos_seg(comps: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comps)])
+        for ci in comps:
+            body += bytes([ci + 1, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    scans = b""
+
+    # --- DC first scan: interleaved, Al=1 ---
+    bw = _BitWriter()
+    pred = [0] * n_comp
+    for m in range(mcuy * mcux):
+        my, mx = divmod(m, mcux)
+        for ci, (hi, vi) in enumerate(samp):
+            for by in range(vi):
+                for bx in range(hi):
+                    dc = int(zz_grids[ci][my * vi + by, mx * hi + bx, 0]) >> 1
+                    _write_coded(bw, dc_enc, 0x00, dc - pred[ci])
+                    pred[ci] = dc
+    scans += sos_seg(list(range(n_comp)), 0, 0, 0, 1) + bw.flush()
+
+    # --- AC first scans: per component, band 1-63, Al=1 ---
+    for ci in range(n_comp):
+        bw = _BitWriter()
+        eobrun = 0
+        by_n, bx_n = real_dims[ci]
+        for b in range(by_n * bx_n):
+            zz = zz_grids[ci][b // bx_n, b % bx_n]
+            # point transform: magnitudes shifted, sign kept
+            t = np.sign(zz[1:]) * (np.abs(zz[1:]) >> 1)
+            nz = np.nonzero(t)[0]
+            if len(nz) == 0:
+                eobrun += 1
+                continue
+            _emit_eobrun(bw, ac_enc, eobrun)
+            eobrun = 0
+            k = 0
+            for p in nz:
+                run = int(p) - k
+                while run >= 16:
+                    code, ln = ac_enc[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                _write_coded(bw, ac_enc, run << 4, int(t[p]))
+                k = int(p) + 1
+            if k < 63:
+                eobrun += 1
+        _emit_eobrun(bw, ac_enc, eobrun)
+        scans += sos_seg([ci], 1, 63, 0, 1) + bw.flush()
+
+    # --- DC refinement: interleaved, Ah=1 Al=0, one raw bit per block ---
+    bw = _BitWriter()
+    for m in range(mcuy * mcux):
+        my, mx = divmod(m, mcux)
+        for ci, (hi, vi) in enumerate(samp):
+            for by in range(vi):
+                for bx in range(hi):
+                    bw.write(int(zz_grids[ci][my * vi + by, mx * hi + bx, 0]) & 1, 1)
+    scans += sos_seg(list(range(n_comp)), 0, 0, 1, 0) + bw.flush()
+
+    # --- AC refinement scans: per component, band 1-63, Ah=1 Al=0 ---
+    for ci in range(n_comp):
+        bw = _BitWriter()
+        by_n, bx_n = real_dims[ci]
+        for b in range(by_n * bx_n):
+            zz = zz_grids[ci][b // bx_n, b % bx_n]
+            pending: list[int] = []  # correction bits since the last symbol
+            r = 0
+            emitted_any = False
+            for k in range(1, 64):
+                v = int(zz[k])
+                t = abs(v)
+                if t > 1:  # history nonzero at this scan: correction bit
+                    pending.append(t & 1)
+                    continue
+                if t == 0:
+                    r += 1
+                    continue
+                # t == 1: newly significant at this scale
+                while r > 15:
+                    code, ln = ac_enc[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                    for bit in pending:
+                        bw.write(bit, 1)
+                    pending = []
+                code, ln = ac_enc[(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(0 if v < 0 else 1, 1)
+                for bit in pending:
+                    bw.write(bit, 1)
+                pending = []
+                r = 0
+                emitted_any = True
+            if r > 0 or pending or not emitted_any:
+                # end-of-band for this block (run length 1, no extra bits),
+                # followed by the correction bits the decoder's EOB tail
+                # will read for remaining nonzero-history coefficients
+                code, ln = ac_enc[0x00]
+                bw.write(code, ln)
+                for bit in pending:
+                    bw.write(bit, 1)
+        scans += sos_seg([ci], 1, 63, 1, 0) + bw.flush()
+
+    dqt, sof = _sof_sos_segments(gray, h, w, samp, comp_q, qtabs)
+    return (
+        b"\xff\xd8"
+        + dqt
+        + _seg(0xC2, sof)
+        + _seg(0xC4, _dht_payload(0, 0, _DC_BITS, _DC_VALS))
+        + _seg(0xC4, _dht_payload(1, 0, _UNIFORM_BITS, _UNIFORM_VALS))
+        + scans
+        + b"\xff\xd9"
+    )
 
 
 class _Frame:
@@ -433,15 +636,18 @@ class _Frame:
         self.restart = 0
 
 
-def _parse_until_scan(data: bytes, pos: int, fr: _Frame) -> tuple[int, list, int, int, int]:
+def _parse_until_scan(data: bytes, pos: int, fr: _Frame) -> tuple[int, list | None, int, int, int]:
     """Advance through marker segments; on SOS return
-    (entropy_pos, scan_comps [(comp_index, dc_id, ac_id)], ss, se, ah_al)."""
-    while pos + 4 <= len(data):
+    (entropy_pos, scan_comps [(comp_index, dc_id, ac_id)], ss, se, ah_al);
+    on EOI return (pos, None, 0, 0, 0)."""
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise NotImplementedError("malformed JPEG marker stream")
         marker = data[pos + 1]
         if marker == 0xD9:
-            raise NotImplementedError("JPEG stream ended before any scan")
+            return pos + 2, None, 0, 0, 0
+        if pos + 4 > len(data):
+            break
         ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
         body = data[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
@@ -470,7 +676,7 @@ def _parse_until_scan(data: bytes, pos: int, fr: _Frame) -> tuple[int, list, int
                 vals = tuple(body[p + 17 : p + 17 + nv])
                 (fr.ac if tc else fr.dc)[th] = _build_decode(bits, vals)
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC3):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
             fr.process = marker
             fr.precision = body[0]
             if fr.precision != 8 and marker != 0xC3:
@@ -482,8 +688,10 @@ def _parse_until_scan(data: bytes, pos: int, fr: _Frame) -> tuple[int, list, int
                 (body[6 + 3 * i], body[7 + 3 * i] >> 4, body[7 + 3 * i] & 15, body[8 + 3 * i])
                 for i in range(nc)
             ]
-        elif marker in (0xC2, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline (SOF0) and lossless (SOF3) JPEG")
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline (SOF0/1), progressive (SOF2) and lossless (SOF3) JPEG"
+            )
         elif marker == 0xDD:
             fr.restart = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:
@@ -506,8 +714,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise NotImplementedError("not a JPEG payload")
     fr = _Frame()
     pos, scan, ss, se, ahal = _parse_until_scan(data, 2, fr)
+    if scan is None:
+        raise NotImplementedError("JPEG stream ended before any scan")
     if fr.process == 0xC3:
         return _decode_lossless_scan(data, pos, fr, scan, ss, ahal & 15)
+    if fr.process == 0xC2:
+        return _decode_progressive(data, pos, fr, scan, ss, se, ahal)
     if fr.process not in (0xC0, 0xC1):
         raise NotImplementedError("unsupported JPEG process")
     return _decode_baseline_scan(data, pos, fr, scan)
@@ -581,6 +793,18 @@ def _decode_baseline_scan(data: bytes, pos: int, fr: _Frame, scan: list) -> np.n
             coef[_ZIGZAG] = zz * fr.qtabs[tq].reshape(64)[_ZIGZAG]
             grids[idx][gy, gx] = coef.reshape(8, 8)
 
+    return _reconstruct(fr, grids, dims, hmax, vmax)
+
+
+def _reconstruct(
+    fr: _Frame,
+    grids: dict[int, np.ndarray],
+    dims: dict[int, tuple[int, int]],
+    hmax: int,
+    vmax: int,
+) -> np.ndarray:
+    """Dequantized coefficient grids (by, bx, 8, 8) -> RGB pixels: IDCT,
+    crop to component dims, upsample, color-convert."""
     planes: dict[int, np.ndarray] = {}
     for idx, grid in grids.items():
         px = np.einsum("ku,yxkl,lv->yxuv", _DCT, grid, _DCT)
@@ -596,6 +820,162 @@ def _decode_baseline_scan(data: bytes, pos: int, fr: _Frame, scan: list) -> np.n
         g = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
         return np.ascontiguousarray(np.repeat(g[..., None], 3, -1))
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode: coefficients accumulate across scans, one
+# IDCT at the end.
+# ---------------------------------------------------------------------------
+
+
+def _first_ac_block(br, ac_tab, zz, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(br, ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) + (br.read_bits(r) if r else 0)
+            return eobrun - 1
+        k += r
+        if k > se:
+            raise NotImplementedError("JPEG AC run overflows the band")
+        zz[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _refine_ac_block(br, ac_tab, zz, ss, se, al, eobrun) -> int:
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(br, ac_tab)
+            r, s = rs >> 4, rs & 15
+            s_val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) + (br.read_bits(r) if r else 0)
+                    break
+                # r == 15: ZRL, skip 16 zero-history coefficients
+            elif s == 1:
+                s_val = p1 if br.read_bits(1) else m1
+            else:
+                raise NotImplementedError("invalid AC refinement magnitude")
+            while k <= se:
+                if zz[k] != 0:
+                    if br.read_bits(1) and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                zz[k] = s_val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if br.read_bits(1) and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(
+    data: bytes, pos: int, fr: _Frame, scan: list, ss: int, se: int, ahal: int
+) -> np.ndarray:
+    hmax = max(c[1] for c in fr.comps)
+    vmax = max(c[2] for c in fr.comps)
+    mcux, mcuy = -(-fr.w // (8 * hmax)), -(-fr.h // (8 * vmax))
+    store: dict[int, np.ndarray] = {}
+    real: dict[int, tuple[int, int]] = {}
+    dims: dict[int, tuple[int, int]] = {}
+    for idx, (_, hi, vi, _) in enumerate(fr.comps):
+        store[idx] = np.zeros((mcuy * vi, mcux * hi, 64), np.int64)
+        ch, cw = -(-fr.h * vi // vmax), -(-fr.w * hi // hmax)
+        dims[idx] = (ch, cw)
+        real[idx] = (-(-ch // 8), -(-cw // 8))
+
+    preds = {i: 0 for i in range(len(fr.comps))}
+    while scan is not None:
+        ah, al = ahal >> 4, ahal & 15
+        br = _BitReader(data, pos)
+        if ss == 0:
+            if se != 0:
+                raise NotImplementedError("progressive DC scan with Se != 0")
+            if ah == 0:
+                for idx, _, _ in scan:
+                    preds[idx] = 0
+            interleaved = len(scan) > 1
+            n_units = (
+                mcuy * mcux
+                if interleaved
+                else real[scan[0][0]][0] * real[scan[0][0]][1]
+            )
+            since_rst = 0
+            for m in range(n_units):
+                if fr.restart and since_rst == fr.restart:
+                    br.align_and_consume_rst()
+                    for idx, _, _ in scan:
+                        preds[idx] = 0
+                    since_rst = 0
+                since_rst += 1
+                units = []
+                if interleaved:
+                    my, mx = divmod(m, mcux)
+                    for idx, dc_id, _ in scan:
+                        _, hi, vi, _ = fr.comps[idx]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                units.append((idx, dc_id, my * vi + by, mx * hi + bx))
+                else:
+                    idx, dc_id, _ = scan[0]
+                    units.append((idx, dc_id, m // real[idx][1], m % real[idx][1]))
+                for idx, dc_id, gy, gx in units:
+                    if ah == 0:
+                        t = _decode_symbol(br, fr.dc[dc_id])
+                        preds[idx] += _extend(br.read_bits(t), t)
+                        store[idx][gy, gx, 0] = preds[idx] << al
+                    else:
+                        if br.read_bits(1):
+                            store[idx][gy, gx, 0] |= 1 << al
+        else:
+            if len(scan) != 1:
+                raise NotImplementedError("progressive AC scan must be single-component")
+            idx, _, ac_id = scan[0]
+            ac_tab = fr.ac[ac_id]
+            by_n, bx_n = real[idx]
+            eobrun = 0
+            since_rst = 0
+            for b in range(by_n * bx_n):
+                if fr.restart and since_rst == fr.restart:
+                    br.align_and_consume_rst()
+                    eobrun = 0
+                    since_rst = 0
+                since_rst += 1
+                zz = store[idx][b // bx_n, b % bx_n]
+                if ah == 0:
+                    eobrun = _first_ac_block(br, ac_tab, zz, ss, se, al, eobrun)
+                else:
+                    eobrun = _refine_ac_block(br, ac_tab, zz, ss, se, al, eobrun)
+        pos, scan, ss, se, ahal = _parse_until_scan(data, br.pos, fr)
+
+    grids: dict[int, np.ndarray] = {}
+    for idx, (_, hi, vi, tq) in enumerate(fr.comps):
+        qt = fr.qtabs[tq].reshape(64)[_ZIGZAG].astype(np.float64)
+        flat = store[idx].astype(np.float64) * qt
+        raster = np.zeros_like(flat)
+        raster[..., _ZIGZAG] = flat
+        gh, gw = raster.shape[:2]
+        grids[idx] = raster.reshape(gh, gw, 8, 8)
+    return _reconstruct(fr, grids, dims, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------

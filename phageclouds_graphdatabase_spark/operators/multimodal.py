@@ -17,8 +17,7 @@ real via ``audio_stats``: RIFF WAV (8/16-bit PCM) and compressed FLAC
 (``operators/flac.py`` -- lossless, bit-exact). AVI video parses and
 frame-samples for real via ``video_frame_stats`` -- both uncompressed
 DIB frames and Motion-JPEG '00dc' frames. Only truly library-bound
-kernels (MP3/AAC audio, inter-frame video codecs, progressive JPEG)
-stay stubbed: ``decode_media`` raises
+kernels (MP3/AAC audio, inter-frame video codecs) stay stubbed: ``decode_media`` raises
 ``NotImplementedError`` per unsupported kind unless
 ``deterministic_fake=True``, which produces seeded fake features with the
 exact schema/shape real decoders would emit. Everything around the stubs --

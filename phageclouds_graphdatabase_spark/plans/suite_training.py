@@ -1058,6 +1058,42 @@ def jpeg_baseline_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_stats(media)
 
 
+def jpeg_progressive_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive JPEG (SOF2) through the driver contract: the same
+    blockwise-flat 16x16 grayscale as ``jpeg_baseline_stats_real``, but
+    encoded with the full progressive scan script -- spectral selection,
+    EOB-run batching, and a successive-approximation refinement pass for
+    every coefficient. DC-only blocks at quality 100 decode exactly, so
+    the same character-code oracle proves the multi-scan machinery."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from phageclouds_graphdatabase_spark.operators import jpeg as J
+    from phageclouds_graphdatabase_spark.operators import multimodal as mm
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")[:4].ljust(4, b" ")
+                img = _blocky16(np.frombuffer(raw, np.uint8))
+                payloads.append(J.encode_jpeg_progressive(img, quality=100))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["image"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    media = d.mapInPandas(build, mm.MEDIA_COLUMNS)
+    return mm.image_stats(media)
+
+
 JPEG_BASELINE_STATS_SQL = """
 WITH ch AS (
     SELECT doc_id,
@@ -1192,6 +1228,9 @@ ENTRIES: dict[str, SuiteEntry] = {
     ),
     "jpeg_baseline_stats_real": SuiteEntry(
         jpeg_baseline_stats_real, JPEG_BASELINE_STATS_SQL, ("W4",)
+    ),
+    "jpeg_progressive_stats_real": SuiteEntry(
+        jpeg_progressive_stats_real, JPEG_BASELINE_STATS_SQL, ("W4",)
     ),
     "mjpeg_frames_real": SuiteEntry(mjpeg_frames_real, MJPEG_FRAMES_SQL, ("W4",)),
     "chunk_token_windows": SuiteEntry(chunk_token_windows, CHUNK_WINDOWS_SQL, ("W5",)),

@@ -147,6 +147,62 @@ def test_baseline_restart_interval_decode_matches(interval):
     np.testing.assert_array_equal(J.decode_jpeg(with_rst), J.decode_jpeg(without))
 
 
+# ---------------------------------------------------------------------------
+# Progressive (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sub", [(1, 1), (2, 1), (2, 2)])
+@pytest.mark.parametrize("quality", [50, 90, 100])
+def test_progressive_decodes_identically_to_baseline(sub, quality):
+    # same quantized coefficients -> bitwise-identical pixels; this pins
+    # the whole scan machinery (DC/AC first scans, EOB runs, both
+    # refinement passes) against the already-proven baseline path
+    rng = np.random.default_rng(quality + sub[0])
+    arr = rng.integers(0, 256, (24, 20, 3), dtype=np.uint8)
+    base = J.decode_jpeg(J.encode_jpeg_baseline(arr, quality=quality, subsample=sub))
+    prog = J.decode_jpeg(J.encode_jpeg_progressive(arr, quality=quality, subsample=sub))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_progressive_flat_blocks_exact_at_q100():
+    img = _blocky_gray([40, 90, 200, 255])
+    got = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=100))
+    np.testing.assert_array_equal(got, _gray3(img))
+
+
+def test_progressive_grayscale_and_odd_dims():
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 256, (13, 19), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        J.decode_jpeg(J.encode_jpeg_progressive(g, quality=90)),
+        J.decode_jpeg(J.encode_jpeg_baseline(g, quality=90)),
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(w=_DIMS, h=_DIMS, q=st.integers(50, 100), seed=st.integers(0, 2**31 - 1))
+def test_prop_progressive_equals_baseline(w, h, q, seed):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        J.decode_jpeg(J.encode_jpeg_progressive(arr, quality=q)),
+        J.decode_jpeg(J.encode_jpeg_baseline(arr, quality=q)),
+    )
+
+
+def test_progressive_sparse_spikes_exercise_zrl_refine():
+    # isolated high-frequency spikes force long zero-history runs (ZRL) in
+    # both the first and the refinement AC scans
+    img = np.full((16, 16, 3), 128, np.uint8)
+    img[0, 15] = 255
+    img[15, 0] = 0
+    np.testing.assert_array_equal(
+        J.decode_jpeg(J.encode_jpeg_progressive(img, quality=50)),
+        J.decode_jpeg(J.encode_jpeg_baseline(img, quality=50)),
+    )
+
+
 def test_huffman_tables_are_canonical_annex_k():
     # first codes of the T.81 Annex K DC luminance table: category 0 -> 00,
     # 1 -> 010, ..., 6 -> 1110 (canonical assignment interop check)
@@ -159,12 +215,12 @@ def test_huffman_tables_are_canonical_annex_k():
     assert dec[(2, 0b00)] == 0 and dec[(4, 0b1110)] == 6
 
 
-def test_progressive_raises_codec_marker():
+def test_unsupported_process_raises_codec_marker():
     arr = np.zeros((8, 8), np.uint8)
     enc = bytearray(J.encode_jpeg_baseline(arr, quality=100))
     sof_at = enc.find(b"\xff\xc0")
-    enc[sof_at + 1] = 0xC2  # rewrite as progressive SOF2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    enc[sof_at + 1] = 0xC5  # differential sequential: genuinely unsupported
+    with pytest.raises(NotImplementedError, match="JPEG"):
         J.decode_jpeg(bytes(enc))
 
 
