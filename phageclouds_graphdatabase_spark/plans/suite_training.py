@@ -772,6 +772,98 @@ FROM kth JOIN exact USING (grp)
 """
 
 
+_CM_ROWS = 4
+_CM_WIDTH = 64
+_CM_TOPK = 10
+
+
+def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters with a DETERMINISTIC exact oracle: a
+    4 x 64 sketch over the corpus token stream (row r buckets a token by
+    nibbles of md5('r|' || token)), estimate = min over rows, report the
+    top-10 tokens by estimated count alongside the exact count. The
+    sketch build is two narrow aggregations (token counts partial-combine
+    map-side; cell sums are at most rows x width = 256 values regardless
+    of corpus size); like the KMV sketch, every step is a pure function
+    of the data, so the one-sided Count-Min error (estimate >= exact) is
+    itself regression-testable cross-engine."""
+    d = t(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
+    tok = d.select(F.explode("w").alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).cache()
+
+    # bucket of token in row r: first 8 md5 nibbles of 'r|tok' mod width
+    def bucket(r: int) -> F.Column:
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{r}|"), F.col("tok"))), 1, 8), 16, 10)
+            .cast("long")
+            % _CM_WIDTH
+        )
+
+    est = counts.select(
+        "tok", "n", *[bucket(i).alias(f"b{i}") for i in range(_CM_ROWS)]
+    )
+    for r in range(_CM_ROWS):
+        cr = (
+            counts.groupBy(bucket(r).alias(f"b{r}"))
+            .agg(F.sum("n").alias(f"c{r}"))
+        )
+        est = est.join(F.broadcast(cr), f"b{r}")
+    estimate = F.least(*[F.col(f"c{r}") for r in range(_CM_ROWS)])
+    # two-phase top-k: orderBy+limit is a distributed TakeOrdered (per-
+    # partition heads merged on the driver), so the global row_number
+    # window only ever ranks the k survivors
+    top = (
+        est.select("tok", F.col("n").alias("n_exact"), estimate.alias("cm_estimate"))
+        .orderBy(F.col("cm_estimate").desc(), F.col("tok"))
+        .limit(_CM_TOPK)
+    )
+    w = Window.orderBy(F.col("cm_estimate").desc(), F.col("tok"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "tok", "n_exact", "cm_estimate", "rnk"
+    )
+
+
+_CM_BUCKET_SQL = (
+    "({h} % " + str(_CM_WIDTH) + ")"
+).format(
+    h=_HEX8_SQL.format(h="md5('{r}|' || tok)")
+)
+
+HEAVY_HITTERS_SQL = (
+    r"""
+WITH w AS (
+    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS tok
+    FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS n FROM w GROUP BY tok),
+"""
+    + ",\n".join(
+        f"cells{r} AS (SELECT {_CM_BUCKET_SQL.format(r=r)} AS bucket, SUM(n) AS cell"
+        f" FROM counts GROUP BY 1)"
+        for r in range(_CM_ROWS)
+    )
+    + """,
+est AS (
+    SELECT counts.tok, counts.n,
+           LEAST("""
+    + ", ".join(f"cells{r}.cell" for r in range(_CM_ROWS))
+    + """) AS cm_estimate
+    FROM counts
+"""
+    + "\n".join(
+        f"    JOIN cells{r} ON cells{r}.bucket = {_CM_BUCKET_SQL.format(r=r)}"
+        for r in range(_CM_ROWS)
+    )
+    + """
+)
+SELECT tok, CAST(n AS BIGINT) AS n_exact, CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cm_estimate DESC, tok) AS rnk FROM est) z
+WHERE rnk <= """
+    + str(_CM_TOPK)
+)
+
+
 _WS_K = 5
 
 
@@ -1236,6 +1328,9 @@ ENTRIES: dict[str, SuiteEntry] = {
     "chunk_token_windows": SuiteEntry(chunk_token_windows, CHUNK_WINDOWS_SQL, ("W5",)),
     "flac_stats_real": SuiteEntry(flac_stats_real, WAV_STATS_SQL, ("W4",)),
     "merge_upsert_orders": SuiteEntry(merge_upsert_orders, MERGE_UPSERT_SQL, ("A4", "J7")),
+    "heavy_hitters_countmin": SuiteEntry(
+        heavy_hitters_countmin, HEAVY_HITTERS_SQL, ("A6", "W5")
+    ),
     "kmv_distinct_estimate": SuiteEntry(kmv_distinct_estimate, KMV_SQL, ("A6", "W5")),
     "weighted_sample_bylang": SuiteEntry(
         weighted_sample_bylang, WEIGHTED_SAMPLE_SQL, ("W2", "W5")
