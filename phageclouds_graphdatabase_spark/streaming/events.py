@@ -47,11 +47,39 @@ EVENTS_SCHEMA = StructType(
 )
 
 
+def _events_ts_unit(sf_dir: str) -> str:
+    """Time unit ('ns'/'us'/'ms') of the events parquet ts column, read from
+    the file footer. The driver has shipped both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) testdata across rounds; a streaming schema must be
+    declared up front, so sniff the unit before building the plan."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        field = pq.ParquetFile(path).schema_arrow.field("ts")
+        return getattr(field.type, "unit", "us")
+    except Exception:
+        return "us"
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source readStream over the events parquet (one file = one
     micro-batch in tests; in production the same code points at a
     continuously-appended directory or Kafka). The file source needs a
-    directory, so scan ``sf_dir`` with a glob filter for the events table."""
+    directory, so scan ``sf_dir`` with a glob filter for the events table.
+
+    TIMESTAMP(MICROS) reads natively; TIMESTAMP(NANOS) is unreadable as a
+    Spark timestamp, so that layout reads ns-as-long (legacy conf) and
+    converts -- the same truncation DuckDB applies coercing TIMESTAMP_NS."""
+    if _events_ts_unit(sf_dir) != "ns":
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
