@@ -90,6 +90,18 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.time() - t0)
+            # Per-query state isolation: queries that cache intermediates
+            # (near-dup shingles, graph node sets) would otherwise leak
+            # entries across repeats, and superseded localCheckpoint blocks
+            # from iterative ops pile up until the ContextCleaner's next
+            # driver GC. Without this, repeat N measures storage-memory
+            # churn, not the engine (measured: minhash 1.4s -> 10.7s by
+            # repeat 2 at sf0.1). Each timed run pays its own cache builds.
+            spark.catalog.clearCache()
+        import gc
+
+        gc.collect()  # drop py4j RDD proxies so the JVM GC can collect them
+        spark.sparkContext._jvm.System.gc()  # ContextCleaner frees dead blocks
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
