@@ -576,23 +576,32 @@ def encode_jpeg_progressive(
             pending: list[int] = []  # correction bits since the last symbol
             r = 0
             emitted_any = False
+            # Last newly-significant position: ZRLs are never emitted past it
+            # (the tail folds into EOB), and — critically for bit-sync — a
+            # needed ZRL is emitted at ANY nonzero coefficient, BEFORE its
+            # correction bit is buffered. Deferring the ZRL to the next
+            # newly-significant coefficient would flush correction bits for
+            # history-nonzero coefficients that lie beyond the 16-zero span
+            # the decoder consumes with the ZRL (T.81 G.1.2.3; libjpeg
+            # jcphuff.c encode_mcu_AC_refine ordering).
+            k_last = max((k for k in range(1, 64) if abs(int(zz[k])) == 1), default=0)
             for k in range(1, 64):
                 v = int(zz[k])
                 t = abs(v)
-                if t > 1:  # history nonzero at this scan: correction bit
-                    pending.append(t & 1)
-                    continue
                 if t == 0:
                     r += 1
                     continue
-                # t == 1: newly significant at this scale
-                while r > 15:
+                while r > 15 and k <= k_last:
                     code, ln = ac_enc[0xF0]
                     bw.write(code, ln)
                     r -= 16
                     for bit in pending:
                         bw.write(bit, 1)
                     pending = []
+                if t > 1:  # history nonzero at this scan: correction bit
+                    pending.append(t & 1)
+                    continue
+                # t == 1: newly significant at this scale
                 code, ln = ac_enc[(r << 4) | 1]
                 bw.write(code, ln)
                 bw.write(0 if v < 0 else 1, 1)

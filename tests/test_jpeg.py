@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from phageclouds_graphdatabase_spark.operators import jpeg as J
@@ -182,6 +182,24 @@ def test_progressive_grayscale_and_odd_dims():
 
 @settings(max_examples=15, deadline=None)
 @given(w=_DIMS, h=_DIMS, q=st.integers(50, 100), seed=st.integers(0, 2**31 - 1))
+@example(
+    w=1,
+    h=3,
+    q=50,
+    seed=0,
+).via('discovered failure')
+@example(
+    w=9,
+    h=7,
+    q=51,
+    seed=74,
+).via('discovered failure')
+@example(
+    w=3,
+    h=1,
+    q=50,
+    seed=0,
+).via('discovered failure')
 def test_prop_progressive_equals_baseline(w, h, q, seed):
     rng = np.random.default_rng(seed)
     arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
