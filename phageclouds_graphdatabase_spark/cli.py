@@ -57,6 +57,14 @@ def main(argv: list[str] | None = None) -> str:
     p_fam.add_argument("--lineages", default=None,
                        help="lineages CSV (default: <data-dir>/lineages.csv)")
 
+    p_q = sub.add_parser("query", help="run a Cypher query against the graph")
+    p_q.add_argument("cypher", help="Cypher query text (the reference's "
+                     "query language, compiled to a Spark plan)")
+    p_q.add_argument("--limit", type=int, default=50,
+                     help="max rows to print (default: 50; 0 = all)")
+    p_q.add_argument("--out", default=None,
+                     help="write the full result as Parquet instead of printing")
+
     p_host = sub.add_parser("host", help="clouds for a bacterial host genus")
     p_host.add_argument("-g", "--genus", dest="host", required=True,
                         help="host genus used for searching phage clouds")
@@ -68,6 +76,24 @@ def main(argv: list[str] | None = None) -> str:
     args = parser.parse_args(argv)
     spark = get_spark("phageclouds-cli")
     nodes, edges = _load_graph(spark, args.data_dir)
+
+    if args.cmd == "query":
+        from phageclouds_graphdatabase_spark.cypher import CypherEngine, phage_catalog
+
+        infects_path = os.path.join(args.data_dir, "infects")
+        infects = (
+            readers.read_infects(spark, infects_path)
+            if os.path.exists(infects_path)
+            else None
+        )
+        df = CypherEngine(phage_catalog(nodes, edges, infects)).run(args.cypher)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(args.out)
+            return args.out
+        df.show(args.limit or df.count(), truncate=False)
+        return ""
+
     slug = sinks.threshold_slug(args.dist)
 
     if args.cmd == "taxon":

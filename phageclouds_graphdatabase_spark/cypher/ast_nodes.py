@@ -1,0 +1,184 @@
+"""AST for the Cypher subset the reference emits (SURVEY.md §2-§3).
+
+Every construct here appears in at least one of the nine query templates in
+/root/reference/phageclouds_gdb.py:56-73, phageclouds_gdb_family.py:94-99 or
+phageclouds_gdb_host.py:57-65 — plus the natural generalizations (undirected
+edges, <- direction, DISTINCT, parameters) the compiler supports for the
+correct-semantics variants the engine offers behind flags.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# --- expressions -----------------------------------------------------------
+
+
+class Expr:
+    __slots__ = ()
+
+
+@dataclass(frozen=True)
+class Literal(Expr):
+    value: object  # str | int | float | bool | None
+
+
+@dataclass(frozen=True)
+class ListLit(Expr):
+    items: tuple
+
+
+@dataclass(frozen=True)
+class Param(Expr):
+    name: str
+
+
+@dataclass(frozen=True)
+class Var(Expr):
+    """A bare identifier: a pattern variable or (after WITH) a projected
+    column."""
+
+    name: str
+
+
+@dataclass(frozen=True)
+class Prop(Expr):
+    var: str
+    name: str
+
+
+@dataclass(frozen=True)
+class Not(Expr):
+    expr: Expr
+
+
+@dataclass(frozen=True)
+class And(Expr):
+    left: Expr
+    right: Expr
+
+
+@dataclass(frozen=True)
+class Or(Expr):
+    left: Expr
+    right: Expr
+
+
+@dataclass(frozen=True)
+class Cmp(Expr):
+    op: str  # '=', '<>', '<', '<=', '>', '>='
+    left: Expr
+    right: Expr
+
+
+@dataclass(frozen=True)
+class StringPred(Expr):
+    op: str  # 'CONTAINS', 'STARTS WITH', 'ENDS WITH'
+    left: Expr
+    right: Expr
+
+
+@dataclass(frozen=True)
+class InList(Expr):
+    item: Expr
+    source: Expr  # ListLit, Param, or an array-typed expression
+
+
+@dataclass(frozen=True)
+class IsNull(Expr):
+    expr: Expr
+    negated: bool
+
+
+@dataclass(frozen=True)
+class Arith(Expr):
+    op: str  # '+', '-', '*', '/'
+    left: Expr
+    right: Expr
+
+
+@dataclass(frozen=True)
+class ListComp(Expr):
+    """[x IN source WHERE pred | proj] — proj/pred each optional."""
+
+    var: str
+    source: Expr
+    where: Expr | None
+    proj: Expr | None
+
+
+@dataclass(frozen=True)
+class Func(Expr):
+    name: str  # lowercase
+    args: tuple
+    distinct: bool = False
+    star: bool = False  # count(*)
+
+
+@dataclass(frozen=True)
+class PatternPred(Expr):
+    """Existential pattern predicate, e.g.
+    WHERE (a)-[:infects]->(:Host {genus:"X"})
+    (/root/reference/phageclouds_gdb_host.py:57)."""
+
+    pattern: "PathPat"
+
+
+# --- patterns --------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class NodePat:
+    var: str | None
+    label: str | None
+    props: tuple = ()  # ((name, Literal|Param), ...)
+
+
+@dataclass(frozen=True)
+class EdgePat:
+    var: str | None
+    reltype: str | None
+    props: tuple = ()
+    direction: str = "out"  # 'out' (->), 'in' (<-), 'both' (undirected)
+
+
+@dataclass(frozen=True)
+class PathPat:
+    nodes: tuple  # (NodePat, ...), len == len(edges) + 1
+    edges: tuple  # (EdgePat, ...)
+
+
+# --- clauses ---------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Item:
+    expr: Expr
+    alias: str | None
+    text: str  # source text (Cypher's default output column name)
+
+
+@dataclass(frozen=True)
+class MatchClause:
+    patterns: tuple  # (PathPat, ...)
+    where: Expr | None
+    optional: bool
+
+
+@dataclass(frozen=True)
+class WithClause:
+    items: tuple  # (Item, ...)
+    distinct: bool = False
+    where: Expr | None = None
+
+
+@dataclass(frozen=True)
+class ReturnClause:
+    items: tuple
+    distinct: bool = False
+
+
+@dataclass(frozen=True)
+class Query:
+    clauses: tuple = field(default_factory=tuple)  # Match/With, then Return last

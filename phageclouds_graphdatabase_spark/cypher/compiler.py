@@ -1,0 +1,687 @@
+"""Compile the Cypher AST to a single Catalyst DataFrame plan.
+
+Planning model: a *binding frame* — one DataFrame whose columns are structs,
+one per bound pattern variable (node vars carry their node table's columns,
+edge vars the edge table's). Each clause folds more joins/filters/projections
+into the frame; RETURN selects the output. The whole query is ONE lazy plan:
+Catalyst pushes the predicates into the Parquet scans and picks
+broadcast/sort-merge per side, which is the engine upgrade over the
+reference's per-query Neo4j round-trips (SURVEY.md §3).
+
+Clause → plan shape:
+- MATCH (a)-[r]->(b)        chained equi-joins (J1/J2)
+- WHERE (a)-[:t]->(:L {k})  left-semi join (P8); NOT (...) → left-anti
+- WHERE x IN [literals]     Catalyst In/InSet (P5); IN $df_param → semi-join
+- OPTIONAL MATCH ... WHERE  the WHERE folds into the right side BEFORE a
+                            left-outer join (Cypher semantics the family
+                            query depends on, phageclouds_gdb_family.py:94)
+- WITH collect(x) AS y      global/grouped aggregation (A1); grouping keys =
+                            the non-aggregate items, per Cypher
+- RETURN a + [x IN b ...]   higher-order array expressions (A2)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from phageclouds_graphdatabase_spark.cypher import ast_nodes as A
+from phageclouds_graphdatabase_spark.cypher.parser import parse
+
+
+class CypherCompileError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class NodeTable:
+    """A node label: its DataFrame and the unique-key property."""
+
+    df: DataFrame
+    key: str
+
+
+@dataclass(frozen=True)
+class RelTable:
+    """A relationship type: edge DataFrame with src/dst columns holding the
+    endpoint labels' key values."""
+
+    df: DataFrame
+    src_col: str
+    dst_col: str
+    src_label: str
+    dst_label: str
+
+
+@dataclass(frozen=True)
+class GraphCatalog:
+    nodes: dict
+    rels: dict
+
+    def node(self, label: str) -> NodeTable:
+        try:
+            return self.nodes[label]
+        except KeyError:
+            raise CypherCompileError(f"unknown node label :{label}") from None
+
+    def rel(self, reltype: str) -> RelTable:
+        try:
+            return self.rels[reltype]
+        except KeyError:
+            raise CypherCompileError(f"unknown relationship type :{reltype}") from None
+
+
+def phage_catalog(
+    nodes: DataFrame, edges: DataFrame, infects: DataFrame | None = None
+) -> GraphCatalog:
+    """The reference's schema (SURVEY.md §1.1): PhageGenome(accession key),
+    Host(genus key, derived from the infects targets), sharesDNA(distance),
+    infects."""
+    labels = {"PhageGenome": NodeTable(nodes, "accession")}
+    rels = {"sharesDNA": RelTable(edges, "src", "dst", "PhageGenome", "PhageGenome")}
+    if infects is not None:
+        hosts = infects.select(F.col("host_genus").alias("genus")).distinct()
+        labels["Host"] = NodeTable(hosts, "genus")
+        rels["infects"] = RelTable(infects, "src", "host_genus", "PhageGenome", "Host")
+    return GraphCatalog(labels, rels)
+
+
+# --------------------------------------------------------------------------
+# Binding frame
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _Frame:
+    df: DataFrame | None = None
+    # var -> ('node', label) | ('edge', reltype) | ('flat', None)
+    vars: dict = field(default_factory=dict)
+    _tmp: int = 0
+
+    def fresh(self, prefix: str) -> str:
+        self._tmp += 1
+        return f"__{prefix}{self._tmp}"
+
+    def has(self, name: str) -> bool:
+        return name in self.vars
+
+
+def _struct_of(df: DataFrame, alias: str) -> Column:
+    return F.struct(*[F.col(c) for c in df.columns]).alias(alias)
+
+
+class CypherEngine:
+    """Parse + compile + run Cypher against a :class:`GraphCatalog`."""
+
+    def __init__(self, catalog: GraphCatalog, spark: SparkSession | None = None):
+        self.catalog = catalog
+        self.spark = spark
+
+    def run(self, query: str, params: dict | None = None) -> DataFrame:
+        return self.compile(parse(query), params or {})
+
+    # -- clause folding -----------------------------------------------------
+
+    def compile(self, q: A.Query, params: dict) -> DataFrame:
+        frame = _Frame()
+        out: DataFrame | None = None
+        for clause in q.clauses:
+            if isinstance(clause, A.MatchClause):
+                self._fold_match(frame, clause, params)
+            elif isinstance(clause, A.WithClause):
+                self._fold_with(frame, clause, params)
+            elif isinstance(clause, A.ReturnClause):
+                out = self._fold_return(frame, clause, params)
+            else:  # pragma: no cover
+                raise CypherCompileError(f"unsupported clause {clause!r}")
+        if out is None:
+            raise CypherCompileError("query has no RETURN clause")
+        return out
+
+    # -- MATCH --------------------------------------------------------------
+
+    def _fold_match(self, frame: _Frame, clause: A.MatchClause, params: dict) -> None:
+        if clause.optional:
+            if len(clause.patterns) != 1:
+                raise CypherCompileError("OPTIONAL MATCH supports one pattern")
+            self._fold_optional(frame, clause.patterns[0], clause.where, params)
+            return
+        for pat in clause.patterns:
+            self._fold_pattern(frame, pat, params)
+        if clause.where is not None:
+            self._apply_where(frame, clause.where, params)
+
+    def _fold_pattern(self, frame: _Frame, pat: A.PathPat, params: dict) -> None:
+        """Fold one node(-edge-node)* chain into the frame with inner joins."""
+        first = pat.nodes[0]
+        anchor = self._anchor_node(frame, first, params)
+        for i, (edge, node) in enumerate(zip(pat.edges, pat.nodes[1:])):
+            anchor = self._join_step(
+                frame, anchor, edge, node, params, "inner",
+                is_last=(i == len(pat.edges) - 1),
+            )
+
+    def _anchor_node(self, frame: _Frame, pat: A.NodePat, params: dict) -> str:
+        """Bind the first node of a chain; returns its variable name."""
+        if pat.var is not None and frame.has(pat.var):
+            kind, label = frame.vars[pat.var]
+            if kind != "node":
+                raise CypherCompileError(f"{pat.var} is not a node variable")
+            if pat.props:
+                frame.df = frame.df.filter(
+                    self._props_pred(frame, pat.var, pat.props, params)
+                )
+            return pat.var
+        var = pat.var or frame.fresh("n")
+        label = pat.label
+        if label is None:
+            raise CypherCompileError(
+                f"node ({pat.var or ''}) needs a label on first use"
+            )
+        nt = self.catalog.node(label)
+        df = nt.df
+        for name, val in pat.props:
+            df = df.filter(F.col(name) == self._scalar(val, params))
+        bound = df.select(_struct_of(df, var))
+        if frame.df is None:
+            frame.df = bound
+        else:
+            frame.df = frame.df.crossJoin(bound)
+        frame.vars[var] = ("node", label)
+        return var
+
+    def _join_step(
+        self,
+        frame: _Frame,
+        anchor: str,
+        edge: A.EdgePat,
+        node: A.NodePat,
+        params: dict,
+        how: str,
+        is_last: bool = True,
+    ) -> str:
+        """Join anchor -[edge]-> node into frame.df; returns the new anchor."""
+        if edge.reltype is None:
+            raise CypherCompileError("relationship patterns need a type")
+        rel = self.catalog.rel(edge.reltype)
+        _, anchor_label = frame.vars[anchor]
+
+        # direction: 'out' anchors at src, 'in' at dst, 'both' unions both
+        # orientations (the correct-semantics variant for the directed-once
+        # storage quirk, SURVEY.md §1.1)
+        edf = rel.df
+        if edge.direction == "out":
+            near, far, far_label = rel.src_col, rel.dst_col, rel.dst_label
+        elif edge.direction == "in":
+            near, far, far_label = rel.dst_col, rel.src_col, rel.src_label
+        else:
+            if rel.src_label != rel.dst_label:
+                raise CypherCompileError(
+                    "undirected match needs same-label endpoints"
+                )
+            flipped = rel.df.withColumnRenamed(rel.src_col, "__swap").withColumnRenamed(
+                rel.dst_col, rel.src_col
+            ).withColumnRenamed("__swap", rel.dst_col)
+            edf = rel.df.unionByName(flipped.select(rel.df.columns))
+            near, far, far_label = rel.src_col, rel.dst_col, rel.dst_label
+        if anchor_label != (rel.src_label if near == rel.src_col else rel.dst_label):
+            raise CypherCompileError(
+                f"cannot follow :{edge.reltype} from a :{anchor_label} node"
+            )
+
+        for name, val in edge.props:
+            edf = edf.filter(F.col(name) == self._scalar(val, params))
+
+        # Anonymous far node constrained only on its key (the existential
+        # shape `-[:infects]->(:Host {genus:"X"})`,
+        # /root/reference/phageclouds_gdb_host.py:57): the far key IS the
+        # edge's far column, and property-graph integrity (edges never
+        # dangle, as in Neo4j) makes the existence join a no-op — filter the
+        # edge table directly and skip one join per hop.
+        far_key = self.catalog.node(far_label).key
+        skip_far_join = (
+            is_last
+            and node.var is None
+            and (node.label is None or node.label == far_label)
+            and all(name == far_key for name, _ in node.props)
+        )
+        if skip_far_join:
+            for _, val in node.props:
+                edf = edf.filter(F.col(far) == self._scalar(val, params))
+
+        evar = edge.var or frame.fresh("e")
+        nearc, farc = frame.fresh("k"), frame.fresh("k")
+        eside = edf.select(
+            _struct_of(edf, evar), F.col(near).alias(nearc), F.col(far).alias(farc)
+        )
+        akey = F.col(anchor)[self.catalog.node(anchor_label).key]
+        joined = frame.df.join(eside, akey == F.col(nearc), how)
+
+        if skip_far_join:
+            frame.df = joined.drop(nearc, farc)
+            frame.vars[evar] = ("edge", edge.reltype)
+            # no node variable to bind; the chain may not continue from here
+            return anchor
+
+        if node.var is not None and frame.has(node.var):
+            # closing a cycle onto an already-bound node
+            tkey = F.col(node.var)[self.catalog.node(far_label).key]
+            frame.df = joined.filter(F.col(farc) == tkey).drop(nearc, farc)
+            frame.vars[evar] = ("edge", edge.reltype)
+            return node.var
+
+        nvar = node.var or frame.fresh("n")
+        nlabel = node.label or far_label
+        nt = self.catalog.node(nlabel)
+        ndf = nt.df
+        for name, val in node.props:
+            ndf = ndf.filter(F.col(name) == self._scalar(val, params))
+        nside = ndf.select(_struct_of(ndf, nvar))
+        frame.df = joined.join(
+            nside, F.col(farc) == F.col(nvar)[nt.key], how
+        ).drop(nearc, farc)
+        frame.vars[evar] = ("edge", edge.reltype)
+        frame.vars[nvar] = ("node", nlabel)
+        return nvar
+
+    # -- OPTIONAL MATCH ------------------------------------------------------
+
+    def _fold_optional(
+        self, frame: _Frame, pat: A.PathPat, where: A.Expr | None, params: dict
+    ) -> None:
+        """Compile the pattern + WHERE on a sub-frame anchored at the bound
+        first node, then LEFT OUTER join it back on the anchor key — the
+        WHERE must constrain the match, not filter rows afterwards
+        (/root/reference/phageclouds_gdb_family.py:94 keeps edgeless family
+        members only because of this)."""
+        first = pat.nodes[0]
+        if first.var is None or not frame.has(first.var):
+            raise CypherCompileError(
+                "OPTIONAL MATCH must start at an already-bound variable"
+            )
+        if not pat.edges:
+            raise CypherCompileError("OPTIONAL MATCH of a bare node is a no-op")
+        kind, label = frame.vars[first.var]
+        nt = self.catalog.node(label)
+
+        sub = _Frame(_tmp=frame._tmp + 100)
+        # anchor the sub-frame on the full node table of the bound label:
+        # only its KEY survives into the join, so no duplicate columns
+        sub.df = nt.df.select(_struct_of(nt.df, first.var))
+        sub.vars[first.var] = ("node", label)
+        anchor = first.var
+        if first.props:
+            sub.df = sub.df.filter(
+                self._props_pred(sub, first.var, first.props, params)
+            )
+        for i, (edge, node) in enumerate(zip(pat.edges, pat.nodes[1:])):
+            anchor = self._join_step(
+                sub, anchor, edge, node, params, "inner",
+                is_last=(i == len(pat.edges) - 1),
+            )
+        if where is not None:
+            self._apply_where(sub, where, params)
+
+        new_vars = [v for v in sub.vars if v != first.var and not v.startswith("__")]
+        keyc = frame.fresh("k")
+        right = sub.df.select(
+            F.col(first.var)[nt.key].alias(keyc),
+            *[F.col(v) for v in new_vars],
+        )
+        frame.df = frame.df.join(
+            right, F.col(first.var)[nt.key] == F.col(keyc), "left_outer"
+        ).drop(keyc)
+        for v in new_vars:
+            frame.vars[v] = sub.vars[v]
+
+    # -- WHERE ---------------------------------------------------------------
+
+    def _apply_where(self, frame: _Frame, where: A.Expr, params: dict) -> None:
+        """Split top-level conjuncts: existential patterns become semi/anti
+        joins, DataFrame-param IN becomes a semi-join, the rest one filter."""
+        plain: list[A.Expr] = []
+        for conj in _conjuncts(where):
+            if isinstance(conj, A.PatternPred):
+                self._exists_join(frame, conj.pattern, params, "left_semi")
+            elif isinstance(conj, A.Not) and isinstance(conj.expr, A.PatternPred):
+                self._exists_join(frame, conj.expr.pattern, params, "left_anti")
+            elif (
+                isinstance(conj, A.InList)
+                and isinstance(conj.source, A.Param)
+                and isinstance(params.get(conj.source.name), DataFrame)
+            ):
+                pdf = params[conj.source.name]
+                if len(pdf.columns) != 1:
+                    raise CypherCompileError(
+                        f"${conj.source.name}: IN-parameter DataFrames need "
+                        "exactly one column"
+                    )
+                item = self._col(frame, conj.item, params)
+                kc = frame.fresh("k")
+                frame.df = frame.df.join(
+                    F.broadcast(pdf.select(F.col(pdf.columns[0]).alias(kc))),
+                    item == F.col(kc),
+                    "left_semi",
+                )
+            else:
+                plain.append(conj)
+        if plain:
+            pred = None
+            for e in plain:
+                c = self._col(frame, e, params)
+                pred = c if pred is None else pred & c
+            frame.df = frame.df.filter(pred)
+
+    def _exists_join(
+        self, frame: _Frame, pat: A.PathPat, params: dict, how: str
+    ) -> None:
+        """WHERE (a)-[:t]->(:Label {k:v}) — P8 semi-join
+        (/root/reference/phageclouds_gdb_host.py:57). The anchor must be
+        bound; inner vars of the existential stay out of scope (openCypher
+        semantics)."""
+        first = pat.nodes[0]
+        if first.var is None or not frame.has(first.var):
+            raise CypherCompileError(
+                "existential pattern must start at a bound variable"
+            )
+        kind, label = frame.vars[first.var]
+        nt = self.catalog.node(label)
+        sub = _Frame(_tmp=frame._tmp + 200)
+        sub.df = nt.df.select(_struct_of(nt.df, first.var))
+        sub.vars[first.var] = ("node", label)
+        anchor = first.var
+        for i, (edge, node) in enumerate(zip(pat.edges, pat.nodes[1:])):
+            anchor = self._join_step(
+                sub, anchor, edge, node, params, "inner",
+                is_last=(i == len(pat.edges) - 1),
+            )
+        keyc = frame.fresh("k")
+        keys = sub.df.select(F.col(first.var)[nt.key].alias(keyc))
+        frame.df = frame.df.join(
+            F.broadcast(keys), F.col(first.var)[nt.key] == F.col(keyc), how
+        )
+
+    # -- WITH / RETURN -------------------------------------------------------
+
+    def _project(
+        self, frame: _Frame, items: tuple, distinct: bool, params: dict
+    ) -> DataFrame:
+        names, cols, aggs = [], [], []
+        for i, item in enumerate(items):
+            name = item.alias or _default_name(item)
+            names.append(name)
+            if _is_aggregate(item.expr):
+                aggs.append(i)
+                cols.append(None)  # filled below
+            else:
+                cols.append(self._col(frame, item.expr, params).alias(name))
+        if aggs:
+            agg_cols = [
+                self._agg_col(frame, items[i].expr, params).alias(names[i])
+                for i in aggs
+            ]
+            keys = [c for c in cols if c is not None]
+            if keys:
+                out = frame.df.groupBy(*keys).agg(*agg_cols)
+            else:
+                out = frame.df.agg(*agg_cols)
+            # restore the item order (groupBy puts keys first); backticks keep
+            # dotted default names (e.g. `a.accession`) out of struct parsing
+            out = out.select(*[F.col(f"`{n}`") for n in names])
+        else:
+            out = frame.df.select(*cols)
+        return out.distinct() if distinct else out
+
+    def _fold_with(self, frame: _Frame, clause: A.WithClause, params: dict) -> None:
+        out = self._project(frame, clause.items, clause.distinct, params)
+        frame.df = out
+        frame.vars = {
+            (item.alias or _default_name(item)): ("flat", None)
+            for item in clause.items
+        }
+        if clause.where is not None:
+            self._apply_where(frame, clause.where, params)
+
+    def _fold_return(
+        self, frame: _Frame, clause: A.ReturnClause, params: dict
+    ) -> DataFrame:
+        if frame.df is None:
+            raise CypherCompileError("RETURN without a preceding MATCH/WITH")
+        return self._project(frame, clause.items, clause.distinct, params)
+
+    # -- expression compilation ---------------------------------------------
+
+    def _props_pred(
+        self, frame: _Frame, var: str, props: tuple, params: dict
+    ) -> Column:
+        pred = None
+        for name, val in props:
+            c = F.col(var)[name] == self._scalar(val, params)
+            pred = c if pred is None else pred & c
+        return pred
+
+    def _scalar(self, e: A.Expr, params: dict):
+        if isinstance(e, A.Literal):
+            return F.lit(e.value)
+        if isinstance(e, A.Param):
+            v = params.get(e.name)
+            if isinstance(v, DataFrame):
+                raise CypherCompileError(
+                    f"${e.name}: DataFrame parameters are only valid in "
+                    "`x IN $param` predicates"
+                )
+            return F.lit(v)
+        raise CypherCompileError(f"expected a literal, got {e!r}")
+
+    def _col(self, frame: _Frame, e: A.Expr, params: dict, env: dict | None = None):
+        """AST expression -> Column. `env` maps lambda variables of list
+        comprehensions to their Columns."""
+        env = env or {}
+        if isinstance(e, (A.Literal, A.Param)):
+            return self._scalar(e, params)
+        if isinstance(e, A.ListLit):
+            return F.array(*[self._col(frame, i, params, env) for i in e.items])
+        if isinstance(e, A.Var):
+            if e.name in env:
+                return env[e.name]
+            if not frame.has(e.name):
+                raise CypherCompileError(f"unbound variable {e.name}")
+            return F.col(e.name)
+        if isinstance(e, A.Prop):
+            if e.var in env:
+                return env[e.var][e.name]
+            if not frame.has(e.var):
+                raise CypherCompileError(f"unbound variable {e.var}")
+            kind, _ = frame.vars[e.var]
+            if kind == "flat":
+                raise CypherCompileError(
+                    f"{e.var} is a projected value, not an entity; "
+                    f"reference it as `{e.var}`"
+                )
+            return F.col(e.var)[e.name]
+        if isinstance(e, A.Not):
+            return ~self._col(frame, e.expr, params, env)
+        if isinstance(e, A.And):
+            return self._col(frame, e.left, params, env) & self._col(
+                frame, e.right, params, env
+            )
+        if isinstance(e, A.Or):
+            return self._col(frame, e.left, params, env) | self._col(
+                frame, e.right, params, env
+            )
+        if isinstance(e, A.Cmp):
+            l = self._col(frame, e.left, params, env)
+            r = self._col(frame, e.right, params, env)
+            return {
+                "=": l == r, "<>": l != r, "<": l < r,
+                "<=": l <= r, ">": l > r, ">=": l >= r,
+            }[e.op]
+        if isinstance(e, A.StringPred):
+            l = self._col(frame, e.left, params, env)
+            r = self._col(frame, e.right, params, env)
+            if e.op == "CONTAINS":
+                return l.contains(r)
+            if e.op == "STARTS WITH":
+                return l.startswith(r)
+            return l.endswith(r)
+        if isinstance(e, A.IsNull):
+            c = self._col(frame, e.expr, params, env)
+            return c.isNotNull() if e.negated else c.isNull()
+        if isinstance(e, A.InList):
+            item = self._col(frame, e.item, params, env)
+            if isinstance(e.source, A.ListLit):
+                if all(isinstance(i, A.Literal) for i in e.source.items):
+                    # Catalyst In -> InSet above the conversion threshold
+                    return item.isin([i.value for i in e.source.items])
+                return F.array_contains(
+                    self._col(frame, e.source, params, env), item
+                )
+            if isinstance(e.source, A.Param):
+                v = params.get(e.source.name)
+                if isinstance(v, DataFrame):
+                    raise CypherCompileError(
+                        "DataFrame IN-parameters are only valid as top-level "
+                        "WHERE conjuncts"
+                    )
+                if not isinstance(v, (list, tuple, set)):
+                    raise CypherCompileError(
+                        f"${e.source.name}: IN needs a list parameter"
+                    )
+                return item.isin(list(v))
+            # array-typed expression (list comprehension predicates)
+            return F.array_contains(self._col(frame, e.source, params, env), item)
+        if isinstance(e, A.Arith):
+            l = self._col(frame, e.left, params, env)
+            r = self._col(frame, e.right, params, env)
+            if e.op == "+" and (
+                self._is_array(frame, e.left, params, env)
+                or self._is_array(frame, e.right, params, env)
+            ):
+                return F.concat(l, r)
+            return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[e.op]
+        if isinstance(e, A.ListComp):
+            src = self._col(frame, e.source, params, env)
+            def body(x):
+                inner = dict(env)
+                inner[e.var] = x
+                out = x
+                if e.proj is not None:
+                    out = self._col(frame, e.proj, params, inner)
+                return out
+            if e.where is not None:
+                def pred(x):
+                    inner = dict(env)
+                    inner[e.var] = x
+                    return self._col(frame, e.where, params, inner)
+                src = F.filter(src, pred)
+            if e.proj is not None:
+                src = F.transform(src, body)
+            return src
+        if isinstance(e, A.Func):
+            return self._func_col(frame, e, params, env)
+        if isinstance(e, A.PatternPred):
+            raise CypherCompileError(
+                "pattern predicates are only supported as top-level WHERE "
+                "conjuncts"
+            )
+        raise CypherCompileError(f"unsupported expression {e!r}")
+
+    _SCALAR_FUNCS = {
+        "tolower": F.lower, "toupper": F.upper, "trim": F.trim,
+        "size": F.size, "head": lambda c: F.element_at(c, 1),
+        "last": lambda c: F.element_at(c, -1), "abs": F.abs,
+        "floor": F.floor, "ceil": F.ceil, "round": F.round,
+        "tostring": lambda c: c.cast("string"),
+        "tointeger": lambda c: c.cast("long"),
+        "tofloat": lambda c: c.cast("double"),
+    }
+
+    def _func_col(self, frame: _Frame, e: A.Func, params: dict, env: dict):
+        if e.name in ("collect", "count", "sum", "min", "max", "avg"):
+            raise CypherCompileError(
+                f"{e.name}() is an aggregate; use it in WITH/RETURN items"
+            )
+        if e.name == "coalesce":
+            return F.coalesce(*[self._col(frame, a, params, env) for a in e.args])
+        if e.name == "split":
+            return F.split(
+                self._col(frame, e.args[0], params, env),
+                # literal separator, regex-escaped: Cypher split is literal
+                re_escape(self._lit_str(e.args[1])),
+            )
+        fn = self._SCALAR_FUNCS.get(e.name)
+        if fn is None:
+            raise CypherCompileError(f"unsupported function {e.name}()")
+        if len(e.args) != 1:
+            raise CypherCompileError(f"{e.name}() takes one argument")
+        return fn(self._col(frame, e.args[0], params, env))
+
+    @staticmethod
+    def _lit_str(e: A.Expr) -> str:
+        if isinstance(e, A.Literal) and isinstance(e.value, str):
+            return e.value
+        raise CypherCompileError("expected a string literal")
+
+    def _agg_col(self, frame: _Frame, e: A.Expr, params: dict) -> Column:
+        if not isinstance(e, A.Func):
+            raise CypherCompileError(f"expected an aggregate, got {e!r}")
+        if e.name == "count" and e.star:
+            return F.count(F.lit(1))
+        arg = self._col(frame, e.args[0], params)
+        if e.distinct:
+            if e.name == "collect":
+                return F.collect_set(arg)
+            if e.name == "count":
+                return F.count_distinct(arg)
+            raise CypherCompileError(f"DISTINCT {e.name}() not supported")
+        return {
+            # Neo4j collect() skips NULLs; so does collect_list
+            "collect": F.collect_list,
+            "count": F.count,
+            "sum": F.sum,
+            "min": F.min,
+            "max": F.max,
+            "avg": F.avg,
+        }[e.name](arg)
+
+    def _is_array(
+        self, frame: _Frame, e: A.Expr, params: dict, env: dict
+    ) -> bool:
+        if isinstance(e, (A.ListLit, A.ListComp)):
+            return True
+        if isinstance(e, A.Param):
+            return isinstance(params.get(e.name), (list, tuple))
+        if frame.df is None:
+            return False
+        try:
+            c = self._col(frame, e, params, env)
+            dt = frame.df.select(c.alias("__probe")).schema[0].dataType
+        except Exception:
+            return False
+        return isinstance(dt, T.ArrayType)
+
+
+def re_escape(s: str) -> str:
+    import re as _re
+
+    return _re.escape(s)
+
+
+def _conjuncts(e: A.Expr) -> list:
+    if isinstance(e, A.And):
+        return _conjuncts(e.left) + _conjuncts(e.right)
+    return [e]
+
+
+def _is_aggregate(e: A.Expr) -> bool:
+    return isinstance(e, A.Func) and e.name in (
+        "collect", "count", "sum", "min", "max", "avg",
+    )
+
+
+def _default_name(item: A.Item) -> str:
+    """Cypher names unaliased columns by their source text."""
+    return item.text

@@ -1,0 +1,428 @@
+"""Tokenizer + recursive-descent parser for the Cypher subset.
+
+Grammar (keywords case-insensitive, as the reference mixes `AS`/`as` and
+`IN`/`in` freely — /root/reference/phageclouds_gdb.py:65-72):
+
+    query       := clause+ ;?
+    clause      := (OPTIONAL)? MATCH pattern (',' pattern)* (WHERE expr)?
+                 | WITH (DISTINCT)? item (',' item)* (WHERE expr)?
+                 | RETURN (DISTINCT)? item (',' item)*
+    item        := expr (AS ident)?
+    pattern     := node ( edge node )*
+    node        := '(' ident? (':' ident)? props? ')'
+    edge        := '-' '[' ident? (':' ident)? props? ']' '->'    (out)
+                 | '<-' '[' ... ']' '-'                           (in)
+                 | '-' '[' ... ']' '-'                            (both)
+    props       := '{' ident ':' (literal | param) (',' ...)* '}'
+
+    expr        := or ; or := and (OR and)* ; and := not (AND not)*
+    not         := NOT not | cmp
+    cmp         := add ( ( '='|'<>'|'<='|'>='|'<'|'>' ) add
+                       | CONTAINS add | STARTS WITH add | ENDS WITH add
+                       | IN add | IS (NOT)? NULL )?
+    add         := mul ( ('+'|'-') mul )*
+    mul         := unary ( ('*'|'/') unary )*
+    unary       := '-' unary | primary
+    primary     := literal | param | list | listcomp | func '(' args ')'
+                 | ident '.' ident | ident | '(' expr ')' | pattern-predicate
+    listcomp    := '[' ident IN expr (WHERE expr)? ('|' expr)? ']'
+
+The one ambiguity — '(' starting either a parenthesized expression or an
+existential pattern predicate like (a)-[:infects]->(:Host {genus:"X"}) — is
+resolved by backtracking: try the pattern first, fall back to the expression.
+"""
+
+from __future__ import annotations
+
+import re
+
+from phageclouds_graphdatabase_spark.cypher import ast_nodes as A
+
+
+class CypherSyntaxError(ValueError):
+    pass
+
+
+_KEYWORDS = {
+    "match", "optional", "where", "with", "return", "as", "and", "or", "not",
+    "in", "contains", "starts", "ends", "distinct", "is", "null", "true",
+    "false",
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<number>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+  | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)
+  | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<sym><>|<=|>=|<-|->|[()\[\]{}:,;.\-+*/=<>|])
+    """,
+    re.VERBOSE,
+)
+
+
+def tokenize(text: str) -> list[tuple[str, str, int]]:
+    """-> [(kind, value, pos)]; kind in {number,string,ident,kw,param,sym}."""
+    out = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise CypherSyntaxError(f"unexpected character {text[pos]!r} at {pos}")
+        kind = m.lastgroup
+        val = m.group()
+        if kind != "ws":
+            if kind == "ident":
+                if val.startswith("`"):
+                    val = val[1:-1]
+                elif val.lower() in _KEYWORDS:
+                    kind, val = "kw", val.lower()
+            out.append((kind, val, pos))
+        pos = m.end()
+    out.append(("eof", "", len(text)))
+    return out
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return re.sub(r"\\(.)", r"\1", body)
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.toks = tokenize(text)
+        self.i = 0
+
+    # -- token helpers ------------------------------------------------------
+
+    def peek(self, k: int = 0) -> tuple[str, str, int]:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def at(self, kind: str, val: str | None = None, k: int = 0) -> bool:
+        tk, tv, _ = self.peek(k)
+        return tk == kind and (val is None or tv == val)
+
+    def take(self, kind: str, val: str | None = None) -> str:
+        tk, tv, pos = self.peek()
+        if tk != kind or (val is not None and tv != val):
+            want = val or kind
+            raise CypherSyntaxError(
+                f"expected {want!r} at position {pos}, found {tv!r}"
+            )
+        self.i += 1
+        return tv
+
+    def accept(self, kind: str, val: str | None = None) -> bool:
+        if self.at(kind, val):
+            self.i += 1
+            return True
+        return False
+
+    # -- entry --------------------------------------------------------------
+
+    def query(self) -> A.Query:
+        clauses: list = []
+        while True:
+            if self.accept("kw", "optional"):
+                self.take("kw", "match")
+                clauses.append(self._match(optional=True))
+            elif self.accept("kw", "match"):
+                clauses.append(self._match(optional=False))
+            elif self.accept("kw", "with"):
+                clauses.append(self._with())
+            elif self.accept("kw", "return"):
+                clauses.append(self._return())
+                break
+            else:
+                tk, tv, pos = self.peek()
+                raise CypherSyntaxError(
+                    f"expected a clause keyword at position {pos}, found {tv!r}"
+                )
+        self.accept("sym", ";")
+        if not self.at("eof"):
+            _, tv, pos = self.peek()
+            raise CypherSyntaxError(f"trailing input at position {pos}: {tv!r}")
+        return A.Query(tuple(clauses))
+
+    # -- clauses ------------------------------------------------------------
+
+    def _match(self, optional: bool) -> A.MatchClause:
+        pats = [self._pattern()]
+        while self.accept("sym", ","):
+            pats.append(self._pattern())
+        where = self.expr() if self.accept("kw", "where") else None
+        return A.MatchClause(tuple(pats), where, optional)
+
+    def _with(self) -> A.WithClause:
+        distinct = self.accept("kw", "distinct")
+        items = [self._item()]
+        while self.accept("sym", ","):
+            items.append(self._item())
+        where = self.expr() if self.accept("kw", "where") else None
+        return A.WithClause(tuple(items), distinct, where)
+
+    def _return(self) -> A.ReturnClause:
+        distinct = self.accept("kw", "distinct")
+        items = [self._item()]
+        while self.accept("sym", ","):
+            items.append(self._item())
+        return A.ReturnClause(tuple(items), distinct)
+
+    def _item(self) -> A.Item:
+        start = self.peek()[2]
+        e = self.expr()
+        end = self.peek()[2]
+        text = self.text[start:end].strip()
+        alias = None
+        if self.accept("kw", "as"):
+            alias = self._name()
+        return A.Item(e, alias, text)
+
+    def _name(self) -> str:
+        # aliases may collide with keywords in principle; accept both
+        tk, tv, pos = self.peek()
+        if tk in ("ident", "kw"):
+            self.i += 1
+            return tv
+        raise CypherSyntaxError(f"expected a name at position {pos}, found {tv!r}")
+
+    # -- patterns -----------------------------------------------------------
+
+    def _pattern(self) -> A.PathPat:
+        nodes = [self._node_pat()]
+        edges = []
+        while self.at("sym", "-") or self.at("sym", "<-"):
+            edges.append(self._edge_pat())
+            nodes.append(self._node_pat())
+        return A.PathPat(tuple(nodes), tuple(edges))
+
+    def _node_pat(self) -> A.NodePat:
+        self.take("sym", "(")
+        var = self._name() if self.at("ident") else None
+        label = None
+        if self.accept("sym", ":"):
+            label = self._name()
+        props = self._props() if self.at("sym", "{") else ()
+        self.take("sym", ")")
+        return A.NodePat(var, label, props)
+
+    def _edge_pat(self) -> A.EdgePat:
+        if self.accept("sym", "<-"):
+            incoming = True
+        else:
+            self.take("sym", "-")
+            incoming = False
+        self.take("sym", "[")
+        var = self._name() if self.at("ident") else None
+        reltype = None
+        if self.accept("sym", ":"):
+            reltype = self._name()
+        props = self._props() if self.at("sym", "{") else ()
+        self.take("sym", "]")
+        if incoming:
+            self.take("sym", "-")
+            direction = "in"
+        elif self.accept("sym", "->"):
+            direction = "out"
+        else:
+            self.take("sym", "-")
+            direction = "both"
+        return A.EdgePat(var, reltype, props, direction)
+
+    def _props(self) -> tuple:
+        self.take("sym", "{")
+        out = []
+        while True:
+            name = self._name()
+            self.take("sym", ":")
+            out.append((name, self._prop_value()))
+            if not self.accept("sym", ","):
+                break
+        self.take("sym", "}")
+        return tuple(out)
+
+    def _prop_value(self) -> A.Expr:
+        if self.at("param"):
+            return A.Param(self.take("param")[1:])
+        return self._literal()
+
+    def _literal(self) -> A.Literal:
+        tk, tv, pos = self.peek()
+        if tk == "string":
+            self.i += 1
+            return A.Literal(_unquote(tv))
+        if tk == "number":
+            self.i += 1
+            return A.Literal(self._num(tv))
+        if tk == "sym" and tv == "-" and self.at("number", k=1):
+            self.i += 2
+            return A.Literal(-self._num(self.toks[self.i - 1][1]))
+        if tk == "kw" and tv in ("true", "false"):
+            self.i += 1
+            return A.Literal(tv == "true")
+        if tk == "kw" and tv == "null":
+            self.i += 1
+            return A.Literal(None)
+        raise CypherSyntaxError(f"expected a literal at position {pos}, found {tv!r}")
+
+    @staticmethod
+    def _num(s: str):
+        return float(s) if ("." in s or "e" in s or "E" in s) else int(s)
+
+    # -- expressions --------------------------------------------------------
+
+    def expr(self) -> A.Expr:
+        return self._or()
+
+    def _or(self) -> A.Expr:
+        e = self._and()
+        while self.accept("kw", "or"):
+            e = A.Or(e, self._and())
+        return e
+
+    def _and(self) -> A.Expr:
+        e = self._not()
+        while self.accept("kw", "and"):
+            e = A.And(e, self._not())
+        return e
+
+    def _not(self) -> A.Expr:
+        if self.accept("kw", "not"):
+            return A.Not(self._not())
+        return self._cmp()
+
+    def _cmp(self) -> A.Expr:
+        e = self._add()
+        tk, tv, _ = self.peek()
+        if tk == "sym" and tv in ("=", "<>", "<=", ">=", "<", ">"):
+            self.i += 1
+            return A.Cmp(tv, e, self._add())
+        if tk == "kw" and tv == "contains":
+            self.i += 1
+            return A.StringPred("CONTAINS", e, self._add())
+        if tk == "kw" and tv == "starts":
+            self.i += 1
+            self.take("kw", "with")
+            return A.StringPred("STARTS WITH", e, self._add())
+        if tk == "kw" and tv == "ends":
+            self.i += 1
+            self.take("kw", "with")
+            return A.StringPred("ENDS WITH", e, self._add())
+        if tk == "kw" and tv == "in":
+            self.i += 1
+            return A.InList(e, self._add())
+        if tk == "kw" and tv == "is":
+            self.i += 1
+            negated = self.accept("kw", "not")
+            self.take("kw", "null")
+            return A.IsNull(e, negated)
+        return e
+
+    def _add(self) -> A.Expr:
+        e = self._mul()
+        while True:
+            if self.at("sym", "+"):
+                self.i += 1
+                e = A.Arith("+", e, self._mul())
+            elif self.at("sym", "-"):
+                self.i += 1
+                e = A.Arith("-", e, self._mul())
+            else:
+                return e
+
+    def _mul(self) -> A.Expr:
+        e = self._unary()
+        while True:
+            if self.at("sym", "*"):
+                self.i += 1
+                e = A.Arith("*", e, self._unary())
+            elif self.at("sym", "/"):
+                self.i += 1
+                e = A.Arith("/", e, self._unary())
+            else:
+                return e
+
+    def _unary(self) -> A.Expr:
+        if self.accept("sym", "-"):
+            inner = self._unary()
+            if isinstance(inner, A.Literal) and isinstance(inner.value, (int, float)):
+                return A.Literal(-inner.value)
+            return A.Arith("-", A.Literal(0), inner)
+        return self._primary()
+
+    def _primary(self) -> A.Expr:
+        tk, tv, pos = self.peek()
+        if tk == "string" or tk == "number" or (tk == "kw" and tv in ("true", "false", "null")):
+            return self._literal()
+        if tk == "param":
+            self.i += 1
+            return A.Param(tv[1:])
+        if tk == "sym" and tv == "[":
+            return self._bracket()
+        if tk == "sym" and tv == "(":
+            # pattern predicate vs parenthesized expression: backtrack
+            mark = self.i
+            try:
+                pat = self._pattern()
+                if not pat.edges:
+                    raise CypherSyntaxError("bare parenthesized variable")
+                return A.PatternPred(pat)
+            except CypherSyntaxError:
+                self.i = mark
+            self.take("sym", "(")
+            e = self.expr()
+            self.take("sym", ")")
+            return e
+        if tk == "ident":
+            name = self.take("ident")
+            if self.accept("sym", "."):
+                return A.Prop(name, self._name())
+            if self.at("sym", "("):
+                return self._func(name)
+            return A.Var(name)
+        raise CypherSyntaxError(
+            f"expected an expression at position {pos}, found {tv!r}"
+        )
+
+    def _func(self, name: str) -> A.Func:
+        self.take("sym", "(")
+        if self.accept("sym", "*"):
+            self.take("sym", ")")
+            return A.Func(name.lower(), (), star=True)
+        distinct = self.accept("kw", "distinct")
+        args: list = []
+        if not self.at("sym", ")"):
+            args.append(self.expr())
+            while self.accept("sym", ","):
+                args.append(self.expr())
+        self.take("sym", ")")
+        return A.Func(name.lower(), tuple(args), distinct=distinct)
+
+    def _bracket(self) -> A.Expr:
+        """Either a list literal [1, 2] or a comprehension
+        [x IN lst WHERE pred | proj] (/root/reference/phageclouds_gdb_family.py:94)."""
+        self.take("sym", "[")
+        if self.at("ident") and self.at("kw", "in", k=1):
+            var = self.take("ident")
+            self.take("kw", "in")
+            source = self.expr()
+            where = self.expr() if self.accept("kw", "where") else None
+            proj = None
+            if self.accept("sym", "|"):
+                proj = self.expr()
+            self.take("sym", "]")
+            return A.ListComp(var, source, where, proj)
+        items: list = []
+        if not self.at("sym", "]"):
+            items.append(self.expr())
+            while self.accept("sym", ","):
+                items.append(self.expr())
+        self.take("sym", "]")
+        return A.ListLit(tuple(items))
+
+
+def parse(text: str) -> A.Query:
+    """Parse a Cypher query string into the AST."""
+    return _Parser(text).query()

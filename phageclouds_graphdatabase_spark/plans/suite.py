@@ -8,6 +8,7 @@ and tools/verify_local.py run the same comparison locally.
 from __future__ import annotations
 
 from phageclouds_graphdatabase_spark.plans import (
+    suite_cypher,
     suite_extensions,
     suite_pipeline,
     suite_relational,
@@ -20,6 +21,7 @@ SUITE: dict[str, SuiteEntry] = {
     **suite_extensions.ENTRIES,
     **suite_pipeline.ENTRIES,
     **suite_training.ENTRIES,
+    **suite_cypher.ENTRIES,
 }
 
 

@@ -1,0 +1,221 @@
+"""Oracle-checked queries driven through the Cypher frontend (S2: the
+engine's query-language entry point).
+
+Each entry parses a reference-shaped Cypher text
+(/root/reference/phageclouds_gdb.py:56-73, phageclouds_gdb_host.py:57-65)
+with ``cypher.parse``, compiles it to a DataFrame plan, and is checked
+against a DuckDB oracle over the same derived property graph the other
+graph-suite queries use (the phage tables aren't in /root/testdata):
+
+    PhageGenome nodes = parts  ('P<key>', source = first p_type word,
+                                taxonomy = p_name, genome_size = p_size,
+                                genus = p_brand)
+                      ∪ suppliers ('S<key>', source 'SUPPLIER',
+                                taxonomy = s_name, genome_size = s_nationkey)
+    sharesDNA edges   = lineitem-derived P->S with distance = MIN(l_discount)
+    infects edges     = part -> Host(p_brand)
+
+The collect()-based entries explode the result array back to rows: Cypher's
+collect order is partition-order-dependent (so un-hashable), but the
+MULTISET of elements is deterministic — exactly what the reference relies on
+when it set()s the list client-side (phageclouds_gdb_family.py:95).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from phageclouds_graphdatabase_spark.cypher import CypherEngine, phage_catalog
+from phageclouds_graphdatabase_spark.plans._suite_helpers import (
+    GRAPH_EDGES_SQL,
+    GRAPH_THRESHOLD,
+    SuiteEntry,
+    graph_edges,
+    t,
+)
+
+_NODES_SQL = """
+    SELECT 'P' || p_partkey AS accession,
+           split_part(p_type, ' ', 1) AS source,
+           p_name AS taxonomy,
+           CAST(p_size AS BIGINT) AS genome_size,
+           p_brand AS genus
+    FROM part
+    UNION ALL
+    SELECT 'S' || s_suppkey, 'SUPPLIER', s_name,
+           CAST(s_nationkey AS BIGINT), NULL
+    FROM supplier
+"""
+
+_INFECTS_SQL = "SELECT 'P' || p_partkey AS src, p_brand AS host_genus FROM part"
+
+_CTE = f"""
+WITH nodes AS ({_NODES_SQL}),
+edges AS ({GRAPH_EDGES_SQL}),
+infects AS ({_INFECTS_SQL})
+"""
+
+
+def _nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    parts = p.select(
+        F.concat(F.lit("P"), F.col("p_partkey")).alias("accession"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("source"),
+        F.col("p_name").alias("taxonomy"),
+        F.col("p_size").cast("long").alias("genome_size"),
+        F.col("p_brand").alias("genus"),
+    )
+    sups = s.select(
+        F.concat(F.lit("S"), F.col("s_suppkey")).alias("accession"),
+        F.lit("SUPPLIER").alias("source"),
+        F.col("s_name").alias("taxonomy"),
+        F.col("s_nationkey").cast("long").alias("genome_size"),
+        F.lit(None).cast("string").alias("genus"),
+    )
+    return parts.unionByName(sups)
+
+
+def _infects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "part").select(
+        F.concat(F.lit("P"), F.col("p_partkey")).alias("src"),
+        F.col("p_brand").alias("host_genus"),
+    )
+
+
+def _engine(spark: SparkSession, sf_dir: str) -> CypherEngine:
+    return CypherEngine(
+        phage_catalog(
+            _nodes(spark, sf_dir),
+            graph_edges(spark, sf_dir),
+            _infects(spark, sf_dir),
+        )
+    )
+
+
+def cypher_seed_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The taxon script's Q1 shape (phageclouds_gdb.py:56-58) through the
+    Cypher frontend: property-map filter + CONTAINS + range predicate over a
+    2-node/1-edge motif."""
+    q = """MATCH (a:PhageGenome)-[r:sharesDNA]->(b:PhageGenome)
+            WHERE a.taxonomy CONTAINS '{}' AND r.distance <= {}
+            RETURN a.accession AS seed, b.accession AS target, r.distance AS dist;""".format(
+        "red", GRAPH_THRESHOLD
+    )
+    return _engine(spark, sf_dir).run(q)
+
+
+CYPHER_SEED_EXPAND_SQL = _CTE + f"""
+SELECT n.accession AS seed, e.dst AS target, e.distance AS dist
+FROM edges e JOIN nodes n ON e.src = n.accession
+WHERE n.taxonomy LIKE '%red%' AND e.distance <= {GRAPH_THRESHOLD}
+"""
+
+
+_IN_LIST = ["P1", "P2", "P3", "P4", "P5", "S1", "S2", "S3"]
+
+
+def cypher_induced_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The induced-edges shape with the node set interpolated as a Python
+    list literal, exactly as the reference scripts do
+    (phageclouds_gdb.py:64-67)."""
+    q = """MATCH (a:PhageGenome)-[r:sharesDNA]->(b:PhageGenome)
+            WHERE a.accession in {} AND b.accession in {} AND r.distance <= {}
+            RETURN a.accession AS Source, b.accession AS Target,
+            r.distance as Distance;""".format(_IN_LIST, _IN_LIST, GRAPH_THRESHOLD)
+    return _engine(spark, sf_dir).run(q)
+
+
+_IN_SQL = "('" + "', '".join(_IN_LIST) + "')"
+
+CYPHER_INDUCED_SQL = _CTE + f"""
+SELECT e.src AS Source, e.dst AS Target, e.distance AS Distance
+FROM edges e
+WHERE e.src IN {_IN_SQL} AND e.dst IN {_IN_SQL}
+  AND e.distance <= {GRAPH_THRESHOLD}
+"""
+
+
+def cypher_optional_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The host script's attribute query (phageclouds_gdb_host.py:61-62):
+    OPTIONAL MATCH left-outer host join, NULL when no host."""
+    q = """MATCH (a:PhageGenome) WHERE a.accession IN {} OPTIONAL MATCH (a)-[:infects]->(h:Host)
+            RETURN a.accession AS Phage, a.source AS Source, a.genome_size AS Genome_size, h.genus AS Host;""".format(
+        _IN_LIST
+    )
+    return _engine(spark, sf_dir).run(q)
+
+
+CYPHER_OPTIONAL_SQL = _CTE + f"""
+SELECT n.accession AS Phage, n.source AS Source,
+       n.genome_size AS Genome_size, i.host_genus AS Host
+FROM nodes n LEFT JOIN infects i ON n.accession = i.src
+WHERE n.accession IN {_IN_SQL}
+"""
+
+
+def cypher_existential_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The harsh host query end-to-end (phageclouds_gdb_host.py:57):
+    existential pattern predicate, inequality source filter on endpoint `a`
+    only, WITH collect() x2, and the A2 list-union comprehension — then
+    exploded back to rows (multiset is deterministic, order is not)."""
+    q = (
+        'MATCH (a:PhageGenome)-[r:sharesDNA]->(b:PhageGenome) '
+        'WHERE (a)-[:infects]->(:Host {{genus:"{}"}}) AND r.distance <= {} '
+        'AND a.source <> "PROMO" '
+        "WITH collect(a.accession) as a_list, collect(b.accession) as b_list "
+        "RETURN a_list + [x IN b_list WHERE NOT x IN a_list] AS node_list;"
+    ).format("Brand#13", GRAPH_THRESHOLD)
+    out = _engine(spark, sf_dir).run(q)
+    return out.select(F.explode("node_list").alias("node_id"))
+
+
+CYPHER_EXISTENTIAL_SQL = _CTE + f"""
+, q AS (
+    SELECT e.src AS a, e.dst AS b
+    FROM edges e
+    JOIN nodes n ON e.src = n.accession
+    WHERE EXISTS (SELECT 1 FROM infects i
+                  WHERE i.src = e.src AND i.host_genus = 'Brand#13')
+      AND e.distance <= {GRAPH_THRESHOLD}
+      AND n.source <> 'PROMO'
+)
+SELECT a AS node_id FROM q
+UNION ALL
+SELECT b FROM q WHERE b NOT IN (SELECT a FROM q)
+"""
+
+
+def cypher_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher implicit grouping (non-aggregate RETURN items are the keys):
+    per-source node counts and max genome size."""
+    q = ("MATCH (a:PhageGenome) RETURN a.source AS src, "
+         "count(a.accession) AS n, max(a.genome_size) AS biggest")
+    return _engine(spark, sf_dir).run(q)
+
+
+CYPHER_GROUPED_SQL = _CTE + """
+SELECT source AS src, CAST(COUNT(accession) AS BIGINT) AS n,
+       MAX(genome_size) AS biggest
+FROM nodes GROUP BY source
+"""
+
+
+ENTRIES = {
+    "cypher_seed_expand": SuiteEntry(
+        cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
+    ),
+    "cypher_induced_in_list": SuiteEntry(
+        cypher_induced_in_list, CYPHER_INDUCED_SQL, ("S2", "J3", "P5")
+    ),
+    "cypher_optional_host": SuiteEntry(
+        cypher_optional_host, CYPHER_OPTIONAL_SQL, ("S2", "J4", "J5")
+    ),
+    "cypher_existential_collect": SuiteEntry(
+        cypher_existential_collect, CYPHER_EXISTENTIAL_SQL, ("S2", "P8", "A1", "A2")
+    ),
+    "cypher_grouped_agg": SuiteEntry(
+        cypher_grouped_agg, CYPHER_GROUPED_SQL, ("S2", "A6")
+    ),
+}

@@ -59,3 +59,28 @@ def test_cli_family(spark, tmp_path, phage_nodes, shares_dna, infects):
     nodes, edges = golden.parse_vis_html(out)
     assert {n["id"] for n in nodes} == {"D1", "D2", "E1"}
     assert len(edges) == 1
+
+
+def test_cli_query_parquet_out(spark, tmp_path, phage_nodes, shares_dna, infects):
+    d = _write_data_dir(tmp_path, phage_nodes, shares_dna, infects)
+    out = str(tmp_path / "result")
+    cli.main(
+        ["--data-dir", d, "query",
+         "MATCH (a:PhageGenome {source:'NCBI'})-[r:sharesDNA]->(b:PhageGenome) "
+         "WHERE r.distance <= 0.25 "
+         "RETURN a.accession AS src, b.accession AS dst",
+         "--out", out]
+    )
+    got = {(r.src, r.dst) for r in spark.read.parquet(out).collect()}
+    assert got == {("A1", "A2"), ("A1", "A3"), ("A2", "A3"),
+                   ("B1", "B2"), ("D1", "D2")}
+
+
+def test_cli_query_prints(spark, tmp_path, phage_nodes, shares_dna, infects, capsys):
+    d = _write_data_dir(tmp_path, phage_nodes, shares_dna, infects)
+    cli.main(
+        ["--data-dir", d, "query",
+         "MATCH (a:PhageGenome) RETURN a.source AS src, count(a.accession) AS n"]
+    )
+    printed = capsys.readouterr().out
+    assert "NCBI" in printed and "Tara" in printed

@@ -1,0 +1,359 @@
+"""Cypher-subset frontend tests.
+
+Three layers:
+1. parser unit tests (AST shapes, case-insensitivity, errors);
+2. the reference's nine query templates executed VERBATIM (same `.format`
+   interpolation the scripts do, /root/reference/phageclouds_gdb.py:56-73,
+   phageclouds_gdb_family.py:94-99, phageclouds_gdb_host.py:57-65) against
+   the FIXTURES.md synthetic graph, with hand-computed expected results that
+   pin Neo4j semantics (duplicate-preserving collect(), optional-match NULLs,
+   existential semi-joins, directed-only expand);
+3. end-to-end golden parity: the taxon script's 3-query flow re-run through
+   the engine on inputs reconstructed from a committed golden HTML.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from phageclouds_graphdatabase_spark.cypher import (
+    CypherEngine,
+    CypherSyntaxError,
+    parse,
+    phage_catalog,
+)
+from phageclouds_graphdatabase_spark.cypher import ast_nodes as A
+from phageclouds_graphdatabase_spark.cypher.compiler import CypherCompileError
+from phageclouds_graphdatabase_spark.sources import golden
+
+REF = "/root/reference"
+
+
+# --------------------------------------------------------------------------
+# 1. Parser
+# --------------------------------------------------------------------------
+
+
+class TestParser:
+    def test_match_node_props_and_edge(self):
+        q = parse(
+            "MATCH (a:PhageGenome {source:'NCBI'})-[r:sharesDNA]->(b:PhageGenome) "
+            "RETURN a.accession AS x"
+        )
+        m = q.clauses[0]
+        (pat,) = m.patterns
+        assert pat.nodes[0] == A.NodePat("a", "PhageGenome", (("source", A.Literal("NCBI")),))
+        assert pat.edges[0].reltype == "sharesDNA"
+        assert pat.edges[0].direction == "out"
+        assert pat.nodes[1].var == "b"
+
+    def test_keywords_case_insensitive_and_aliases(self):
+        q = parse("match (a:L) return a.x as Foo, a.y AS Bar;")
+        items = q.clauses[-1].items
+        assert [i.alias for i in items] == ["Foo", "Bar"]
+
+    def test_in_list_of_python_repr(self):
+        q = parse("MATCH (a:L) WHERE a.k in ['A1', 'B2'] RETURN a.k")
+        w = q.clauses[0].where
+        assert isinstance(w, A.InList)
+        assert w.source == A.ListLit((A.Literal("A1"), A.Literal("B2")))
+
+    def test_existential_pattern_predicate(self):
+        q = parse(
+            'MATCH (a:L) WHERE (a)-[:infects]->(:Host {genus:"X"}) RETURN a.k'
+        )
+        w = q.clauses[0].where
+        assert isinstance(w, A.PatternPred)
+        assert w.pattern.nodes[1].label == "Host"
+
+    def test_parenthesized_expr_not_pattern(self):
+        q = parse("MATCH (a:L) WHERE (a.x = 1 OR a.y = 2) AND a.z = 3 RETURN a.k")
+        assert isinstance(q.clauses[0].where, A.And)
+
+    def test_list_comprehension(self):
+        q = parse("MATCH (a:L) WITH collect(a.k) AS ks "
+                  "RETURN [x IN ks WHERE NOT x IN ks] AS out")
+        item = q.clauses[-1].items[0]
+        assert isinstance(item.expr, A.ListComp)
+        assert item.expr.var == "x"
+
+    def test_directions(self):
+        out = parse("MATCH (a:L)-[r:T]->(b:L) RETURN a.k").clauses[0]
+        inn = parse("MATCH (a:L)<-[r:T]-(b:L) RETURN a.k").clauses[0]
+        both = parse("MATCH (a:L)-[r:T]-(b:L) RETURN a.k").clauses[0]
+        assert out.patterns[0].edges[0].direction == "out"
+        assert inn.patterns[0].edges[0].direction == "in"
+        assert both.patterns[0].edges[0].direction == "both"
+
+    def test_unaliased_item_keeps_source_text(self):
+        q = parse("MATCH (a:L) RETURN a.accession;")
+        assert q.clauses[-1].items[0].text == "a.accession"
+
+    @pytest.mark.parametrize("bad", [
+        "MATCH (a:L RETURN a.k",
+        "RETURN",
+        "MATCH (a:L) RETURN a.k extra",
+        "MATCH (a:L) WHERE RETURN a.k",
+    ])
+    def test_syntax_errors(self, bad):
+        with pytest.raises(CypherSyntaxError):
+            parse(bad)
+
+
+# --------------------------------------------------------------------------
+# 2. Reference templates on the synthetic fixture graph
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def eng(phage_nodes, shares_dna, infects):
+    return CypherEngine(phage_catalog(phage_nodes, shares_dna, infects))
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+class TestReferenceTemplates:
+    def test_taxon_seed_expand(self, eng):
+        # phageclouds_gdb.py:56-58 — NCBI seeds, CONTAINS, distance <= t
+        q = """MATCH (a:PhageGenome {{source:'NCBI'}})-[r:sharesDNA]->(b:PhageGenome)
+                WHERE a.taxonomy CONTAINS '{}' AND r.distance <= {}
+                RETURN a.accession AS {}_phage, b.accession AS target_phage;""".format(
+            "Tequatrovirus", 0.25, "Tequatrovirus"
+        )
+        df = eng.run(q)
+        assert df.columns == ["Tequatrovirus_phage", "target_phage"]
+        # A1,A2 are the NCBI Tequatrovirus seeds; C1->A1 is NOT followed
+        # (directed-only expand, SURVEY.md §1.1)
+        assert rows(df) == [("A1", "A2"), ("A1", "A3"), ("A2", "A3")]
+
+    def test_induced_edges_interpolated_in_list(self, eng):
+        # phageclouds_gdb.py:64-67 — the node set re-enters as a list literal
+        ns = ["A1", "A2", "A3"]
+        q = """MATCH (a:PhageGenome)-[r:sharesDNA]->(b:PhageGenome)
+                WHERE a.accession in {} AND b.accession in {} AND r.distance <= {}
+                RETURN a.accession AS Source, b.accession AS Target,
+                r.distance as Distance;""".format(ns, ns, 0.25)
+        assert rows(eng.run(q)) == [
+            ("A1", "A2", 0.10), ("A1", "A3", 0.20), ("A2", "A3", 0.15)
+        ]
+
+    def test_node_attrs_computed_boolean(self, eng):
+        # phageclouds_gdb.py:71-73 — dynamic computed boolean column name
+        q = """MATCH (a:PhageGenome) WHERE a.accession in {}
+                RETURN a.accession as Phage, a.source as Source, a.genome_size as Genome_size,
+                a.taxonomy CONTAINS '{}' as Phage_is_{};""".format(
+            ["A1", "A2", "A3"], "Tequatrovirus", "Tequatrovirus"
+        )
+        df = eng.run(q)
+        assert df.columns == ["Phage", "Source", "Genome_size", "Phage_is_Tequatrovirus"]
+        assert rows(df) == [
+            ("A1", "NCBI", 168000, True),
+            ("A2", "NCBI", 171000, True),
+            ("A3", "Tara", 45000, False),
+        ]
+
+    def test_family_collect_and_list_comprehension(self, eng):
+        # phageclouds_gdb_family.py:94 — OPTIONAL MATCH + WITH collect + A2
+        # list-union. collect() keeps duplicates (one p per matched q); the
+        # reference set()s the list client-side (family.py:95).
+        q = (
+            'MATCH (p:PhageGenome {{source:"NCBI"}}) WHERE p.taxonomy CONTAINS "{}" '
+            "OPTIONAL MATCH (p)-[r:sharesDNA]->(q:PhageGenome) WHERE r.distance <= {} "
+            "WITH collect(p.accession) AS target_phages, collect(q.accession) AS connected_phages "
+            "RETURN target_phages + [x IN connected_phages WHERE NOT x IN target_phages] "
+            "AS phage_nodes;"
+        ).format("Myoviridae", 0.25)
+        [row] = eng.run(q).collect()
+        assert sorted(row.phage_nodes) == ["A1", "A1", "A2", "A3", "A3"]
+
+    def test_family_optional_match_keeps_edgeless_seeds(self, eng):
+        # the OPTIONAL MATCH's WHERE constrains the match, not the seeds:
+        # Herelleviridae D1->D2 (0.25) doesn't qualify at t=0.15, yet all of
+        # D1, D2, E1 must stay (E1 has no edges at all)
+        q = (
+            'MATCH (p:PhageGenome {source:"NCBI"}) WHERE p.taxonomy CONTAINS "Herelleviridae" '
+            "OPTIONAL MATCH (p)-[r:sharesDNA]->(q:PhageGenome) WHERE r.distance <= 0.15 "
+            "WITH collect(p.accession) AS target_phages, collect(q.accession) AS connected_phages "
+            "RETURN target_phages + [x IN connected_phages WHERE NOT x IN target_phages] "
+            "AS phage_nodes;"
+        )
+        [row] = eng.run(q).collect()
+        assert sorted(row.phage_nodes) == ["D1", "D2", "E1"]
+
+    def test_host_existential_harsh(self, eng):
+        # phageclouds_gdb_host.py:57 — existential infects predicate, harsh
+        # source filter on endpoint a ONLY (the golden-parity quirk)
+        q = (
+            'MATCH (a:PhageGenome)-[r:sharesDNA]->(b:PhageGenome) '
+            'WHERE (a)-[:infects]->(:Host {{genus:"{}"}}) AND r.distance <= {} '
+            'AND a.source <> "GTDB_predicted_prophages" '
+            "WITH collect(a.accession) as a_list, collect(b.accession) as b_list "
+            "RETURN a_list + [x IN b_list WHERE NOT x IN a_list] AS node_list;"
+        ).format("Escherichia", 0.25)
+        [row] = eng.run(q).collect()
+        assert sorted(row.node_list) == ["A1", "A1", "A2", "A3", "A3", "B1", "B2"]
+
+    def test_host_optional_attribute_join_multiplies_rows(self, eng):
+        # phageclouds_gdb_host.py:61-62 — J5: two hosts for B2 -> two rows;
+        # hostless E1 -> NULL Host
+        q = """MATCH (a:PhageGenome) WHERE a.accession IN {} OPTIONAL MATCH (a)-[:infects]->(h:Host)
+                RETURN a.accession AS Phage, a.source AS Source, a.genome_size AS Genome_size, a.genus AS Phage_genus, h.genus AS Host;""".format(
+            ["A1", "B2", "E1"]
+        )
+        assert rows(eng.run(q)) == [
+            ("A1", "NCBI", 168000, "Tequatrovirus", "Escherichia"),
+            ("B2", "GPD_Isolate", 51000, None, "Cellulophaga"),
+            ("B2", "GPD_Isolate", 51000, None, "Salmonella"),
+            ("E1", "NCBI", 127000, "Okubovirus", None),
+        ]
+
+    def test_family_node_attrs(self, eng):
+        # phageclouds_gdb_family.py:96 (note the reference's multi-space
+        # `AS       Lineage` — whitespace-insensitive parse)
+        q = """MATCH (p:PhageGenome) WHERE p.accession IN {} RETURN p.accession AS Phage, p.source AS Source, p.genome_size AS Genome_size, p.taxonomy AS       Lineage;""".format(
+            ["D1", "E1"]
+        )
+        df = eng.run(q)
+        assert df.columns == ["Phage", "Source", "Genome_size", "Lineage"]
+        assert len(df.collect()) == 2
+
+
+class TestBeyondReference:
+    def test_incoming_direction(self, eng):
+        q = "MATCH (a:PhageGenome)<-[r:sharesDNA]-(b:PhageGenome) " \
+            "WHERE a.accession = 'A1' RETURN b.accession AS src"
+        assert rows(eng.run(q)) == [("C1",)]
+
+    def test_undirected_match(self, eng):
+        # both-directions mode: A1's neighborhood includes inbound C1
+        q = "MATCH (a:PhageGenome)-[r:sharesDNA]-(b:PhageGenome) " \
+            "WHERE a.accession = 'A1' RETURN b.accession AS nbr"
+        assert rows(eng.run(q)) == [("A2",), ("A3",), ("C1",)]
+
+    def test_dataframe_param_semi_join(self, eng, spark):
+        ids = spark.createDataFrame([("A1",), ("A2,",)], "id string")
+        q = "MATCH (a:PhageGenome) WHERE a.accession IN $ids " \
+            "RETURN a.accession AS acc"
+        assert rows(eng.run(q, params={"ids": ids})) == [("A1",)]
+
+    def test_list_param(self, eng):
+        q = "MATCH (a:PhageGenome) WHERE a.accession IN $ids RETURN a.accession AS acc"
+        assert rows(eng.run(q, params={"ids": ["A1", "D2"]})) == [("A1",), ("D2",)]
+
+    def test_scalar_param_in_props(self, eng):
+        q = "MATCH (a:PhageGenome {source: $src}) RETURN count(a.accession) AS n"
+        assert eng.run(q, params={"src": "Tara"}).collect()[0].n == 3
+
+    def test_grouped_aggregation(self, eng):
+        # Cypher implicit grouping: non-aggregate items are the keys
+        q = "MATCH (a:PhageGenome) RETURN a.source AS src, " \
+            "count(a.accession) AS n, max(a.genome_size) AS biggest"
+        got = {r.src: (r.n, r.biggest) for r in eng.run(q).collect()}
+        assert got["NCBI"] == (6, 171000)
+        assert got["Tara"] == (3, 45000)
+
+    def test_count_star_and_distinct(self, eng):
+        q = "MATCH (a:PhageGenome)-[r:sharesDNA]->(b:PhageGenome) " \
+            "RETURN count(*) AS edges"
+        assert eng.run(q).collect()[0].edges == 9
+        # B2 (GPD_Isolate) has no outgoing edges -> 4 distinct sources
+        q = "MATCH (a:PhageGenome)-[r:sharesDNA]->(b:PhageGenome) " \
+            "RETURN DISTINCT a.source AS s"
+        assert len(eng.run(q).collect()) == 4
+
+    def test_not_existential_anti_join(self, eng):
+        q = 'MATCH (a:PhageGenome {source:"NCBI"}) ' \
+            "WHERE NOT (a)-[:infects]->(h:Host) RETURN a.accession AS acc"
+        assert rows(eng.run(q)) == [("D2",), ("E1",)]
+
+    def test_cycle_close_on_bound_var(self, eng):
+        # triangle A1->A2->A3 plus closing A1->A3
+        q = "MATCH (a:PhageGenome)-[r1:sharesDNA]->(b:PhageGenome)" \
+            "-[r2:sharesDNA]->(c:PhageGenome), (a)-[r3:sharesDNA]->(c) " \
+            "RETURN a.accession AS a, b.accession AS b, c.accession AS c"
+        assert rows(eng.run(q)) == [("A1", "A2", "A3")]
+
+    def test_with_where_post_aggregation(self, eng):
+        q = "MATCH (a:PhageGenome) WITH a.source AS src, count(a.accession) AS n " \
+            "WHERE n >= 3 RETURN src, n"
+        got = {r.src for r in eng.run(q).collect()}
+        assert got == {"NCBI", "Tara"}
+
+    def test_is_null_and_boolean_ops(self, eng):
+        q = "MATCH (a:PhageGenome) WHERE a.genus IS NULL AND " \
+            "(a.source = 'Tara' OR a.source = 'GPD_Isolate') " \
+            "RETURN a.accession AS acc"
+        assert rows(eng.run(q)) == [("A3",), ("B2",), ("F1",), ("F2",)]
+
+
+class TestErrors:
+    def test_unknown_label(self, eng):
+        with pytest.raises(CypherCompileError, match="unknown node label"):
+            eng.run("MATCH (a:Nope) RETURN a.x AS x")
+
+    def test_unknown_reltype(self, eng):
+        with pytest.raises(CypherCompileError, match="unknown relationship"):
+            eng.run("MATCH (a:PhageGenome)-[r:nope]->(b:PhageGenome) RETURN a.accession AS x")
+
+    def test_unbound_variable(self, eng):
+        with pytest.raises(CypherCompileError, match="unbound variable"):
+            eng.run("MATCH (a:PhageGenome) RETURN z.accession AS x")
+
+    def test_label_needed_on_first_use(self, eng):
+        with pytest.raises(CypherCompileError, match="label"):
+            eng.run("MATCH (a) RETURN a.accession AS x")
+
+
+# --------------------------------------------------------------------------
+# 3. Golden parity: the taxon script's exact 3-query flow through the engine
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF, "Tequatrovirus_025_clouds.html")),
+    reason="reference goldens absent",
+)
+def test_golden_taxon_three_query_flow(spark):
+    """Drive the engine exactly as phageclouds_gdb.py drives Neo4j
+    (/root/reference/phageclouds_gdb.py:56-75): Q1 seed+expand, client-side
+    set union, Q2/Q3 with the node set interpolated as a Python list literal.
+    The result graph must match the committed golden."""
+    path = os.path.join(REF, "Tequatrovirus_025_clouds.html")
+    g_nodes, g_edges = golden.golden_frames(spark, path)
+    in_nodes, in_edges = golden.reconstruct_taxon_input(spark, path, "Tequatrovirus")
+    eng = CypherEngine(phage_catalog(in_nodes, in_edges))
+
+    q1 = """MATCH (a:PhageGenome {{source:'NCBI'}})-[r:sharesDNA]->(b:PhageGenome)
+            WHERE a.taxonomy CONTAINS '{}' AND r.distance <= {}
+            RETURN a.accession AS {}_phage, b.accession AS target_phage;""".format(
+        "Tequatrovirus", 0.25, "Tequatrovirus"
+    )
+    df1 = eng.run(q1).toPandas()
+    node_set = set(df1["Tequatrovirus_phage"]).union(set(df1["target_phage"]))
+
+    q2 = """MATCH (a:PhageGenome)-[r:sharesDNA]->(b:PhageGenome)
+            WHERE a.accession in {} AND b.accession in {} AND r.distance <= {}
+            RETURN a.accession AS Source, b.accession AS Target,
+            r.distance as Distance;""".format(list(node_set), list(node_set), 0.25)
+    edges_out = eng.run(q2)
+
+    q3 = """MATCH (a:PhageGenome) WHERE a.accession in {}
+            RETURN a.accession as Phage, a.source as Source, a.genome_size as Genome_size,
+            a.taxonomy CONTAINS '{}' as Phage_is_{};""".format(
+        list(node_set), "Tequatrovirus", "Tequatrovirus"
+    )
+    nodes_out = eng.run(q3)
+
+    golden_ids = {r.id for r in g_nodes.collect()}
+    assert {r.Phage for r in nodes_out.collect()} == golden_ids
+    golden_edge_set = {(r.src, r.dst) for r in g_edges.collect()}
+    got_edges = {(r.Source, r.Target) for r in edges_out.collect()}
+    assert got_edges == golden_edge_set
+    assert nodes_out.count() == 264
+    assert edges_out.count() == 23247

@@ -112,3 +112,28 @@ def test_full_suite_plan_sweep(spark, sf_dir):
             row_python.append(name)
     assert not cartesian, f"cartesian products in: {cartesian}"
     assert not row_python, f"row-at-a-time Python in: {row_python}"
+
+
+def test_cypher_compiled_plans_are_join_based(spark, sf_dir):
+    """Cypher frontend plans: predicates reach the Parquet scans, no
+    cartesian products, no row-Python eval, IN-lists stay Catalyst-native,
+    and the existential pattern compiles to a semi join."""
+    from phageclouds_graphdatabase_spark.plans import suite_cypher as cy
+
+    seed = cy.cypher_seed_expand(spark, sf_dir)
+    plan = full_explain(seed)
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+    # the CONTAINS predicate is pushed into the part scan
+    assert "Contains" in plan or "StringContains" in plan, plan
+
+    induced = cy.cypher_induced_in_list(spark, sf_dir)
+    plan = full_explain(induced)
+    assert "CartesianProduct" not in plan
+    # literal IN-list compiles to a Catalyst In/InSet over the scan, pushed
+    # down as PushedFilters: [In(l_partkey, ...)] after constant folding
+    assert " IN " in plan or "INSET" in plan or "In(" in plan, plan
+
+    exist = cy.cypher_existential_collect(spark, sf_dir)
+    plan = full_explain(exist)
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
