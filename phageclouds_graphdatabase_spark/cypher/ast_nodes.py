@@ -141,6 +141,7 @@ class EdgePat:
     reltype: str | None
     props: tuple = ()
     direction: str = "out"  # 'out' (->), 'in' (<-), 'both' (undirected)
+    var_length: tuple | None = None  # (min_hops, max_hops) for [:T*1..3]
 
 
 @dataclass(frozen=True)

@@ -209,6 +209,9 @@ class CypherEngine:
         rel = self.catalog.rel(edge.reltype)
         _, anchor_label = frame.vars[anchor]
 
+        if edge.var_length is not None:
+            return self._join_var_length(frame, anchor, edge, node, params, how)
+
         # direction: 'out' anchors at src, 'in' at dst, 'both' unions both
         # orientations (the correct-semantics variant for the directed-once
         # storage quirk, SURVEY.md §1.1)
@@ -284,6 +287,97 @@ class CypherEngine:
             nside, F.col(farc) == F.col(nvar)[nt.key], how
         ).drop(nearc, farc)
         frame.vars[evar] = ("edge", edge.reltype)
+        frame.vars[nvar] = ("node", nlabel)
+        return nvar
+
+    def _join_var_length(
+        self,
+        frame: _Frame,
+        anchor: str,
+        edge: A.EdgePat,
+        node: A.NodePat,
+        params: dict,
+        how: str,
+    ) -> str:
+        """Variable-length pattern (a)-[:T*lo..hi]->(b): iterative frontier
+        expansion, per-hop distinct (the W6 k-hop/BFS shape,
+        operators/graph.py k_hop).
+
+        Documented deviation from Neo4j: one row per DISTINCT reachable
+        (a, b) pair, not one row per path — path multiplicity explodes
+        combinatorially on dense clouds (the goldens' near-cliques) and
+        every reference use collapses to a node set anyway. Self-pairs
+        (a = b) are excluded (Neo4j's no-repeated-relationship rule forbids
+        the 2-hop bounce-back; cycle returns of length >= 3 are dropped here
+        too). Relationship variables on var-length edges are unsupported
+        (Neo4j binds a list of relationships there)."""
+        if edge.var is not None:
+            raise CypherCompileError(
+                "relationship variables on var-length patterns are not "
+                "supported (use an explicit chain to bind each hop)"
+            )
+        lo, hi = edge.var_length
+        if lo < 1:
+            raise CypherCompileError("var-length minimum must be >= 1")
+        if hi < lo or hi > 10:
+            raise CypherCompileError("var-length maximum must be in [min, 10]")
+        rel = self.catalog.rel(edge.reltype)
+        if edge.direction == "out":
+            near, far, far_label = rel.src_col, rel.dst_col, rel.dst_label
+            edf = rel.df
+        elif edge.direction == "in":
+            near, far, far_label = rel.dst_col, rel.src_col, rel.src_label
+            edf = rel.df
+        else:
+            if rel.src_label != rel.dst_label:
+                raise CypherCompileError(
+                    "undirected match needs same-label endpoints"
+                )
+            flipped = rel.df.withColumnRenamed(rel.src_col, "__swap").withColumnRenamed(
+                rel.dst_col, rel.src_col
+            ).withColumnRenamed("__swap", rel.dst_col)
+            edf = rel.df.unionByName(flipped.select(rel.df.columns))
+            near, far, far_label = rel.src_col, rel.dst_col, rel.dst_label
+        if rel.src_label != rel.dst_label and hi > 1:
+            raise CypherCompileError(
+                "var-length patterns need same-label endpoints"
+            )
+        for name, val in edge.props:
+            edf = edf.filter(F.col(name) == self._scalar(val, params))
+
+        step = edf.select(F.col(near).alias("__va"), F.col(far).alias("__vb"))
+        frontier = step
+        reached = step if lo <= 1 else None
+        for hop in range(2, hi + 1):
+            nxt = step.select(
+                F.col("__va").alias("__vb2"), F.col("__vb").alias("__vc")
+            )
+            frontier = (
+                frontier.join(nxt, F.col("__vb") == F.col("__vb2"))
+                .select("__va", F.col("__vc").alias("__vb"))
+                .distinct()
+            )
+            if hop >= lo:
+                reached = (
+                    frontier if reached is None
+                    else reached.unionByName(frontier).distinct()
+                )
+
+        reached = reached.filter(F.col("__va") != F.col("__vb"))
+        anchor_key = F.col(anchor)[self.catalog.node(
+            frame.vars[anchor][1]).key]
+        joined = frame.df.join(reached, anchor_key == F.col("__va"), how)
+
+        nvar = node.var or frame.fresh("n")
+        nlabel = node.label or far_label
+        nt = self.catalog.node(nlabel)
+        ndf = nt.df
+        for name, val in node.props:
+            ndf = ndf.filter(F.col(name) == self._scalar(val, params))
+        nside = ndf.select(_struct_of(ndf, nvar))
+        frame.df = joined.join(
+            nside, F.col("__vb") == F.col(nvar)[nt.key], how
+        ).drop("__va", "__vb")
         frame.vars[nvar] = ("node", nlabel)
         return nvar
 

@@ -52,7 +52,7 @@ _KEYWORDS = {
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
-  | (?P<number>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+  | (?P<number>\d+\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
   | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
@@ -219,6 +219,19 @@ class _Parser:
         reltype = None
         if self.accept("sym", ":"):
             reltype = self._name()
+        var_length = None
+        if self.accept("sym", "*"):
+            lo = hi = None
+            if self.at("number"):
+                lo = int(self.take("number"))
+            if self.accept("sym", "."):
+                self.take("sym", ".")
+                if self.at("number"):
+                    hi = int(self.take("number"))
+            elif lo is not None:
+                hi = lo  # [*n] = exactly n hops
+            var_length = (lo if lo is not None else 1,
+                          hi if hi is not None else 8)
         props = self._props() if self.at("sym", "{") else ()
         self.take("sym", "]")
         if incoming:
@@ -229,7 +242,7 @@ class _Parser:
         else:
             self.take("sym", "-")
             direction = "both"
-        return A.EdgePat(var, reltype, props, direction)
+        return A.EdgePat(var, reltype, props, direction, var_length)
 
     def _props(self) -> tuple:
         self.take("sym", "{")

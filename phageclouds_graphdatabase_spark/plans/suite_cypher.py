@@ -202,6 +202,38 @@ FROM nodes GROUP BY source
 """
 
 
+_KHOP_SEEDS = ["P1", "P2", "P3", "P4"]
+_KHOP_SEED_SQL = "('" + "', '".join(_KHOP_SEEDS) + "')"
+
+
+def cypher_var_length_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length undirected pattern [:sharesDNA*1..2] — the Cypher
+    syntax for the W6 k-hop/BFS expand; distinct (a, b) pairs, self-pairs
+    excluded (deviation from Neo4j's per-path rows documented on
+    cypher/compiler.py _join_var_length)."""
+    q = """MATCH (a:PhageGenome)-[:sharesDNA*1..2]-(b:PhageGenome)
+            WHERE a.accession IN {}
+            RETURN a.accession AS a, b.accession AS b;""".format(_KHOP_SEEDS)
+    return _engine(spark, sf_dir).run(q)
+
+
+CYPHER_VAR_LENGTH_SQL = _CTE + f"""
+, und AS (
+    SELECT src AS a, dst AS b FROM edges
+    UNION ALL
+    SELECT dst AS a, src AS b FROM edges
+),
+hop1 AS (SELECT DISTINCT a, b FROM und),
+hop2 AS (
+    SELECT DISTINCT h.a, u.b
+    FROM hop1 h JOIN und u ON h.b = u.a
+),
+reached AS (SELECT a, b FROM hop1 UNION SELECT a, b FROM hop2)
+SELECT a, b FROM reached
+WHERE a IN {_KHOP_SEED_SQL} AND a <> b
+"""
+
+
 ENTRIES = {
     "cypher_seed_expand": SuiteEntry(
         cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
@@ -217,5 +249,8 @@ ENTRIES = {
     ),
     "cypher_grouped_agg": SuiteEntry(
         cypher_grouped_agg, CYPHER_GROUPED_SQL, ("S2", "A6")
+    ),
+    "cypher_var_length_khop": SuiteEntry(
+        cypher_var_length_khop, CYPHER_VAR_LENGTH_SQL, ("S2", "J2", "W6")
     ),
 }

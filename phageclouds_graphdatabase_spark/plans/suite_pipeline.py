@@ -1140,3 +1140,159 @@ ENTRIES: dict[str, SuiteEntry] = {
     "vis_html_golden_scan": SuiteEntry(vis_html_golden_scan, None, ("S6",)),
     "skew_safe_event_counts": SuiteEntry(skew_safe_event_counts, SKEW_COUNTS_SQL, ("A6",)),
 }
+
+
+# --------------------------------------------------------------------------
+# PII redaction (W5): the corpus-scrubbing stage every training pipeline
+# runs before release. The synthetic testdata contains no PII, so each doc
+# is augmented with deterministic doc_id-derived email/phone/IP strings
+# first — the redaction machinery (count + replace, all JVM regex) is what
+# the oracle checks, on text where the patterns actually fire.
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+    )
+    # phone is written as 555-XXXX -> make it match the NNN-NNN-NNNN shape
+    aug = F.regexp_replace(aug, F.lit("555-([0-9]{4})"), F.lit("555-123-$1"))
+    redacted = F.regexp_replace(aug, F.lit(_PII_EMAIL), F.lit("[EMAIL]"))
+    redacted = F.regexp_replace(redacted, F.lit(_PII_PHONE), F.lit("[PHONE]"))
+    redacted = F.regexp_replace(redacted, F.lit(_PII_IP), F.lit("[IP]"))
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).cast("long").alias("n_phone"),
+        F.regexp_count(
+            F.regexp_replace(
+                F.regexp_replace(aug, F.lit(_PII_EMAIL), F.lit("[EMAIL]")),
+                F.lit(_PII_PHONE), F.lit("[PHONE]"),
+            ),
+            F.lit(_PII_IP),
+        ).cast("long").alias("n_ip"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+PII_REDACT_SQL = f"""
+WITH aug0 AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or 555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS a
+    FROM documents
+),
+aug AS (
+    SELECT doc_id,
+           regexp_replace(a, '555-([0-9]{{4}})', '555-123-\\1') AS a
+    FROM aug0
+),
+red AS (
+    SELECT doc_id, a,
+           regexp_replace(
+               regexp_replace(a, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g') AS r2
+    FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(a, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(a, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(r2, '{_PII_IP}')) AS BIGINT) AS n_ip,
+       md5(regexp_replace(r2, '{_PII_IP}', '[IP]', 'g')) AS redacted_md5
+FROM red
+"""
+
+
+# --------------------------------------------------------------------------
+# Cross-document repeated n-gram spans (W5): the substring-level dedup
+# signal (the suffix-array "repeated span" family, approximated with fixed
+# 8-token windows + hash counts — same shape Lee et al.'s dedup pipeline
+# materializes at scale). A window is "shared" when it appears in >= 2
+# distinct docs; per-doc shared-window counts drive span removal decisions.
+# --------------------------------------------------------------------------
+
+_SPAN_W = 8
+
+
+def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    toks = h.tokens(F.col("text"))
+    n_wins = F.greatest(F.size(toks) - F.lit(_SPAN_W - 1), F.lit(0))
+    idx = F.when(
+        F.size(toks) >= _SPAN_W,
+        F.sequence(F.lit(1), F.size(toks) - F.lit(_SPAN_W - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _SPAN_W)))
+    )
+    docs = d.select("doc_id", n_wins.cast("long").alias("n_windows"), wins.alias("w"))
+    exploded = docs.select("doc_id", F.explode("w").alias("wh"))
+    shared_hashes = (
+        exploded.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh")
+    )
+    per_doc = (
+        exploded.join(shared_hashes, "wh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        docs.select("doc_id", "n_windows")
+        .join(per_doc, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        )
+    )
+
+
+REPEATED_NGRAM_SQL = f"""
+WITH tk AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+),
+wins AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, CASE WHEN len(toks) >= {_SPAN_W}
+                             THEN len(toks) - {_SPAN_W - 2} ELSE 1 END),
+               i -> md5(array_to_string(list_slice(toks, i, i + {_SPAN_W - 1}), ' '))
+           )) AS wh
+    FROM tk
+),
+shared AS (
+    SELECT wh FROM wins GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+    SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM wins w JOIN shared s ON w.wh = s.wh
+    GROUP BY w.doc_id
+)
+SELECT t.doc_id,
+       CAST(greatest(len(t.toks) - {_SPAN_W - 1}, 0) AS BIGINT) AS n_windows,
+       COALESCE(p.n_shared, 0) AS n_shared
+FROM tk t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+"""
+
+
+ENTRIES.update({
+    "pii_redact_stats": SuiteEntry(pii_redact_stats, PII_REDACT_SQL, ("W5", "V8")),
+    "repeated_ngram_spans": SuiteEntry(
+        repeated_ngram_spans, REPEATED_NGRAM_SQL, ("W5", "A6", "J7")
+    ),
+})

@@ -357,3 +357,128 @@ def test_golden_taxon_three_query_flow(spark):
     assert got_edges == golden_edge_set
     assert nodes_out.count() == 264
     assert edges_out.count() == 23247
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF, "Cellulophaga_025_clouds_v2.html")),
+    reason="reference goldens absent",
+)
+@pytest.mark.parametrize("fname,genus,thres,harsh,n_nodes,n_edges", [
+    ("Cellulophaga_025_clouds_v2.html", "Cellulophaga", 0.25, False, 60, 111),
+    ("Cellulophaga_025_clouds_v2_harsh.html", "Cellulophaga", 0.25, True, 33, 72),
+])
+def test_golden_host_three_query_flow(spark, fname, genus, thres, harsh, n_nodes, n_edges):
+    """The host script's exact query flow
+    (/root/reference/phageclouds_gdb_host.py:56-65) through the engine:
+    Q1 existential seed+expand (+harsh source filter on endpoint a only),
+    Q2 attrs + optional host, Q3 induced edges with interpolated IN-lists."""
+    path = os.path.join(REF, fname)
+    g_nodes, g_edges = golden.golden_frames(spark, path)
+    in_nodes, in_edges, in_infects = golden.reconstruct_host_input(spark, path, genus)
+    eng = CypherEngine(phage_catalog(in_nodes, in_edges, in_infects))
+
+    harsh_pred = ' AND a.source <> "GTDB_predicted_prophages"' if harsh else ""
+    q1 = (
+        'MATCH (a:PhageGenome)-[r:sharesDNA]->(b:PhageGenome) '
+        'WHERE (a)-[:infects]->(:Host {{genus:"{}"}}) AND r.distance <= {}{} '
+        "WITH collect(a.accession) as a_list, collect(b.accession) as b_list "
+        "RETURN a_list + [x IN b_list WHERE NOT x IN a_list] AS node_list;"
+    ).format(genus, thres, harsh_pred)
+    [row] = eng.run(q1).collect()
+    node_set = set(row.node_list)
+
+    q2 = """MATCH (a:PhageGenome) WHERE a.accession IN {} OPTIONAL MATCH (a)-[:infects]->(h:Host)
+            RETURN a.accession AS Phage, a.source AS Source, a.genome_size AS Genome_size, a.genus AS Phage_genus, h.genus AS Host;""".format(
+        list(node_set)
+    )
+    nodes_out = eng.run(q2)
+
+    q3 = """MATCH (a:PhageGenome)-[r:sharesDNA]->(b:PhageGenome) WHERE a.accession IN {} AND b.accession IN {} AND r.distance <= {} RETURN a.accession as Start, b.accession as End, r.distance as Distance;""".format(
+        list(node_set), list(node_set), thres
+    )
+    edges_out = eng.run(q3)
+
+    assert {r.Phage for r in nodes_out.collect()} == {r.id for r in g_nodes.collect()}
+    assert {(r.Start, r.End) for r in edges_out.collect()} == {
+        (r.src, r.dst) for r in g_edges.collect()
+    }
+    assert len(node_set) == n_nodes
+    assert edges_out.count() == n_edges
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF, "Ackermannviridae_015_genus_clouds.html")),
+    reason="reference goldens absent",
+)
+def test_golden_family_three_query_flow(spark):
+    """The family script's flow (/root/reference/phageclouds_gdb_family.py:94-99):
+    Q1 OPTIONAL-MATCH collect + comprehension union, then Q2/Q3 with the
+    node list interpolated (the reference set()s the Q1 list first)."""
+    path = os.path.join(REF, "Ackermannviridae_015_genus_clouds.html")
+    family, thres = "Ackermannviridae", 0.15
+    g_nodes, g_edges = golden.golden_frames(spark, path)
+    in_nodes, in_edges, _ = golden.reconstruct_family_input(spark, path, family, "genus")
+    eng = CypherEngine(phage_catalog(in_nodes, in_edges))
+
+    q1 = """MATCH (p:PhageGenome {{source:"NCBI"}}) WHERE p.taxonomy CONTAINS "{}" OPTIONAL MATCH (p)-[r:sharesDNA]->(q:PhageGenome) WHERE r.distance <= {} WITH collect(p.accession) AS target_phages, collect(q.accession) AS connected_phages RETURN target_phages + [x IN connected_phages WHERE NOT x IN target_phages] AS phage_nodes;""".format(
+        family, thres
+    )
+    [row] = eng.run(q1).collect()
+    target_phages = set(row.phage_nodes)  # family.py:95
+
+    q2 = """MATCH (p:PhageGenome) WHERE p.accession IN {} RETURN p.accession AS Phage, p.source AS Source, p.genome_size AS Genome_size, p.taxonomy AS       Lineage;""".format(
+        list(target_phages)
+    )
+    nodes_out = eng.run(q2)
+
+    q3 = """MATCH (p:PhageGenome)-[r:sharesDNA]->(q:PhageGenome) WHERE p.accession IN {} AND q.accession IN {} AND r.distance <= {} RETURN p.accession AS Source, q.accession AS Target, r.distance AS Distance;""".format(
+        list(target_phages), list(target_phages), thres
+    )
+    edges_out = eng.run(q3)
+
+    assert {r.Phage for r in nodes_out.collect()} == {r.id for r in g_nodes.collect()}
+    assert {(r.Source, r.Target) for r in edges_out.collect()} == {
+        (r.src, r.dst) for r in g_edges.collect()
+    }
+    assert nodes_out.count() == 137
+    assert edges_out.count() == 2349
+
+
+class TestVarLength:
+    def test_var_length_out(self, eng):
+        # hop 1 from A1: A2, A3; hop 2 adds B1 (A3 -> B1 cross edge, no
+        # distance filter here); exactly-2: A3 (via A2) and B1 (via A3)
+        q = "MATCH (a:PhageGenome)-[:sharesDNA*1..2]->(b:PhageGenome) " \
+            "WHERE a.accession = 'A1' RETURN b.accession AS b"
+        assert rows(eng.run(q)) == [("A2",), ("A3",), ("B1",)]
+        q2 = "MATCH (a:PhageGenome)-[:sharesDNA*2]->(b:PhageGenome) " \
+             "WHERE a.accession = 'A1' RETURN b.accession AS b"
+        assert rows(eng.run(q2)) == [("A3",), ("B1",)]
+
+    def test_var_length_undirected_reaches_whole_cloud(self, eng):
+        # undirected 3 hops from B3: B3-B2-B1-A3 (cross edge 0.40 counts:
+        # no distance filter here)
+        q = "MATCH (a:PhageGenome)-[:sharesDNA*1..3]-(b:PhageGenome) " \
+            "WHERE a.accession = 'B3' RETURN b.accession AS b"
+        assert rows(eng.run(q)) == [("A3",), ("B1",), ("B2",)]
+
+    def test_var_length_distinct_pairs_not_paths(self, eng):
+        # two paths A1->A2->A3 and A1->A3 collapse to ONE row (documented
+        # deviation from Neo4j's per-path rows)
+        q = "MATCH (a:PhageGenome)-[:sharesDNA*1..2]->(b:PhageGenome) " \
+            "WHERE a.accession = 'A1' AND b.accession = 'A3' " \
+            "RETURN a.accession AS a, b.accession AS b"
+        assert rows(eng.run(q)) == [("A1", "A3")]
+
+    def test_var_length_rejects_edge_var(self, eng):
+        with pytest.raises(CypherCompileError, match="relationship variables"):
+            eng.run("MATCH (a:PhageGenome)-[r:sharesDNA*1..2]->(b:PhageGenome) "
+                    "RETURN a.accession AS a")
+
+    def test_var_length_parse(self):
+        e = parse("MATCH (a:L)-[:T*]->(b:L) RETURN a.k").clauses[0].patterns[0].edges[0]
+        assert e.var_length == (1, 8)
+        e = parse("MATCH (a:L)-[:T*3]->(b:L) RETURN a.k").clauses[0].patterns[0].edges[0]
+        assert e.var_length == (3, 3)
+        e = parse("MATCH (a:L)-[:T*2..5]->(b:L) RETURN a.k").clauses[0].patterns[0].edges[0]
+        assert e.var_length == (2, 5)
