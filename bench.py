@@ -53,6 +53,10 @@ HEADLINE = [
     "chunk_token_windows",
     "kmv_distinct_estimate",
     "kmeans_ivf_train",
+    # the Cypher frontend (parse -> compile -> Catalyst): tracks both the
+    # compile overhead and the compiled plan's execution
+    "cypher_seed_expand",
+    "repeated_ngram_spans",
 ]
 
 

@@ -99,6 +99,8 @@ class _Frame:
     df: DataFrame | None = None
     # var -> ('node', label) | ('edge', reltype) | ('flat', None)
     vars: dict = field(default_factory=dict)
+    # var -> set of referenced property names, or _ALL (None = no prune info)
+    used: dict | None = None
     _tmp: int = 0
 
     def fresh(self, prefix: str) -> str:
@@ -109,8 +111,51 @@ class _Frame:
         return name in self.vars
 
 
-def _struct_of(df: DataFrame, alias: str) -> Column:
-    return F.struct(*[F.col(c) for c in df.columns]).alias(alias)
+_ALL = object()  # sentinel: the whole entity is referenced (bare `a`)
+
+
+def _collect_used(obj, used: dict) -> None:
+    """Walk the AST and record which properties each variable is touched
+    by — Prop(a, x) marks x, a bare Var(a) marks everything. Feeds the
+    binding-frame struct pruning: at 100 TB the frame must not drag every
+    node property through every shuffle when the query reads one field."""
+    if isinstance(obj, A.Prop):
+        if used.get(obj.var) is not _ALL:
+            used.setdefault(obj.var, set()).add(obj.name)
+        return
+    if isinstance(obj, A.Var):
+        used[obj.name] = _ALL
+        return
+    if isinstance(obj, (A.NodePat, A.EdgePat)):
+        if obj.var is not None and used.get(obj.var) is not _ALL:
+            used.setdefault(obj.var, set()).update(n for n, _ in obj.props)
+        for _, v in obj.props:
+            _collect_used(v, used)
+        return
+    if isinstance(obj, (list, tuple)):
+        for o in obj:
+            _collect_used(o, used)
+        return
+    if hasattr(obj, "__dataclass_fields__"):
+        for f in obj.__dataclass_fields__:
+            _collect_used(getattr(obj, f), used)
+
+
+def _struct_of(
+    df: DataFrame, alias: str, key: str | None = None, frame: "_Frame | None" = None
+) -> Column:
+    """Struct column for a pattern variable, pruned to the properties the
+    query references plus the join key."""
+    cols = df.columns
+    if frame is not None and frame.used is not None:
+        u = frame.used.get(alias)
+        if u is not _ALL:
+            want = set(u or ())
+            if key is not None:
+                want.add(key)
+            pruned = [c for c in cols if c in want]
+            cols = pruned or ([key] if key in df.columns else cols)
+    return F.struct(*[F.col(c) for c in cols]).alias(alias)
 
 
 class CypherEngine:
@@ -126,7 +171,8 @@ class CypherEngine:
     # -- clause folding -----------------------------------------------------
 
     def compile(self, q: A.Query, params: dict) -> DataFrame:
-        frame = _Frame()
+        frame = _Frame(used={})
+        _collect_used(q, frame.used)
         out: DataFrame | None = None
         for clause in q.clauses:
             if isinstance(clause, A.MatchClause):
@@ -185,7 +231,7 @@ class CypherEngine:
         df = nt.df
         for name, val in pat.props:
             df = df.filter(F.col(name) == self._scalar(val, params))
-        bound = df.select(_struct_of(df, var))
+        bound = df.select(_struct_of(df, var, nt.key, frame))
         if frame.df is None:
             frame.df = bound
         else:
@@ -258,7 +304,9 @@ class CypherEngine:
         evar = edge.var or frame.fresh("e")
         nearc, farc = frame.fresh("k"), frame.fresh("k")
         eside = edf.select(
-            _struct_of(edf, evar), F.col(near).alias(nearc), F.col(far).alias(farc)
+            _struct_of(edf, evar, None, frame),
+            F.col(near).alias(nearc),
+            F.col(far).alias(farc),
         )
         akey = F.col(anchor)[self.catalog.node(anchor_label).key]
         joined = frame.df.join(eside, akey == F.col(nearc), how)
@@ -282,7 +330,7 @@ class CypherEngine:
         ndf = nt.df
         for name, val in node.props:
             ndf = ndf.filter(F.col(name) == self._scalar(val, params))
-        nside = ndf.select(_struct_of(ndf, nvar))
+        nside = ndf.select(_struct_of(ndf, nvar, nt.key, frame))
         frame.df = joined.join(
             nside, F.col(farc) == F.col(nvar)[nt.key], how
         ).drop(nearc, farc)
@@ -374,7 +422,7 @@ class CypherEngine:
         ndf = nt.df
         for name, val in node.props:
             ndf = ndf.filter(F.col(name) == self._scalar(val, params))
-        nside = ndf.select(_struct_of(ndf, nvar))
+        nside = ndf.select(_struct_of(ndf, nvar, nt.key, frame))
         frame.df = joined.join(
             nside, F.col("__vb") == F.col(nvar)[nt.key], how
         ).drop("__va", "__vb")
@@ -401,10 +449,10 @@ class CypherEngine:
         kind, label = frame.vars[first.var]
         nt = self.catalog.node(label)
 
-        sub = _Frame(_tmp=frame._tmp + 100)
+        sub = _Frame(used=frame.used, _tmp=frame._tmp + 100)
         # anchor the sub-frame on the full node table of the bound label:
         # only its KEY survives into the join, so no duplicate columns
-        sub.df = nt.df.select(_struct_of(nt.df, first.var))
+        sub.df = nt.df.select(_struct_of(nt.df, first.var, nt.key, sub))
         sub.vars[first.var] = ("node", label)
         anchor = first.var
         if first.props:
@@ -483,8 +531,8 @@ class CypherEngine:
             )
         kind, label = frame.vars[first.var]
         nt = self.catalog.node(label)
-        sub = _Frame(_tmp=frame._tmp + 200)
-        sub.df = nt.df.select(_struct_of(nt.df, first.var))
+        sub = _Frame(used=frame.used, _tmp=frame._tmp + 200)
+        sub.df = nt.df.select(_struct_of(nt.df, first.var, nt.key, sub))
         sub.vars[first.var] = ("node", label)
         anchor = first.var
         for i, (edge, node) in enumerate(zip(pat.edges, pat.nodes[1:])):

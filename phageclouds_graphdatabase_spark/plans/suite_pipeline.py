@@ -1227,16 +1227,28 @@ _SPAN_W = 8
 
 def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    toks = h.tokens(F.col("text"))
+    # materialize the token array in its own projection FIRST: referencing
+    # the split+filter expression from inside the transform() lambda makes
+    # codegen re-tokenize the document once per window (measured 4x slower
+    # at sf0.1)
+    # the small testdata parquet arrives as ONE input partition: spread the
+    # tokenize+window stage across the cluster first (at real scale the
+    # source has many splits and this repartition is a cheap no-op guard)
+    tk = d.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", h.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     n_wins = F.greatest(F.size(toks) - F.lit(_SPAN_W - 1), F.lit(0))
     idx = F.when(
         F.size(toks) >= _SPAN_W,
         F.sequence(F.lit(1), F.size(toks) - F.lit(_SPAN_W - 1)),
     ).otherwise(F.array().cast("array<int>"))
-    wins = F.transform(
-        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, _SPAN_W)))
-    )
-    docs = d.select("doc_id", n_wins.cast("long").alias("n_windows"), wins.alias("w"))
+    # group on the raw window string: a hash would only be an internal
+    # grouping key (Spark hashes shuffle keys internally anyway)
+    wins = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, _SPAN_W)))
+    docs = tk.select(
+        "doc_id", n_wins.cast("long").alias("n_windows"), wins.alias("w")
+    ).cache()  # consumed twice: the explode AND the final n_windows join
     exploded = docs.select("doc_id", F.explode("w").alias("wh"))
     shared_hashes = (
         exploded.groupBy("wh")
@@ -1271,7 +1283,7 @@ wins AS (
            unnest(list_transform(
                range(1, CASE WHEN len(toks) >= {_SPAN_W}
                              THEN len(toks) - {_SPAN_W - 2} ELSE 1 END),
-               i -> md5(array_to_string(list_slice(toks, i, i + {_SPAN_W - 1}), ' '))
+               i -> array_to_string(list_slice(toks, i, i + {_SPAN_W - 1}), ' ')
            )) AS wh
     FROM tk
 ),

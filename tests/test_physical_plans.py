@@ -137,3 +137,20 @@ def test_cypher_compiled_plans_are_join_based(spark, sf_dir):
     plan = full_explain(exist)
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cypher_struct_pruning_reaches_scans(spark, sf_dir):
+    """The binding frame prunes node structs to referenced properties: the
+    seed side reads only key+taxonomy source columns, and the b side of the
+    motif reads ONLY the key column — nothing else survives to the scan."""
+    from phageclouds_graphdatabase_spark.plans import suite_cypher as cy
+
+    df = cy.cypher_seed_expand(spark, sf_dir)
+    plan = full_explain(df)
+    schemas = [l.strip() for l in plan.splitlines() if "ReadSchema" in l]
+    part_scans = [s for s in schemas if "p_partkey" in s]
+    assert part_scans, plan
+    # no part scan reads the unreferenced p_size/p_brand/p_retailprice
+    assert all("p_size" not in s and "p_brand" not in s for s in part_scans)
+    # the b side is key-only
+    assert any(s.endswith("struct<p_partkey:bigint>") for s in part_scans)
