@@ -178,6 +178,9 @@ class WithClause:
 class ReturnClause:
     items: tuple
     distinct: bool = False
+    order_by: tuple = ()  # ((Expr, descending: bool), ...)
+    skip: int | None = None
+    limit: int | None = None
 
 
 @dataclass(frozen=True)

@@ -592,7 +592,34 @@ class CypherEngine:
     ) -> DataFrame:
         if frame.df is None:
             raise CypherCompileError("RETURN without a preceding MATCH/WITH")
-        return self._project(frame, clause.items, clause.distinct, params)
+        names = [item.alias or _default_name(item) for item in clause.items]
+        # ORDER BY keys that aren't output aliases ride along as hidden
+        # columns computed pre-sort and dropped after (W1: sort/limit/top-k)
+        items = list(clause.items)
+        sort_cols: list = []
+        hidden: list[str] = []
+        for i, (e, desc) in enumerate(clause.order_by):
+            if isinstance(e, A.Var) and e.name in names:
+                c = F.col(f"`{e.name}`")
+            else:
+                if clause.distinct or any(_is_aggregate(x.expr) for x in items):
+                    raise CypherCompileError(
+                        "ORDER BY under DISTINCT/aggregation must reference "
+                        "returned columns"
+                    )
+                h = f"__sort{i}"
+                items.append(A.Item(e, h, h))
+                hidden.append(h)
+                c = F.col(h)
+            sort_cols.append(c.desc() if desc else c.asc())
+        out = self._project(frame, tuple(items), clause.distinct, params)
+        if sort_cols:
+            out = out.orderBy(*sort_cols)
+        if clause.skip:
+            out = out.offset(clause.skip)
+        if clause.limit is not None:
+            out = out.limit(clause.limit)
+        return out.drop(*hidden) if hidden else out
 
     # -- expression compilation ---------------------------------------------
 

@@ -46,7 +46,8 @@ class CypherSyntaxError(ValueError):
 _KEYWORDS = {
     "match", "optional", "where", "with", "return", "as", "and", "or", "not",
     "in", "contains", "starts", "ends", "distinct", "is", "null", "true",
-    "false",
+    "false", "order", "by", "asc", "ascending", "desc", "descending",
+    "skip", "limit",
 }
 
 _TOKEN_RE = re.compile(
@@ -168,7 +169,26 @@ class _Parser:
         items = [self._item()]
         while self.accept("sym", ","):
             items.append(self._item())
-        return A.ReturnClause(tuple(items), distinct)
+        order_by: list = []
+        if self.accept("kw", "order"):
+            self.take("kw", "by")
+            while True:
+                e = self.expr()
+                desc = False
+                if self.accept("kw", "desc") or self.accept("kw", "descending"):
+                    desc = True
+                elif self.accept("kw", "asc") or self.accept("kw", "ascending"):
+                    pass
+                order_by.append((e, desc))
+                if not self.accept("sym", ","):
+                    break
+        skip = None
+        if self.accept("kw", "skip"):
+            skip = int(self.take("number"))
+        limit = None
+        if self.accept("kw", "limit"):
+            limit = int(self.take("number"))
+        return A.ReturnClause(tuple(items), distinct, tuple(order_by), skip, limit)
 
     def _item(self) -> A.Item:
         start = self.peek()[2]

@@ -234,6 +234,22 @@ WHERE a IN {_KHOP_SEED_SQL} AND a <> b
 """
 
 
+def cypher_topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 through the query language: ORDER BY with full tie-break + LIMIT
+    compiles to Catalyst Sort + GlobalLimit (TakeOrderedAndProject)."""
+    q = """MATCH (a:PhageGenome)-[r:sharesDNA]->(b:PhageGenome)
+            RETURN a.accession AS src, b.accession AS dst, r.distance AS d
+            ORDER BY d ASC, src ASC, dst ASC LIMIT 20;"""
+    return _engine(spark, sf_dir).run(q)
+
+
+CYPHER_TOPK_SQL = _CTE + """
+SELECT src, dst, distance AS d FROM edges
+ORDER BY d ASC, src ASC, dst ASC LIMIT 20
+"""
+
+
+
 ENTRIES = {
     "cypher_seed_expand": SuiteEntry(
         cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
@@ -252,5 +268,8 @@ ENTRIES = {
     ),
     "cypher_var_length_khop": SuiteEntry(
         cypher_var_length_khop, CYPHER_VAR_LENGTH_SQL, ("S2", "J2", "W6")
+    ),
+    "cypher_topk_order_limit": SuiteEntry(
+        cypher_topk_order_limit, CYPHER_TOPK_SQL, ("S2", "W1")
     ),
 }

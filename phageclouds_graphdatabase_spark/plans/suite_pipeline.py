@@ -1308,3 +1308,251 @@ ENTRIES.update({
         repeated_ngram_spans, REPEATED_NGRAM_SQL, ("W5", "A6", "J7")
     ),
 })
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership (W5 sketch family, alongside Count-Min and KMV):
+# the "have we ingested this before?" primitive for incremental corpus
+# builds. The filter is EXACTLY verifiable cross-engine: k polynomial
+# char-fold hashes (engine-independent integer arithmetic, same family as
+# rolling_hash_fingerprint), words OR-aggregated with bit_or, probes check
+# all k bits. False positives are part of the deterministic output — the
+# oracle reproduces the same filter bit-for-bit, so the same probes
+# false-positive in both engines.
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS = 65_536  # m = 2^16 bits = 1041 63-bit words (bit 63 avoided: DuckDB raises on signed 1<<63)
+_BLOOM_BASES = (31, 37, 41, 43)  # k = 4 hash functions
+
+
+def _bloom_pos(col, base: int):
+    """Polynomial fold of the md5 hex of `col` at the given base, mod m.
+    Hashing the fixed-length md5 hex (not the raw text) keeps the fold
+    cheap and uniformly mixed."""
+    chars = F.split(F.md5(col), "")
+    folded = F.aggregate(
+        F.slice(chars, 1, 32),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % _RH_MOD,
+    )
+    return folded % _BLOOM_BITS
+
+
+def _bloom_pos_sql(expr: str, base: int) -> str:
+    return f"""(list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+            list_transform(list_slice(split(md5({expr}), ''), 1, 32),
+                           c -> CAST(ascii(c) AS BIGINT))),
+        (acc, c) -> (acc * {base} + c) % {_RH_MOD}
+    ) % {_BLOOM_BITS})"""
+
+
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    build = d.filter(F.col("source").isin("src0", "src1")).select("text")
+    probe = d.filter(~F.col("source").isin("src0", "src1"))
+
+    pos_cols = [_bloom_pos(F.col("text"), b) for b in _BLOOM_BASES]
+    bits = build.select(F.explode(F.array(*pos_cols)).alias("p"))
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))")
+    words = bits.select(
+        (F.col("p") / 63).cast("long").alias("w"), mask.alias("m")
+    ).groupBy("w").agg(F.bit_or("m").alias("word"))
+
+    probe_bits = probe.select(
+        "doc_id", F.md5("text").alias("h"),
+        F.explode(F.array(*pos_cols)).alias("p"),
+    ).select(
+        "doc_id", "h",
+        (F.col("p") / 63).cast("long").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").alias("m"),
+    )
+    hits = probe_bits.join(F.broadcast(words), "w", "left_outer").select(
+        "doc_id", "h",
+        (F.col("word").isNotNull()
+         & (F.col("word").bitwiseAND(F.col("m")) != 0)).alias("bit_set"),
+    )
+    bloom = hits.groupBy("doc_id", "h").agg(F.bool_and("bit_set").alias("bloom_hit"))
+
+    exact = build.select(F.md5("text").alias("h")).distinct().withColumn(
+        "exact_hit", F.lit(True)
+    )
+    return bloom.join(exact, "h", "left_outer").select(
+        "doc_id",
+        "bloom_hit",
+        F.coalesce(F.col("exact_hit"), F.lit(False)).alias("exact_hit"),
+    )
+
+
+_BLOOM_POS_ARRAY = ", ".join(_bloom_pos_sql("text", b) for b in _BLOOM_BASES)
+
+BLOOM_MEMBERSHIP_SQL = f"""
+WITH build AS (
+    SELECT text FROM documents WHERE source IN ('src0', 'src1')
+),
+probe AS (
+    SELECT doc_id, text FROM documents WHERE source NOT IN ('src0', 'src1')
+),
+bbits AS (
+    SELECT unnest([{_BLOOM_POS_ARRAY}]) AS p FROM build
+),
+words AS (
+    SELECT CAST(p // 63 AS BIGINT) AS w,
+           bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS word
+    FROM bbits GROUP BY 1
+),
+pbits AS (
+    SELECT doc_id, md5(text) AS h, unnest([{_BLOOM_POS_ARRAY}]) AS p FROM probe
+),
+hits AS (
+    SELECT p.doc_id, p.h,
+           (w.word IS NOT NULL AND
+            (w.word & (CAST(1 AS BIGINT) << CAST(p.p % 63 AS INTEGER))) <> 0)
+           AS bit_set
+    FROM pbits p LEFT JOIN words w ON CAST(p.p // 63 AS BIGINT) = w.w
+),
+bloom AS (
+    SELECT doc_id, h, bool_and(bit_set) AS bloom_hit FROM hits GROUP BY 1, 2
+),
+exact AS (SELECT DISTINCT md5(text) AS h, TRUE AS exact_hit FROM build)
+SELECT b.doc_id, b.bloom_hit, COALESCE(e.exact_hit, FALSE) AS exact_hit
+FROM bloom b LEFT JOIN exact e ON b.h = e.h
+"""
+
+
+ENTRIES.update({
+    "bloom_membership": SuiteEntry(bloom_membership, BLOOM_MEMBERSHIP_SQL, ("W5", "A6")),
+})
+
+
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: matched purchase-click pairs
+    plus watermark-gated null rows. A purchase's null row flushes only when
+    the stream's watermark proves no click can still match; with a 10-minute
+    watermark delay and a 10-minute join interval the cutoff is
+    max(click ts) - 20 minutes — reproduced exactly by the oracle (verified
+    row-for-row at sf0.001/sf0.01)."""
+    from phageclouds_graphdatabase_spark.streaming import events as stream
+
+    p = stream.read_events_stream(spark, sf_dir)
+    c = stream.read_events_stream(spark, sf_dir)
+    rows = stream.run_available_now(
+        stream.purchase_click_pairs_left(p, c), output_mode="append"
+    )
+    return spark.createDataFrame(
+        rows, "purchase_id long, click_id long, user_id long"
+    )
+
+
+STREAM_STREAM_LEFT_SQL = """
+WITH m AS (SELECT max(ts) AS mx FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         p.user_id, p.ts AS p_ts
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id
+   AND c.ts BETWEEN p.ts - INTERVAL '10 minutes' AND p.ts
+)
+SELECT purchase_id, click_id, user_id FROM j, m
+WHERE click_id IS NOT NULL OR p_ts < mx - INTERVAL '20 minutes'
+"""
+
+
+ENTRIES.update({
+    "stream_stream_left_join": SuiteEntry(
+        stream_stream_left_join, STREAM_STREAM_LEFT_SQL, ("W3", "J4")
+    ),
+})
+
+
+# --------------------------------------------------------------------------
+# Histogram quantile sketch (W5/A6): deterministic approximate quantiles.
+# t-digest/GK sketches are merge-order-dependent; a fixed 128-bin equi-width
+# histogram is the mergeable quantile sketch whose estimate is EXACTLY
+# reproducible cross-engine (bin assignment + interpolation are plain IEEE
+# arithmetic written identically on both sides). At cluster scale the bin
+# counts partial-aggregate map-side like any groupBy count.
+# --------------------------------------------------------------------------
+
+_HQ_BINS = 128
+_HQ_QS = (0.5, 0.95, 0.99)
+
+
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (F.col("mx") - F.col("mn")) / F.lit(float(_HQ_BINS))
+    binned = (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type", "mn", "mx", "n",
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / w).cast("int"),
+                F.lit(_HQ_BINS - 1),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "mn", "mx", "n", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = binned.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("event_type").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    qs = spark.createDataFrame([(q,) for q in _HQ_QS], "q double")
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("event_type", "q", "mn", "mx")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    est = F.col("mn") + (F.col("qbin") + F.lit(1)).cast("double") * (
+        (F.col("mx") - F.col("mn")) / F.lit(float(_HQ_BINS))
+    )
+    return hit.select("event_type", "q", est.alias("est"))
+
+
+HISTOGRAM_QUANTILES_SQL = f"""
+WITH stats AS (
+    SELECT event_type, min(value) AS mn, max(value) AS mx,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+),
+binned AS (
+    SELECT e.event_type, s.mn, s.mx, s.n,
+           least(CAST(floor((e.value - s.mn) / ((s.mx - s.mn) / {float(_HQ_BINS)})) AS INTEGER),
+                 {_HQ_BINS - 1}) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY 1, 2, 3, 4, 5
+),
+cum AS (
+    SELECT *, SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS cum
+    FROM binned
+),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _HQ_QS)}]) AS q),
+hit AS (
+    SELECT event_type, q, mn, mx, min(bin) AS qbin
+    FROM cum, qs
+    WHERE cum >= ceil(q * n)
+    GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, q,
+       mn + CAST(qbin + 1 AS DOUBLE) * ((mx - mn) / {float(_HQ_BINS)}) AS est
+FROM hit
+"""
+
+
+ENTRIES.update({
+    "histogram_quantiles": SuiteEntry(
+        histogram_quantiles, HISTOGRAM_QUANTILES_SQL, ("W5", "A6", "W2")
+    ),
+})

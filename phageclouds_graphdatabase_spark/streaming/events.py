@@ -298,3 +298,37 @@ def run_available_now(stream_df: DataFrame, output_mode: str = "append") -> list
     rows = spark.table(name).collect()
     q.stop()
     return rows
+
+
+def purchase_click_pairs_left(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join (W3): every purchase, with its
+    preceding-10-minute clicks or NULLs when none arrived. Outer results are
+    watermark-gated: a purchase emits its null row only once the click-side
+    watermark passes p_ts (no later click can match), so purchases inside
+    the final watermark horizon never emit nulls — the oracle reproduces
+    that cutoff from max(click ts) - delay."""
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))

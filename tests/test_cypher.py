@@ -482,3 +482,29 @@ class TestVarLength:
         assert e.var_length == (3, 3)
         e = parse("MATCH (a:L)-[:T*2..5]->(b:L) RETURN a.k").clauses[0].patterns[0].edges[0]
         assert e.var_length == (2, 5)
+
+
+class TestOrderLimit:
+    def test_order_by_desc_limit(self, eng):
+        q = "MATCH (a:PhageGenome) RETURN a.accession AS acc, a.genome_size AS gs " \
+            "ORDER BY gs DESC LIMIT 3"
+        got = [r.acc for r in eng.run(q).collect()]
+        assert got == ["A2", "A1", "D2"]  # 171000, 168000, 158000
+
+    def test_order_by_non_returned_expr_and_skip(self, eng):
+        q = "MATCH (a:PhageGenome) RETURN a.accession AS acc " \
+            "ORDER BY a.genome_size DESC SKIP 2 LIMIT 2"
+        df = eng.run(q)
+        assert df.columns == ["acc"]
+        assert [r.acc for r in df.collect()] == ["D2", "D1"]
+
+    def test_order_by_with_aggregation_alias(self, eng):
+        q = "MATCH (a:PhageGenome) RETURN a.source AS src, count(a.accession) AS n " \
+            "ORDER BY n DESC, src ASC LIMIT 2"
+        got = [(r.src, r.n) for r in eng.run(q).collect()]
+        assert got == [("NCBI", 6), ("Tara", 3)]
+
+    def test_order_by_hidden_under_aggregation_rejected(self, eng):
+        with pytest.raises(CypherCompileError, match="ORDER BY"):
+            eng.run("MATCH (a:PhageGenome) RETURN a.source AS s, count(a.accession) AS n "
+                    "ORDER BY a.genome_size")
