@@ -117,6 +117,17 @@ class Func(Expr):
 
 
 @dataclass(frozen=True)
+class CaseExpr(Expr):
+    """CASE [operand] WHEN v THEN r ... [ELSE d] END — simple form compares
+    the operand to each WHEN value; generic form (no operand) takes boolean
+    WHEN conditions. The reference's V1 color derivation is this shape."""
+
+    operand: Expr | None
+    whens: tuple  # ((when_expr, then_expr), ...)
+    default: Expr | None
+
+
+@dataclass(frozen=True)
 class PatternPred(Expr):
     """Existential pattern predicate, e.g.
     WHERE (a)-[:infects]->(:Host {genus:"X"})
@@ -172,6 +183,15 @@ class WithClause:
     items: tuple  # (Item, ...)
     distinct: bool = False
     where: Expr | None = None
+
+
+@dataclass(frozen=True)
+class UnwindClause:
+    """UNWIND expr AS x — one row per list element (NULL/empty drop the
+    row, matching Neo4j)."""
+
+    expr: Expr
+    alias: str
 
 
 @dataclass(frozen=True)

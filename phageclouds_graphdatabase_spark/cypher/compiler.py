@@ -179,6 +179,8 @@ class CypherEngine:
                 self._fold_match(frame, clause, params)
             elif isinstance(clause, A.WithClause):
                 self._fold_with(frame, clause, params)
+            elif isinstance(clause, A.UnwindClause):
+                self._fold_unwind(frame, clause, params)
             elif isinstance(clause, A.ReturnClause):
                 out = self._fold_return(frame, clause, params)
             else:  # pragma: no cover
@@ -587,6 +589,28 @@ class CypherEngine:
         if clause.where is not None:
             self._apply_where(frame, clause.where, params)
 
+    def _fold_unwind(self, frame: _Frame, clause: A.UnwindClause, params: dict) -> None:
+        """UNWIND list AS x: one output row per element (F.explode — NULL
+        and empty lists drop the row, as in Neo4j)."""
+        if frame.df is None:
+            # UNWIND as the first clause: a literal/param list seeds the frame
+            src = self._col_literal_frame(clause.expr, params)
+            frame.df = src.select(F.explode("__lst").alias(clause.alias))
+        else:
+            c = self._col(frame, clause.expr, params)
+            frame.df = frame.df.select("*", F.explode(c).alias(clause.alias))
+        frame.vars[clause.alias] = ("flat", None)
+
+    def _col_literal_frame(self, e: A.Expr, params: dict) -> DataFrame:
+        if self.spark is None:
+            raise CypherCompileError(
+                "UNWIND as the first clause needs CypherEngine(spark=...)"
+            )
+        one = self.spark.range(1)
+        return one.select(
+            self._col(_Frame(df=one, used={}), e, params).alias("__lst")
+        )
+
     def _fold_return(
         self, frame: _Frame, clause: A.ReturnClause, params: dict
     ) -> DataFrame:
@@ -749,6 +773,20 @@ class CypherEngine:
             if e.proj is not None:
                 src = F.transform(src, body)
             return src
+        if isinstance(e, A.CaseExpr):
+            out = None
+            for w, r in e.whens:
+                cond = (
+                    self._col(frame, e.operand, params, env)
+                    == self._col(frame, w, params, env)
+                    if e.operand is not None
+                    else self._col(frame, w, params, env)
+                )
+                res = self._col(frame, r, params, env)
+                out = F.when(cond, res) if out is None else out.when(cond, res)
+            if e.default is not None:
+                out = out.otherwise(self._col(frame, e.default, params, env))
+            return out
         if isinstance(e, A.Func):
             return self._func_col(frame, e, params, env)
         if isinstance(e, A.PatternPred):

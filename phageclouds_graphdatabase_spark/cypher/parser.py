@@ -47,7 +47,7 @@ _KEYWORDS = {
     "match", "optional", "where", "with", "return", "as", "and", "or", "not",
     "in", "contains", "starts", "ends", "distinct", "is", "null", "true",
     "false", "order", "by", "asc", "ascending", "desc", "descending",
-    "skip", "limit",
+    "skip", "limit", "unwind", "case", "when", "then", "else", "end",
 }
 
 _TOKEN_RE = re.compile(
@@ -63,8 +63,11 @@ _TOKEN_RE = re.compile(
 )
 
 
-def tokenize(text: str) -> list[tuple[str, str, int]]:
-    """-> [(kind, value, pos)]; kind in {number,string,ident,kw,param,sym}."""
+def tokenize(text: str) -> list[tuple[str, str, int, str]]:
+    """-> [(kind, value, pos, raw)]; kind in {number,string,ident,kw,param,
+    sym}. `raw` keeps the original spelling: keywords are matched lowercase
+    but may also serve as names/aliases (the reference aliases a column
+    `End`, phageclouds_gdb_host.py:64)."""
     out = []
     pos = 0
     while pos < len(text):
@@ -72,16 +75,16 @@ def tokenize(text: str) -> list[tuple[str, str, int]]:
         if not m:
             raise CypherSyntaxError(f"unexpected character {text[pos]!r} at {pos}")
         kind = m.lastgroup
-        val = m.group()
+        val = raw = m.group()
         if kind != "ws":
             if kind == "ident":
                 if val.startswith("`"):
-                    val = val[1:-1]
+                    val = raw = val[1:-1]
                 elif val.lower() in _KEYWORDS:
                     kind, val = "kw", val.lower()
-            out.append((kind, val, pos))
+            out.append((kind, val, pos, raw))
         pos = m.end()
-    out.append(("eof", "", len(text)))
+    out.append(("eof", "", len(text), ""))
     return out
 
 
@@ -98,15 +101,15 @@ class _Parser:
 
     # -- token helpers ------------------------------------------------------
 
-    def peek(self, k: int = 0) -> tuple[str, str, int]:
+    def peek(self, k: int = 0) -> tuple[str, str, int, str]:
         return self.toks[min(self.i + k, len(self.toks) - 1)]
 
     def at(self, kind: str, val: str | None = None, k: int = 0) -> bool:
-        tk, tv, _ = self.peek(k)
+        tk, tv, _, _ = self.peek(k)
         return tk == kind and (val is None or tv == val)
 
     def take(self, kind: str, val: str | None = None) -> str:
-        tk, tv, pos = self.peek()
+        tk, tv, pos, _ = self.peek()
         if tk != kind or (val is not None and tv != val):
             want = val or kind
             raise CypherSyntaxError(
@@ -133,17 +136,21 @@ class _Parser:
                 clauses.append(self._match(optional=False))
             elif self.accept("kw", "with"):
                 clauses.append(self._with())
+            elif self.accept("kw", "unwind"):
+                e = self.expr()
+                self.take("kw", "as")
+                clauses.append(A.UnwindClause(e, self._name()))
             elif self.accept("kw", "return"):
                 clauses.append(self._return())
                 break
             else:
-                tk, tv, pos = self.peek()
+                tk, tv, pos, _ = self.peek()
                 raise CypherSyntaxError(
                     f"expected a clause keyword at position {pos}, found {tv!r}"
                 )
         self.accept("sym", ";")
         if not self.at("eof"):
-            _, tv, pos = self.peek()
+            _, tv, pos, _ = self.peek()
             raise CypherSyntaxError(f"trailing input at position {pos}: {tv!r}")
         return A.Query(tuple(clauses))
 
@@ -201,11 +208,12 @@ class _Parser:
         return A.Item(e, alias, text)
 
     def _name(self) -> str:
-        # aliases may collide with keywords in principle; accept both
-        tk, tv, pos = self.peek()
+        # aliases may collide with keywords (`AS End` in the reference);
+        # accept both, preserving the original spelling
+        tk, tv, pos, raw = self.peek()
         if tk in ("ident", "kw"):
             self.i += 1
-            return tv
+            return raw
         raise CypherSyntaxError(f"expected a name at position {pos}, found {tv!r}")
 
     # -- patterns -----------------------------------------------------------
@@ -282,7 +290,7 @@ class _Parser:
         return self._literal()
 
     def _literal(self) -> A.Literal:
-        tk, tv, pos = self.peek()
+        tk, tv, pos, _ = self.peek()
         if tk == "string":
             self.i += 1
             return A.Literal(_unquote(tv))
@@ -328,7 +336,7 @@ class _Parser:
 
     def _cmp(self) -> A.Expr:
         e = self._add()
-        tk, tv, _ = self.peek()
+        tk, tv, _, _ = self.peek()
         if tk == "sym" and tv in ("=", "<>", "<=", ">=", "<", ">"):
             self.i += 1
             return A.Cmp(tv, e, self._add())
@@ -386,7 +394,7 @@ class _Parser:
         return self._primary()
 
     def _primary(self) -> A.Expr:
-        tk, tv, pos = self.peek()
+        tk, tv, pos, _ = self.peek()
         if tk == "string" or tk == "number" or (tk == "kw" and tv in ("true", "false", "null")):
             return self._literal()
         if tk == "param":
@@ -408,6 +416,8 @@ class _Parser:
             e = self.expr()
             self.take("sym", ")")
             return e
+        if tk == "kw" and tv == "case":
+            return self._case()
         if tk == "ident":
             name = self.take("ident")
             if self.accept("sym", "."):
@@ -432,6 +442,20 @@ class _Parser:
                 args.append(self.expr())
         self.take("sym", ")")
         return A.Func(name.lower(), tuple(args), distinct=distinct)
+
+    def _case(self) -> A.CaseExpr:
+        self.take("kw", "case")
+        operand = None if self.at("kw", "when") else self.expr()
+        whens = []
+        while self.accept("kw", "when"):
+            w = self.expr()
+            self.take("kw", "then")
+            whens.append((w, self.expr()))
+        if not whens:
+            raise CypherSyntaxError("CASE needs at least one WHEN")
+        default = self.expr() if self.accept("kw", "else") else None
+        self.take("kw", "end")
+        return A.CaseExpr(operand, tuple(whens), default)
 
     def _bracket(self) -> A.Expr:
         """Either a list literal [1, 2] or a comprehension

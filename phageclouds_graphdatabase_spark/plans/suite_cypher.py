@@ -250,6 +250,29 @@ ORDER BY d ASC, src ASC, dst ASC LIMIT 20
 
 
 
+def cypher_unwind_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNWIND a collected list back to rows + CASE derivation (the V1 color
+    shape through the query language)."""
+    q = """MATCH (a:PhageGenome) WHERE a.accession IN {}
+            WITH collect(a.accession) AS accs
+            UNWIND accs AS acc
+            RETURN acc,
+                   CASE WHEN acc STARTS WITH 'P' THEN 'part'
+                        WHEN acc STARTS WITH 'S' THEN 'supplier'
+                        ELSE 'other' END AS kind;""".format(_IN_LIST)
+    return _engine(spark, sf_dir).run(q)
+
+
+CYPHER_UNWIND_CASE_SQL = _CTE + f"""
+SELECT accession AS acc,
+       CASE WHEN accession LIKE 'P%' THEN 'part'
+            WHEN accession LIKE 'S%' THEN 'supplier'
+            ELSE 'other' END AS kind
+FROM nodes WHERE accession IN {_IN_SQL}
+"""
+
+
+
 ENTRIES = {
     "cypher_seed_expand": SuiteEntry(
         cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
@@ -271,5 +294,8 @@ ENTRIES = {
     ),
     "cypher_topk_order_limit": SuiteEntry(
         cypher_topk_order_limit, CYPHER_TOPK_SQL, ("S2", "W1")
+    ),
+    "cypher_unwind_case": SuiteEntry(
+        cypher_unwind_case, CYPHER_UNWIND_CASE_SQL, ("S2", "V1", "A1")
     ),
 }

@@ -1556,3 +1556,57 @@ ENTRIES.update({
         histogram_quantiles, HISTOGRAM_QUANTILES_SQL, ("W5", "A6", "W2")
     ),
 })
+
+
+# --------------------------------------------------------------------------
+# Edit-distance near-dup (W5): character-level fuzzy pairs, the third text
+# dedup modality next to token-shingle Jaccard and embedding cosine.
+# Standard blocked shape: cheap equality block (first 8 chars) prunes the
+# candidate space, exact levenshtein (built into both engines) confirms.
+# At 100 TB the block key is the shuffle key; block-size skew is the risk
+# (AQE skew-join), and a too-weak block trades recall for cost exactly like
+# LSH band count does.
+# --------------------------------------------------------------------------
+
+_LEV_BLOCK = 8
+_LEV_PREFIX = 32
+_LEV_MAX = 5
+
+
+def neardup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, _LEV_BLOCK).alias("blk"),
+        F.substring("text", 1, _LEV_PREFIX).alias("pfx"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= _LEV_MAX)
+    )
+
+
+NEARDUP_LEV_SQL = f"""
+WITH p AS (
+    SELECT doc_id, substr(text, 1, {_LEV_BLOCK}) AS blk,
+           substr(text, 1, {_LEV_PREFIX}) AS pfx
+    FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pfx, b.pfx) <= {_LEV_MAX}
+"""
+
+
+ENTRIES.update({
+    "neardup_levenshtein": SuiteEntry(
+        neardup_levenshtein, NEARDUP_LEV_SQL, ("W5", "J7")
+    ),
+})

@@ -508,3 +508,38 @@ class TestOrderLimit:
         with pytest.raises(CypherCompileError, match="ORDER BY"):
             eng.run("MATCH (a:PhageGenome) RETURN a.source AS s, count(a.accession) AS n "
                     "ORDER BY a.genome_size")
+
+
+class TestUnwindCase:
+    def test_unwind_collected_list(self, eng):
+        q = 'MATCH (p:PhageGenome {source:"NCBI"}) WHERE p.taxonomy CONTAINS "Myoviridae" ' \
+            "OPTIONAL MATCH (p)-[r:sharesDNA]->(q:PhageGenome) WHERE r.distance <= 0.25 " \
+            "WITH collect(p.accession) AS tp, collect(q.accession) AS cp " \
+            "UNWIND tp + [x IN cp WHERE NOT x IN tp] AS node " \
+            "RETURN node"
+        [*got] = sorted(r.node for r in eng.run(q).collect())
+        assert got == ["A1", "A1", "A2", "A3", "A3"]
+
+    def test_unwind_literal_first_clause(self, phage_nodes, shares_dna, infects, spark):
+        e = CypherEngine(phage_catalog(phage_nodes, shares_dna, infects), spark=spark)
+        q = "UNWIND [1, 2, 3] AS n RETURN n"
+        assert sorted(r.n for r in e.run(q).collect()) == [1, 2, 3]
+
+    def test_generic_case(self, eng):
+        q = ("MATCH (a:PhageGenome) RETURN a.accession AS acc, "
+             "CASE WHEN a.source = 'NCBI' AND a.taxonomy CONTAINS 'Tequatrovirus' THEN 'green' "
+             "WHEN a.source = 'NCBI' THEN 'red' ELSE 'yellow' END AS color")
+        got = {r.acc: r.color for r in eng.run(q).collect()}
+        assert got["A1"] == "green" and got["B1"] == "red" and got["A3"] == "yellow"
+
+    def test_simple_case_with_operand(self, eng):
+        q = ("MATCH (a:PhageGenome) RETURN a.accession AS acc, "
+             "CASE a.source WHEN 'NCBI' THEN 1 WHEN 'Tara' THEN 2 ELSE 0 END AS k")
+        got = {r.acc: r.k for r in eng.run(q).collect()}
+        assert got["A1"] == 1 and got["A3"] == 2 and got["B2"] == 0
+
+    def test_case_no_else_is_null(self, eng):
+        q = ("MATCH (a:PhageGenome) RETURN a.accession AS acc, "
+             "CASE WHEN a.source = 'NCBI' THEN 'x' END AS v")
+        got = {r.acc: r.v for r in eng.run(q).collect()}
+        assert got["A1"] == "x" and got["A3"] is None
