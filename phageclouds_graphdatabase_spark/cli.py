@@ -64,6 +64,8 @@ def main(argv: list[str] | None = None) -> str:
                      help="max rows to print (default: 50; 0 = all)")
     p_q.add_argument("--out", default=None,
                      help="write the full result as Parquet instead of printing")
+    p_q.add_argument("--explain", action="store_true",
+                     help="print the Catalyst physical plan instead of rows")
 
     p_host = sub.add_parser("host", help="clouds for a bacterial host genus")
     p_host.add_argument("-g", "--genus", dest="host", required=True,
@@ -87,6 +89,9 @@ def main(argv: list[str] | None = None) -> str:
             else None
         )
         df = CypherEngine(phage_catalog(nodes, edges, infects)).run(args.cypher)
+        if args.explain:
+            df.explain("formatted")
+            return ""
         if args.out:
             df.write.mode("overwrite").parquet(args.out)
             print(args.out)

@@ -183,6 +183,9 @@ class WithClause:
     items: tuple  # (Item, ...)
     distinct: bool = False
     where: Expr | None = None
+    order_by: tuple = ()  # ((Expr, descending), ...)
+    skip: int | None = None
+    limit: int | None = None
 
 
 @dataclass(frozen=True)

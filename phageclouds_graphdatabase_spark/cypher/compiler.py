@@ -580,12 +580,20 @@ class CypherEngine:
         return out.distinct() if distinct else out
 
     def _fold_with(self, frame: _Frame, clause: A.WithClause, params: dict) -> None:
-        out = self._project(frame, clause.items, clause.distinct, params)
+        out = self._project_ordered(frame, clause, params)
+        old_vars = frame.vars
         frame.df = out
-        frame.vars = {
-            (item.alias or _default_name(item)): ("flat", None)
-            for item in clause.items
-        }
+        # a bare `WITH a` (or `WITH a AS b`) carries the ENTITY through —
+        # later MATCH clauses may keep expanding from it
+        frame.vars = {}
+        for item in clause.items:
+            name = item.alias or _default_name(item)
+            if isinstance(item.expr, A.Var) and old_vars.get(item.expr.name, ("flat", None))[0] != "flat":
+                frame.vars[name] = old_vars[item.expr.name]
+                if frame.used is not None and name != item.expr.name:
+                    frame.used[name] = frame.used.get(item.expr.name)
+            else:
+                frame.vars[name] = ("flat", None)
         if clause.where is not None:
             self._apply_where(frame, clause.where, params)
 
@@ -611,14 +619,13 @@ class CypherEngine:
             self._col(_Frame(df=one, used={}), e, params).alias("__lst")
         )
 
-    def _fold_return(
-        self, frame: _Frame, clause: A.ReturnClause, params: dict
+    def _project_ordered(
+        self, frame: _Frame, clause, params: dict
     ) -> DataFrame:
-        if frame.df is None:
-            raise CypherCompileError("RETURN without a preceding MATCH/WITH")
+        """Projection + ORDER BY/SKIP/LIMIT shared by WITH and RETURN.
+        ORDER BY keys that aren't output aliases ride along as hidden
+        columns computed pre-sort and dropped after (W1: sort/limit/top-k)."""
         names = [item.alias or _default_name(item) for item in clause.items]
-        # ORDER BY keys that aren't output aliases ride along as hidden
-        # columns computed pre-sort and dropped after (W1: sort/limit/top-k)
         items = list(clause.items)
         sort_cols: list = []
         hidden: list[str] = []
@@ -644,6 +651,13 @@ class CypherEngine:
         if clause.limit is not None:
             out = out.limit(clause.limit)
         return out.drop(*hidden) if hidden else out
+
+    def _fold_return(
+        self, frame: _Frame, clause: A.ReturnClause, params: dict
+    ) -> DataFrame:
+        if frame.df is None:
+            raise CypherCompileError("RETURN without a preceding MATCH/WITH")
+        return self._project_ordered(frame, clause, params)
 
     # -- expression compilation ---------------------------------------------
 

@@ -168,14 +168,11 @@ class _Parser:
         items = [self._item()]
         while self.accept("sym", ","):
             items.append(self._item())
+        order_by, skip, limit = self._order_skip_limit()
         where = self.expr() if self.accept("kw", "where") else None
-        return A.WithClause(tuple(items), distinct, where)
+        return A.WithClause(tuple(items), distinct, where, order_by, skip, limit)
 
-    def _return(self) -> A.ReturnClause:
-        distinct = self.accept("kw", "distinct")
-        items = [self._item()]
-        while self.accept("sym", ","):
-            items.append(self._item())
+    def _order_skip_limit(self) -> tuple:
         order_by: list = []
         if self.accept("kw", "order"):
             self.take("kw", "by")
@@ -195,7 +192,15 @@ class _Parser:
         limit = None
         if self.accept("kw", "limit"):
             limit = int(self.take("number"))
-        return A.ReturnClause(tuple(items), distinct, tuple(order_by), skip, limit)
+        return tuple(order_by), skip, limit
+
+    def _return(self) -> A.ReturnClause:
+        distinct = self.accept("kw", "distinct")
+        items = [self._item()]
+        while self.accept("sym", ","):
+            items.append(self._item())
+        order_by, skip, limit = self._order_skip_limit()
+        return A.ReturnClause(tuple(items), distinct, order_by, skip, limit)
 
     def _item(self) -> A.Item:
         start = self.peek()[2]

@@ -543,3 +543,18 @@ class TestUnwindCase:
              "CASE WHEN a.source = 'NCBI' THEN 'x' END AS v")
         got = {r.acc: r.v for r in eng.run(q).collect()}
         assert got["A1"] == "x" and got["A3"] is None
+
+
+class TestWithOrderLimit:
+    def test_with_top_k_then_expand(self, eng):
+        # mid-pipeline top-k: the 2 largest genomes, then their out-edges
+        q = ("MATCH (a:PhageGenome) WITH a ORDER BY a.genome_size DESC LIMIT 2 "
+             "MATCH (a)-[r:sharesDNA]->(b:PhageGenome) "
+             "RETURN a.accession AS src, b.accession AS dst")
+        # top-2: A2 (171000), A1 (168000); A2->A3 and A1's three edges
+        assert rows(eng.run(q)) == [("A1", "A2"), ("A1", "A3"), ("A2", "A3")]
+
+    def test_with_order_by_alias_limit(self, eng):
+        q = ("MATCH (a:PhageGenome) WITH a.source AS src, count(a.accession) AS n "
+             "ORDER BY n DESC, src ASC LIMIT 1 RETURN src, n")
+        assert rows(eng.run(q)) == [("NCBI", 6)]
