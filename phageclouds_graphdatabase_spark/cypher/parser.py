@@ -55,7 +55,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<number>\d+\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
   | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
-  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)
+  | (?P<ident>[^\W\d][\w]*|`[^`]+`)
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<sym><>|<=|>=|<-|->|[()\[\]{}:,;.\-+*/=<>|])
     """,

@@ -558,3 +558,32 @@ class TestWithOrderLimit:
         q = ("MATCH (a:PhageGenome) WITH a.source AS src, count(a.accession) AS n "
              "ORDER BY n DESC, src ASC LIMIT 1 RETURN src, n")
         assert rows(eng.run(q)) == [("NCBI", 6)]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=0, max_size=80))
+def test_parser_never_crashes_with_internal_error(text):
+    # arbitrary input either parses or raises the typed syntax error --
+    # never an internal exception
+    try:
+        parse(text)
+    except CypherSyntaxError:
+        pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    tax=st.text(alphabet=st.characters(whitelist_categories=("Lu", "Ll")), min_size=1, max_size=12),
+    d=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_reference_template_parses_for_any_args(tax, d):
+    # the taxon template parses for ANY interpolated argument values the
+    # reference's argparse would accept
+    q = """MATCH (a:PhageGenome {{source:'NCBI'}})-[r:sharesDNA]->(b:PhageGenome)
+            WHERE a.taxonomy CONTAINS '{}' AND r.distance <= {}
+            RETURN a.accession AS {}_phage, b.accession AS target_phage;""".format(tax, d, tax)
+    parse(q)
