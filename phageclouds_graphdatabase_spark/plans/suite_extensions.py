@@ -267,6 +267,35 @@ SELECT id, MIN(nbr) AS component FROM reach GROUP BY id
 # Text analysis (W5: token stats, quality, lang-id)
 # --------------------------------------------------------------------------
 
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (W6): iterative peel until every surviving node
+    keeps undirected degree >= 2 -- the dense-cloud trim. Fixed 3-round mode
+    here so the DuckDB oracle can mirror the peel round-for-round (the peel
+    converges in round 1 on this graph at the checked scale factors;
+    operators/graph.py k_core also offers the run-to-fixpoint form)."""
+    edges = graph_edges(spark, sf_dir, GRAPH_THRESHOLD)
+    return G.k_core(edges, 2, rounds=3).withColumn(
+        "degree", F.col("degree").cast("long")
+    )
+
+
+GRAPH_K_CORE_SQL = f"""
+WITH fedges AS (
+    SELECT src, dst FROM ({GRAPH_EDGES_SQL}) e0 WHERE distance <= {GRAPH_THRESHOLD}
+),
+und AS (SELECT src, dst FROM fedges UNION ALL SELECT dst, src FROM fedges),
+l0 AS (SELECT src, dst FROM und),
+k1 AS (SELECT src AS id FROM l0 GROUP BY src HAVING COUNT(*) >= 2),
+l1 AS (SELECT e.src, e.dst FROM l0 e JOIN k1 a ON e.src = a.id JOIN k1 b ON e.dst = b.id),
+k2 AS (SELECT src AS id FROM l1 GROUP BY src HAVING COUNT(*) >= 2),
+l2 AS (SELECT e.src, e.dst FROM l1 e JOIN k2 a ON e.src = a.id JOIN k2 b ON e.dst = b.id),
+k3 AS (SELECT src AS id FROM l2 GROUP BY src HAVING COUNT(*) >= 2),
+l3 AS (SELECT e.src, e.dst FROM l2 e JOIN k3 a ON e.src = a.id JOIN k3 b ON e.dst = b.id)
+SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree
+FROM l3 GROUP BY src HAVING COUNT(*) >= 2
+"""
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").withColumn("w", tokens(F.col("text")))
     return d.select(
@@ -1217,6 +1246,7 @@ ENTRIES: dict[str, SuiteEntry] = {
     "graph_degrees": SuiteEntry(graph_degrees_q, GRAPH_DEGREES_SQL, ("A6", "J7")),
     "graph_optional_host": SuiteEntry(graph_optional_host, GRAPH_OPTIONAL_SQL, ("J4", "J5", "A4")),
     "graph_components": SuiteEntry(graph_components_q, GRAPH_COMPONENTS_SQL, ("W6",)),
+    "graph_k_core": SuiteEntry(graph_k_core, GRAPH_K_CORE_SQL, ("W6", "A6")),
     "text_token_stats": SuiteEntry(text_token_stats, TEXT_TOKEN_STATS_SQL, ("W5", "V8")),
     "text_quality_score": SuiteEntry(text_quality_score, TEXT_QUALITY_SQL, ("W5",)),
     "lang_id_ngram": SuiteEntry(lang_id_ngram, LANG_ID_SQL, ("W5",)),

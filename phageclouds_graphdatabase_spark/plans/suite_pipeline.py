@@ -1610,3 +1610,105 @@ ENTRIES.update({
         neardup_levenshtein, NEARDUP_LEV_SQL, ("W5", "J7")
     ),
 })
+
+
+# --------------------------------------------------------------------------
+# Hashed-n-gram importance weights (W5): data-selection scoring in the DSIR
+# family (Xie et al. 2023, "Data Selection for Language Models via
+# Importance Resampling") — hashed unigram features, target-vs-raw bucket
+# ratios, per-doc importance scores for resampling toward a target
+# distribution. Deviation for exact cross-engine verification: bucket
+# ratios enter linearly (integer-scaled exact division) instead of
+# log-ratios — transcendental log differs in final ulps across libms, which
+# would make the oracle flaky. Ranking behavior is preserved for the
+# dominant single-bucket-ratio ordering; the linear form is documented.
+# --------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 4096
+_DSIR_SCALE = 1_000_000
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tk = d.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select(
+        "doc_id", "lang", "source", h.tokens(F.col("text")).alias("toks")
+    )
+    tok = tk.select(
+        "doc_id", "lang", "source", F.explode("toks").alias("token")
+    )
+    bucket = (
+        F.aggregate(
+            F.filter(F.split(F.col("token"), ""), lambda c: c != F.lit("")),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * _RH_BASE + F.ascii(c)) % _RH_MOD,
+        ) % _DSIR_BUCKETS
+    ).alias("b")
+    tb = tok.select("doc_id", "lang", "source", bucket).cache()
+
+    raw = tb.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_r"))
+    tgt = (
+        tb.filter((F.col("lang") == "en") & (F.col("source") == "src0"))
+        .groupBy("b").agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+    ratio = (
+        raw.join(tgt, "b", "left_outer")
+        .select(
+            "b",
+            F.floor(
+                F.coalesce(F.col("cnt_t"), F.lit(0)) * F.lit(_DSIR_SCALE)
+                / F.col("cnt_r")
+            ).cast("long").alias("ratio"),
+        )
+    )
+    return (
+        tb.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("ratio").alias("score"),
+        )
+    )
+
+
+DSIR_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, lang, source,
+           unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              t -> t <> '')) AS token
+    FROM documents
+),
+tb AS (
+    SELECT doc_id, lang, source,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_filter(split(token, ''), c -> c <> ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+               (acc, c) -> (acc * {_RH_BASE} + c) % {_RH_MOD}
+           ) % {_DSIR_BUCKETS} AS b
+    FROM tok
+),
+raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt_r FROM tb GROUP BY b),
+tgt AS (
+    SELECT b, CAST(count(*) AS BIGINT) AS cnt_t FROM tb
+    WHERE lang = 'en' AND source = 'src0' GROUP BY b
+),
+ratio AS (
+    SELECT r.b,
+           CAST(floor(COALESCE(t.cnt_t, 0) * {_DSIR_SCALE} * 1.0 / r.cnt_r)
+                AS BIGINT) AS ratio
+    FROM raw r LEFT JOIN tgt t ON r.b = t.b
+)
+SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(ratio) AS BIGINT) AS score
+FROM tb JOIN ratio ON tb.b = ratio.b
+GROUP BY tb.doc_id
+"""
+
+
+ENTRIES.update({
+    "dsir_importance_weights": SuiteEntry(
+        dsir_importance_weights, DSIR_SQL, ("W5", "A6", "J6")
+    ),
+})

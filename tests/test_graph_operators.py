@@ -213,3 +213,30 @@ def test_connected_components_reliable_checkpoint(
 def test_cloud_membership_sizes(spark, shares_dna):
     cm = {r.id: r.cloud_size for r in G.cloud_membership(shares_dna, 0.25).collect()}
     assert cm["A1"] == 4 and cm["B2"] == 3 and cm["D2"] == 2 and cm["F1"] == 2
+
+
+def test_k_core_peels_to_triangle(spark, shares_dna):
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    # 2-core of the fixture graph: only the A1-A2-A3 triangle survives
+    got = sorted((r.id, r.degree) for r in G.k_core(shares_dna, 2).collect())
+    assert got == [("A1", 2), ("A2", 2), ("A3", 2)]
+    # fixed-rounds mode converges to the same set once rounds >= needed
+    got_fixed = sorted(
+        (r.id, r.degree) for r in G.k_core(shares_dna, 2, rounds=5).collect()
+    )
+    assert got_fixed == got
+
+
+def test_k_core_1_drops_only_isolated(spark, shares_dna):
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    ids = sorted(r.id for r in G.k_core(shares_dna, 1).collect())
+    # every node with at least one edge (E1 is isolated and never appears)
+    assert ids == ["A1", "A2", "A3", "B1", "B2", "B3", "C1", "D1", "D2", "F1", "F2"]
+
+
+def test_k_core_3_is_empty_on_fixture(spark, shares_dna):
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    assert G.k_core(shares_dna, 3).count() == 0
