@@ -1712,3 +1712,75 @@ ENTRIES.update({
         dsir_importance_weights, DSIR_SQL, ("W5", "A6", "J6")
     ),
 })
+
+
+# --------------------------------------------------------------------------
+# Corpus profile (W5/A6): the dataset-card primitive — per-column null
+# counts, exact distincts, and length ranges in one pass, long-format so
+# new columns append rows, not schema changes. At 100 TB: one wide
+# aggregation (map-side partials) + a tiny unpivot; exact distincts are the
+# cost center — swap in approx_count_distinct/KMV (kmv_distinct_estimate)
+# when exactness isn't required.
+# --------------------------------------------------------------------------
+
+
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    cols = ["text", "lang", "source"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.length(c)).cast("long").alias(f"{c}__min_len"),
+            F.max(F.length(c)).cast("long").alias(f"{c}__max_len"),
+        ]
+    wide = d.agg(*aggs)
+    parts = []
+    for c in cols:
+        parts.append(wide.select(
+            F.lit(c).alias("column"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min_len").alias("min_len"),
+            F.col(f"{c}__max_len").alias("max_len"),
+        ))
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out
+
+
+CORPUS_PROFILE_SQL = """
+WITH w AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS text__nulls,
+           CAST(count(DISTINCT text) AS BIGINT) AS text__distinct,
+           CAST(min(length(text)) AS BIGINT) AS text__min_len,
+           CAST(max(length(text)) AS BIGINT) AS text__max_len,
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang__nulls,
+           CAST(count(DISTINCT lang) AS BIGINT) AS lang__distinct,
+           CAST(min(length(lang)) AS BIGINT) AS lang__min_len,
+           CAST(max(length(lang)) AS BIGINT) AS lang__max_len,
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source__nulls,
+           CAST(count(DISTINCT source) AS BIGINT) AS source__distinct,
+           CAST(min(length(source)) AS BIGINT) AS source__min_len,
+           CAST(max(length(source)) AS BIGINT) AS source__max_len
+    FROM documents
+)
+SELECT 'text' AS "column", n_rows, text__nulls AS n_nulls,
+       text__distinct AS n_distinct, text__min_len AS min_len,
+       text__max_len AS max_len FROM w
+UNION ALL
+SELECT 'lang', n_rows, lang__nulls, lang__distinct, lang__min_len,
+       lang__max_len FROM w
+UNION ALL
+SELECT 'source', n_rows, source__nulls, source__distinct, source__min_len,
+       source__max_len FROM w
+"""
+
+
+ENTRIES.update({
+    "corpus_profile": SuiteEntry(corpus_profile, CORPUS_PROFILE_SQL, ("W5", "A6")),
+})
