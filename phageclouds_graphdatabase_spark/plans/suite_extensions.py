@@ -1275,3 +1275,102 @@ ENTRIES: dict[str, SuiteEntry] = {
         gopher_repetition_signals, GOPHER_REPETITION_SQL, ("W5",)
     ),
 }
+
+
+_SH_BANDS = 4  # 4 bands x 4 bits: hamming <= 3 => >= 1 identical band
+
+
+def neardup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole band blocking (hamming <= 3 over
+    16 bits guarantees one of 4 four-bit bands matches; the verify here
+    keeps hamming <= 1 — 16-bit prints over a shared vocabulary
+    over-generate at 3) + exact Hamming verify. The verify compares the 16 positions directly — engine-neutral,
+    no conv/bit_count dialect differences. Completes the simhash family:
+    fingerprint (simhash_fingerprint) -> candidate pairs -> verified dups."""
+    fp = simhash_fingerprint(spark, sf_dir).cache()
+    width = _SIMHASH_BITS // _SH_BANDS
+    bands = fp.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.substring("simhash", i * width + 1, width).alias("key"),
+            )
+            for i in range(_SH_BANDS)
+        ])).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = sum(
+        F.when(
+            F.substring(F.col("a.simhash"), j + 1, 1)
+            != F.substring(F.col("b.simhash"), j + 1, 1),
+            1,
+        ).otherwise(0)
+        for j in range(_SIMHASH_BITS)
+    )
+    return (
+        cand.join(a, cand["id_a"] == a["doc_id"])
+        .join(b, cand["id_b"] == b["doc_id"])
+        .select("id_a", "id_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 1)
+    )
+
+
+_ham_sql = " + ".join(
+    f"(CASE WHEN substr(a.simhash, {j + 1}, 1) <> substr(b.simhash, {j + 1}, 1) THEN 1 ELSE 0 END)"
+    for j in range(_SIMHASH_BITS)
+)
+_band_sql = ", ".join(
+    f"(SELECT {i} AS band, substr(simhash, {i * (_SIMHASH_BITS // _SH_BANDS) + 1}, {_SIMHASH_BITS // _SH_BANDS}) AS key)"
+    for i in range(_SH_BANDS)
+)
+
+NEARDUP_SIMHASH_SQL = r"""
+WITH w AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(w) AS tok FROM w),
+sums AS (
+    SELECT doc_id,
+""" + _simhash_sums + """
+    FROM tok GROUP BY doc_id
+),
+fp AS (SELECT doc_id, """ + _simhash_bits + """ AS simhash FROM sums),
+bands AS (
+    SELECT doc_id, g.band,
+           substr(simhash, g.band * 4 + 1, 4) AS key
+    FROM fp, (SELECT unnest([0, 1, 2, 3]) AS band) g
+),
+cand AS (
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(""" + _ham_sql + """ AS BIGINT) AS hamming
+FROM cand c
+JOIN fp a ON a.doc_id = c.id_a
+JOIN fp b ON b.doc_id = c.id_b
+WHERE """ + _ham_sql + """ <= 1
+"""
+
+
+ENTRIES.update({
+    "neardup_simhash_hamming": SuiteEntry(
+        neardup_simhash_hamming, NEARDUP_SIMHASH_SQL, ("W5", "J7")
+    ),
+})
