@@ -587,3 +587,22 @@ def test_reference_template_parses_for_any_args(tax, d):
             WHERE a.taxonomy CONTAINS '{}' AND r.distance <= {}
             RETURN a.accession AS {}_phage, b.accession AS target_phage;""".format(tax, d, tax)
     parse(q)
+
+
+class TestAggregateVariants:
+    def test_collect_distinct(self, eng):
+        q = "MATCH (a:PhageGenome)-[r:sharesDNA]->(b:PhageGenome) " \
+            "WITH collect(DISTINCT a.source) AS srcs RETURN size(srcs) AS n"
+        assert eng.run(q).collect()[0].n == 4
+
+    def test_count_distinct(self, eng):
+        q = "MATCH (a:PhageGenome)-[r:sharesDNA]->(b:PhageGenome) " \
+            "RETURN count(DISTINCT a.accession) AS n"
+        assert eng.run(q).collect()[0].n == 8
+
+    def test_sum_avg_min_max(self, eng):
+        q = ("MATCH (a:PhageGenome {source:'Tara'}) "
+             "RETURN sum(a.genome_size) AS s, min(a.genome_size) AS mn, "
+             "max(a.genome_size) AS mx")
+        r = eng.run(q).collect()[0]
+        assert (r.s, r.mn, r.mx) == (45000 + 12000 + 12500, 12000, 45000)
