@@ -495,12 +495,9 @@ def k_core(
     und = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    if rounds is None:
+        return _k_core_delta(und, k, reliable_checkpoint)
     live = und
-    # fixpoint mode tracks the live edge count; counting AFTER the eager
-    # checkpoint reads the materialized blocks instead of re-executing the
-    # round's plan (counting the un-checkpointed frame ran every round
-    # twice: measured 300 s -> ~150 s for a 4-core at 19.5M edges)
-    prev = live.count() if rounds is None else None
     i = 0
     while True:
         deg = live.groupBy(F.col("src").alias("id")).agg(
@@ -526,13 +523,61 @@ def k_core(
                 break
             live = _ckpt(nxt, reliable_checkpoint)
             continue
-        live = _ckpt(nxt, reliable_checkpoint)
-        n = live.count()
-        if n == prev:
-            break
-        prev = n
     return (
         live.groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).alias("degree"))
         .filter(F.col("degree") >= k)
     )
+
+
+def _k_core_delta(und: DataFrame, k: int, reliable: bool) -> DataFrame:
+    """Delta-peeling fixpoint: compute full undirected degrees ONCE, then
+    per round only (a) find under-degree nodes, (b) count the live edges
+    they touch to decrement their neighbors, (c) anti-join them out of the
+    edge and degree tables. After the first peel the removed set is small,
+    so every per-round join broadcasts and the only shuffle is the
+    decrement aggregation — sized by the DELTA, not the graph. Honest
+    local[32] measurement at 38M undirected edge rows: wall-clock PARITY
+    with the naive re-aggregating peel (~200 s either way) because local
+    mode is scan-bound — both forms scan the live edges per round, and
+    local shuffles are memory-cheap. The delta form is kept because it
+    eliminates the per-round full-graph shuffle, which is the bottleneck
+    on a real cluster where shuffle means network; property-tested
+    equivalent to the fixed-rounds peel (tests/test_graph_operators.py).
+    Edge/degree lineage accumulates map-side anti-joins and is
+    checkpointed every 4 rounds."""
+    live = _ckpt(und, reliable)
+    deg = _ckpt(
+        live.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("degree")
+        ),
+        reliable,
+    )
+    i = 0
+    while True:
+        removed = deg.filter(F.col("degree") < k).select("id").localCheckpoint()
+        if removed.isEmpty():
+            break
+        i += 1
+        # neighbors of removed lose one degree per incident live edge
+        dec = (
+            live.join(F.broadcast(removed), live["dst"] == removed["id"])
+            .groupBy(F.col("src").alias("nid"))
+            .agg(F.count(F.lit(1)).alias("dec"))
+        )
+        live = (
+            live.join(F.broadcast(removed), live["src"] == removed["id"], "left_anti")
+            .join(F.broadcast(removed), live["dst"] == removed["id"], "left_anti")
+        )
+        deg = (
+            deg.join(F.broadcast(removed), deg["id"] == removed["id"], "left_anti")
+            .join(dec, deg["id"] == dec["nid"], "left_outer")
+            .select(
+                "id",
+                (F.col("degree") - F.coalesce(F.col("dec"), F.lit(0))).alias("degree"),
+            )
+        )
+        if i % 4 == 0:
+            live = _ckpt(live, reliable)
+            deg = _ckpt(deg, reliable)
+    return deg.filter(F.col("degree") >= k)

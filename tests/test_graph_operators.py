@@ -240,3 +240,26 @@ def test_k_core_3_is_empty_on_fixture(spark, shares_dna):
     from phageclouds_graphdatabase_spark.operators import graph as G
 
     assert G.k_core(shares_dna, 3).count() == 0
+
+
+def test_k_core_delta_equals_naive_on_random_graphs(spark):
+    import random
+
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n, m = 40, 120
+        seen = set()
+        rows = []
+        while len(rows) < m:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a == b or (min(a, b), max(a, b)) in seen:
+                continue
+            seen.add((min(a, b), max(a, b)))
+            rows.append((f"N{a}", f"N{b}", 0.1))
+        edges = spark.createDataFrame(rows, "src string, dst string, distance double")
+        for k in (2, 3, 4):
+            fix = sorted(map(tuple, G.k_core(edges, k).collect()))
+            naive = sorted(map(tuple, G.k_core(edges, k, rounds=25).collect()))
+            assert fix == naive, (trial, k)
