@@ -1374,3 +1374,80 @@ ENTRIES.update({
         neardup_simhash_hamming, NEARDUP_SIMHASH_SQL, ("W5", "J7")
     ),
 })
+
+
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: the Jaccard pair graph's connected
+    components pick one canonical doc per duplicate cluster (min doc_id) —
+    the decision step that turns pairwise dedup signals into keep/drop
+    actions, and the piece that ties the graph engine (W6 components) into
+    the text pipeline. Docs with no near-dup are their own canonical."""
+    pairs = neardup_jaccard_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    nodes = t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    comp = G.connected_components(edges, nodes=nodes)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").cast("long").alias("canonical"),
+        (F.col("component") == F.col("id")).alias("is_canonical"),
+    )
+
+
+_PAIRS_SUB = "(" + NEARDUP_JACCARD_SQL + ")"
+
+DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE reach(id, nbr) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.id, u.b
+    FROM reach r JOIN (
+        SELECT doc_a AS a, doc_b AS b FROM {_PAIRS_SUB} p1
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM {_PAIRS_SUB} p2
+    ) u ON r.nbr = u.a
+)
+SELECT id AS doc_id, MIN(nbr) AS canonical,
+       (MIN(nbr) = id) AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
+def embedding_centroids_bylabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulators over the embedding column: exact
+    integer sums of quantized components plus counts (division to a mean
+    happens at the consumer — float means are order-dependent, integer sums
+    aren't). The vector-aggregation shape: posexplode to (label, dim),
+    map-side partial sums, one shuffle keyed by (label, dim)."""
+    e = t(spark, sf_dir, "embeddings")
+    from phageclouds_graphdatabase_spark.plans._suite_helpers import quant
+
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", (F.col("pos") + 1).alias("dim"), quant(F.col("v")).alias("q"))
+    return exploded.groupBy("label", "dim").agg(
+        F.sum("q").alias("sum_q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+EMBEDDING_CENTROIDS_SQL = """
+WITH ix AS (
+    SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS dim
+    FROM embeddings
+)
+SELECT label, dim,
+       CAST(SUM(CAST(FLOOR(CAST(embedding[dim] AS DOUBLE) * 10000.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS sum_q,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ix GROUP BY label, dim
+"""
+
+
+ENTRIES.update({
+    "dedup_cluster_canonical": SuiteEntry(
+        dedup_cluster_canonical, DEDUP_CLUSTER_SQL, ("W5", "W6", "A4")
+    ),
+    "embedding_centroids_bylabel": SuiteEntry(
+        embedding_centroids_bylabel, EMBEDDING_CENTROIDS_SQL, ("W5", "A6")
+    ),
+})
