@@ -1784,3 +1784,40 @@ SELECT 'source', n_rows, source__nulls, source__distinct, source__min_len,
 ENTRIES.update({
     "corpus_profile": SuiteEntry(corpus_profile, CORPUS_PROFILE_SQL, ("W5", "A6")),
 })
+
+
+def events_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 lag/lead: per-user inter-event gap in seconds (lag) and the next
+    event's type (lead) — the sessionization precursor (gap > threshold =>
+    session boundary). Deterministic ordering: (ts, event_id) is unique."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        # microsecond-exact: unix_timestamp truncates sub-second parts and
+        # DuckDB's epoch() returns a fractional double -- off-by-one seconds
+        # (ts is TIMESTAMP_NTZ; the cast shift cancels in the difference)
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(prev_ts.cast("timestamp")))
+        .cast("long")
+        .alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+EVENTS_LAG_LEAD_SQL = """
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap_us,
+       lead(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+ENTRIES.update({
+    "events_lag_lead_delta": SuiteEntry(
+        events_lag_lead_delta, EVENTS_LAG_LEAD_SQL, ("W2", "V8")
+    ),
+})
