@@ -206,6 +206,42 @@ class ReturnClause:
     limit: int | None = None
 
 
+# --- write clauses ---------------------------------------------------------
+#
+# The reference never writes (its three scripts are read-only Neo4j clients),
+# so these are extension surface: the standard Cypher ingestion/maintenance
+# clauses, compiled to copy-on-write DataFrame plans over the GraphCatalog
+# (CypherEngine.apply) instead of transactional store mutations.
+
+
+@dataclass(frozen=True)
+class CreateClause:
+    patterns: tuple  # (PathPat, ...)
+
+
+@dataclass(frozen=True)
+class MergeClause:
+    """MERGE pattern [ON CREATE SET ...] [ON MATCH SET ...].
+
+    set items are ((Prop, Expr), ...) — property assignments applied on the
+    branch that fired for each source row."""
+
+    pattern: "PathPat"
+    on_create: tuple = ()
+    on_match: tuple = ()
+
+
+@dataclass(frozen=True)
+class SetClause:
+    items: tuple  # ((Prop, Expr), ...)
+
+
+@dataclass(frozen=True)
+class DeleteClause:
+    names: tuple  # bound variable names
+    detach: bool = False
+
+
 @dataclass(frozen=True)
 class Query:
     clauses: tuple = field(default_factory=tuple)  # Match/With, then Return last

@@ -168,6 +168,13 @@ class CypherEngine:
     def run(self, query: str, params: dict | None = None) -> DataFrame:
         return self.compile(parse(query), params or {})
 
+    def apply(self, query: str, params: dict | None = None) -> "GraphCatalog":
+        """Run a Cypher WRITE query (CREATE/MERGE/SET/DELETE); returns the
+        updated catalog as copy-on-write DataFrame plans (cypher/writes.py)."""
+        from phageclouds_graphdatabase_spark.cypher.writes import apply_write
+
+        return apply_write(self, query, params)
+
     # -- clause folding -----------------------------------------------------
 
     def compile(self, q: A.Query, params: dict) -> DataFrame:
@@ -183,6 +190,13 @@ class CypherEngine:
                 self._fold_unwind(frame, clause, params)
             elif isinstance(clause, A.ReturnClause):
                 out = self._fold_return(frame, clause, params)
+            elif isinstance(
+                clause, (A.CreateClause, A.MergeClause, A.SetClause, A.DeleteClause)
+            ):
+                raise CypherCompileError(
+                    "write clauses run through CypherEngine.apply(), which "
+                    "returns the updated catalog"
+                )
             else:  # pragma: no cover
                 raise CypherCompileError(f"unsupported clause {clause!r}")
         if out is None:

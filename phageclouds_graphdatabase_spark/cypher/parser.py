@@ -48,6 +48,7 @@ _KEYWORDS = {
     "in", "contains", "starts", "ends", "distinct", "is", "null", "true",
     "false", "order", "by", "asc", "ascending", "desc", "descending",
     "skip", "limit", "unwind", "case", "when", "then", "else", "end",
+    "create", "merge", "set", "delete", "detach", "on",
 }
 
 _TOKEN_RE = re.compile(
@@ -140,8 +141,19 @@ class _Parser:
                 e = self.expr()
                 self.take("kw", "as")
                 clauses.append(A.UnwindClause(e, self._name()))
+            elif self.accept("kw", "create"):
+                clauses.append(self._create())
+            elif self.accept("kw", "merge"):
+                clauses.append(self._merge())
+            elif self.accept("kw", "set"):
+                clauses.append(A.SetClause(self._set_items()))
+            elif self.at("kw", "detach") or self.at("kw", "delete"):
+                clauses.append(self._delete())
             elif self.accept("kw", "return"):
                 clauses.append(self._return())
+                break
+            elif clauses and (self.at("eof") or self.at("sym", ";")):
+                # write queries may end without RETURN
                 break
             else:
                 tk, tv, pos, _ = self.peek()
@@ -193,6 +205,51 @@ class _Parser:
         if self.accept("kw", "limit"):
             limit = int(self.take("number"))
         return tuple(order_by), skip, limit
+
+    def _create(self) -> A.CreateClause:
+        pats = [self._pattern()]
+        while self.accept("sym", ","):
+            pats.append(self._pattern())
+        return A.CreateClause(tuple(pats))
+
+    def _merge(self) -> A.MergeClause:
+        pat = self._pattern()
+        on_create: tuple = ()
+        on_match: tuple = ()
+        while self.accept("kw", "on"):
+            if self.accept("kw", "create"):
+                self.take("kw", "set")
+                on_create = self._set_items()
+            elif self.accept("kw", "match"):
+                self.take("kw", "set")
+                on_match = self._set_items()
+            else:
+                _, tv, pos, _ = self.peek()
+                raise CypherSyntaxError(
+                    f"expected CREATE or MATCH after ON at position {pos}, "
+                    f"found {tv!r}"
+                )
+        return A.MergeClause(pat, on_create, on_match)
+
+    def _set_items(self) -> tuple:
+        items = []
+        while True:
+            var = self._name()
+            self.take("sym", ".")
+            prop = self._name()
+            self.take("sym", "=")
+            items.append((A.Prop(var, prop), self.expr()))
+            if not self.accept("sym", ","):
+                break
+        return tuple(items)
+
+    def _delete(self) -> A.DeleteClause:
+        detach = self.accept("kw", "detach")
+        self.take("kw", "delete")
+        names = [self._name()]
+        while self.accept("sym", ","):
+            names.append(self._name())
+        return A.DeleteClause(tuple(names), detach)
 
     def _return(self) -> A.ReturnClause:
         distinct = self.accept("kw", "distinct")
@@ -290,9 +347,10 @@ class _Parser:
         return tuple(out)
 
     def _prop_value(self) -> A.Expr:
-        if self.at("param"):
-            return A.Param(self.take("param")[1:])
-        return self._literal()
+        # full expressions allowed (write patterns bind props to frame
+        # variables, e.g. MERGE (n:L {accession: r.acc})); read patterns
+        # that need a scalar enforce literal/param at compile time
+        return self.expr()
 
     def _literal(self) -> A.Literal:
         tk, tv, pos, _ = self.peek()

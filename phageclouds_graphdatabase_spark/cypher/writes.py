@@ -1,0 +1,593 @@
+"""Cypher write clauses (CREATE / MERGE / SET / DELETE) compiled to
+copy-on-write DataFrame plans.
+
+The reference never writes — its three scripts are read-only Neo4j clients
+(/root/reference/phageclouds_gdb.py:24-37 only ever runs MATCH queries) — so
+this is extension surface: the standard Cypher ingestion/maintenance clauses
+re-expressed for a batch analytics engine. A write query produces a NEW
+:class:`GraphCatalog` whose updated tables are lazy Catalyst plans over the
+old ones (Delta-style copy-on-write), never a store mutation:
+
+- ``CREATE (n:L {...})``           → ``unionByName`` of an aligned literal row
+- ``MATCH ... CREATE (a)-[:T]->(b)`` → projection of the match frame unioned
+                                       into the edge table
+- ``MERGE (n:L {k: v}) ON CREATE SET ... ON MATCH SET ...``
+                                   → one full-outer join on the pattern
+                                     properties; per-column CASE picks the
+                                     matched / created / untouched value.
+                                     Driven by a preceding UNWIND/MATCH this
+                                     is the declarative bulk-upsert plan
+                                     (same shape as operators MERGE INTO,
+                                     plans/suite_relational.py
+                                     merge_upsert_orders)
+- ``MATCH ... SET n.p = expr``     → left-outer join of the target table with
+                                     the distinct (key, value) update set
+- ``MATCH ... DETACH DELETE n``    → anti-join on the key set, cascaded over
+                                     every incident relationship table
+
+Scale notes: every shape is one shuffle-free-or-single-shuffle join against
+the target table — the update/merge source is the (typically tiny) match
+frame, which Catalyst broadcasts; the target table is scanned once. At
+100 TB the full-outer MERGE is the same plan a Delta/Iceberg MERGE INTO
+lowers to.
+
+Documented deviations from Neo4j:
+- plain ``DELETE`` of a *node* raises at compile time (Neo4j raises at
+  runtime when edges still reference it; without executing we cannot prove
+  there are none — ``DETACH DELETE`` is the supported spelling). Deleting
+  bound *relationship* variables works with plain ``DELETE``.
+- several context rows merging/setting the same key collapse to one
+  arbitrary-but-deterministic-per-plan row (``dropDuplicates`` on the match
+  keys) instead of firing per-row; Neo4j applies them sequentially in
+  transaction order, an order a distributed batch engine does not have.
+- ``RETURN`` after a write clause is unsupported; run reads against the
+  returned catalog instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from phageclouds_graphdatabase_spark.cypher import ast_nodes as A
+from phageclouds_graphdatabase_spark.cypher.compiler import (
+    CypherCompileError,
+    CypherEngine,
+    GraphCatalog,
+    NodeTable,
+    RelTable,
+    _Frame,
+)
+from phageclouds_graphdatabase_spark.cypher.parser import parse
+
+
+def apply_write(
+    engine: CypherEngine, query: str, params: dict | None = None
+) -> GraphCatalog:
+    """Run a Cypher write query against ``engine.catalog``; returns the new
+    catalog. Read clauses (MATCH/OPTIONAL MATCH/WHERE/WITH/UNWIND) build the
+    driving frame exactly as in reads; reads placed *after* a write clause
+    see the pending writes (Cypher clause-ordering semantics)."""
+    q = parse(query)
+    params = params or {}
+    # scratch engine so catalog swaps never mutate the caller's engine
+    eng = CypherEngine(engine.catalog, engine.spark)
+    # used=None disables binding-frame struct pruning: write clauses need
+    # whole entities (e.g. DELETE of an edge var needs its src/dst columns)
+    frame = _Frame(used=None)
+    wrote = False
+    for clause in q.clauses:
+        if isinstance(clause, A.MatchClause):
+            eng._fold_match(frame, clause, params)
+        elif isinstance(clause, A.WithClause):
+            eng._fold_with(frame, clause, params)
+        elif isinstance(clause, A.UnwindClause):
+            eng._fold_unwind(frame, clause, params)
+        elif isinstance(clause, A.CreateClause):
+            for pat in clause.patterns:
+                eng.catalog = _apply_create(eng, frame, pat, params)
+            wrote = True
+        elif isinstance(clause, A.MergeClause):
+            eng.catalog = _apply_merge(eng, frame, clause, params)
+            wrote = True
+        elif isinstance(clause, A.SetClause):
+            eng.catalog = _apply_set(eng, frame, clause, params)
+            wrote = True
+        elif isinstance(clause, A.DeleteClause):
+            eng.catalog = _apply_delete(eng, frame, clause, params)
+            wrote = True
+        elif isinstance(clause, A.ReturnClause):
+            if not wrote:
+                raise CypherCompileError(
+                    "no write clause found; use CypherEngine.run() for reads"
+                )
+            raise CypherCompileError(
+                "RETURN in a write query is not supported; query the "
+                "returned catalog instead"
+            )
+        else:  # pragma: no cover
+            raise CypherCompileError(f"unsupported clause {clause!r}")
+    if not wrote:
+        raise CypherCompileError(
+            "no write clause found; use CypherEngine.run() for reads"
+        )
+    return eng.catalog
+
+
+# --------------------------------------------------------------------------
+# context helpers
+# --------------------------------------------------------------------------
+
+
+def _spark_of(eng: CypherEngine) -> SparkSession:
+    if eng.spark is not None:
+        return eng.spark
+    for nt in eng.catalog.nodes.values():
+        return nt.df.sparkSession
+    raise CypherCompileError("empty catalog")  # pragma: no cover
+
+
+def _ctx(eng: CypherEngine, frame: _Frame) -> DataFrame:
+    """The driving rows for a write clause: the match frame, or a single
+    all-literal row for standalone writes."""
+    if frame.df is not None:
+        return frame.df
+    return _spark_of(eng).range(1).select(F.lit(1).alias("__one"))
+
+
+def _carry(frame: _Frame) -> list[str]:
+    return [v for v in frame.vars if not v.startswith("__")]
+
+
+def _carried_env(frame: _Frame) -> dict:
+    """Frame variables re-addressed through ``__v_``-prefixed columns so they
+    survive next to target-table column names without collisions."""
+    return {v: F.col(f"__v_{v}") for v in _carry(frame)}
+
+
+def _carried_cols(frame: _Frame) -> list[Column]:
+    return [F.col(v).alias(f"__v_{v}") for v in _carry(frame)]
+
+
+def _aligned_create_cols(
+    eng: CypherEngine,
+    frame: _Frame,
+    props: dict,
+    schema,
+    params: dict,
+    env: dict,
+) -> list[Column]:
+    """One Column per target-schema field: the prop expression cast to the
+    declared type, NULL where the pattern gives no value (§1.2: explicit
+    StructType everywhere — writes validate against it instead of growing
+    implicit schema, the upgrade over Neo4j's schemaless store)."""
+    unknown = set(props) - {f.name for f in schema.fields}
+    if unknown:
+        raise CypherCompileError(
+            f"properties {sorted(unknown)} are not in the declared schema "
+            f"({[f.name for f in schema.fields]})"
+        )
+    out = []
+    for f in schema.fields:
+        if f.name in props:
+            c = eng._col(frame, props[f.name], params, env)
+        else:
+            c = F.lit(None)
+        out.append(c.cast(f.dataType).alias(f.name))
+    return out
+
+
+def _swap_node(cat: GraphCatalog, label: str, df: DataFrame) -> GraphCatalog:
+    nt = cat.node(label)
+    return GraphCatalog(
+        {**cat.nodes, label: NodeTable(df, nt.key)}, dict(cat.rels)
+    )
+
+
+def _swap_rel(cat: GraphCatalog, rtype: str, df: DataFrame) -> GraphCatalog:
+    r = cat.rel(rtype)
+    return GraphCatalog(
+        dict(cat.nodes),
+        {**cat.rels, rtype: RelTable(df, r.src_col, r.dst_col, r.src_label, r.dst_label)},
+    )
+
+
+def _endpoint_key(
+    eng: CypherEngine, frame: _Frame, pat: A.NodePat, want_label: str
+) -> Column:
+    """Key expression for an edge endpoint that must already be bound."""
+    if pat.var is None or not frame.has(pat.var):
+        raise CypherCompileError(
+            "edge endpoints must be bound variables (or literal nodes "
+            "created in the same CREATE pattern)"
+        )
+    kind, label = frame.vars[pat.var]
+    if kind != "node":
+        raise CypherCompileError(f"{pat.var} is not a node variable")
+    if label != want_label:
+        raise CypherCompileError(
+            f"{pat.var} is a :{label} node; this relationship needs :{want_label}"
+        )
+    return F.col(pat.var)[eng.catalog.node(label).key]
+
+
+# --------------------------------------------------------------------------
+# CREATE
+# --------------------------------------------------------------------------
+
+
+def _apply_create(
+    eng: CypherEngine, frame: _Frame, pat: A.PathPat, params: dict
+) -> GraphCatalog:
+    cat = eng.catalog
+    ctx = _ctx(eng, frame)
+    env = {}
+    # first pass: create literal nodes; remember each node pat's key expr
+    key_expr: dict[int, Column] = {}
+    for i, npat in enumerate(pat.nodes):
+        if npat.var is not None and frame.has(npat.var):
+            kind, label = frame.vars[npat.var]
+            if kind != "node":
+                raise CypherCompileError(f"{npat.var} is not a node variable")
+            if npat.props:
+                raise CypherCompileError(
+                    "bound variables cannot take new properties in CREATE; "
+                    "use SET"
+                )
+            key_expr[i] = F.col(npat.var)[cat.node(label).key]
+            continue
+        if npat.label is None:
+            raise CypherCompileError("CREATE nodes need a label")
+        nt = cat.node(npat.label)
+        props = dict(npat.props)
+        if nt.key not in props:
+            raise CypherCompileError(
+                f"CREATE (:{npat.label}) must set the key property {nt.key!r}"
+            )
+        rows = ctx.select(
+            *_aligned_create_cols(eng, frame, props, nt.df.schema, params, env)
+        )
+        cat = _swap_node(cat, npat.label, nt.df.unionByName(rows))
+        key_expr[i] = eng._col(frame, props[nt.key], params, env).cast(
+            dict((f.name, f.dataType) for f in nt.df.schema.fields)[nt.key]
+        )
+    # second pass: edges between consecutive node pats
+    for i, epat in enumerate(pat.edges):
+        if epat.reltype is None:
+            raise CypherCompileError("CREATE relationships need a type")
+        if epat.var_length is not None:
+            raise CypherCompileError("cannot CREATE a var-length pattern")
+        rel = cat.rel(epat.reltype)
+        li, ri = (i, i + 1) if epat.direction != "in" else (i + 1, i)
+        if epat.direction == "both":
+            raise CypherCompileError("CREATE relationships need a direction")
+        # validate bound endpoints against the rel's endpoint labels
+        for idx, want in ((li, rel.src_label), (ri, rel.dst_label)):
+            npat = pat.nodes[idx]
+            if npat.var is not None and frame.has(npat.var):
+                _endpoint_key(eng, frame, npat, want)
+            elif npat.label is not None and npat.label != want:
+                raise CypherCompileError(
+                    f":{epat.reltype} connects :{rel.src_label} to "
+                    f":{rel.dst_label}, not :{npat.label}"
+                )
+        props = dict(epat.props)
+        unknown = set(props) - {f.name for f in rel.df.schema.fields}
+        if unknown:
+            raise CypherCompileError(
+                f"properties {sorted(unknown)} not in the declared schema"
+            )
+        prop_cols = []
+        for f in rel.df.schema.fields:
+            if f.name in (rel.src_col, rel.dst_col):
+                continue
+            c = (
+                eng._col(frame, props[f.name], params, env)
+                if f.name in props
+                else F.lit(None)
+            )
+            prop_cols.append(c.cast(f.dataType).alias(f.name))
+        rows = ctx.select(
+            key_expr[li].alias(rel.src_col),
+            key_expr[ri].alias(rel.dst_col),
+            *prop_cols,
+        ).select(*[F.col(f.name) for f in rel.df.schema.fields])
+        cat = _swap_rel(cat, epat.reltype, rel.df.unionByName(rows))
+    return cat
+
+
+# --------------------------------------------------------------------------
+# MERGE
+# --------------------------------------------------------------------------
+
+
+def _merge_source(
+    eng: CypherEngine,
+    frame: _Frame,
+    ctx: DataFrame,
+    match_cols: dict,
+    params: dict,
+) -> DataFrame:
+    """Distinct driving rows for a MERGE: the match-key expressions plus the
+    carried frame variables the SET items may reference."""
+    src = ctx.select(
+        *[
+            eng._col(frame, v, params).alias(f"__p_{n}")
+            for n, v in match_cols.items()
+        ],
+        *_carried_cols(frame),
+        F.lit(True).alias("__new"),
+    )
+    return src.dropDuplicates([f"__p_{n}" for n in match_cols])
+
+
+def _merged_table(
+    eng: CypherEngine,
+    frame: _Frame,
+    target: DataFrame,
+    src: DataFrame,
+    match_cols: list,
+    create_vals: dict,
+    var: str | None,
+    on_create: tuple,
+    on_match: tuple,
+    params: dict,
+) -> DataFrame:
+    """The single full-outer-join MERGE plan shared by node and edge merges.
+
+    ``create_vals`` maps target columns to their ``__``-prefixed source
+    column names for the create branch; SET items are evaluated post-join,
+    where the merge variable resolves to the existing row (ON MATCH) or the
+    created values (ON CREATE) and frame variables resolve through the
+    carried ``__v_`` columns."""
+    tgt = target.withColumn("__old", F.lit(True))
+    cond = None
+    for n in match_cols:
+        c = F.col(n).eqNullSafe(F.col(f"__p_{n}"))
+        cond = c if cond is None else cond & c
+    j = tgt.join(src, cond, "full_outer")
+
+    jframe = _Frame(df=j, used=None)
+    env_shared = _carried_env(frame)
+    fields = target.schema.fields
+    env_match = dict(env_shared)
+    env_create = dict(env_shared)
+    if var is not None:
+        env_match[var] = F.struct(
+            *[F.col(f.name).alias(f.name) for f in fields]
+        )
+        env_create[var] = F.struct(
+            *[
+                F.col(create_vals[f.name]).cast(f.dataType).alias(f.name)
+                if f.name in create_vals
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in fields
+            ]
+        )
+    oc = {
+        p.name: eng._col(jframe, v, params, env_create) for p, v in on_create
+    }
+    om = {p.name: eng._col(jframe, v, params, env_match) for p, v in on_match}
+    for items, what in ((oc, "ON CREATE SET"), (om, "ON MATCH SET")):
+        unknown = set(items) - {f.name for f in fields}
+        if unknown:
+            raise CypherCompileError(
+                f"{what}: properties {sorted(unknown)} not in the declared "
+                "schema"
+            )
+
+    matched = F.col("__old").isNotNull() & F.col("__new").isNotNull()
+    created = F.col("__old").isNull()
+    out = []
+    for f in fields:
+        v = F.col(f.name)
+        if f.name in om:
+            v = F.when(matched, om[f.name].cast(f.dataType)).otherwise(v)
+        cv = (
+            F.col(create_vals[f.name])
+            if f.name in create_vals
+            else (oc[f.name] if f.name in oc else F.lit(None))
+        )
+        if f.name in oc and f.name in create_vals:
+            cv = oc[f.name]  # ON CREATE SET overrides the pattern prop
+        v = F.when(created, cv.cast(f.dataType)).otherwise(v)
+        out.append(v.alias(f.name))
+    return j.select(*out)
+
+
+def _apply_merge(
+    eng: CypherEngine, frame: _Frame, clause: A.MergeClause, params: dict
+) -> GraphCatalog:
+    pat = clause.pattern
+    cat = eng.catalog
+    ctx = _ctx(eng, frame)
+    if not pat.edges:
+        npat = pat.nodes[0]
+        if npat.var is not None and frame.has(npat.var):
+            raise CypherCompileError(f"{npat.var} is already bound")
+        if npat.label is None or not npat.props:
+            raise CypherCompileError(
+                "MERGE needs a label and at least one property to match on"
+            )
+        nt = cat.node(npat.label)
+        props = dict(npat.props)
+        unknown = set(props) - {f.name for f in nt.df.schema.fields}
+        if unknown:
+            raise CypherCompileError(
+                f"properties {sorted(unknown)} not in the declared schema"
+            )
+        src = _merge_source(eng, frame, ctx, props, params)
+        merged = _merged_table(
+            eng, frame, nt.df, src,
+            list(props), {n: f"__p_{n}" for n in props},
+            npat.var, clause.on_create, clause.on_match, params,
+        )
+        return _swap_node(cat, npat.label, merged)
+
+    if len(pat.edges) != 1:
+        raise CypherCompileError("MERGE supports a single relationship")
+    epat = pat.edges[0]
+    if epat.reltype is None or epat.direction == "both":
+        raise CypherCompileError("MERGE relationships need a type and direction")
+    if epat.var_length is not None:
+        raise CypherCompileError("cannot MERGE a var-length pattern")
+    rel = cat.rel(epat.reltype)
+    li, ri = (0, 1) if epat.direction != "in" else (1, 0)
+    lkey = _endpoint_key(eng, frame, pat.nodes[li], rel.src_label)
+    rkey = _endpoint_key(eng, frame, pat.nodes[ri], rel.dst_label)
+    props = dict(epat.props)
+    unknown = set(props) - {f.name for f in rel.df.schema.fields}
+    if unknown:
+        raise CypherCompileError(
+            f"properties {sorted(unknown)} not in the declared schema"
+        )
+    match_cols = list(props) + [rel.src_col, rel.dst_col]
+    src = ctx.select(
+        lkey.alias(f"__p_{rel.src_col}"),
+        rkey.alias(f"__p_{rel.dst_col}"),
+        *[
+            eng._col(frame, v, params).alias(f"__p_{n}")
+            for n, v in props.items()
+        ],
+        *_carried_cols(frame),
+        F.lit(True).alias("__new"),
+    ).dropDuplicates([f"__p_{n}" for n in match_cols])
+    merged = _merged_table(
+        eng, frame, rel.df, src,
+        match_cols, {n: f"__p_{n}" for n in match_cols},
+        epat.var, clause.on_create, clause.on_match, params,
+    )
+    return _swap_rel(cat, epat.reltype, merged)
+
+
+# --------------------------------------------------------------------------
+# SET
+# --------------------------------------------------------------------------
+
+
+def _apply_set(
+    eng: CypherEngine, frame: _Frame, clause: A.SetClause, params: dict
+) -> GraphCatalog:
+    if frame.df is None:
+        raise CypherCompileError("SET needs a preceding MATCH")
+    cat = eng.catalog
+    # group items per target variable: one update join per entity
+    by_var: dict[str, list] = {}
+    for p, v in clause.items:
+        by_var.setdefault(p.var, []).append((p.name, v))
+    for var, items in by_var.items():
+        if not frame.has(var):
+            raise CypherCompileError(f"unbound variable {var}")
+        kind, label = frame.vars[var]
+        if kind == "node":
+            nt = cat.node(label)
+            tgt, keys = nt.df, [nt.key]
+            key_exprs = [F.col(var)[nt.key]]
+        elif kind == "edge":
+            rel = cat.rel(label)
+            tgt, keys = rel.df, [rel.src_col, rel.dst_col]
+            key_exprs = [F.col(var)[k] for k in keys]
+        else:
+            raise CypherCompileError(f"{var} is not an entity variable")
+        names = [n for n, _ in items]
+        unknown = set(names) - set(tgt.columns)
+        if unknown:
+            raise CypherCompileError(
+                f"properties {sorted(unknown)} not in the declared schema"
+            )
+        if set(names) & set(keys):
+            raise CypherCompileError("cannot SET a key/endpoint property")
+        upd = frame.df.select(
+            *[e.alias(f"__k_{k}") for k, e in zip(keys, key_exprs)],
+            *[
+                eng._col(frame, v, params).alias(f"__s_{n}")
+                for n, v in items
+            ],
+            F.lit(True).alias("__hit"),
+        ).dropDuplicates([f"__k_{k}" for k in keys])
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+            cond = c if cond is None else cond & c
+        j = tgt.join(F.broadcast(upd), cond, "left_outer")
+        types = {f.name: f.dataType for f in tgt.schema.fields}
+        out = [
+            (
+                F.when(
+                    F.col("__hit").isNotNull(),
+                    F.col(f"__s_{c}").cast(types[c]),
+                ).otherwise(F.col(c)).alias(c)
+                if c in names
+                else F.col(c)
+            )
+            for c in tgt.columns
+        ]
+        new = j.select(*out)
+        cat = (
+            _swap_node(cat, label, new)
+            if kind == "node"
+            else _swap_rel(cat, label, new)
+        )
+    return cat
+
+
+# --------------------------------------------------------------------------
+# DELETE
+# --------------------------------------------------------------------------
+
+
+def _apply_delete(
+    eng: CypherEngine, frame: _Frame, clause: A.DeleteClause, params: dict
+) -> GraphCatalog:
+    if frame.df is None:
+        raise CypherCompileError("DELETE needs a preceding MATCH")
+    cat = eng.catalog
+    for var in clause.names:
+        if not frame.has(var):
+            raise CypherCompileError(f"unbound variable {var}")
+        kind, label = frame.vars[var]
+        if kind == "edge":
+            rel = cat.rel(label)
+            pairs = frame.df.select(
+                F.col(var)[rel.src_col].alias("__k_s"),
+                F.col(var)[rel.dst_col].alias("__k_d"),
+            ).distinct()
+            new = rel.df.join(
+                F.broadcast(pairs),
+                (F.col(rel.src_col) == F.col("__k_s"))
+                & (F.col(rel.dst_col) == F.col("__k_d")),
+                "left_anti",
+            )
+            cat = _swap_rel(cat, label, new)
+            continue
+        if kind != "node":
+            raise CypherCompileError(f"{var} is not an entity variable")
+        if not clause.detach:
+            raise CypherCompileError(
+                "plain DELETE of a node may leave dangling relationships; "
+                "use DETACH DELETE (fail-fast mirror of Neo4j's runtime "
+                "constraint)"
+            )
+        nt = cat.node(label)
+        keys = frame.df.select(F.col(var)[nt.key].alias("__k")).distinct()
+        bkeys = F.broadcast(keys)
+        new_nodes = nt.df.join(
+            bkeys, F.col(nt.key) == F.col("__k"), "left_anti"
+        )
+        cat = _swap_node(cat, label, new_nodes)
+        for rtype, rel in list(cat.rels.items()):
+            df = rel.df
+            changed = False
+            if rel.src_label == label:
+                df = df.join(
+                    bkeys, F.col(rel.src_col) == F.col("__k"), "left_anti"
+                )
+                changed = True
+            if rel.dst_label == label:
+                df = df.join(
+                    bkeys, F.col(rel.dst_col) == F.col("__k"), "left_anti"
+                )
+                changed = True
+            if changed:
+                cat = _swap_rel(cat, rtype, df)
+    return cat

@@ -273,6 +273,103 @@ FROM nodes WHERE accession IN {_IN_SQL}
 
 
 
+def _engine_sp(spark: SparkSession, sf_dir: str) -> CypherEngine:
+    return CypherEngine(
+        phage_catalog(
+            _nodes(spark, sf_dir),
+            graph_edges(spark, sf_dir),
+            _infects(spark, sf_dir),
+        ),
+        spark,
+    )
+
+
+_UPSERT_KEYS = ["P1", "P2", "P3", "X1", "X2"]
+
+
+def cypher_merge_upsert_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write surface: UNWIND-driven MERGE bulk upsert (cypher/writes.py) —
+    the declarative full-outer-join plan; existing keys take the ON MATCH
+    branch, fresh keys the ON CREATE branch."""
+    q = """UNWIND {} AS x
+           MERGE (n:PhageGenome {{accession: x}})
+           ON CREATE SET n.source = 'NEW', n.genome_size = 0
+           ON MATCH SET n.source = 'SEEN';""".format(_UPSERT_KEYS)
+    cat = _engine_sp(spark, sf_dir).apply(q)
+    return cat.node("PhageGenome").df
+
+
+_UPSERT_SQL = "(SELECT unnest(" + str(_UPSERT_KEYS) + ") AS acc)"
+
+CYPHER_MERGE_UPSERT_SQL = _CTE + f"""
+, upsert AS {_UPSERT_SQL}
+SELECT n.accession,
+       CASE WHEN u.acc IS NOT NULL THEN 'SEEN' ELSE n.source END AS source,
+       n.taxonomy, n.genome_size, n.genus
+FROM nodes n LEFT JOIN upsert u ON n.accession = u.acc
+UNION ALL
+SELECT u.acc, 'NEW', CAST(NULL AS VARCHAR), CAST(0 AS BIGINT),
+       CAST(NULL AS VARCHAR)
+FROM upsert u WHERE u.acc NOT IN (SELECT accession FROM nodes)
+"""
+
+
+def cypher_set_property(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write surface: MATCH ... SET — the update set joins back into the
+    node table (left-outer + per-column CASE, one broadcast join)."""
+    q = """MATCH (a:PhageGenome {source:'SUPPLIER'})
+           SET a.genus = 'SUP', a.genome_size = a.genome_size * 2;"""
+    cat = _engine_sp(spark, sf_dir).apply(q)
+    return cat.node("PhageGenome").df
+
+
+CYPHER_SET_SQL = _CTE + """
+SELECT accession,
+       source,
+       taxonomy,
+       CASE WHEN source = 'SUPPLIER' THEN genome_size * 2
+            ELSE genome_size END AS genome_size,
+       CASE WHEN source = 'SUPPLIER' THEN 'SUP' ELSE genus END AS genus
+FROM nodes
+"""
+
+
+def cypher_detach_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write surface: DETACH DELETE — anti-join on the deleted key set,
+    cascaded over every incident relationship table; returns the surviving
+    edges."""
+    q = """MATCH (a:PhageGenome) WHERE a.genus = 'Brand#13'
+           DETACH DELETE a;"""
+    cat = _engine_sp(spark, sf_dir).apply(q)
+    return cat.rel("sharesDNA").df
+
+
+CYPHER_DETACH_DELETE_SQL = _CTE + """
+, doomed AS (SELECT accession FROM nodes WHERE genus = 'Brand#13')
+SELECT src, dst, distance FROM edges
+WHERE src NOT IN (SELECT accession FROM doomed)
+  AND dst NOT IN (SELECT accession FROM doomed)
+"""
+
+
+def cypher_create_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write surface: MATCH ... CREATE — reverse edges materialized for
+    every close pair (the frame projection unions into the edge table)."""
+    q = """MATCH (a:PhageGenome)-[r:sharesDNA]->(b:PhageGenome)
+           WHERE r.distance <= 0.01
+           CREATE (b)-[:sharesDNA {distance: 9.9}]->(a);"""
+    cat = _engine_sp(spark, sf_dir).apply(q)
+    return cat.rel("sharesDNA").df
+
+
+CYPHER_CREATE_EDGES_SQL = _CTE + """
+SELECT src, dst, distance FROM edges
+UNION ALL
+SELECT dst AS src, src AS dst, 9.9 AS distance FROM edges
+WHERE distance <= 0.01
+"""
+
+
 ENTRIES = {
     "cypher_seed_expand": SuiteEntry(
         cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
@@ -297,5 +394,17 @@ ENTRIES = {
     ),
     "cypher_unwind_case": SuiteEntry(
         cypher_unwind_case, CYPHER_UNWIND_CASE_SQL, ("S2", "V1", "A1")
+    ),
+    "cypher_merge_upsert_nodes": SuiteEntry(
+        cypher_merge_upsert_nodes, CYPHER_MERGE_UPSERT_SQL, ("S2", "J7", "A4")
+    ),
+    "cypher_set_property": SuiteEntry(
+        cypher_set_property, CYPHER_SET_SQL, ("S2", "V8")
+    ),
+    "cypher_detach_delete": SuiteEntry(
+        cypher_detach_delete, CYPHER_DETACH_DELETE_SQL, ("S2", "J7", "P5")
+    ),
+    "cypher_create_edges": SuiteEntry(
+        cypher_create_edges, CYPHER_CREATE_EDGES_SQL, ("S2", "S7")
     ),
 }
