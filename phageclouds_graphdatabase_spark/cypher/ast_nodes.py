@@ -159,6 +159,8 @@ class EdgePat:
 class PathPat:
     nodes: tuple  # (NodePat, ...), len == len(edges) + 1
     edges: tuple  # (EdgePat, ...)
+    path_var: str | None = None  # p in `MATCH p = (a)-[...]->(b)`
+    shortest: str | None = None  # 'one' (shortestPath) | 'all' (allShortestPaths)
 
 
 # --- clauses ---------------------------------------------------------------

@@ -217,14 +217,85 @@ class CypherEngine:
             self._apply_where(frame, clause.where, params)
 
     def _fold_pattern(self, frame: _Frame, pat: A.PathPat, params: dict) -> None:
-        """Fold one node(-edge-node)* chain into the frame with inner joins."""
+        """Fold one node(-edge-node)* chain into the frame with inner joins.
+
+        A named path (``p = ...``) binds ``p`` as a path struct
+        ``(nodes array<key>, rels array<string>, hops int)``. Fixed-length
+        chains derive it from the bound node keys; a var-length edge
+        switches the chain to PER-PATH expansion (one row per distinct
+        path under relationship-uniqueness — exact Neo4j cardinality,
+        operators/graph.py var_length_paths) instead of the distinct-pair
+        fast path."""
+        if pat.shortest is not None:
+            if len(pat.edges) != 1 or pat.edges[0].var_length is None:
+                raise CypherCompileError(
+                    "shortestPath needs a single var-length hop, e.g. "
+                    "shortestPath((a)-[:T*..5]-(b))"
+                )
+            first = pat.nodes[0]
+            anchor = self._anchor_node(frame, first, params)
+            self._join_shortest_paths(
+                frame, anchor, pat.edges[0], pat.nodes[1], params,
+                pat.path_var, pat.shortest,
+            )
+            return
+        if pat.path_var is not None and any(
+            e.var_length is not None for e in pat.edges
+        ):
+            if len(pat.edges) != 1:
+                raise CypherCompileError(
+                    "a named var-length path must be a single "
+                    "(a)-[:T*lo..hi]-(b) hop"
+                )
+            first = pat.nodes[0]
+            anchor = self._anchor_node(frame, first, params)
+            self._join_var_length_paths(
+                frame, anchor, pat.edges[0], pat.nodes[1], params,
+                pat.path_var,
+            )
+            return
         first = pat.nodes[0]
         anchor = self._anchor_node(frame, first, params)
+        chain = [anchor]
         for i, (edge, node) in enumerate(zip(pat.edges, pat.nodes[1:])):
             anchor = self._join_step(
                 frame, anchor, edge, node, params, "inner",
                 is_last=(i == len(pat.edges) - 1),
             )
+            chain.append(anchor)
+        if pat.path_var is not None:
+            self._bind_fixed_path(frame, pat.path_var, chain)
+
+    def _bind_fixed_path(
+        self, frame: _Frame, path_var: str, chain: list[str]
+    ) -> None:
+        """Bind a named fixed-length path from the chain's bound node keys.
+        Relationship ids are the canonical unordered-pair strings (edges
+        are stored once per pair with no parallel edges — BASELINE.md
+        "edge storage" — so the pair IS the relationship identity)."""
+        if frame.has(path_var):
+            raise CypherCompileError(f"{path_var} is already bound")
+        keys = []
+        for v in chain:
+            kind, label = frame.vars[v]
+            if kind != "node":
+                raise CypherCompileError(
+                    f"named paths bind node chains; {v} is a {kind}"
+                )
+            keys.append(F.col(v)[self.catalog.node(label).key].cast("string"))
+        rels = [
+            F.concat(F.least(a, b), F.lit("|"), F.greatest(a, b))
+            for a, b in zip(keys, keys[1:])
+        ]
+        frame.df = frame.df.withColumn(
+            path_var,
+            F.struct(
+                F.array(*keys).alias("nodes"),
+                (F.array(*rels) if rels else F.array().cast("array<string>")).alias("rels"),
+                F.lit(len(rels)).alias("hops"),
+            ),
+        )
+        frame.vars[path_var] = ("path", None)
 
     def _anchor_node(self, frame: _Frame, pat: A.NodePat, params: dict) -> str:
         """Bind the first node of a chain; returns its variable name."""
@@ -374,7 +445,11 @@ class CypherEngine:
         (a = b) are excluded (Neo4j's no-repeated-relationship rule forbids
         the 2-hop bounce-back; cycle returns of length >= 3 are dropped here
         too). Relationship variables on var-length edges are unsupported
-        (Neo4j binds a list of relationships there)."""
+        (Neo4j binds a list of relationships there).
+
+        For EXACT Neo4j per-path cardinality, bind a named path —
+        ``MATCH p = (a)-[:T*lo..hi]-(b)`` compiles through
+        ``_join_var_length_paths`` instead."""
         if edge.var is not None:
             raise CypherCompileError(
                 "relationship variables on var-length patterns are not "
@@ -445,6 +520,271 @@ class CypherEngine:
         frame.vars[nvar] = ("node", nlabel)
         return nvar
 
+    def _join_var_length_paths(
+        self,
+        frame: _Frame,
+        anchor: str,
+        edge: A.EdgePat,
+        node: A.NodePat,
+        params: dict,
+        path_var: str,
+    ) -> str:
+        """PER-PATH var-length expansion for ``MATCH p = (a)-[:T*lo..hi]-(b)``:
+        one row per distinct path under Cypher's relationship-uniqueness rule
+        (openCypher 9 §8.5; node revisits via different relationships allowed)
+        — the exact Neo4j cardinality that the distinct-pair
+        ``_join_var_length`` fast path trades away. Frontier-at-a-time with
+        the path carried as an array column; per-round cost is output-sized
+        (see operators/graph.py var_length_paths, the standalone form).
+
+        Binds ``p`` as ``(nodes, rels, hops)``; ``rels`` holds canonical
+        unordered-pair ids (edge stored once per pair, no parallel edges).
+        """
+        if edge.var is not None:
+            raise CypherCompileError(
+                "relationship variables on var-length patterns are not "
+                "supported (use relationships(p) on the named path)"
+            )
+        if frame.has(path_var):
+            raise CypherCompileError(f"{path_var} is already bound")
+        lo, hi = edge.var_length
+        if lo < 1:
+            raise CypherCompileError("var-length minimum must be >= 1")
+        if hi < lo or hi > 10:
+            raise CypherCompileError("var-length maximum must be in [min, 10]")
+        rel = self.catalog.rel(edge.reltype)
+        if rel.src_label != rel.dst_label:
+            raise CypherCompileError(
+                "var-length patterns need same-label endpoints"
+            )
+        edf = rel.df
+        for name, val in edge.props:
+            edf = edf.filter(F.col(name) == self._scalar(val, params))
+        rid = F.concat(
+            F.least(rel.src_col, rel.dst_col),
+            F.lit("|"),
+            F.greatest(rel.src_col, rel.dst_col),
+        )
+        if edge.direction == "out":
+            step = edf.select(
+                F.col(rel.src_col).alias("__pl"),
+                F.col(rel.dst_col).alias("__pn"),
+                rid.alias("__pr"),
+            )
+        elif edge.direction == "in":
+            step = edf.select(
+                F.col(rel.dst_col).alias("__pl"),
+                F.col(rel.src_col).alias("__pn"),
+                rid.alias("__pr"),
+            )
+        else:
+            fwd = edf.select(
+                F.col(rel.src_col).alias("__pl"),
+                F.col(rel.dst_col).alias("__pn"),
+                rid.alias("__pr"),
+            )
+            step = fwd.unionByName(
+                edf.select(
+                    F.col(rel.dst_col).alias("__pl"),
+                    F.col(rel.src_col).alias("__pn"),
+                    rid.alias("__pr"),
+                )
+            )
+
+        nt_anchor = self.catalog.node(frame.vars[anchor][1])
+        anchor_key = F.col(anchor)[nt_anchor.key]
+        seeds = frame.df.select(anchor_key.alias("__pa")).distinct()
+        paths = (
+            seeds.join(step, F.col("__pa") == F.col("__pl"))
+            .select(
+                F.array("__pa", "__pn").alias("__nodes"),
+                F.array("__pr").alias("__rels"),
+                F.col("__pn").alias("__pl"),
+            )
+            .localCheckpoint()
+        )
+        out = paths if lo <= 1 else None
+        for hop in range(2, hi + 1):
+            paths = (
+                paths.join(step, "__pl")
+                .filter(~F.array_contains(F.col("__rels"), F.col("__pr")))
+                .select(
+                    F.concat("__nodes", F.array("__pn")).alias("__nodes"),
+                    F.concat("__rels", F.array("__pr")).alias("__rels"),
+                    F.col("__pn").alias("__pl"),
+                )
+                .localCheckpoint()
+            )
+            if paths.isEmpty():
+                break
+            if hop >= lo:
+                out = paths if out is None else out.unionByName(paths)
+        if out is None:
+            out = paths.filter(F.lit(False))  # no path reached lo hops
+        reached = out.select(
+            F.element_at("__nodes", 1).alias("__pa"),
+            F.col("__pl").alias("__pb"),
+            "__nodes",
+            "__rels",
+        )
+        joined = frame.df.join(reached, anchor_key == F.col("__pa"), "inner")
+
+        nvar = node.var or frame.fresh("n")
+        nlabel = node.label or rel.dst_label
+        nt = self.catalog.node(nlabel)
+        ndf = nt.df
+        for name, val in node.props:
+            ndf = ndf.filter(F.col(name) == self._scalar(val, params))
+        nside = ndf.select(_struct_of(ndf, nvar, nt.key, frame))
+        frame.df = (
+            joined.join(nside, F.col("__pb") == F.col(nvar)[nt.key], "inner")
+            .withColumn(
+                path_var,
+                F.struct(
+                    F.col("__nodes").alias("nodes"),
+                    F.col("__rels").alias("rels"),
+                    F.size("__rels").alias("hops"),
+                ),
+            )
+            .drop("__pa", "__pb", "__nodes", "__rels", "__pl")
+        )
+        frame.vars[nvar] = ("node", nlabel)
+        frame.vars[path_var] = ("path", None)
+        return nvar
+
+    def _join_shortest_paths(
+        self,
+        frame: _Frame,
+        anchor: str,
+        edge: A.EdgePat,
+        node: A.NodePat,
+        params: dict,
+        path_var: str | None,
+        mode: str,
+    ) -> str:
+        """``shortestPath((a)-[:T*..k]-(b))`` / ``allShortestPaths``:
+        level-synchronous BFS carrying paths, an anti-join against the
+        visited (seed, node) pair set per level (operators/graph.py
+        shortest_paths is the standalone form). ``mode='one'`` reduces to
+        the lexicographically-smallest path per pair — Neo4j returns an
+        arbitrary one; a distributed engine must pick deterministically
+        (documented deviation). The far node's label/property filters apply
+        AFTER the BFS, per Neo4j (the path search doesn't thread endpoint
+        predicates)."""
+        if edge.var is not None:
+            raise CypherCompileError(
+                "relationship variables on shortestPath are not supported "
+                "(use relationships(p) on the named path)"
+            )
+        if path_var is not None and frame.has(path_var):
+            raise CypherCompileError(f"{path_var} is already bound")
+        lo, hi = edge.var_length
+        if lo != 1:
+            raise CypherCompileError(
+                "shortestPath supports a minimum of exactly 1 hop"
+            )
+        if hi < 1 or hi > 10:
+            raise CypherCompileError("shortestPath maximum must be in [1, 10]")
+        rel = self.catalog.rel(edge.reltype)
+        if rel.src_label != rel.dst_label:
+            raise CypherCompileError(
+                "var-length patterns need same-label endpoints"
+            )
+        edf = rel.df
+        for name, val in edge.props:
+            edf = edf.filter(F.col(name) == self._scalar(val, params))
+        if edge.direction == "out":
+            step = edf.select(
+                F.col(rel.src_col).alias("__pl"), F.col(rel.dst_col).alias("__pn")
+            )
+        elif edge.direction == "in":
+            step = edf.select(
+                F.col(rel.dst_col).alias("__pl"), F.col(rel.src_col).alias("__pn")
+            )
+        else:
+            step = edf.select(
+                F.col(rel.src_col).alias("__pl"), F.col(rel.dst_col).alias("__pn")
+            ).unionByName(
+                edf.select(
+                    F.col(rel.dst_col).alias("__pl"),
+                    F.col(rel.src_col).alias("__pn"),
+                )
+            )
+
+        nt_anchor = self.catalog.node(frame.vars[anchor][1])
+        anchor_key = F.col(anchor)[nt_anchor.key]
+        sd = frame.df.select(anchor_key.alias("__pa")).distinct()
+        visited = sd.select(
+            F.col("__pa"), F.col("__pa").alias("__pv")
+        ).localCheckpoint()
+        frontier = (
+            sd.join(step, F.col("__pa") == F.col("__pl"))
+            .select(
+                "__pa",
+                F.array("__pa", "__pn").alias("__nodes"),
+                F.col("__pn").alias("__pl"),
+            )
+            .filter(F.col("__pa") != F.col("__pl"))
+            .localCheckpoint()
+        )
+        out = frontier
+        for _hop in range(2, hi + 1):
+            visited = visited.unionByName(
+                frontier.select("__pa", F.col("__pl").alias("__pv")).distinct()
+            ).localCheckpoint()
+            ext = frontier.join(step, "__pl").select(
+                "__pa",
+                F.concat("__nodes", F.array("__pn")).alias("__nodes"),
+                F.col("__pn").alias("__pl"),
+            )
+            frontier = ext.join(
+                visited,
+                (ext["__pa"] == visited["__pa"])
+                & (ext["__pl"] == visited["__pv"]),
+                "left_anti",
+            ).localCheckpoint()
+            if frontier.isEmpty():
+                break
+            out = out.unionByName(frontier)
+        reached = out.select("__pa", F.col("__pl").alias("__pb"), "__nodes")
+        if mode == "one":
+            reached = (
+                reached.groupBy("__pa", "__pb")
+                .agg(F.min("__nodes").alias("__nodes"))
+            )
+        joined = frame.df.join(reached, anchor_key == F.col("__pa"), "inner")
+
+        nvar = node.var or frame.fresh("n")
+        nlabel = node.label or rel.dst_label
+        nt = self.catalog.node(nlabel)
+        ndf = nt.df
+        for name, val in node.props:
+            ndf = ndf.filter(F.col(name) == self._scalar(val, params))
+        nside = ndf.select(_struct_of(ndf, nvar, nt.key, frame))
+        frame.df = joined.join(
+            nside, F.col("__pb") == F.col(nvar)[nt.key], "inner"
+        )
+        if path_var is not None:
+            rels = F.expr(
+                "transform(sequence(1, size(__nodes) - 1), i -> "
+                "concat(least(element_at(__nodes, i), "
+                "element_at(__nodes, i + 1)), '|', "
+                "greatest(element_at(__nodes, i), "
+                "element_at(__nodes, i + 1))))"
+            )
+            frame.df = frame.df.withColumn(
+                path_var,
+                F.struct(
+                    F.col("__nodes").alias("nodes"),
+                    rels.alias("rels"),
+                    (F.size("__nodes") - F.lit(1)).alias("hops"),
+                ),
+            )
+            frame.vars[path_var] = ("path", None)
+        frame.df = frame.df.drop("__pa", "__pb", "__nodes", "__pl")
+        frame.vars[nvar] = ("node", nlabel)
+        return nvar
+
     # -- OPTIONAL MATCH ------------------------------------------------------
 
     def _fold_optional(
@@ -455,6 +795,11 @@ class CypherEngine:
         WHERE must constrain the match, not filter rows afterwards
         (/root/reference/phageclouds_gdb_family.py:94 keeps edgeless family
         members only because of this)."""
+        if pat.path_var is not None or pat.shortest is not None:
+            raise CypherCompileError(
+                "named paths and shortestPath are not supported in "
+                "OPTIONAL MATCH"
+            )
         first = pat.nodes[0]
         if first.var is None or not frame.has(first.var):
             raise CypherCompileError(
@@ -841,6 +1186,26 @@ class CypherEngine:
             )
         if e.name == "coalesce":
             return F.coalesce(*[self._col(frame, a, params, env) for a in e.args])
+        if e.name in ("nodes", "relationships", "length"):
+            # path accessors (Neo4j: nodes(p) node list, relationships(p)
+            # relationship list, length(p) hop count). Here nodes(p) yields
+            # the node KEY list and relationships(p) the canonical pair-id
+            # list — the scalar projections of those entities.
+            if (
+                len(e.args) == 1
+                and isinstance(e.args[0], A.Var)
+                and frame.has(e.args[0].name)
+                and frame.vars[e.args[0].name][0] == "path"
+            ):
+                c = F.col(e.args[0].name)
+                return {
+                    "nodes": c["nodes"],
+                    "relationships": c["rels"],
+                    "length": c["hops"],
+                }[e.name]
+            raise CypherCompileError(
+                f"{e.name}() takes a bound named-path variable"
+            )
         if e.name == "split":
             return F.split(
                 self._col(frame, e.args[0], params, env),

@@ -280,13 +280,36 @@ class _Parser:
 
     # -- patterns -----------------------------------------------------------
 
+    _SHORTEST = {"shortestpath": "one", "allshortestpaths": "all"}
+
     def _pattern(self) -> A.PathPat:
+        path_var = None
+        if self.at("ident") and self.at("sym", "=", 1):
+            # named path: `p = (a)-[...]->(b)`
+            path_var = self._name()
+            self.take("sym", "=")
+        shortest = None
+        if self.at("ident"):  # shortestPath((a)-[...]-(b)) / allShortestPaths
+            fname = self._name()
+            shortest = self._SHORTEST.get(fname.lower())
+            if shortest is None:
+                raise CypherSyntaxError(
+                    f"unexpected identifier {fname!r} in pattern (expected "
+                    "shortestPath or allShortestPaths)"
+                )
+            self.take("sym", "(")
         nodes = [self._node_pat()]
         edges = []
         while self.at("sym", "-") or self.at("sym", "<-"):
             edges.append(self._edge_pat())
             nodes.append(self._node_pat())
-        return A.PathPat(tuple(nodes), tuple(edges))
+        if shortest is not None:
+            self.take("sym", ")")
+            if len(edges) != 1:
+                raise CypherSyntaxError(
+                    "shortestPath takes a single (a)-[...]-(b) hop pattern"
+                )
+        return A.PathPat(tuple(nodes), tuple(edges), path_var, shortest)
 
     def _node_pat(self) -> A.NodePat:
         self.take("sym", "(")

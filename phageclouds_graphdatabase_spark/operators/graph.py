@@ -14,7 +14,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 def as_node_set(df: DataFrame, col: str) -> DataFrame:
@@ -581,3 +587,209 @@ def _k_core_delta(und: DataFrame, k: int, reliable: bool) -> DataFrame:
             live = _ckpt(live, reliable)
             deg = _ckpt(deg, reliable)
     return deg.filter(F.col("degree") >= k)
+
+
+def var_length_paths(
+    seeds: DataFrame,
+    edges: DataFrame,
+    lo: int,
+    hi: int,
+    threshold: float | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """Per-PATH variable-length expansion -- exact Neo4j cardinality for
+    ``MATCH p = (s)-[:sharesDNA*lo..hi]->(b) RETURN p``: one output row per
+    distinct PATH (not per reachable pair), under Cypher's
+    relationship-uniqueness rule (a relationship may appear at most once in
+    a path; node revisits via different relationships are allowed --
+    openCypher 9 §8.5 / Neo4j's RELATIONSHIP_ISOMORPHISM default).
+
+    The reference's queries collapse paths to node sets
+    (/root/reference/phageclouds_gdb.py:56-67), so the distinct-pair
+    ``k_hop`` is its fast path; this operator closes the remaining semantic
+    gap for ``RETURN p`` / ``count(*)``-over-paths queries.
+
+    Output: ``(src, dst, path array<string>, hops int)`` where ``path`` is
+    the full node sequence (length hops+1).
+
+    Identity of a relationship = its stored row. Edges are stored once per
+    unordered pair with no parallel edges (BASELINE.md "edge storage"), so
+    the canonical pair string ``least||'|'||greatest`` identifies a
+    relationship in both orientations -- an undirected traversal cannot
+    reuse the same stored edge backwards. (A multigraph would need a
+    surrogate edge id; out of scope for this data model.)
+
+    Scale: output-sized by construction -- each round joins the CURRENT
+    path frontier against the edge table on its last node, so per-round
+    shuffle = frontier size x avg out-degree, and rounds localCheckpoint to
+    keep lineage flat. Path count grows combinatorially on dense graphs;
+    that is inherent to per-path semantics (Neo4j explodes identically) --
+    callers who only need reachability should use ``k_hop``. The
+    ``array_contains`` uniqueness filter runs on arrays of length <= hi
+    (tiny, whole-stage-codegen'd); hop cap 10 mirrors the Cypher frontend
+    bound."""
+    if lo < 1 or hi < lo or hi > 10:
+        raise ValueError("need 1 <= lo <= hi <= 10")
+    e = edges if threshold is None else edges.filter(
+        F.col("distance") <= F.lit(threshold)
+    )
+    rid = F.concat(
+        F.least("src", "dst"), F.lit("|"), F.greatest("src", "dst")
+    ).alias("rid")
+    e = e.select("src", "dst", rid)
+    if not directed:
+        e = e.unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "rid"
+            )
+        )
+    step = e.select(
+        F.col("src").alias("_last"),
+        F.col("dst").alias("_next"),
+        F.col("rid").alias("_rid"),
+    )
+    frontier = (
+        seeds.select("id")
+        .distinct()
+        .join(step, F.col("id") == F.col("_last"))
+        .select(
+            F.array("id", "_next").alias("path"),
+            F.array("_rid").alias("rels"),
+            F.col("_next").alias("_last"),
+        )
+        .localCheckpoint()
+    )
+    out = frontier if lo <= 1 else None
+    for _hop in range(2, hi + 1):
+        frontier = (
+            frontier.join(step, "_last")
+            .filter(~F.array_contains(F.col("rels"), F.col("_rid")))
+            .select(
+                F.concat("path", F.array("_next")).alias("path"),
+                F.concat("rels", F.array("_rid")).alias("rels"),
+                F.col("_next").alias("_last"),
+            )
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        if _hop >= lo:
+            out = frontier if out is None else out.unionByName(frontier)
+    if out is None:
+        schema = StructType(
+            [
+                StructField("src", StringType()),
+                StructField("dst", StringType()),
+                StructField("path", ArrayType(StringType())),
+                StructField("hops", IntegerType()),
+            ]
+        )
+        return seeds.sparkSession.createDataFrame([], schema)
+    return out.select(
+        F.element_at("path", 1).alias("src"),
+        F.col("_last").alias("dst"),
+        "path",
+        (F.size("path") - F.lit(1)).alias("hops"),
+    )
+
+
+def shortest_paths(
+    seeds: DataFrame,
+    edges: DataFrame,
+    max_hops: int,
+    threshold: float | None = None,
+    directed: bool = True,
+    mode: str = "all",
+) -> DataFrame:
+    """BFS shortest paths from each seed — the Neo4j
+    ``shortestPath((a)-[:T*..k]-(b))`` / ``allShortestPaths(...)`` surface
+    (the one Cypher path function the reference's users have that the
+    var-length expand doesn't cover).
+
+    ``mode='all'``: every shortest path per reachable (seed, node) pair
+    (allShortestPaths). ``mode='one'``: exactly one path per pair — Neo4j
+    picks an arbitrary one; a distributed engine must be deterministic, so
+    this picks the lexicographically smallest node sequence (array min,
+    identical ordering in Spark and DuckDB, so it stays oracle-checkable).
+
+    Output: ``(src, dst, path array<string>, hops int)``; ``dst != src``
+    (no zero-length paths). Shortest paths are simple (BFS levels can't
+    revisit), so Cypher's relationship-uniqueness holds for free.
+
+    Scale: level-synchronous BFS carrying paths — per round, only FRONTIER
+    paths (those whose (seed, endpoint) pair was first reached this level)
+    are extended, and an anti-join against the visited pair set drops
+    non-shortest extensions, so state is bounded by shortest-path count,
+    not all-walk count (the prefix property makes extending only shortest
+    prefixes exact). Rounds localCheckpoint to keep lineage flat; early
+    exit on an empty frontier."""
+    if mode not in ("all", "one"):
+        raise ValueError("mode must be 'all' or 'one'")
+    if max_hops < 1 or max_hops > 10:
+        raise ValueError("need 1 <= max_hops <= 10")
+    e = edges if threshold is None else edges.filter(
+        F.col("distance") <= F.lit(threshold)
+    )
+    step = e.select(F.col("src").alias("_last"), F.col("dst").alias("_next"))
+    if not directed:
+        step = step.unionByName(
+            e.select(F.col("dst").alias("_last"), F.col("src").alias("_next"))
+        )
+    sd = seeds.select("id").distinct()
+    # visited (seed, node) pairs; seeds start visited (excludes hop-0 pairs)
+    visited = sd.select(
+        F.col("id").alias("_src"), F.col("id").alias("_node")
+    ).localCheckpoint()
+    frontier = (
+        sd.join(step, F.col("id") == F.col("_last"))
+        .select(
+            F.col("id").alias("_src"),
+            F.array("id", "_next").alias("_path"),
+            F.col("_next").alias("_last"),
+        )
+        # hop-1 pairs are new by construction (visited = seed self-pairs);
+        # only self-loops need dropping
+        .filter(F.col("_src") != F.col("_last"))
+        .localCheckpoint()
+    )
+    out = frontier
+    for _hop in range(2, max_hops + 1):
+        visited = visited.unionByName(
+            frontier.select("_src", F.col("_last").alias("_node")).distinct()
+        ).localCheckpoint()
+        ext = (
+            frontier.join(step, "_last")
+            .select(
+                "_src",
+                F.concat("_path", F.array("_next")).alias("_path"),
+                F.col("_next").alias("_last"),
+            )
+        )
+        frontier = (
+            ext.join(
+                visited,
+                (ext["_src"] == visited["_src"])
+                & (ext["_last"] == visited["_node"]),
+                "left_anti",
+            )
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(frontier)
+    res = out.select(
+        F.col("_src").alias("src"),
+        F.col("_last").alias("dst"),
+        F.col("_path").alias("path"),
+        (F.size("_path") - F.lit(1)).alias("hops"),
+    )
+    if mode == "one":
+        res = (
+            res.groupBy("src", "dst")
+            .agg(F.min("path").alias("path"))
+            .select(
+                "src", "dst", "path",
+                (F.size("path") - F.lit(1)).alias("hops"),
+            )
+        )
+    return res

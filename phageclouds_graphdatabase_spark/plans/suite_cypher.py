@@ -234,6 +234,106 @@ WHERE a IN {_KHOP_SEED_SQL} AND a <> b
 """
 
 
+def cypher_path_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named path with PER-PATH var-length semantics — exact Neo4j
+    cardinality for ``MATCH p = (a)-[:sharesDNA*2..3]-(b) RETURN p``:
+    one row per distinct path under relationship-uniqueness (closes the
+    distinct-pair deviation documented on _join_var_length). Runs over the
+    thresholded subgraph (the materialize-then-query usage; the full
+    derived graph's path count is combinatorial)."""
+    eng = CypherEngine(
+        phage_catalog(
+            _nodes(spark, sf_dir),
+            graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+            _infects(spark, sf_dir),
+        )
+    )
+    q = """MATCH p = (a:PhageGenome)-[:sharesDNA*2..3]-(b:PhageGenome)
+            WHERE a.accession IN {}
+            RETURN nodes(p) AS path, length(p) AS hops,
+            b.accession AS dst;""".format(_KHOP_SEEDS)
+    return eng.run(q)
+
+
+CYPHER_PATHS_SQL = _CTE + f"""
+, fe AS (
+    SELECT src, dst FROM edges WHERE distance <= {GRAPH_THRESHOLD}
+),
+und AS (
+    SELECT src, dst,
+           LEAST(src, dst) || '|' || GREATEST(src, dst) AS rid FROM fe
+    UNION ALL
+    SELECT dst AS src, src AS dst,
+           LEAST(src, dst) || '|' || GREATEST(src, dst) AS rid FROM fe
+),
+p2 AS (
+    SELECT u1.src AS n0, u1.dst AS n1, u2.dst AS n2, u1.rid AS r1, u2.rid AS r2
+    FROM und u1
+    JOIN und u2 ON u2.src = u1.dst AND u2.rid <> u1.rid
+    WHERE u1.src IN {_KHOP_SEED_SQL}
+),
+p3 AS (
+    SELECT p.n0, p.n1, p.n2, u3.dst AS n3
+    FROM p2 p
+    JOIN und u3 ON u3.src = p.n2 AND u3.rid <> p.r1 AND u3.rid <> p.r2
+)
+SELECT [n0, n1, n2] AS path, CAST(2 AS INTEGER) AS hops, n2 AS dst FROM p2
+UNION ALL
+SELECT [n0, n1, n2, n3], 3, n3 FROM p3
+"""
+
+
+def cypher_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``allShortestPaths((a)-[:sharesDNA*..3]-(b))`` through the frontend:
+    every shortest path per reachable pair (level-synchronous BFS with
+    visited-pair anti-joins), named-path accessors projected out. Runs on
+    the thresholded subgraph like cypher_path_enumeration."""
+    eng = CypherEngine(
+        phage_catalog(
+            _nodes(spark, sf_dir),
+            graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+            _infects(spark, sf_dir),
+        )
+    )
+    q = """MATCH p = allShortestPaths((a:PhageGenome)-[:sharesDNA*..3]-(b:PhageGenome))
+            WHERE a.accession IN {}
+            RETURN nodes(p) AS path, length(p) AS hops,
+            b.accession AS dst;""".format(_KHOP_SEEDS)
+    return eng.run(q)
+
+
+CYPHER_SHORTEST_SQL = _CTE + f"""
+, fe AS (
+    SELECT src, dst FROM edges WHERE distance <= {GRAPH_THRESHOLD}
+),
+und AS (
+    SELECT src, dst FROM fe
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM fe
+),
+p1 AS (
+    SELECT u.src AS n0, u.dst AS n1 FROM und u
+    WHERE u.src IN {_KHOP_SEED_SQL} AND u.dst <> u.src
+),
+v1 AS (SELECT DISTINCT n0, n1 AS v FROM p1),
+p2 AS (
+    SELECT p.n0, p.n1, u.dst AS n2 FROM p1 p JOIN und u ON u.src = p.n1
+    WHERE u.dst <> p.n0
+      AND NOT EXISTS (SELECT 1 FROM v1 WHERE v1.n0 = p.n0 AND v1.v = u.dst)
+),
+v2 AS (SELECT DISTINCT n0, n2 AS v FROM p2),
+p3 AS (
+    SELECT p.n0, p.n1, p.n2, u.dst AS n3 FROM p2 p JOIN und u ON u.src = p.n2
+    WHERE u.dst <> p.n0
+      AND NOT EXISTS (SELECT 1 FROM v1 WHERE v1.n0 = p.n0 AND v1.v = u.dst)
+      AND NOT EXISTS (SELECT 1 FROM v2 WHERE v2.n0 = p.n0 AND v2.v = u.dst)
+)
+SELECT [n0, n1] AS path, CAST(1 AS INTEGER) AS hops, n1 AS dst FROM p1
+UNION ALL SELECT [n0, n1, n2], 2, n2 FROM p2
+UNION ALL SELECT [n0, n1, n2, n3], 3, n3 FROM p3
+"""
+
+
 def cypher_topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 through the query language: ORDER BY with full tie-break + LIMIT
     compiles to Catalyst Sort + GlobalLimit (TakeOrderedAndProject)."""
@@ -388,6 +488,12 @@ ENTRIES = {
     ),
     "cypher_var_length_khop": SuiteEntry(
         cypher_var_length_khop, CYPHER_VAR_LENGTH_SQL, ("S2", "J2", "W6")
+    ),
+    "cypher_path_enumeration": SuiteEntry(
+        cypher_path_enumeration, CYPHER_PATHS_SQL, ("S2", "J2", "W6")
+    ),
+    "cypher_shortest_paths": SuiteEntry(
+        cypher_shortest_paths, CYPHER_SHORTEST_SQL, ("S2", "J2", "W6")
     ),
     "cypher_topk_order_limit": SuiteEntry(
         cypher_topk_order_limit, CYPHER_TOPK_SQL, ("S2", "W1")

@@ -133,6 +133,129 @@ UNION ALL SELECT id, 3 FROM h3
 """
 
 
+def graph_path_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-PATH var-length expansion (exact Neo4j cardinality for
+    ``MATCH p = (s)-[:sharesDNA*2..3]-(b) RETURN p``): one row per distinct
+    path under relationship-uniqueness, undirected, from a 1-in-20 seed
+    sample (paths explode combinatorially -- the sample keeps the oracle
+    join tractable while still exercising ~100k paths at sf0.01). The
+    oracle unrolls the two frontier joins as plain chained CTEs with
+    explicit per-hop relationship-id disequalities."""
+    p = t(spark, sf_dir, "part")
+    seeds = (
+        p.filter(
+            (F.col("p_type") == "ECONOMY") & (F.col("p_partkey") % 20 == 0)
+        )
+        .select(F.concat(F.lit("P"), F.col("p_partkey")).alias("id"))
+        .distinct()
+    )
+    return G.var_length_paths(
+        seeds,
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+        lo=2,
+        hi=3,
+        threshold=GRAPH_THRESHOLD,
+        directed=False,
+    )
+
+
+GRAPH_PATHS_SQL = f"""
+WITH edges AS ({GRAPH_EDGES_SQL}),
+fe AS (SELECT src, dst FROM edges WHERE distance <= {GRAPH_THRESHOLD}),
+und AS (
+    SELECT src, dst,
+           LEAST(src, dst) || '|' || GREATEST(src, dst) AS rid FROM fe
+    UNION ALL
+    SELECT dst AS src, src AS dst,
+           LEAST(src, dst) || '|' || GREATEST(src, dst) AS rid FROM fe
+),
+seeds AS (
+    SELECT DISTINCT 'P' || p_partkey AS id FROM part
+    WHERE p_type = 'ECONOMY' AND p_partkey % 20 = 0
+),
+p2 AS (
+    SELECT s.id AS n0, u1.dst AS n1, u2.dst AS n2, u1.rid AS r1, u2.rid AS r2
+    FROM seeds s
+    JOIN und u1 ON u1.src = s.id
+    JOIN und u2 ON u2.src = u1.dst AND u2.rid <> u1.rid
+),
+p3 AS (
+    SELECT p.n0, p.n1, p.n2, u3.dst AS n3
+    FROM p2 p
+    JOIN und u3 ON u3.src = p.n2 AND u3.rid <> p.r1 AND u3.rid <> p.r2
+)
+SELECT n0 AS src, n2 AS dst, [n0, n1, n2] AS path, CAST(2 AS INTEGER) AS hops
+FROM p2
+UNION ALL
+SELECT n0, n3, [n0, n1, n2, n3], 3 FROM p3
+"""
+
+
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic single shortest path per reachable pair (the Neo4j
+    ``shortestPath`` surface, mode='one'): level-synchronous BFS carrying
+    paths, then the lexicographically-smallest path per (src, dst) — the
+    deterministic stand-in for Neo4j's arbitrary pick, identical array
+    ordering in both engines. Oracle: unrolled BFS levels with
+    NOT-IN-earlier-level disequalities + GROUP BY MIN(path)."""
+    p = t(spark, sf_dir, "part")
+    seeds = (
+        p.filter(
+            (F.col("p_type") == "ECONOMY") & (F.col("p_partkey") % 20 == 0)
+        )
+        .select(F.concat(F.lit("P"), F.col("p_partkey")).alias("id"))
+        .distinct()
+    )
+    return G.shortest_paths(
+        seeds,
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+        max_hops=3,
+        threshold=GRAPH_THRESHOLD,
+        directed=False,
+        mode="one",
+    )
+
+
+GRAPH_SHORTEST_SQL = f"""
+WITH edges AS ({GRAPH_EDGES_SQL}),
+fe AS (SELECT src, dst FROM edges WHERE distance <= {GRAPH_THRESHOLD}),
+und AS (
+    SELECT src, dst FROM fe
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM fe
+),
+seeds AS (
+    SELECT DISTINCT 'P' || p_partkey AS id FROM part
+    WHERE p_type = 'ECONOMY' AND p_partkey % 20 = 0
+),
+p1 AS (
+    SELECT s.id AS n0, u.dst AS n1 FROM seeds s JOIN und u ON u.src = s.id
+    WHERE u.dst <> s.id
+),
+v1 AS (SELECT DISTINCT n0, n1 AS v FROM p1),
+p2 AS (
+    SELECT p.n0, p.n1, u.dst AS n2 FROM p1 p JOIN und u ON u.src = p.n1
+    WHERE u.dst <> p.n0
+      AND NOT EXISTS (SELECT 1 FROM v1 WHERE v1.n0 = p.n0 AND v1.v = u.dst)
+),
+v2 AS (SELECT DISTINCT n0, n2 AS v FROM p2),
+p3 AS (
+    SELECT p.n0, p.n1, p.n2, u.dst AS n3 FROM p2 p JOIN und u ON u.src = p.n2
+    WHERE u.dst <> p.n0
+      AND NOT EXISTS (SELECT 1 FROM v1 WHERE v1.n0 = p.n0 AND v1.v = u.dst)
+      AND NOT EXISTS (SELECT 1 FROM v2 WHERE v2.n0 = p.n0 AND v2.v = u.dst)
+),
+allp AS (
+    SELECT n0 AS src, n1 AS dst, [n0, n1] AS path FROM p1
+    UNION ALL SELECT n0, n2, [n0, n1, n2] FROM p2
+    UNION ALL SELECT n0, n3, [n0, n1, n2, n3] FROM p3
+)
+SELECT src, dst, MIN(path) AS path,
+       CAST(len(MIN(path)) - 1 AS INTEGER) AS hops
+FROM allp GROUP BY src, dst
+"""
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-iteration integer-scaled PageRank over the thresholded derived
     graph (the GraphX-analytics surface on DataFrames, W6). Integer
@@ -1242,6 +1365,12 @@ ENTRIES: dict[str, SuiteEntry] = {
     "graph_expand_nodes": SuiteEntry(graph_expand_nodes, GRAPH_EXPAND_SQL, ("J2", "A3", "P5")),
     "graph_induced_edges": SuiteEntry(graph_induced_edges, GRAPH_INDUCED_SQL, ("J3", "P3")),
     "graph_khop_levels": SuiteEntry(graph_khop_levels, GRAPH_KHOP_SQL, ("J2", "W6")),
+    "graph_path_enumeration": SuiteEntry(
+        graph_path_enumeration, GRAPH_PATHS_SQL, ("J2", "W6")
+    ),
+    "graph_shortest_paths": SuiteEntry(
+        graph_shortest_paths, GRAPH_SHORTEST_SQL, ("J2", "W6")
+    ),
     "graph_pagerank": SuiteEntry(graph_pagerank, GRAPH_PAGERANK_SQL, ("W6", "A6")),
     "graph_degrees": SuiteEntry(graph_degrees_q, GRAPH_DEGREES_SQL, ("A6", "J7")),
     "graph_optional_host": SuiteEntry(graph_optional_host, GRAPH_OPTIONAL_SQL, ("J4", "J5", "A4")),

@@ -1,0 +1,253 @@
+"""Named paths and per-path var-length semantics (exact Neo4j cardinality
+for ``MATCH p = (a)-[:T*lo..hi]-(b) RETURN p``), on the FIXTURES.md §A graph.
+
+Neo4j ground truth (relationship-uniqueness / RELATIONSHIP_ISOMORPHISM,
+openCypher 9 §8.5): a relationship appears at most once per path; node
+revisits via different relationships are allowed — so ``A1>A2>A1`` is
+forbidden (same rel twice) but a triangle return ``A1>A2>A3>A1`` is a valid
+3-hop path. Expected path sets below are hand-derived from EDGE_ROWS."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from phageclouds_graphdatabase_spark.cypher import CypherEngine, phage_catalog
+from phageclouds_graphdatabase_spark.cypher.compiler import CypherCompileError
+from phageclouds_graphdatabase_spark.operators.graph import var_length_paths
+
+
+@pytest.fixture(scope="module")
+def eng(phage_nodes, shares_dna, infects):
+    return CypherEngine(phage_catalog(phage_nodes, shares_dna, infects))
+
+
+def paths_of(df):
+    return sorted(">".join(r.path) for r in df.collect())
+
+
+class TestOperator:
+    def test_undirected_1_2(self, spark, shares_dna):
+        seeds = spark.createDataFrame([("A1",)], "id string")
+        got = paths_of(
+            var_length_paths(seeds, shares_dna, 1, 2, directed=False)
+            .select(F.col("path"))
+        )
+        assert got == sorted(
+            ["A1>A2", "A1>A3", "A1>C1",
+             "A1>A2>A3", "A1>A3>A2", "A1>A3>B1"]
+        )
+
+    def test_triangle_return_allowed_bounceback_not(self, spark, shares_dna):
+        seeds = spark.createDataFrame([("A1",)], "id string")
+        got = paths_of(
+            var_length_paths(seeds, shares_dna, 3, 3, directed=False)
+            .select("path")
+        )
+        # A1>A2>A1 (bounce-back, same rel) must NOT appear at any length;
+        # the triangle return A1>A2>A3>A1 MUST (three distinct rels).
+        assert got == sorted(
+            ["A1>A2>A3>A1", "A1>A2>A3>B1", "A1>A3>A2>A1", "A1>A3>B1>B2"]
+        )
+
+    def test_directed(self, spark, shares_dna):
+        seeds = spark.createDataFrame([("A1",)], "id string")
+        got = paths_of(
+            var_length_paths(seeds, shares_dna, 1, 2, directed=True)
+            .select("path")
+        )
+        assert got == sorted(["A1>A2", "A1>A3", "A1>A2>A3", "A1>A3>B1"])
+
+    def test_threshold(self, spark, shares_dna):
+        seeds = spark.createDataFrame([("A3",)], "id string")
+        got = paths_of(
+            var_length_paths(
+                seeds, shares_dna, 1, 1, threshold=0.2, directed=False
+            ).select("path")
+        )
+        # A3-B1 (0.40) excluded; A3-A1 (0.20) exactly at threshold kept
+        assert got == sorted(["A3>A1", "A3>A2"])
+
+    def test_columns(self, spark, shares_dna):
+        seeds = spark.createDataFrame([("A1",)], "id string")
+        r = (
+            var_length_paths(seeds, shares_dna, 2, 2, directed=False)
+            .filter(F.col("dst") == "B1")
+            .collect()
+        )
+        assert len(r) == 1
+        assert r[0].src == "A1" and r[0].path == ["A1", "A3", "B1"]
+        assert r[0].hops == 2
+
+
+class TestCypherNamedPaths:
+    def test_per_path_rows(self, eng):
+        q = ("MATCH p = (a:PhageGenome {accession:'A1'})"
+             "-[:sharesDNA*1..2]-(b:PhageGenome) "
+             "RETURN nodes(p) AS path, length(p) AS hops, "
+             "b.accession AS dst")
+        rows = eng.run(q).collect()
+        got = sorted(">".join(r.path) for r in rows)
+        assert got == sorted(
+            ["A1>A2", "A1>A3", "A1>C1",
+             "A1>A2>A3", "A1>A3>A2", "A1>A3>B1"]
+        )
+        by_path = {">".join(r.path): r for r in rows}
+        assert by_path["A1>A3>B1"].hops == 2
+        assert by_path["A1>A3>B1"].dst == "B1"
+
+    def test_count_star_counts_paths(self, eng):
+        q = ("MATCH p = (a:PhageGenome {accession:'A1'})"
+             "-[:sharesDNA*2..2]-(b:PhageGenome) RETURN count(*) AS n")
+        assert eng.run(q).collect()[0].n == 3
+
+    def test_exact_hops_directed(self, eng):
+        q = ("MATCH p = (a:PhageGenome {accession:'A1'})"
+             "-[:sharesDNA*1..2]->(b:PhageGenome) "
+             "RETURN nodes(p) AS path")
+        assert paths_of(eng.run(q)) == sorted(
+            ["A1>A2", "A1>A3", "A1>A2>A3", "A1>A3>B1"]
+        )
+
+    def test_relationships_accessor(self, eng):
+        q = ("MATCH p = (a:PhageGenome {accession:'A1'})"
+             "-[:sharesDNA*2..2]-(b:PhageGenome {accession:'B1'}) "
+             "RETURN relationships(p) AS rels")
+        assert eng.run(q).collect()[0].rels == ["A1|A3", "A3|B1"]
+
+    def test_far_node_filter(self, eng):
+        q = ("MATCH p = (a:PhageGenome {accession:'A1'})"
+             "-[:sharesDNA*1..3]-(b:PhageGenome {source:'GPD_Isolate'}) "
+             "RETURN nodes(p) AS path")
+        assert paths_of(eng.run(q)) == ["A1>A3>B1>B2"]
+
+    def test_fixed_named_path(self, eng):
+        q = ("MATCH p = (a:PhageGenome {accession:'A1'})"
+             "-[:sharesDNA]->(b:PhageGenome) "
+             "RETURN nodes(p) AS ns, relationships(p) AS rs, "
+             "length(p) AS h, b.accession AS dst")
+        rows = {r.dst: r for r in eng.run(q).collect()}
+        assert set(rows) == {"A2", "A3"}
+        assert rows["A2"].ns == ["A1", "A2"]
+        assert rows["A2"].rs == ["A1|A2"]
+        assert rows["A2"].h == 1
+
+    def test_fixed_two_hop_named_path(self, eng):
+        q = ("MATCH p = (a:PhageGenome {accession:'A1'})-[:sharesDNA]->"
+             "(m:PhageGenome)-[:sharesDNA]->(b:PhageGenome) "
+             "RETURN nodes(p) AS ns, length(p) AS h")
+        rows = eng.run(q).collect()
+        assert sorted(">".join(r.ns) for r in rows) == sorted(
+            ["A1>A2>A3", "A1>A3>B1"]
+        )
+        assert all(r.h == 2 for r in rows)
+
+    def test_path_carries_through_with(self, eng):
+        q = ("MATCH p = (a:PhageGenome {accession:'A1'})"
+             "-[:sharesDNA*1..2]-(b:PhageGenome) "
+             "WITH p, b WHERE length(p) = 2 "
+             "RETURN nodes(p) AS path, b.accession AS dst")
+        assert paths_of(eng.run(q)) == sorted(
+            ["A1>A2>A3", "A1>A3>A2", "A1>A3>B1"]
+        )
+
+    def test_bare_path_var_returns_struct(self, eng):
+        q = ("MATCH p = (a:PhageGenome {accession:'A1'})"
+             "-[:sharesDNA*2..2]-(b:PhageGenome {accession:'B1'}) "
+             "RETURN p")
+        r = eng.run(q).collect()[0][0]
+        assert r.nodes == ["A1", "A3", "B1"]
+        assert r.rels == ["A1|A3", "A3|B1"]
+        assert r.hops == 2
+
+
+class TestShortestPaths:
+    """shortest_paths ground truth on FIXTURES.md §A (undirected):
+    from A1 — level 1: A2, A3, C1; level 2: B1 (only via A1>A3>B1).
+    The 2-hop A1>A2>A3 walk is NOT a shortest path (A3 is level-1)."""
+
+    def test_operator_all(self, spark, shares_dna):
+        from phageclouds_graphdatabase_spark.operators.graph import (
+            shortest_paths,
+        )
+        seeds = spark.createDataFrame([("A1",)], "id string")
+        got = paths_of(
+            shortest_paths(seeds, shares_dna, 3, directed=False, mode="all")
+            .select("path")
+        )
+        assert got == sorted(
+            ["A1>A2", "A1>A3", "A1>C1", "A1>A3>B1", "A1>A3>B1>B2"]
+        )
+
+    def test_operator_one_deterministic(self, spark, shares_dna):
+        from phageclouds_graphdatabase_spark.operators.graph import (
+            shortest_paths,
+        )
+        # B2 is 2 hops from B1-side but from A1 it is 3 hops with a single
+        # path; A2 at level 1 has exactly one path. Add a diamond seed case:
+        # from B2 — level 1: B1, B3; level 2: A3 (via B1).
+        seeds = spark.createDataFrame([("B2",)], "id string")
+        r = shortest_paths(seeds, shares_dna, 2, directed=False, mode="one")
+        got = {x.dst: x.path for x in r.collect()}
+        assert got == {
+            "B1": ["B2", "B1"],
+            "B3": ["B2", "B3"],
+            "A3": ["B2", "B1", "A3"],
+        }
+
+    def test_cypher_all_shortest(self, eng):
+        q = ("MATCH p = allShortestPaths((a:PhageGenome {accession:'A1'})"
+             "-[:sharesDNA*..3]-(b:PhageGenome)) "
+             "RETURN nodes(p) AS path, length(p) AS hops")
+        assert paths_of(eng.run(q)) == sorted(
+            ["A1>A2", "A1>A3", "A1>C1", "A1>A3>B1", "A1>A3>B1>B2"]
+        )
+
+    def test_cypher_shortest_to_bound_endpoint(self, eng):
+        q = ("MATCH p = shortestPath((a:PhageGenome {accession:'A1'})"
+             "-[:sharesDNA*..4]-(b:PhageGenome {accession:'B2'})) "
+             "RETURN nodes(p) AS path, relationships(p) AS rels, "
+             "length(p) AS hops")
+        r = eng.run(q).collect()
+        assert len(r) == 1
+        assert r[0].path == ["A1", "A3", "B1", "B2"]
+        assert r[0].rels == ["A1|A3", "A3|B1", "B1|B2"]
+        assert r[0].hops == 3
+
+    def test_cypher_unnamed_counts_pairs(self, eng):
+        q = ("MATCH shortestPath((a:PhageGenome {accession:'A1'})"
+             "-[:sharesDNA*..3]-(b:PhageGenome)) RETURN count(*) AS n")
+        # one row per reachable pair: A2, A3, C1, B1, B2
+        assert eng.run(q).collect()[0].n == 5
+
+    def test_shortest_requires_var_length(self, eng):
+        q = ("MATCH p = shortestPath((a:PhageGenome)-[:sharesDNA]->"
+             "(b:PhageGenome)) RETURN count(*) AS n")
+        with pytest.raises(CypherCompileError, match="var-length"):
+            eng.run(q)
+
+
+class TestErrors:
+    def test_optional_named_path_rejected(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'A1'}) "
+             "OPTIONAL MATCH p = (a)-[:sharesDNA]->(b:PhageGenome) "
+             "RETURN a.accession")
+        with pytest.raises(CypherCompileError, match="OPTIONAL"):
+            eng.run(q)
+
+    def test_multi_edge_var_length_named_path_rejected(self, eng):
+        q = ("MATCH p = (a:PhageGenome)-[:sharesDNA*1..2]-(m:PhageGenome)"
+             "-[:sharesDNA]->(b:PhageGenome) RETURN count(*) AS n")
+        with pytest.raises(CypherCompileError, match="single"):
+            eng.run(q)
+
+    def test_nodes_on_non_path_rejected(self, eng):
+        q = "MATCH (a:PhageGenome) RETURN nodes(a) AS ns"
+        with pytest.raises(CypherCompileError, match="named-path"):
+            eng.run(q)
+
+    def test_rebind_rejected(self, eng):
+        q = ("MATCH p = (a:PhageGenome)-[:sharesDNA]->(b:PhageGenome), "
+             "p = (b)-[:sharesDNA]->(c:PhageGenome) RETURN count(*) AS n")
+        with pytest.raises(CypherCompileError, match="already bound"):
+            eng.run(q)
