@@ -109,6 +109,17 @@ class ListComp(Expr):
 
 
 @dataclass(frozen=True)
+class Reduce(Expr):
+    """reduce(acc = init, x IN source | expr) — left fold over a list."""
+
+    acc: str
+    init: Expr
+    var: str
+    source: Expr
+    expr: Expr
+
+
+@dataclass(frozen=True)
 class Func(Expr):
     name: str  # lowercase
     args: tuple

@@ -113,6 +113,9 @@ class _Frame:
 
 _ALL = object()  # sentinel: the whole entity is referenced (bare `a`)
 
+# path accessor -> the struct field it reads (see _collect_used)
+_PATH_FUNC_FIELD = {"nodes": "nodes", "relationships": "rels", "length": "hops"}
+
 
 def _collect_used(obj, used: dict) -> None:
     """Walk the AST and record which properties each variable is touched
@@ -122,6 +125,16 @@ def _collect_used(obj, used: dict) -> None:
     if isinstance(obj, A.Prop):
         if used.get(obj.var) is not _ALL:
             used.setdefault(obj.var, set()).add(obj.name)
+        return
+    if isinstance(obj, A.Func) and obj.name.lower() in _PATH_FUNC_FIELD and (
+        len(obj.args) == 1 and isinstance(obj.args[0], A.Var)
+    ):
+        # nodes(p)/relationships(p)/length(p) touch ONE path field -- don't
+        # let the bare Var argument mark the whole struct (that would force
+        # the expensive per-hop dists carry on every named-path query)
+        v = obj.args[0].name
+        if used.get(v) is not _ALL:
+            used.setdefault(v, set()).add(_PATH_FUNC_FIELD[obj.name.lower()])
         return
     if isinstance(obj, A.Var):
         used[obj.name] = _ALL
@@ -292,6 +305,9 @@ class CypherEngine:
             F.struct(
                 F.array(*keys).alias("nodes"),
                 (F.array(*rels) if rels else F.array().cast("array<string>")).alias("rels"),
+                # per-hop weights aren't re-joined for fixed chains (the
+                # single-hop edge structs already expose them as r.distance)
+                F.lit(None).cast("array<double>").alias("dists"),
                 F.lit(len(rels)).alias("hops"),
             ),
         )
@@ -565,54 +581,65 @@ class CypherEngine:
             F.lit("|"),
             F.greatest(rel.src_col, rel.dst_col),
         )
+        # per-hop edge weight, carried ONLY when the query reads p.dists
+        # (reduce() path-cost queries) -- the extra array column widens
+        # every frontier shuffle otherwise. NULLs when the relationship
+        # table has no distance column.
+        u = frame.used.get(path_var) if frame.used is not None else _ALL
+        need_dists = u is _ALL or (u is not None and "dists" in u)
+        dist = (
+            F.col("distance").cast("double")
+            if "distance" in edf.columns
+            else F.lit(None).cast("double")
+        )
+
+        def _step(near: str, far: str):
+            cols = [
+                F.col(near).alias("__pl"),
+                F.col(far).alias("__pn"),
+                rid.alias("__pr"),
+            ]
+            if need_dists:
+                cols.append(dist.alias("__pd"))
+            return edf.select(*cols)
+
         if edge.direction == "out":
-            step = edf.select(
-                F.col(rel.src_col).alias("__pl"),
-                F.col(rel.dst_col).alias("__pn"),
-                rid.alias("__pr"),
-            )
+            step = _step(rel.src_col, rel.dst_col)
         elif edge.direction == "in":
-            step = edf.select(
-                F.col(rel.dst_col).alias("__pl"),
-                F.col(rel.src_col).alias("__pn"),
-                rid.alias("__pr"),
-            )
+            step = _step(rel.dst_col, rel.src_col)
         else:
-            fwd = edf.select(
-                F.col(rel.src_col).alias("__pl"),
-                F.col(rel.dst_col).alias("__pn"),
-                rid.alias("__pr"),
-            )
-            step = fwd.unionByName(
-                edf.select(
-                    F.col(rel.dst_col).alias("__pl"),
-                    F.col(rel.src_col).alias("__pn"),
-                    rid.alias("__pr"),
-                )
+            step = _step(rel.src_col, rel.dst_col).unionByName(
+                _step(rel.dst_col, rel.src_col)
             )
 
         nt_anchor = self.catalog.node(frame.vars[anchor][1])
         anchor_key = F.col(anchor)[nt_anchor.key]
         seeds = frame.df.select(anchor_key.alias("__pa")).distinct()
+        first_sel = [
+            F.array("__pa", "__pn").alias("__nodes"),
+            F.array("__pr").alias("__rels"),
+            F.col("__pn").alias("__pl"),
+        ]
+        if need_dists:
+            first_sel.insert(2, F.array("__pd").alias("__dists"))
         paths = (
             seeds.join(step, F.col("__pa") == F.col("__pl"))
-            .select(
-                F.array("__pa", "__pn").alias("__nodes"),
-                F.array("__pr").alias("__rels"),
-                F.col("__pn").alias("__pl"),
-            )
+            .select(*first_sel)
             .localCheckpoint()
         )
         out = paths if lo <= 1 else None
         for hop in range(2, hi + 1):
+            ext_sel = [
+                F.concat("__nodes", F.array("__pn")).alias("__nodes"),
+                F.concat("__rels", F.array("__pr")).alias("__rels"),
+                F.col("__pn").alias("__pl"),
+            ]
+            if need_dists:
+                ext_sel.insert(2, F.concat("__dists", F.array("__pd")).alias("__dists"))
             paths = (
                 paths.join(step, "__pl")
                 .filter(~F.array_contains(F.col("__rels"), F.col("__pr")))
-                .select(
-                    F.concat("__nodes", F.array("__pn")).alias("__nodes"),
-                    F.concat("__rels", F.array("__pr")).alias("__rels"),
-                    F.col("__pn").alias("__pl"),
-                )
+                .select(*ext_sel)
                 .localCheckpoint()
             )
             if paths.isEmpty():
@@ -626,6 +653,7 @@ class CypherEngine:
             F.col("__pl").alias("__pb"),
             "__nodes",
             "__rels",
+            *(["__dists"] if need_dists else []),
         )
         joined = frame.df.join(reached, anchor_key == F.col("__pa"), "inner")
 
@@ -643,10 +671,14 @@ class CypherEngine:
                 F.struct(
                     F.col("__nodes").alias("nodes"),
                     F.col("__rels").alias("rels"),
+                    (
+                        F.col("__dists") if need_dists
+                        else F.lit(None).cast("array<double>")
+                    ).alias("dists"),
                     F.size("__rels").alias("hops"),
                 ),
             )
-            .drop("__pa", "__pb", "__nodes", "__rels", "__pl")
+            .drop("__pa", "__pb", "__nodes", "__rels", "__dists", "__pl")
         )
         frame.vars[nvar] = ("node", nlabel)
         frame.vars[path_var] = ("path", None)
@@ -693,22 +725,31 @@ class CypherEngine:
         edf = rel.df
         for name, val in edge.props:
             edf = edf.filter(F.col(name) == self._scalar(val, params))
+        u = (
+            frame.used.get(path_var)
+            if (frame.used is not None and path_var is not None)
+            else None
+        )
+        need_dists = u is _ALL or (u is not None and "dists" in u)
+        dist = (
+            F.col("distance").cast("double")
+            if "distance" in edf.columns
+            else F.lit(None).cast("double")
+        )
+
+        def _step(near: str, far: str):
+            cols = [F.col(near).alias("__pl"), F.col(far).alias("__pn")]
+            if need_dists:
+                cols.append(dist.alias("__pd"))
+            return edf.select(*cols)
+
         if edge.direction == "out":
-            step = edf.select(
-                F.col(rel.src_col).alias("__pl"), F.col(rel.dst_col).alias("__pn")
-            )
+            step = _step(rel.src_col, rel.dst_col)
         elif edge.direction == "in":
-            step = edf.select(
-                F.col(rel.dst_col).alias("__pl"), F.col(rel.src_col).alias("__pn")
-            )
+            step = _step(rel.dst_col, rel.src_col)
         else:
-            step = edf.select(
-                F.col(rel.src_col).alias("__pl"), F.col(rel.dst_col).alias("__pn")
-            ).unionByName(
-                edf.select(
-                    F.col(rel.dst_col).alias("__pl"),
-                    F.col(rel.src_col).alias("__pn"),
-                )
+            step = _step(rel.src_col, rel.dst_col).unionByName(
+                _step(rel.dst_col, rel.src_col)
             )
 
         nt_anchor = self.catalog.node(frame.vars[anchor][1])
@@ -717,13 +758,16 @@ class CypherEngine:
         visited = sd.select(
             F.col("__pa"), F.col("__pa").alias("__pv")
         ).localCheckpoint()
+        first_sel = [
+            "__pa",
+            F.array("__pa", "__pn").alias("__nodes"),
+            F.col("__pn").alias("__pl"),
+        ]
+        if need_dists:
+            first_sel.insert(2, F.array("__pd").alias("__dists"))
         frontier = (
             sd.join(step, F.col("__pa") == F.col("__pl"))
-            .select(
-                "__pa",
-                F.array("__pa", "__pn").alias("__nodes"),
-                F.col("__pn").alias("__pl"),
-            )
+            .select(*first_sel)
             .filter(F.col("__pa") != F.col("__pl"))
             .localCheckpoint()
         )
@@ -732,11 +776,16 @@ class CypherEngine:
             visited = visited.unionByName(
                 frontier.select("__pa", F.col("__pl").alias("__pv")).distinct()
             ).localCheckpoint()
-            ext = frontier.join(step, "__pl").select(
+            ext_sel = [
                 "__pa",
                 F.concat("__nodes", F.array("__pn")).alias("__nodes"),
                 F.col("__pn").alias("__pl"),
-            )
+            ]
+            if need_dists:
+                ext_sel.insert(
+                    2, F.concat("__dists", F.array("__pd")).alias("__dists")
+                )
+            ext = frontier.join(step, "__pl").select(*ext_sel)
             frontier = ext.join(
                 visited,
                 (ext["__pa"] == visited["__pa"])
@@ -746,12 +795,29 @@ class CypherEngine:
             if frontier.isEmpty():
                 break
             out = out.unionByName(frontier)
-        reached = out.select("__pa", F.col("__pl").alias("__pb"), "__nodes")
+        reached = out.select(
+            "__pa", F.col("__pl").alias("__pb"), "__nodes",
+            *(["__dists"] if need_dists else []),
+        )
         if mode == "one":
-            reached = (
-                reached.groupBy("__pa", "__pb")
-                .agg(F.min("__nodes").alias("__nodes"))
-            )
+            if need_dists:
+                # min over (nodes, dists) pairs = min over nodes (dists is
+                # a function of the node sequence -- one stored edge per
+                # pair)
+                reached = (
+                    reached.groupBy("__pa", "__pb")
+                    .agg(F.min(F.struct("__nodes", "__dists")).alias("__m"))
+                    .select(
+                        "__pa", "__pb",
+                        F.col("__m.__nodes").alias("__nodes"),
+                        F.col("__m.__dists").alias("__dists"),
+                    )
+                )
+            else:
+                reached = (
+                    reached.groupBy("__pa", "__pb")
+                    .agg(F.min("__nodes").alias("__nodes"))
+                )
         joined = frame.df.join(reached, anchor_key == F.col("__pa"), "inner")
 
         nvar = node.var or frame.fresh("n")
@@ -777,11 +843,15 @@ class CypherEngine:
                 F.struct(
                     F.col("__nodes").alias("nodes"),
                     rels.alias("rels"),
+                    (
+                        F.col("__dists") if need_dists
+                        else F.lit(None).cast("array<double>")
+                    ).alias("dists"),
                     (F.size("__nodes") - F.lit(1)).alias("hops"),
                 ),
             )
             frame.vars[path_var] = ("path", None)
-        frame.df = frame.df.drop("__pa", "__pb", "__nodes", "__pl")
+        frame.df = frame.df.drop("__pa", "__pb", "__nodes", "__dists", "__pl")
         frame.vars[nvar] = ("node", nlabel)
         return nvar
 
@@ -1128,6 +1198,20 @@ class CypherEngine:
             ):
                 return F.concat(l, r)
             return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[e.op]
+        if isinstance(e, A.Reduce):
+            # left fold — F.aggregate folds elements in array order, so the
+            # result is deterministic per row (and IEEE-identical to an
+            # unrolled left-associated SQL expression)
+            src = self._col(frame, e.source, params, env)
+            init = self._col(frame, e.init, params, env)
+
+            def merge(acc, x):
+                inner = dict(env)
+                inner[e.acc] = acc
+                inner[e.var] = x
+                return self._col(frame, e.expr, params, inner)
+
+            return F.aggregate(src, init, merge)
         if isinstance(e, A.ListComp):
             src = self._col(frame, e.source, params, env)
             def body(x):
@@ -1256,6 +1340,11 @@ class CypherEngine:
             return isinstance(params.get(e.name), (list, tuple))
         if frame.df is None:
             return False
+        if env and _refs_any(e, set(env)):
+            # lambda-bound variables can't be schema-probed against the
+            # frame (and Spark 4 logs the analysis failure loudly); treat
+            # as scalar -- array arithmetic on lambda vars isn't supported
+            return False
         try:
             c = self._col(frame, e, params, env)
             dt = frame.df.select(c.alias("__probe")).schema[0].dataType
@@ -1268,6 +1357,21 @@ def re_escape(s: str) -> str:
     import re as _re
 
     return _re.escape(s)
+
+
+def _refs_any(e, names: set) -> bool:
+    """Does the expression tree reference any of these variable names?"""
+    if isinstance(e, A.Var):
+        return e.name in names
+    if isinstance(e, A.Prop):
+        return e.var in names
+    if isinstance(e, (list, tuple)):
+        return any(_refs_any(x, names) for x in e)
+    if hasattr(e, "__dataclass_fields__"):
+        return any(
+            _refs_any(getattr(e, f), names) for f in e.__dataclass_fields__
+        )
+    return False
 
 
 def _conjuncts(e: A.Expr) -> list:

@@ -509,11 +509,28 @@ class _Parser:
             if self.accept("sym", "."):
                 return A.Prop(name, self._name())
             if self.at("sym", "("):
+                if name.lower() == "reduce":
+                    return self._reduce()
                 return self._func(name)
             return A.Var(name)
         raise CypherSyntaxError(
             f"expected an expression at position {pos}, found {tv!r}"
         )
+
+    def _reduce(self) -> A.Reduce:
+        """reduce(acc = init, x IN list | expr) — Neo4j's left fold."""
+        self.take("sym", "(")
+        acc = self.take("ident")
+        self.take("sym", "=")
+        init = self.expr()
+        self.take("sym", ",")
+        var = self.take("ident")
+        self.take("kw", "in")
+        source = self.expr()
+        self.take("sym", "|")
+        body = self.expr()
+        self.take("sym", ")")
+        return A.Reduce(acc, init, var, source, body)
 
     def _func(self, name: str) -> A.Func:
         self.take("sym", "(")

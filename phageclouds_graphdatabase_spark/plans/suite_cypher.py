@@ -334,6 +334,47 @@ UNION ALL SELECT [n0, n1, n2, n3], 3, n3 FROM p3
 """
 
 
+def cypher_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted path cost through the frontend: ``reduce()`` (Neo4j's left
+    fold, compiled to F.aggregate) over the per-hop ``p.dists`` array that
+    named var-length paths carry — the total-DNA-distance-along-a-path
+    query the PhageClouds model implies. The fold is left-associated in
+    both engines, so the IEEE double result is bit-identical."""
+    eng = CypherEngine(
+        phage_catalog(
+            _nodes(spark, sf_dir),
+            graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+            _infects(spark, sf_dir),
+        )
+    )
+    q = """MATCH p = (a:PhageGenome)-[:sharesDNA*2..2]-(b:PhageGenome)
+            WHERE a.accession IN {}
+            RETURN nodes(p) AS path,
+            reduce(acc = 0.0, d IN p.dists | acc + d) AS cost;""".format(
+        _KHOP_SEEDS
+    )
+    return eng.run(q)
+
+
+CYPHER_WEIGHTED_SQL = _CTE + f"""
+, fe AS (
+    SELECT src, dst, distance FROM edges WHERE distance <= {GRAPH_THRESHOLD}
+),
+und AS (
+    SELECT src, dst, distance,
+           LEAST(src, dst) || '|' || GREATEST(src, dst) AS rid FROM fe
+    UNION ALL
+    SELECT dst AS src, src AS dst, distance,
+           LEAST(src, dst) || '|' || GREATEST(src, dst) AS rid FROM fe
+)
+SELECT [u1.src, u1.dst, u2.dst] AS path,
+       0.0 + u1.distance + u2.distance AS cost
+FROM und u1
+JOIN und u2 ON u2.src = u1.dst AND u2.rid <> u1.rid
+WHERE u1.src IN {_KHOP_SEED_SQL}
+"""
+
+
 def cypher_topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 through the query language: ORDER BY with full tie-break + LIMIT
     compiles to Catalyst Sort + GlobalLimit (TakeOrderedAndProject)."""
@@ -494,6 +535,9 @@ ENTRIES = {
     ),
     "cypher_shortest_paths": SuiteEntry(
         cypher_shortest_paths, CYPHER_SHORTEST_SQL, ("S2", "J2", "W6")
+    ),
+    "cypher_weighted_paths": SuiteEntry(
+        cypher_weighted_paths, CYPHER_WEIGHTED_SQL, ("S2", "J2", "V8", "W6")
     ),
     "cypher_topk_order_limit": SuiteEntry(
         cypher_topk_order_limit, CYPHER_TOPK_SQL, ("S2", "W1")

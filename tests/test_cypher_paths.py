@@ -227,6 +227,40 @@ class TestShortestPaths:
             eng.run(q)
 
 
+class TestReduceAndDists:
+    def test_reduce_over_literal_list(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'A1'}) "
+             "RETURN reduce(s = 0, x IN [1, 2, 3, 4] | s + x) AS s")
+        assert eng.run(q).collect()[0].s == 10
+
+    def test_reduce_path_cost(self, eng):
+        # A1-A3 (0.20) then A3-B1 (0.40): left fold 0.0 + 0.2 + 0.4
+        q = ("MATCH p = (a:PhageGenome {accession:'A1'})"
+             "-[:sharesDNA*2..2]-(b:PhageGenome {accession:'B1'}) "
+             "RETURN reduce(acc = 0.0, d IN p.dists | acc + d) AS cost")
+        assert eng.run(q).collect()[0].cost == pytest.approx(0.6)
+
+    def test_dists_align_with_rels(self, eng):
+        q = ("MATCH p = (a:PhageGenome {accession:'A1'})"
+             "-[:sharesDNA*2..2]-(b:PhageGenome {accession:'B1'}) "
+             "RETURN relationships(p) AS rels, p.dists AS dists")
+        r = eng.run(q).collect()[0]
+        assert r.rels == ["A1|A3", "A3|B1"]
+        assert r.dists == [0.20, 0.40]
+
+    def test_shortest_path_dists(self, eng):
+        q = ("MATCH p = shortestPath((a:PhageGenome {accession:'A1'})"
+             "-[:sharesDNA*..4]-(b:PhageGenome {accession:'B2'})) "
+             "RETURN p.dists AS dists")
+        assert eng.run(q).collect()[0].dists == [0.20, 0.40, 0.05]
+
+    def test_reduce_nested_arith(self, eng):
+        # left fold with a non-commutative body: ((10*2+1)*2+2)*2+3 = 91
+        q = ("MATCH (a:PhageGenome {accession:'A1'}) "
+             "RETURN reduce(s = 10, x IN [1, 2, 3] | s * 2 + x) AS s")
+        assert eng.run(q).collect()[0].s == 91
+
+
 class TestErrors:
     def test_optional_named_path_rejected(self, eng):
         q = ("MATCH (a:PhageGenome {accession:'A1'}) "
