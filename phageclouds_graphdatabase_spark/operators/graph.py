@@ -793,3 +793,75 @@ def shortest_paths(
             )
         )
     return res
+
+
+def cheapest_path_costs(
+    seeds: DataFrame,
+    edges: DataFrame,
+    max_hops: int,
+    scale: float = 10000.0,
+    threshold: float | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """Hop-bounded WEIGHTED shortest-path costs (the Neo4j GDS
+    Dijkstra/sssp surface, hop-bounded): for each (seed, node) pair the
+    minimum total edge ``distance`` over any connecting path of at most
+    ``max_hops`` edges. Weights are quantized to integers
+    (``floor(distance * scale + 0.5)``) so the min is an exact, totally
+    ordered long — no float-summation order sensitivity, hence
+    oracle-checkable and cluster-deterministic.
+
+    Bellman-Ford relaxation, not path enumeration: state is one row per
+    REACHED (seed, node) pair — ``max_hops`` rounds of
+    (best ⋈ edges) → union → groupBy-min — so memory is pair-bounded even
+    on graphs whose path count explodes. With non-negative weights the
+    min over walks equals the min over simple paths, so no uniqueness
+    bookkeeping is needed. Output: ``(src, dst, cost)``; dst != src.
+
+    Scale: per-round shuffle = reached pairs × avg degree, map-side
+    combined into the groupBy-min; rounds localCheckpoint. At 1000× the
+    round count stays max_hops; only pair cardinality grows."""
+    if max_hops < 1 or max_hops > 10:
+        raise ValueError("need 1 <= max_hops <= 10")
+    e = edges if threshold is None else edges.filter(
+        F.col("distance") <= F.lit(threshold)
+    )
+    w = F.floor(F.col("distance").cast("double") * F.lit(scale) + F.lit(0.5)).cast(
+        "long"
+    )
+    step = e.select(
+        F.col("src").alias("_u"), F.col("dst").alias("_v"), w.alias("_w")
+    )
+    if not directed:
+        step = step.unionByName(
+            e.select(
+                F.col("dst").alias("_u"), F.col("src").alias("_v"), w.alias("_w")
+            )
+        )
+    best = (
+        seeds.select("id")
+        .distinct()
+        .select(
+            F.col("id").alias("_src"),
+            F.col("id").alias("_node"),
+            F.lit(0).cast("long").alias("_cost"),
+        )
+        .localCheckpoint()
+    )
+    for _round in range(max_hops):
+        cand = best.join(step, best["_node"] == step["_u"]).select(
+            "_src",
+            F.col("_v").alias("_node"),
+            (F.col("_cost") + F.col("_w")).alias("_cost"),
+        )
+        best = (
+            best.unionByName(cand)
+            .groupBy("_src", "_node")
+            .agg(F.min("_cost").alias("_cost"))
+            .localCheckpoint()
+        )
+    return best.filter(F.col("_node") != F.col("_src")).select(
+        F.col("_src").alias("src"),
+        F.col("_node").alias("dst"),
+        F.col("_cost").alias("cost"),
+    )

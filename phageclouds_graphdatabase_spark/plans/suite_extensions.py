@@ -256,6 +256,77 @@ FROM allp GROUP BY src, dst
 """
 
 
+def graph_cheapest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded WEIGHTED shortest-path costs (GDS Dijkstra surface):
+    min total distance over ≤3-hop undirected paths per (seed, node) pair,
+    integer-scaled so the min is exact in both engines. Bellman-Ford
+    relaxation (state = reached pairs), NOT path enumeration. Oracle:
+    three unrolled relaxation rounds (min over best-so-far ∪ one-more-hop)."""
+    p = t(spark, sf_dir, "part")
+    seeds = (
+        p.filter(
+            (F.col("p_type") == "ECONOMY") & (F.col("p_partkey") % 20 == 0)
+        )
+        .select(F.concat(F.lit("P"), F.col("p_partkey")).alias("id"))
+        .distinct()
+    )
+    return G.cheapest_path_costs(
+        seeds,
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+        max_hops=3,
+        scale=10000.0,
+        threshold=GRAPH_THRESHOLD,
+        directed=False,
+    )
+
+
+GRAPH_CHEAPEST_SQL = f"""
+WITH edges AS ({GRAPH_EDGES_SQL}),
+fe AS (
+    SELECT src, dst,
+           CAST(FLOOR(distance * 10000.0 + 0.5) AS BIGINT) AS w
+    FROM edges WHERE distance <= {GRAPH_THRESHOLD}
+),
+und AS (
+    SELECT src AS u, dst AS v, w FROM fe
+    UNION ALL
+    SELECT dst AS u, src AS v, w FROM fe
+),
+t0 AS (
+    SELECT id AS src, id AS node, CAST(0 AS BIGINT) AS cost
+    FROM (
+        SELECT DISTINCT 'P' || p_partkey AS id FROM part
+        WHERE p_type = 'ECONOMY' AND p_partkey % 20 = 0
+    )
+),
+t1 AS (
+    SELECT src, node, MIN(cost) AS cost FROM (
+        SELECT src, node, cost FROM t0
+        UNION ALL
+        SELECT t0.src, und.v AS node, t0.cost + und.w AS cost
+        FROM t0 JOIN und ON t0.node = und.u
+    ) GROUP BY src, node
+),
+t2 AS (
+    SELECT src, node, MIN(cost) AS cost FROM (
+        SELECT src, node, cost FROM t1
+        UNION ALL
+        SELECT t1.src, und.v AS node, t1.cost + und.w AS cost
+        FROM t1 JOIN und ON t1.node = und.u
+    ) GROUP BY src, node
+),
+t3 AS (
+    SELECT src, node, MIN(cost) AS cost FROM (
+        SELECT src, node, cost FROM t2
+        UNION ALL
+        SELECT t2.src, und.v AS node, t2.cost + und.w AS cost
+        FROM t2 JOIN und ON t2.node = und.u
+    ) GROUP BY src, node
+)
+SELECT src, node AS dst, cost FROM t3 WHERE node <> src
+"""
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-iteration integer-scaled PageRank over the thresholded derived
     graph (the GraphX-analytics surface on DataFrames, W6). Integer
@@ -1370,6 +1441,9 @@ ENTRIES: dict[str, SuiteEntry] = {
     ),
     "graph_shortest_paths": SuiteEntry(
         graph_shortest_paths, GRAPH_SHORTEST_SQL, ("J2", "W6")
+    ),
+    "graph_cheapest_paths": SuiteEntry(
+        graph_cheapest_paths, GRAPH_CHEAPEST_SQL, ("J2", "W6", "A6")
     ),
     "graph_pagerank": SuiteEntry(graph_pagerank, GRAPH_PAGERANK_SQL, ("W6", "A6")),
     "graph_degrees": SuiteEntry(graph_degrees_q, GRAPH_DEGREES_SQL, ("A6", "J7")),

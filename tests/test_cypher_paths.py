@@ -227,6 +227,50 @@ class TestShortestPaths:
             eng.run(q)
 
 
+class TestCheapestPathCosts:
+    """Weighted (integer-scaled) hop-bounded shortest-path costs on
+    FIXTURES.md §A. From A1 (undirected, ≤3 hops, scale 100):
+    A2 = 10, A3 = min(20, 10+15) = 20, C1 = 10, B1 = 20+40 = 60,
+    B2 = 20+40+5 = 65 -- note A2 also reachable via A3 for 35, min keeps 10."""
+
+    def test_costs_from_a1(self, spark, shares_dna):
+        from phageclouds_graphdatabase_spark.operators.graph import (
+            cheapest_path_costs,
+        )
+        seeds = spark.createDataFrame([("A1",)], "id string")
+        r = cheapest_path_costs(
+            seeds, shares_dna, max_hops=3, scale=100.0, directed=False
+        )
+        got = {x.dst: x.cost for x in r.collect()}
+        assert got == {"A2": 10, "A3": 20, "C1": 10, "B1": 60, "B2": 65}
+
+    def test_relaxation_beats_direct_edge(self, spark, shares_dna):
+        from phageclouds_graphdatabase_spark.operators.graph import (
+            cheapest_path_costs,
+        )
+        # A2 -> A3 direct is 15; via A1 it is 10+20=30 -- direct wins.
+        # A3 -> B2: only route is B1 (40+5=45).
+        seeds = spark.createDataFrame([("A2",)], "id string")
+        r = cheapest_path_costs(
+            seeds, shares_dna, max_hops=3, scale=100.0, directed=False
+        )
+        got = {x.dst: x.cost for x in r.collect()}
+        assert got["A3"] == 15
+        assert got["B2"] == 15 + 40 + 5
+
+    def test_hop_bound_limits_reach(self, spark, shares_dna):
+        from phageclouds_graphdatabase_spark.operators.graph import (
+            cheapest_path_costs,
+        )
+        seeds = spark.createDataFrame([("C1",)], "id string")
+        r = cheapest_path_costs(
+            seeds, shares_dna, max_hops=2, scale=100.0, directed=False
+        )
+        got = {x.dst: x.cost for x in r.collect()}
+        # C1 -> A1 (10) -> {A2 20, A3 30}; B1 is 3 hops away -> absent
+        assert got == {"A1": 10, "A2": 20, "A3": 30}
+
+
 class TestReduceAndDists:
     def test_reduce_over_literal_list(self, eng):
         q = ("MATCH (a:PhageGenome {accession:'A1'}) "

@@ -167,10 +167,46 @@ def main() -> None:
     n_clouds = comp.select("component").distinct().count()
     timings["components_sec"] = round(time.time() - t0, 2)
 
+    # Path-semantics operators (per-path var-length, BFS shortest, weighted
+    # cheapest): seeded from a ~0.1% node sample -- per-path output is
+    # combinatorial by definition, so the rehearsal measures throughput per
+    # seed cohort, not an all-pairs sweep (which nobody runs).
+    from pyspark.sql import functions as F
+
+    sample = (
+        nodes.select(F.col("accession").alias("id"))
+        .filter(F.abs(F.xxhash64("id")) % 1000 == 0)
+        .localCheckpoint()
+    )
+    n_sample = sample.count()
+
+    t0 = time.time()
+    vlp = G.var_length_paths(sample, edges, 2, 3, threshold=0.15, directed=False)
+    n_paths = vlp.count()
+    timings["var_length_paths_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    sp = G.shortest_paths(
+        sample, edges, 3, threshold=0.15, directed=False, mode="one"
+    )
+    n_sp = sp.count()
+    timings["shortest_paths_sec"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    cp = G.cheapest_path_costs(
+        sample, edges, 3, threshold=0.15, directed=False
+    )
+    n_cp = cp.count()
+    timings["cheapest_paths_sec"] = round(time.time() - t0, 2)
+
     print(
         json.dumps(
             {
                 "n_nodes": args.nodes,
+                "n_path_seeds": n_sample,
+                "n_var_length_paths": n_paths,
+                "n_shortest_pairs": n_sp,
+                "n_cheapest_pairs": n_cp,
                 "n_edges": n_edges,
                 "gen_sec": round(t_gen, 2),
                 "ingest_sec": round(t_ingest, 2),
