@@ -258,3 +258,12 @@ class DeleteClause:
 @dataclass(frozen=True)
 class Query:
     clauses: tuple = field(default_factory=tuple)  # Match/With, then Return last
+
+
+@dataclass(frozen=True)
+class UnionQuery:
+    """query UNION [ALL] query ... — Neo4j forbids mixing UNION and
+    UNION ALL in one statement, so one flag covers every joint."""
+
+    queries: tuple  # (Query, ...), len >= 2
+    all: bool = False

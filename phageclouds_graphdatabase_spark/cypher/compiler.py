@@ -179,7 +179,29 @@ class CypherEngine:
         self.spark = spark
 
     def run(self, query: str, params: dict | None = None) -> DataFrame:
-        return self.compile(parse(query), params or {})
+        ast = parse(query)
+        if isinstance(ast, A.UnionQuery):
+            return self._compile_union(ast, params or {})
+        return self.compile(ast, params or {})
+
+    def _compile_union(self, uq: A.UnionQuery, params: dict) -> DataFrame:
+        """UNION [ALL]: compile each part, require identical column names
+        (Neo4j's rule), unionByName, and DISTINCT across the whole result
+        for plain UNION — one logical plan, so Catalyst can still push
+        the distinct's aggregation partial."""
+        dfs = [self.compile(q, params) for q in uq.queries]
+        first = dfs[0].columns
+        for i, df in enumerate(dfs[1:], 2):
+            if df.columns != first:
+                raise CypherCompileError(
+                    f"UNION part {i} returns columns {df.columns}, "
+                    f"expected {first} (all parts must return the same "
+                    "column names)"
+                )
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out if uq.all else out.distinct()
 
     def apply(self, query: str, params: dict | None = None) -> "GraphCatalog":
         """Run a Cypher WRITE query (CREATE/MERGE/SET/DELETE); returns the
@@ -1255,6 +1277,7 @@ class CypherEngine:
 
     _SCALAR_FUNCS = {
         "tolower": F.lower, "toupper": F.upper, "trim": F.trim,
+        "ltrim": F.ltrim, "rtrim": F.rtrim, "reverse": F.reverse,
         "size": F.size, "head": lambda c: F.element_at(c, 1),
         "last": lambda c: F.element_at(c, -1), "abs": F.abs,
         "floor": F.floor, "ceil": F.ceil, "round": F.round,
@@ -1262,6 +1285,45 @@ class CypherEngine:
         "tointeger": lambda c: c.cast("long"),
         "tofloat": lambda c: c.cast("double"),
     }
+
+    def _entity_func_col(self, frame: _Frame, e: A.Func):
+        """labels(n)/type(r)/id(n)/properties(n)/keys(n) — entity metadata.
+        In this engine ids are the node KEY property (Neo4j's internal
+        numeric ids don't survive an export anyway), labels/types come from
+        the catalog binding, and keys() reflects the PRUNED struct (the
+        properties the query carries; a bare `properties(n)` marks the
+        whole entity so nothing is pruned in that case)."""
+        if not (len(e.args) == 1 and isinstance(e.args[0], A.Var)):
+            raise CypherCompileError(
+                f"{e.name}() takes a bound pattern variable"
+            )
+        var = e.args[0].name
+        if not frame.has(var):
+            raise CypherCompileError(f"unbound variable {var}")
+        kind, label = frame.vars[var]
+        if e.name == "labels":
+            if kind != "node":
+                raise CypherCompileError("labels() takes a node variable")
+            return F.array(F.lit(label))
+        if e.name == "type":
+            if kind != "edge":
+                raise CypherCompileError(
+                    "type() takes a relationship variable"
+                )
+            return F.lit(label)
+        if kind not in ("node", "edge"):
+            raise CypherCompileError(f"{e.name}() takes an entity variable")
+        if e.name == "id":
+            if kind != "node":
+                raise CypherCompileError("id() takes a node variable")
+            return F.col(var)[self.catalog.node(label).key]
+        if e.name == "properties":
+            return F.col(var)
+        # keys(): field names of the bound struct
+        if frame.df is None:
+            raise CypherCompileError("keys() needs a bound frame")
+        dt = frame.df.schema[var].dataType
+        return F.array(*[F.lit(f.name) for f in dt.fields])
 
     def _func_col(self, frame: _Frame, e: A.Func, params: dict, env: dict):
         if e.name in ("collect", "count", "sum", "min", "max", "avg"):
@@ -1295,6 +1357,35 @@ class CypherEngine:
                 self._col(frame, e.args[0], params, env),
                 # literal separator, regex-escaped: Cypher split is literal
                 re_escape(self._lit_str(e.args[1])),
+            )
+        if e.name in ("labels", "type", "id", "properties", "keys"):
+            return self._entity_func_col(frame, e)
+        if e.name == "substring":
+            # Cypher substring(s, start[, len]) is 0-based; Column.substr
+            # is 1-based
+            if len(e.args) not in (2, 3):
+                raise CypherCompileError("substring() takes 2 or 3 arguments")
+            s = self._col(frame, e.args[0], params, env)
+            start = self._col(frame, e.args[1], params, env) + F.lit(1)
+            length = (
+                self._col(frame, e.args[2], params, env)
+                if len(e.args) == 3
+                else F.length(s)
+            )
+            return s.substr(start, length)
+        if e.name in ("left", "right"):
+            if len(e.args) != 2:
+                raise CypherCompileError(f"{e.name}() takes two arguments")
+            s = self._col(frame, e.args[0], params, env)
+            n = self._col(frame, e.args[1], params, env)
+            return F.left(s, n) if e.name == "left" else F.right(s, n)
+        if e.name == "replace":
+            if len(e.args) != 3:
+                raise CypherCompileError("replace() takes three arguments")
+            return F.replace(  # literal (non-regex) replace in both engines
+                self._col(frame, e.args[0], params, env),
+                self._col(frame, e.args[1], params, env),
+                self._col(frame, e.args[2], params, env),
             )
         fn = self._SCALAR_FUNCS.get(e.name)
         if fn is None:

@@ -48,7 +48,7 @@ _KEYWORDS = {
     "in", "contains", "starts", "ends", "distinct", "is", "null", "true",
     "false", "order", "by", "asc", "ascending", "desc", "descending",
     "skip", "limit", "unwind", "case", "when", "then", "else", "end",
-    "create", "merge", "set", "delete", "detach", "on",
+    "create", "merge", "set", "delete", "detach", "on", "union",
 }
 
 _TOKEN_RE = re.compile(
@@ -128,6 +128,28 @@ class _Parser:
     # -- entry --------------------------------------------------------------
 
     def query(self) -> A.Query:
+        parts = [self._single_query()]
+        alls: list[bool] = []
+        while self.accept("kw", "union"):
+            is_all = False
+            if self.at("ident") and self.peek()[1].lower() == "all":
+                self.take("ident")
+                is_all = True
+            alls.append(is_all)
+            parts.append(self._single_query())
+        self.accept("sym", ";")
+        if not self.at("eof"):
+            _, tv, pos, _ = self.peek()
+            raise CypherSyntaxError(f"trailing input at position {pos}: {tv!r}")
+        if len(parts) == 1:
+            return parts[0]
+        if len(set(alls)) > 1:
+            raise CypherSyntaxError(
+                "cannot mix UNION and UNION ALL in one statement"
+            )
+        return A.UnionQuery(tuple(parts), alls[0])
+
+    def _single_query(self) -> A.Query:
         clauses: list = []
         while True:
             if self.accept("kw", "optional"):
@@ -152,7 +174,9 @@ class _Parser:
             elif self.accept("kw", "return"):
                 clauses.append(self._return())
                 break
-            elif clauses and (self.at("eof") or self.at("sym", ";")):
+            elif clauses and (
+                self.at("eof") or self.at("sym", ";") or self.at("kw", "union")
+            ):
                 # write queries may end without RETURN
                 break
             else:
@@ -160,10 +184,6 @@ class _Parser:
                 raise CypherSyntaxError(
                     f"expected a clause keyword at position {pos}, found {tv!r}"
                 )
-        self.accept("sym", ";")
-        if not self.at("eof"):
-            _, tv, pos, _ = self.peek()
-            raise CypherSyntaxError(f"trailing input at position {pos}: {tv!r}")
         return A.Query(tuple(clauses))
 
     # -- clauses ------------------------------------------------------------

@@ -69,6 +69,8 @@ def apply_write(
     driving frame exactly as in reads; reads placed *after* a write clause
     see the pending writes (Cypher clause-ordering semantics)."""
     q = parse(query)
+    if not isinstance(q, A.Query):
+        raise CypherCompileError("UNION is not supported in write queries")
     params = params or {}
     # scratch engine so catalog swaps never mutate the caller's engine
     eng = CypherEngine(engine.catalog, engine.spark)

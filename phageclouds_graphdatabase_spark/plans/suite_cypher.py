@@ -375,6 +375,51 @@ WHERE u1.src IN {_KHOP_SEED_SQL}
 """
 
 
+def cypher_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION across two full queries (A3 through the query language):
+    distinct union of the supplier-labelled genomes and the large-genome
+    parts, same output columns both sides (Neo4j's rule, enforced)."""
+    q = """MATCH (a:PhageGenome {source:'SUPPLIER'})
+            RETURN a.accession AS id, a.taxonomy AS name
+            UNION
+            MATCH (b:PhageGenome) WHERE b.genome_size >= 40
+            RETURN b.accession AS id, b.taxonomy AS name;"""
+    return _engine(spark, sf_dir).run(q)
+
+
+CYPHER_UNION_SQL = _CTE + """
+SELECT accession AS id, taxonomy AS name FROM nodes WHERE source = 'SUPPLIER'
+UNION
+SELECT accession AS id, taxonomy AS name FROM nodes WHERE genome_size >= 40
+"""
+
+
+def cypher_entity_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-metadata + string scalar functions (V8 through the query
+    language): labels()/type()/id() resolve from the catalog binding at
+    compile time (constants in the plan — zero runtime cost);
+    substring (0-based -> substr 1-based), left/right/replace/reverse are
+    the engine-native string kernels in both engines."""
+    q = """MATCH (a:PhageGenome {source:'ECONOMY'})-[r:sharesDNA]->(b:PhageGenome)
+            RETURN id(a) AS aid, labels(a) AS la, type(r) AS tr,
+            substring(a.taxonomy, 0, 4) AS sub4,
+            left(b.accession, 1) AS lb, right(b.accession, 2) AS rb,
+            replace(a.taxonomy, 'e', '_') AS rep,
+            reverse(b.accession) AS rev;"""
+    return _engine(spark, sf_dir).run(q)
+
+
+CYPHER_ENTITY_FUNCS_SQL = _CTE + """
+SELECT n.accession AS aid, ['PhageGenome'] AS la, 'sharesDNA' AS tr,
+       substr(n.taxonomy, 1, 4) AS sub4,
+       left(e.dst, 1) AS lb, right(e.dst, 2) AS rb,
+       replace(n.taxonomy, 'e', '_') AS rep,
+       reverse(e.dst) AS rev
+FROM edges e JOIN nodes n ON e.src = n.accession
+WHERE n.source = 'ECONOMY'
+"""
+
+
 def cypher_topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 through the query language: ORDER BY with full tie-break + LIMIT
     compiles to Catalyst Sort + GlobalLimit (TakeOrderedAndProject)."""
@@ -538,6 +583,12 @@ ENTRIES = {
     ),
     "cypher_weighted_paths": SuiteEntry(
         cypher_weighted_paths, CYPHER_WEIGHTED_SQL, ("S2", "J2", "V8", "W6")
+    ),
+    "cypher_union_sources": SuiteEntry(
+        cypher_union_sources, CYPHER_UNION_SQL, ("S2", "A3")
+    ),
+    "cypher_entity_functions": SuiteEntry(
+        cypher_entity_functions, CYPHER_ENTITY_FUNCS_SQL, ("S2", "V8")
     ),
     "cypher_topk_order_limit": SuiteEntry(
         cypher_topk_order_limit, CYPHER_TOPK_SQL, ("S2", "W1")

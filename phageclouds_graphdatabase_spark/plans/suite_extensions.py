@@ -256,6 +256,108 @@ FROM allp GROUP BY src, dst
 """
 
 
+def _transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition graph: per user, consecutive event types in
+    (ts, event_id) order; keep above-average-frequency transitions so the
+    graph is sparse enough that motif negation bites."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    pairs = tr.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        pairs.withColumn("avg_cnt", F.avg("cnt").over(Window.partitionBy()))
+        .filter(F.col("cnt") > F.col("avg_cnt"))
+        .select("src", "dst", "cnt")
+    )
+
+
+_TRANSITION_SQL = """
+    SELECT src, dst, cnt FROM (
+        SELECT src, dst, cnt, AVG(cnt) OVER () AS avg_cnt FROM (
+            SELECT prev AS src, event_type AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (
+                SELECT event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events
+            ) WHERE prev IS NOT NULL GROUP BY 1, 2
+        )
+    ) WHERE cnt > avg_cnt
+"""
+
+
+def motif_open_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphFrames-style motif finding (the canonical Spark graph
+    DataFrame API, graphframe.py): directed open wedges a->b->c with NO
+    closing a->c edge — two equi-joins plus one anti-join, over the event
+    transition graph."""
+    from phageclouds_graphdatabase_spark.graphframe import GraphFrame
+
+    e = _transition_edges(spark, sf_dir)
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    r = GraphFrame(v, e).find("(a)-[e1]->(b); (b)-[e2]->(c); !(a)-[]->(c)")
+    return r.select(
+        F.col("a")["id"].alias("a_t"),
+        F.col("b")["id"].alias("b_t"),
+        F.col("c")["id"].alias("c_t"),
+        F.col("e1")["cnt"].alias("c1"),
+        F.col("e2")["cnt"].alias("c2"),
+    )
+
+
+MOTIF_OPEN_WEDGES_SQL = f"""
+WITH eg AS ({_TRANSITION_SQL})
+SELECT e1.src AS a_t, e1.dst AS b_t, e2.dst AS c_t,
+       e1.cnt AS c1, e2.cnt AS c2
+FROM eg e1 JOIN eg e2 ON e2.src = e1.dst
+WHERE NOT EXISTS (
+    SELECT 1 FROM eg x WHERE x.src = e1.src AND x.dst = e2.dst
+)
+"""
+
+
+def motif_co_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-endpoint motif (a)-[e1]->(b); (c)-[e2]->(b) on the bipartite
+    derived graph: part pairs sharing a supplier (the node-similarity
+    candidate shape) with an ordered tie-break so each pair appears once."""
+    from phageclouds_graphdatabase_spark.graphframe import GraphFrame
+
+    e = graph_edges(spark, sf_dir, GRAPH_THRESHOLD).filter(
+        F.col("src").startswith("P10")  # prefix cut keeps the self-join small
+    )
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    r = GraphFrame(v, e).find("(a)-[e1]->(b); (c)-[e2]->(b)")
+    return r.filter(F.col("a")["id"] < F.col("c")["id"]).select(
+        F.col("a")["id"].alias("part_a"),
+        F.col("c")["id"].alias("part_c"),
+        F.col("b")["id"].alias("shared_supplier"),
+    )
+
+
+MOTIF_CO_SUPPLIERS_SQL = f"""
+WITH eg AS (
+    SELECT src, dst FROM ({GRAPH_EDGES_SQL})
+    WHERE distance <= {GRAPH_THRESHOLD} AND src LIKE 'P10%'
+)
+SELECT e1.src AS part_a, e2.src AS part_c, e1.dst AS shared_supplier
+FROM eg e1 JOIN eg e2 ON e1.dst = e2.dst
+WHERE e1.src < e2.src
+"""
+
+
 def graph_cheapest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop-bounded WEIGHTED shortest-path costs (GDS Dijkstra surface):
     min total distance over ≤3-hop undirected paths per (seed, node) pair,
@@ -1444,6 +1546,12 @@ ENTRIES: dict[str, SuiteEntry] = {
     ),
     "graph_cheapest_paths": SuiteEntry(
         graph_cheapest_paths, GRAPH_CHEAPEST_SQL, ("J2", "W6", "A6")
+    ),
+    "motif_open_wedges": SuiteEntry(
+        motif_open_wedges, MOTIF_OPEN_WEDGES_SQL, ("J1", "J7", "W6")
+    ),
+    "motif_co_suppliers": SuiteEntry(
+        motif_co_suppliers, MOTIF_CO_SUPPLIERS_SQL, ("J1", "W6")
     ),
     "graph_pagerank": SuiteEntry(graph_pagerank, GRAPH_PAGERANK_SQL, ("W6", "A6")),
     "graph_degrees": SuiteEntry(graph_degrees_q, GRAPH_DEGREES_SQL, ("A6", "J7")),

@@ -606,3 +606,72 @@ class TestAggregateVariants:
              "max(a.genome_size) AS mx")
         r = eng.run(q).collect()[0]
         assert (r.s, r.mn, r.mx) == (45000 + 12000 + 12500, 12000, 45000)
+
+
+class TestUnionQueries:
+    def test_union_distinct(self, eng):
+        q = ("MATCH (a:PhageGenome {source:'NCBI'}) RETURN a.accession AS id "
+             "UNION "
+             "MATCH (b:PhageGenome {accession:'A1'}) RETURN b.accession AS id")
+        got = sorted(r.id for r in eng.run(q).collect())
+        # A1 appears in both branches exactly once (UNION dedups)
+        assert got == ["A1", "A2", "B1", "D1", "D2", "E1"]
+
+    def test_union_all_keeps_duplicates(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'A1'}) RETURN a.accession AS id "
+             "UNION ALL "
+             "MATCH (b:PhageGenome {accession:'A1'}) RETURN b.accession AS id")
+        assert [r.id for r in eng.run(q).collect()] == ["A1", "A1"]
+
+    def test_union_three_parts(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'A1'}) RETURN a.accession AS id "
+             "UNION MATCH (b:PhageGenome {accession:'B1'}) RETURN b.accession AS id "
+             "UNION MATCH (c:PhageGenome {accession:'A1'}) RETURN c.accession AS id")
+        assert sorted(r.id for r in eng.run(q).collect()) == ["A1", "B1"]
+
+    def test_union_column_mismatch_rejected(self, eng):
+        q = ("MATCH (a:PhageGenome) RETURN a.accession AS id "
+             "UNION MATCH (b:PhageGenome) RETURN b.accession AS other")
+        with pytest.raises(CypherCompileError, match="same"):
+            eng.run(q)
+
+    def test_mixed_union_rejected(self):
+        with pytest.raises(CypherSyntaxError, match="mix"):
+            parse("MATCH (a:X) RETURN a.k AS k "
+                  "UNION MATCH (b:X) RETURN b.k AS k "
+                  "UNION ALL MATCH (c:X) RETURN c.k AS k")
+
+
+class TestEntityAndStringFunctions:
+    def test_entity_metadata(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'A1'})-[r:infects]->(h:Host) "
+             "RETURN labels(a) AS la, type(r) AS tr, id(a) AS ia, "
+             "labels(h) AS lh")
+        r = eng.run(q).collect()[0]
+        assert r.la == ["PhageGenome"]
+        assert r.tr == "infects"
+        assert r.ia == "A1"
+        assert r.lh == ["Host"]
+
+    def test_properties_and_keys(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'A1'}) "
+             "RETURN properties(a) AS pr, keys(a) AS ks")
+        r = eng.run(q).collect()[0]
+        assert r.pr.accession == "A1"
+        assert "accession" in r.ks and "source" in r.ks
+
+    def test_string_functions(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'B1'}) "
+             "RETURN substring(a.taxonomy, 0, 7) AS s7, "
+             "substring(a.taxonomy, 8) AS rest, "
+             "left(a.accession, 1) AS l, right(a.accession, 1) AS r, "
+             "replace(a.accession, '1', 'X') AS rep, "
+             "reverse(a.accession) AS rev, ltrim('  x') AS lt")
+        row = eng.run(q).collect()[0]
+        assert row.s7 == "Viruses"
+        assert row.rest.startswith("Siphoviridae")
+        assert (row.l, row.r, row.rep, row.rev, row.lt) == ("B", "1", "BX", "1B", "x")
+
+    def test_type_on_node_rejected(self, eng):
+        with pytest.raises(CypherCompileError, match="relationship"):
+            eng.run("MATCH (a:PhageGenome) RETURN type(a) AS t")
