@@ -40,6 +40,25 @@ class MotifError(ValueError):
     pass
 
 
+class _AMMeta(type):
+    _anchors = {"src": "src", "dst": "dst", "edge": "edge", "msg": "_msg"}
+
+    def __getattr__(cls, name: str):
+        # lazy: F.col() needs an active session in classic mode, so the
+        # anchors can't be class attributes evaluated at import time
+        try:
+            return F.col(cls._anchors[name])
+        except KeyError:
+            raise AttributeError(name) from None
+
+
+class AggregateMessages(metaclass=_AMMeta):
+    """Column anchors for :meth:`GraphFrame.aggregateMessages` (the
+    GraphFrames ``AM`` helper): ``AM.src``/``AM.dst``/``AM.edge`` reference
+    triplet structs in message expressions; ``AM.msg`` the delivered
+    message in the aggregate."""
+
+
 def _struct(df: DataFrame, alias: str):
     return F.struct(*[F.col(c) for c in df.columns]).alias(alias)
 
@@ -190,3 +209,106 @@ class GraphFrame:
         """BFS hop distances TO the landmark set (GraphFrames semantics are
         per-landmark distances; here: (src=landmark, dst, path, hops))."""
         return G.shortest_paths(landmarks, self.edges, max_hops, mode="one")
+
+    def bfs(self, fromExpr, toExpr, maxPathLength: int = 10) -> DataFrame:
+        """GraphFrames ``bfs``: shortest paths from vertices matching
+        ``fromExpr`` to vertices matching ``toExpr``. Output is the
+        engine's path shape ``(src, dst, path, hops)`` — one row per
+        shortest path per (from, to) pair — rather than GraphFrames'
+        exploded from/e0/v1/... columns (documented deviation; the
+        information content is identical)."""
+        seeds = self.vertices.filter(fromExpr).select("id")
+        paths = G.shortest_paths(
+            seeds, self.edges, maxPathLength, mode="all"
+        )
+        targets = self.vertices.filter(toExpr).select("id")
+        return paths.join(
+            F.broadcast(targets), paths["dst"] == targets["id"], "left_semi"
+        )
+
+    def aggregateMessages(
+        self, aggCol, sendToSrc=None, sendToDst=None
+    ) -> DataFrame:
+        """GraphFrames ``aggregateMessages``: evaluate message expressions
+        over each edge triplet (``AM.src``/``AM.dst``/``AM.edge`` structs),
+        send to the edge's src and/or dst, aggregate per receiving vertex
+        with ``aggCol`` (which references ``AM.msg``). One plan: two
+        vertex joins build the triplets, a union fans out the messages,
+        and the groupBy aggregates with map-side partials — the Pregel
+        superstep primitive, Catalyst-planned."""
+        if sendToSrc is None and sendToDst is None:
+            raise MotifError("provide sendToSrc and/or sendToDst")
+        v = self.vertices
+        trip = (
+            self.edges.select(_struct(self.edges, "edge"))
+            .join(
+                v.select(_struct(v, "src")),
+                F.col("edge")["src"] == F.col("src")["id"],
+            )
+            .join(
+                v.select(_struct(v, "dst")),
+                F.col("edge")["dst"] == F.col("dst")["id"],
+            )
+        )
+        parts = []
+        if sendToSrc is not None:
+            parts.append(
+                trip.select(
+                    F.col("src")["id"].alias("id"), sendToSrc.alias("_msg")
+                )
+            )
+        if sendToDst is not None:
+            parts.append(
+                trip.select(
+                    F.col("dst")["id"].alias("id"), sendToDst.alias("_msg")
+                )
+            )
+        msgs = parts[0]
+        for p in parts[1:]:
+            msgs = msgs.unionByName(p)
+        return msgs.groupBy("id").agg(aggCol)
+
+    def labelPropagation(self, maxIter: int) -> DataFrame:
+        """Community detection by synchronous label propagation with a
+        deterministic tie-break: each round every vertex adopts the most
+        frequent label among its (undirected) neighbors, ties broken by
+        the smallest label — so the result is reproducible across runs
+        and cluster layouts (GraphFrames' async variant is not).
+        Returns (id, label)."""
+        und = self.edges.select("src", "dst").unionByName(
+            self.edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        labels = self.vertices.select(
+            "id", F.col("id").alias("label")
+        ).localCheckpoint()
+        from pyspark.sql.window import Window
+
+        for _ in range(maxIter):
+            nb = und.join(
+                labels.withColumnRenamed("id", "__nid"),
+                und["dst"] == F.col("__nid"),
+            ).select(F.col("src").alias("id"), "label")
+            counts = nb.groupBy("id", "label").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            w = Window.partitionBy("id").orderBy(
+                F.col("n").desc(), F.col("label").asc()
+            )
+            winners = (
+                counts.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") == 1)
+                .select("id", "label")
+            )
+            # vertices with no neighbors keep their label
+            labels = (
+                labels.join(
+                    winners.withColumnRenamed("label", "__wl"), "id", "left_outer"
+                )
+                .select(
+                    "id", F.coalesce("__wl", "label").alias("label")
+                )
+                .localCheckpoint()
+            )
+        return labels

@@ -358,6 +358,169 @@ WHERE e1.src < e2.src
 """
 
 
+def motif_aggregate_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphFrames ``aggregateMessages`` (the Pregel superstep primitive):
+    per node, the sum and count of neighbor sizes over the thresholded
+    derived graph, messages flowing both directions in one plan (triplet
+    joins -> union fan-out -> map-side-combined aggregation)."""
+    from phageclouds_graphdatabase_spark.graphframe import (
+        AggregateMessages as AM,
+        GraphFrame,
+    )
+
+    p = t(spark, sf_dir, "part")
+    sup = t(spark, sf_dir, "supplier")
+    v = (
+        p.select(
+            F.concat(F.lit("P"), F.col("p_partkey")).alias("id"),
+            F.col("p_size").cast("long").alias("val"),
+        )
+        .unionByName(
+            sup.select(
+                F.concat(F.lit("S"), F.col("s_suppkey")).alias("id"),
+                F.col("s_nationkey").cast("long").alias("val"),
+            )
+        )
+    )
+    e = graph_edges(spark, sf_dir, GRAPH_THRESHOLD)
+    g = GraphFrame(v, e)
+    return g.aggregateMessages(
+        F.sum(AM.msg).alias("nbr_val_sum"),
+        sendToSrc=AM.dst["val"],
+        sendToDst=AM.src["val"],
+    )
+
+
+MOTIF_AGG_MSG_SQL = f"""
+WITH eg AS (
+    SELECT src, dst FROM ({GRAPH_EDGES_SQL}) WHERE distance <= {GRAPH_THRESHOLD}
+),
+v AS (
+    SELECT 'P' || p_partkey AS id, CAST(p_size AS BIGINT) AS val FROM part
+    UNION ALL
+    SELECT 'S' || s_suppkey, CAST(s_nationkey AS BIGINT) FROM supplier
+),
+msgs AS (
+    SELECT e.src AS id, v.val AS msg FROM eg e JOIN v ON e.dst = v.id
+    UNION ALL
+    SELECT e.dst AS id, v.val AS msg FROM eg e JOIN v ON e.src = v.id
+)
+SELECT id, SUM(msg) AS nbr_val_sum FROM msgs GROUP BY id
+"""
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation, 2 rounds (GraphFrames
+    ``labelPropagation`` made reproducible: most-frequent neighbor label,
+    ties to the smallest). The oracle unrolls both rounds with a
+    fully-ordered ROW_NUMBER window — identical tie-breaking in both
+    engines."""
+    from phageclouds_graphdatabase_spark.graphframe import GraphFrame
+
+    e = graph_edges(spark, sf_dir, GRAPH_THRESHOLD)
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return GraphFrame(v, e).labelPropagation(2)
+
+
+GRAPH_LABEL_PROP_SQL = f"""
+WITH eg AS (
+    SELECT src, dst FROM ({GRAPH_EDGES_SQL}) WHERE distance <= {GRAPH_THRESHOLD}
+),
+und AS (
+    SELECT src, dst FROM eg UNION ALL SELECT dst AS src, src AS dst FROM eg
+),
+v AS (SELECT DISTINCT src AS id FROM und),
+l0 AS (SELECT id, id AS label FROM v),
+c1 AS (
+    SELECT u.src AS id, l0.label, COUNT(*) AS n
+    FROM und u JOIN l0 ON u.dst = l0.id GROUP BY 1, 2
+),
+w1 AS (
+    SELECT id, label FROM (
+        SELECT id, label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id ORDER BY n DESC, label ASC
+               ) AS rk
+        FROM c1
+    ) WHERE rk = 1
+),
+l1 AS (
+    SELECT v.id, COALESCE(w1.label, v.id) AS label
+    FROM v LEFT JOIN w1 ON v.id = w1.id
+),
+c2 AS (
+    SELECT u.src AS id, l1.label, COUNT(*) AS n
+    FROM und u JOIN l1 ON u.dst = l1.id GROUP BY 1, 2
+),
+w2 AS (
+    SELECT id, label FROM (
+        SELECT id, label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id ORDER BY n DESC, label ASC
+               ) AS rk
+        FROM c2
+    ) WHERE rk = 1
+)
+SELECT v.id, COALESCE(w2.label, v.id) AS label
+FROM v LEFT JOIN w2 ON v.id = w2.id
+"""
+
+
+def pregel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration integer-scaled PageRank written as a PREGEL vertex
+    program (pregel.py, the GraphFrames graphframes.lib.Pregel API) —
+    the second, independent implementation of graph_pagerank's semantics,
+    checked against the SAME unrolled SQL oracle. Integer messages
+    (pr div od, exact for all values below 2^53) make every superstep
+    order-independent."""
+    from phageclouds_graphdatabase_spark.graphframe import GraphFrame
+    from phageclouds_graphdatabase_spark.pregel import Pregel
+
+    e = graph_edges(spark, sf_dir, GRAPH_THRESHOLD).select("src", "dst")
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(
+            e.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("od")
+            ),
+            "id",
+            "left_outer",
+        )
+        .select("id", F.coalesce("od", F.lit(0)).alias("od"))
+    )
+    ranks = (
+        Pregel(GraphFrame(v, e))
+        .setMaxIter(2)
+        .withVertexColumn(
+            "pr",
+            F.lit(1_000_000).cast("long"),
+            (
+                F.lit(150_000)
+                + F.floor(
+                    F.lit(85) * F.coalesce(Pregel.msg(), F.lit(0)) / F.lit(100)
+                )
+            ).cast("long"),
+        )
+        .sendMsgToDst(
+            # try_divide: Catalyst may push this projection below the
+            # triplet join, where od=0 sink vertices exist -- ANSI division
+            # would throw there even though no such triplet row survives
+            F.floor(
+                F.try_divide(Pregel.src("pr"), Pregel.src("od"))
+            ).cast("long")
+        )
+        .aggMsgs(F.sum(Pregel.msg()))
+        .run()
+    )
+    return ranks.select("id", F.col("pr").alias("pr_scaled"))
+
+
 def graph_cheapest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop-bounded WEIGHTED shortest-path costs (GDS Dijkstra surface):
     min total distance over ≤3-hop undirected paths per (seed, node) pair,
@@ -1549,6 +1712,15 @@ ENTRIES: dict[str, SuiteEntry] = {
     ),
     "motif_open_wedges": SuiteEntry(
         motif_open_wedges, MOTIF_OPEN_WEDGES_SQL, ("J1", "J7", "W6")
+    ),
+    "motif_aggregate_messages": SuiteEntry(
+        motif_aggregate_messages, MOTIF_AGG_MSG_SQL, ("W6", "A6")
+    ),
+    "pregel_pagerank": SuiteEntry(
+        pregel_pagerank, GRAPH_PAGERANK_SQL, ("W6", "A6")
+    ),
+    "graph_label_propagation": SuiteEntry(
+        graph_label_propagation, GRAPH_LABEL_PROP_SQL, ("W6",)
     ),
     "motif_co_suppliers": SuiteEntry(
         motif_co_suppliers, MOTIF_CO_SUPPLIERS_SQL, ("J1", "W6")

@@ -113,3 +113,144 @@ class TestAccessorsAndAlgorithms:
         labels = {r.id: r.component for r in comp.collect()}
         assert labels["a"] == labels["d"]  # all connected nodes share a label
         assert labels["e"] != labels["a"]  # isolated vertex is its own cloud
+
+
+class TestPregelAndCommunities:
+    def test_aggregate_messages_both_directions(self, g, spark):
+        from phageclouds_graphdatabase_spark.graphframe import (
+            AggregateMessages as AM,
+        )
+        r = g.aggregateMessages(
+            F.sum(AM.msg).alias("s"),
+            sendToSrc=AM.dst["val"],
+            sendToDst=AM.src["val"],
+        )
+        got = {x.id: x.s for x in r.collect()}
+        # a: as src of a->b, a->c receives 2+3 = 5
+        # b: as src of b->c receives 3; as dst of a->b receives 1 -> 4
+        # c: as src of c->d receives 4; as dst of a->c, b->c receives 1+2 -> 7
+        # d: as dst of c->d receives 3; the d->d self-loop delivers 4 to d
+        #    on BOTH sends -> 3+4+4 = 11
+        assert got["a"] == 5 and got["b"] == 4
+        assert got["c"] == 7
+        assert got["d"] == 11
+
+    def test_aggregate_messages_one_direction(self, g):
+        from phageclouds_graphdatabase_spark.graphframe import (
+            AggregateMessages as AM,
+        )
+        r = g.aggregateMessages(
+            F.count(AM.msg).alias("n"), sendToDst=F.lit(1)
+        )
+        got = {x.id: x.n for x in r.collect()}
+        assert got == {"b": 1, "c": 2, "d": 2}  # in-degrees
+
+    def test_aggregate_messages_requires_a_direction(self, g):
+        with pytest.raises(MotifError, match="sendToSrc"):
+            g.aggregateMessages(F.count(F.lit(1)).alias("n"))
+
+    def test_bfs(self, g):
+        r = g.bfs(F.col("val") == 1, F.col("val") == 4, 5)
+        assert sorted(tuple(x.path) for x in r.collect()) == [("a", "c", "d")]
+
+    def test_label_propagation_two_triangles(self, spark):
+        v = spark.createDataFrame([(x,) for x in "abcxyz"], "id string")
+        e = spark.createDataFrame(
+            [("a", "b", 0.0), ("b", "c", 0.0), ("a", "c", 0.0),
+             ("x", "y", 0.0), ("y", "z", 0.0), ("x", "z", 0.0)],
+            "src string, dst string, distance double",
+        )
+        lp = GraphFrame(v, e).labelPropagation(5)
+        got = {r.id: r.label for r in lp.collect()}
+        assert got == {"a": "a", "b": "a", "c": "a",
+                       "x": "x", "y": "x", "z": "x"}
+
+    def test_label_propagation_isolated_keeps_label(self, g):
+        lp = g.labelPropagation(2)
+        assert {r.id: r.label for r in lp.collect()}["e"] == "e"
+
+
+class TestPregel:
+    def test_pregel_matches_operator_pagerank(self, spark):
+        """Differential: the Pregel vertex-program PageRank must equal
+        operators/graph.py pagerank_scaled on the same graph."""
+        from phageclouds_graphdatabase_spark.operators.graph import (
+            pagerank_scaled,
+        )
+        from phageclouds_graphdatabase_spark.pregel import Pregel
+
+        e = spark.createDataFrame(
+            [("a", "b", 0.1), ("b", "c", 0.1), ("a", "c", 0.1),
+             ("c", "a", 0.1), ("d", "a", 0.1)],
+            "src string, dst string, distance double",
+        )
+        want = {
+            r.id: r.pr_scaled
+            for r in pagerank_scaled(e, iterations=2).collect()
+        }
+        v = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+            .join(
+                e.groupBy(F.col("src").alias("id")).agg(
+                    F.count(F.lit(1)).alias("od")
+                ),
+                "id",
+                "left_outer",
+            )
+            .select("id", F.coalesce("od", F.lit(0)).alias("od"))
+        )
+        ranks = (
+            Pregel(GraphFrame(v, e.select("src", "dst")))
+            .setMaxIter(2)
+            .withVertexColumn(
+                "pr",
+                F.lit(1_000_000).cast("long"),
+                (
+                    F.lit(150_000)
+                    + F.floor(
+                        F.lit(85) * F.coalesce(Pregel.msg(), F.lit(0))
+                        / F.lit(100)
+                    )
+                ).cast("long"),
+            )
+            .sendMsgToDst(
+                F.floor(F.try_divide(Pregel.src("pr"), Pregel.src("od")))
+                .cast("long")
+            )
+            .aggMsgs(F.sum(Pregel.msg()))
+            .run()
+        )
+        got = {r.id: r.pr for r in ranks.collect()}
+        assert got == want
+
+    def test_pregel_requires_setup(self, g):
+        from phageclouds_graphdatabase_spark.pregel import Pregel
+
+        with pytest.raises(ValueError, match="withVertexColumn"):
+            Pregel(g).sendMsgToDst(F.lit(1)).aggMsgs(
+                F.sum(Pregel.msg())
+            ).run()
+
+    def test_pregel_edge_anchor_and_both_directions(self, g):
+        """Sum of incident edge distances per vertex (messages both ways,
+        edge attribute referenced through the Pregel.edge anchor)."""
+        from phageclouds_graphdatabase_spark.pregel import Pregel
+
+        r = (
+            Pregel(g)
+            .setMaxIter(1)
+            .withVertexColumn(
+                "wsum",
+                F.lit(0.0),
+                F.coalesce(Pregel.msg(), F.lit(0.0)),
+            )
+            .sendMsgToDst(Pregel.edge("distance"))
+            .sendMsgToSrc(Pregel.edge("distance"))
+            .aggMsgs(F.sum(Pregel.msg()))
+            .run()
+        )
+        got = {x.id: round(x.wsum, 3) for x in r.collect()}
+        # a: .1+.3 | b: .1+.2 | c: .2+.3+.4 | d: .4+.5+.5 | e isolated: 0
+        assert got == {"a": 0.4, "b": 0.3, "c": 0.9, "d": 1.4, "e": 0.0}
