@@ -865,3 +865,64 @@ def cheapest_path_costs(
         F.col("_node").alias("dst"),
         F.col("_cost").alias("cost"),
     )
+
+
+def merge_components(
+    membership: DataFrame,
+    new_edges: DataFrame,
+    threshold: float | None = None,
+) -> DataFrame:
+    """INCREMENTAL connected-components maintenance: fold a batch of new
+    edges into an existing ``(id, component)`` membership table without
+    recomputing from scratch — the streaming-graph-ingestion form of the
+    phage-clouds model (new genomes + similarity edges arrive; clouds
+    merge). Exactness: labels are min-node-ids, and min is associative, so
+    merging at the LABEL level commutes with the node-level fixpoint — the
+    result is row-identical to recomputing components over old ∪ new edges
+    (differential-tested, and oracle-checked via the batch-recompute SQL).
+
+    Plan shape: map the batch endpoints through the current labels (two
+    joins against the membership — broadcast when the batch is small),
+    build the LABEL GRAPH (one node per touched component/new vertex —
+    bounded by the batch size, NOT the graph size), run components on that
+    tiny graph, and relabel the membership through the resulting mapping
+    (again broadcast-sized). Cost scales with the batch and the number of
+    AFFECTED components; untouched components' rows pass through a
+    broadcast left-outer join unchanged. At 100 TB this is the difference
+    between a per-batch full 390M-edge fixpoint (SCALE.md: minutes) and a
+    few broadcast joins."""
+    e = new_edges if threshold is None else new_edges.filter(
+        F.col("distance") <= F.lit(threshold)
+    )
+    e = e.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    new_ids = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(membership, "id", "left_anti")
+        .select("id", F.col("id").alias("component"))
+    )
+    base = membership.unionByName(new_ids).localCheckpoint()
+
+    lbl = base.withColumnRenamed("id", "__mid").withColumnRenamed(
+        "component", "__mc"
+    )
+    mapped = (
+        e.join(lbl, e["src"] == F.col("__mid"))
+        .select(F.col("__mc").alias("__la"), "dst")
+        .join(lbl, F.col("dst") == F.col("__mid"))
+        .select("__la", F.col("__mc").alias("__lb"))
+        .filter(F.col("__la") != F.col("__lb"))
+        .select(F.col("__la").alias("src"), F.col("__lb").alias("dst"))
+        .distinct()
+    )
+    if mapped.isEmpty():
+        return base
+    sub = connected_components(mapped).select(
+        F.col("id").alias("__l"), F.col("component").alias("__newc")
+    )
+    return base.join(
+        F.broadcast(sub), base["component"] == F.col("__l"), "left_outer"
+    ).select(
+        "id", F.coalesce("__newc", "component").alias("component")
+    )

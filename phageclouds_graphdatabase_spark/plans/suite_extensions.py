@@ -689,6 +689,24 @@ def graph_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.connected_components(induced, nodes=ns)
 
 
+def graph_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL component maintenance (streaming-graph ingestion, W6):
+    components over the distance <= 0.015 induced edges first, then fold
+    the (0.015, 0.02] batch in with operators/graph.py merge_components —
+    label-level merging on a batch-sized label graph, no recompute. The
+    oracle is the BATCH recompute over the full thresholded graph
+    (GRAPH_COMPONENTS_SQL verbatim): exactness of the incremental path is
+    the whole point."""
+    seeds = graph_seeds(spark, sf_dir)
+    edges = graph_edges(spark, sf_dir, GRAPH_THRESHOLD).cache()
+    ns = G.expand(seeds, edges, GRAPH_THRESHOLD).cache()
+    induced = G.induced_subgraph(ns, edges, GRAPH_THRESHOLD).cache()
+    old = induced.filter(F.col("distance") <= 0.015)
+    new = induced.filter(F.col("distance") > 0.015)
+    m0 = G.connected_components(old, nodes=ns)
+    return G.merge_components(m0, new)
+
+
 # Fully-inlined subqueries (no sibling CTEs -- see _GRAPH_CTE note on the
 # DuckDB WITH RECURSIVE hazard).
 _EDGES_SUB = f"(SELECT * FROM ({GRAPH_EDGES_SQL}) _e)"
@@ -1729,6 +1747,9 @@ ENTRIES: dict[str, SuiteEntry] = {
     "graph_degrees": SuiteEntry(graph_degrees_q, GRAPH_DEGREES_SQL, ("A6", "J7")),
     "graph_optional_host": SuiteEntry(graph_optional_host, GRAPH_OPTIONAL_SQL, ("J4", "J5", "A4")),
     "graph_components": SuiteEntry(graph_components_q, GRAPH_COMPONENTS_SQL, ("W6",)),
+    "graph_components_incremental": SuiteEntry(
+        graph_components_incremental, GRAPH_COMPONENTS_SQL, ("W6", "A4")
+    ),
     "graph_k_core": SuiteEntry(graph_k_core, GRAPH_K_CORE_SQL, ("W6", "A6")),
     "text_token_stats": SuiteEntry(text_token_stats, TEXT_TOKEN_STATS_SQL, ("W5", "V8")),
     "text_quality_score": SuiteEntry(text_quality_score, TEXT_QUALITY_SQL, ("W5",)),

@@ -178,3 +178,24 @@ def test_cheapest_costs_match_bruteforce(spark, g_seed, directed):
     }
     want = ref_cheapest(edges, [names[0], names[3]], 3, 100.0, directed)
     assert got == want
+
+
+@pytest.mark.parametrize("g_seed", SEEDS)
+def test_merge_components_equals_batch_recompute(spark, g_seed):
+    """Incremental component maintenance must be row-identical to a batch
+    recompute over old ∪ new edges, for random graphs and random splits."""
+    from phageclouds_graphdatabase_spark.operators.graph import (
+        connected_components,
+        merge_components,
+    )
+
+    names, edges = random_graph(g_seed, n_nodes=10, n_edges=14)
+    schema = "src string, dst string, distance double"
+    split = len(edges) // 2
+    old = spark.createDataFrame(edges[:split], schema)
+    new = spark.createDataFrame(edges[split:], schema)
+    inc = merge_components(connected_components(old), new)
+    batch = connected_components(spark.createDataFrame(edges, schema))
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, batch.collect())
+    )

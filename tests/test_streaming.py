@@ -184,3 +184,55 @@ def test_running_user_totals_stateful(spark, sf_dir, events_stream):
         .collect()
     }
     assert final == want
+
+
+def test_streaming_component_merge_matches_batch(spark, tmp_path):
+    """Streaming graph ingestion (streaming/graph.py): per-file micro-batches
+    of edges fold into versioned membership state via merge_components; the
+    final state must equal a batch components recompute over ALL edges, and
+    a rerun over the same checkpoint must be a no-op (exactly-once)."""
+    from phageclouds_graphdatabase_spark.operators.graph import (
+        connected_components,
+    )
+    from phageclouds_graphdatabase_spark.streaming import graph as sgraph
+
+    schema = "src string, dst string, distance double"
+    b1 = [("a", "b", 0.1), ("c", "d", 0.1)]
+    b2 = [("b", "c", 0.1), ("x", "y", 0.1)]
+    b3 = [("d", "x", 0.1)]
+    src_dir = str(tmp_path / "edges")
+    for i, rows in enumerate([b1, b2, b3]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    stream_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    n = sgraph.run_streaming_component_merge(stream_df, state, ckpt)
+    assert n >= 1
+    got = sorted(
+        map(tuple, sgraph.read_membership(spark, state).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            connected_components(
+                spark.createDataFrame(b1 + b2 + b3, schema)
+            ).collect(),
+        )
+    )
+    assert got == want  # everything merged into one component + (x,y) chain
+    # rerun over the same checkpoint: no batches, state unchanged
+    stream_df2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    assert sgraph.run_streaming_component_merge(stream_df2, state, ckpt) == 0
+    assert sorted(
+        map(tuple, sgraph.read_membership(spark, state).collect())
+    ) == want

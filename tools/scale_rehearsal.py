@@ -167,11 +167,23 @@ def main() -> None:
     n_clouds = comp.select("component").distinct().count()
     timings["components_sec"] = round(time.time() - t0, 2)
 
+    # Incremental component maintenance: fold a 1% edge batch into the
+    # 99% membership and compare against the full recompute time above --
+    # the streaming-ingestion story in numbers.
+    from pyspark.sql import functions as F
+
+    fe = edges.filter(F.col("distance") <= 0.15)
+    is_new = (F.abs(F.xxhash64("src", "dst")) % 100) == 0
+    m0 = G.connected_components(fe.filter(~is_new)).localCheckpoint()
+    t0 = time.time()
+    inc = G.merge_components(m0, fe.filter(is_new))
+    n_inc = inc.count()
+    timings["incremental_merge_sec"] = round(time.time() - t0, 2)
+
     # Path-semantics operators (per-path var-length, BFS shortest, weighted
     # cheapest): seeded from a ~0.1% node sample -- per-path output is
     # combinatorial by definition, so the rehearsal measures throughput per
     # seed cohort, not an all-pairs sweep (which nobody runs).
-    from pyspark.sql import functions as F
 
     sample = (
         nodes.select(F.col("accession").alias("id"))
