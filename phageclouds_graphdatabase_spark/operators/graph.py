@@ -391,6 +391,7 @@ def k_hop(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+    e = e.localCheckpoint()  # re-joined every BFS round
     visited = (
         seeds.select("id").distinct().withColumn("hops", F.lit(0)).localCheckpoint()
     )
@@ -643,11 +644,13 @@ def var_length_paths(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), "rid"
             )
         )
+    # materialized once: the hop loop re-joins the step table every round
+    # (a derived edge input would otherwise recompute per hop)
     step = e.select(
         F.col("src").alias("_last"),
         F.col("dst").alias("_next"),
         F.col("rid").alias("_rid"),
-    )
+    ).localCheckpoint()
     frontier = (
         seeds.select("id")
         .distinct()
@@ -735,6 +738,7 @@ def shortest_paths(
         step = step.unionByName(
             e.select(F.col("dst").alias("_last"), F.col("src").alias("_next"))
         )
+    step = step.localCheckpoint()  # re-joined every level
     sd = seeds.select("id").distinct()
     # visited (seed, node) pairs; seeds start visited (excludes hop-0 pairs)
     visited = sd.select(
@@ -838,6 +842,7 @@ def cheapest_path_costs(
                 F.col("dst").alias("_u"), F.col("src").alias("_v"), w.alias("_w")
             )
         )
+    step = step.localCheckpoint()  # re-joined every relaxation round
     best = (
         seeds.select("id")
         .distinct()
@@ -926,3 +931,91 @@ def merge_components(
     ).select(
         "id", F.coalesce("__newc", "component").alias("component")
     )
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    walk_length: int,
+    walks_per_node: int = 1,
+    starts: DataFrame | None = None,
+    threshold: float | None = None,
+    directed: bool = False,
+) -> DataFrame:
+    """DeepWalk-style random-walk corpus generation (the graph-embedding
+    training-data op) with DETERMINISTIC pseudo-random neighbor selection:
+    next(walk, step) = argmin over neighbors of
+    ``md5(wid|step|current|neighbor)`` — md5 produces identical lowercase
+    hex in Spark and DuckDB, so the walks are reproducible across engines,
+    runs, and cluster layouts (a seeded RNG is not, under Spark's
+    nondeterministic task placement). Statistically the argmin over a
+    cryptographic hash is a uniform draw per (walk, step).
+
+    Output: ``(start, wid, walk array<string>)`` — one row per walk;
+    walks stop early at dead-end nodes (no out-neighbors, directed mode
+    only).
+
+    Scale: walk state is one row per walk; each step is one equi-join on
+    the current node plus a per-walk window (partition = (start, wid),
+    a few neighbor rows each — no skew: the window key is the walk, not
+    the hub node). Steps localCheckpoint to keep lineage flat; cost per
+    step is walks × avg-degree."""
+    from pyspark.sql.window import Window
+
+    if walk_length < 1 or walk_length > 20:
+        raise ValueError("need 1 <= walk_length <= 20")
+    e = edges if threshold is None else edges.filter(
+        F.col("distance") <= F.lit(threshold)
+    )
+    step_df = e.select(F.col("src").alias("_u"), F.col("dst").alias("_v"))
+    if not directed:
+        step_df = step_df.unionByName(
+            e.select(F.col("dst").alias("_u"), F.col("src").alias("_v"))
+        )
+    step_df = step_df.localCheckpoint()  # re-joined every step
+    if starts is None:
+        starts = step_df.select(F.col("_u").alias("id")).distinct()
+    else:
+        starts = starts.select("id").distinct()
+    frontier = (
+        starts.select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+            ).alias("wid"),
+        )
+        .select(
+            "id", "wid", F.array("id").alias("walk"), F.col("id").alias("_last")
+        )
+        .localCheckpoint()
+    )
+    done = None
+    for step in range(1, walk_length + 1):
+        stuck = frontier.join(
+            step_df, frontier["_last"] == step_df["_u"], "left_anti"
+        )
+        done = stuck if done is None else done.unionByName(stuck)
+        w = Window.partitionBy("id", "wid").orderBy(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("wid").cast("string"),
+                    F.lit(str(step)),
+                    F.col("_last"),
+                    F.col("_v"),
+                )
+            )
+        )
+        frontier = (
+            frontier.join(step_df, frontier["_last"] == step_df["_u"])
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "id",
+                "wid",
+                F.concat("walk", F.array("_v")).alias("walk"),
+                F.col("_v").alias("_last"),
+            )
+            .localCheckpoint()
+        )
+    out = frontier if done is None else frontier.unionByName(done)
+    return out.select(F.col("id").alias("start"), "wid", "walk")

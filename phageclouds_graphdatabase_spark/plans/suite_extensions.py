@@ -470,6 +470,69 @@ FROM v LEFT JOIN w2 ON v.id = w2.id
 """
 
 
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk corpus (graph-embedding training data, W5+W6):
+    2 walks per node, 3 steps, undirected thresholded graph; next hop =
+    argmin of md5(wid|step|cur|nbr) — cross-engine-reproducible
+    pseudo-randomness (identical md5 hex + string ordering), so the
+    entire walk corpus hash-matches the unrolled SQL oracle."""
+    return G.deterministic_walks(
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+        walk_length=3,
+        walks_per_node=2,
+        threshold=GRAPH_THRESHOLD,
+        directed=False,
+    )
+
+
+GRAPH_WALKS_SQL = f"""
+WITH fe AS (
+    SELECT src, dst FROM ({GRAPH_EDGES_SQL}) WHERE distance <= {GRAPH_THRESHOLD}
+),
+und AS (
+    SELECT src AS u, dst AS v FROM fe UNION ALL SELECT dst AS u, src AS v FROM fe
+),
+wk AS (
+    SELECT id, wid FROM (SELECT DISTINCT u AS id FROM und)
+    CROSS JOIN (VALUES (0), (1)) w(wid)
+),
+s1 AS (
+    SELECT id, wid, v AS n1 FROM (
+        SELECT wk.id, wk.wid, und.v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY wk.id, wk.wid
+                   ORDER BY md5(CAST(wk.wid AS VARCHAR) || '|1|' || wk.id
+                                || '|' || und.v)
+               ) AS rn
+        FROM wk JOIN und ON und.u = wk.id
+    ) WHERE rn = 1
+),
+s2 AS (
+    SELECT id, wid, n1, v AS n2 FROM (
+        SELECT s1.id, s1.wid, s1.n1, und.v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s1.id, s1.wid
+                   ORDER BY md5(CAST(s1.wid AS VARCHAR) || '|2|' || s1.n1
+                                || '|' || und.v)
+               ) AS rn
+        FROM s1 JOIN und ON und.u = s1.n1
+    ) WHERE rn = 1
+),
+s3 AS (
+    SELECT id, wid, n1, n2, v AS n3 FROM (
+        SELECT s2.id, s2.wid, s2.n1, s2.n2, und.v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s2.id, s2.wid
+                   ORDER BY md5(CAST(s2.wid AS VARCHAR) || '|3|' || s2.n2
+                                || '|' || und.v)
+               ) AS rn
+        FROM s2 JOIN und ON und.u = s2.n2
+    ) WHERE rn = 1
+)
+SELECT id AS start, wid, [id, n1, n2, n3] AS walk FROM s3
+"""
+
+
 def pregel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-iteration integer-scaled PageRank written as a PREGEL vertex
     program (pregel.py, the GraphFrames graphframes.lib.Pregel API) —
@@ -1736,6 +1799,9 @@ ENTRIES: dict[str, SuiteEntry] = {
     ),
     "pregel_pagerank": SuiteEntry(
         pregel_pagerank, GRAPH_PAGERANK_SQL, ("W6", "A6")
+    ),
+    "graph_random_walks": SuiteEntry(
+        graph_random_walks, GRAPH_WALKS_SQL, ("W5", "W6", "W2")
     ),
     "graph_label_propagation": SuiteEntry(
         graph_label_propagation, GRAPH_LABEL_PROP_SQL, ("W6",)

@@ -39,10 +39,15 @@ def _latest_version(state_dir: str, before: int) -> int | None:
     return max(versions) if versions else None
 
 
-def read_membership(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Current membership = the highest committed version (empty frame if
-    nothing has been ingested yet)."""
-    v = _latest_version(state_dir, before=1 << 62)
+def read_membership(
+    spark: SparkSession, state_dir: str, version: int | None = None
+) -> DataFrame:
+    """Membership as of a state version — time travel over the ingest
+    history. ``version=None`` reads the highest committed version;
+    ``version=N`` reads the newest version <= N (the state as it stood
+    after micro-batch N). Empty frame if nothing has been ingested."""
+    before = (1 << 62) if version is None else version + 1
+    v = _latest_version(state_dir, before=before)
     if v is None:
         return spark.createDataFrame([], _EMPTY_SCHEMA)
     return spark.read.parquet(os.path.join(state_dir, f"v={v}"))

@@ -199,3 +199,53 @@ def test_merge_components_equals_batch_recompute(spark, g_seed):
     assert sorted(map(tuple, inc.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_deterministic_walks_match_md5_reference(spark):
+    """Walk corpus must equal the md5-argmin reference step for step, and
+    directed dead-ends must truncate walks."""
+    import hashlib
+
+    from phageclouds_graphdatabase_spark.operators.graph import (
+        deterministic_walks,
+    )
+
+    schema = "src string, dst string, distance double"
+    edges = [("a", "b", 0.1), ("b", "c", 0.1), ("a", "c", 0.1)]
+    edf = spark.createDataFrame(edges, schema)
+
+    def nxt(wid, step, cur, nbrs):
+        return min(
+            nbrs,
+            key=lambda n: hashlib.md5(
+                f"{wid}|{step}|{cur}|{n}".encode()
+            ).hexdigest(),
+        )
+
+    adj = {"a": ["b", "c"], "b": ["a", "c"], "c": ["b", "a"]}
+    want = set()
+    for start in "abc":
+        for wid in (0, 1):
+            walk = [start]
+            for s in range(1, 4):
+                walk.append(nxt(wid, s, walk[-1], adj[walk[-1]]))
+            want.add((start, wid, tuple(walk)))
+    got = {
+        (x.start, x.wid, tuple(x.walk))
+        for x in deterministic_walks(edf, 3, walks_per_node=2).collect()
+    }
+    assert got == want
+
+    # directed: c is a dead end -> its walk stops at length 1; a's walk
+    # runs a>b>c or a>c then stops
+    got_d = {
+        (x.start, x.wid, tuple(x.walk))
+        for x in deterministic_walks(
+            edf, 3, walks_per_node=1, directed=True
+        ).collect()
+    }
+    walks_by_start = {s: w for s, _wid, w in got_d}
+    # only nodes with out-edges start walks in directed mode, and every
+    # directed walk ends at the dead-end c (truncated, not extended)
+    assert set(walks_by_start) == {"a", "b"}
+    assert all(w[-1] == "c" for w in walks_by_start.values())

@@ -236,3 +236,29 @@ def test_streaming_component_merge_matches_batch(spark, tmp_path):
     assert sorted(
         map(tuple, sgraph.read_membership(spark, state).collect())
     ) == want
+
+
+def test_membership_time_travel(spark, tmp_path):
+    """read_membership(version=N) returns the state as of micro-batch N."""
+    from phageclouds_graphdatabase_spark.streaming import graph as sgraph
+
+    schema = "src string, dst string, distance double"
+    src_dir = str(tmp_path / "edges")
+    for rows in ([("a", "b", 0.1)], [("b", "c", 0.1)]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+    state = str(tmp_path / "state")
+    stream_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sgraph.run_streaming_component_merge(stream_df, state, str(tmp_path / "c"))
+    v0 = {r.id: r.component for r in
+          sgraph.read_membership(spark, state, version=0).collect()}
+    vN = {r.id: r.component for r in
+          sgraph.read_membership(spark, state).collect()}
+    assert set(v0) == {"a", "b"}          # after batch 0: only the first edge
+    assert set(vN) == {"a", "b", "c"}     # final: merged chain
+    assert vN["c"] == vN["a"]
