@@ -109,6 +109,16 @@ class ListComp(Expr):
 
 
 @dataclass(frozen=True)
+class Quantifier(Expr):
+    """all/any/none/single(x IN source WHERE pred) — list predicates."""
+
+    kind: str  # 'all' | 'any' | 'none' | 'single'
+    var: str
+    source: Expr
+    where: Expr
+
+
+@dataclass(frozen=True)
 class Reduce(Expr):
     """reduce(acc = init, x IN source | expr) — left fold over a list."""
 

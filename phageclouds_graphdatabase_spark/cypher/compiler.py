@@ -1232,6 +1232,21 @@ class CypherEngine:
             ):
                 return F.concat(l, r)
             return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[e.op]
+        if isinstance(e, A.Quantifier):
+            src = self._col(frame, e.source, params, env)
+
+            def qpred(x):
+                inner = dict(env)
+                inner[e.var] = x
+                return self._col(frame, e.where, params, inner)
+
+            if e.kind == "all":
+                return F.forall(src, qpred)
+            if e.kind == "any":
+                return F.exists(src, qpred)
+            if e.kind == "none":
+                return ~F.exists(src, qpred)
+            return F.size(F.filter(src, qpred)) == 1  # single
         if isinstance(e, A.Reduce):
             # left fold — F.aggregate folds elements in array order, so the
             # result is deterministic per row (and IEEE-identical to an

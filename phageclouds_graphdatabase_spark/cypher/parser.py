@@ -531,6 +531,8 @@ class _Parser:
             if self.at("sym", "("):
                 if name.lower() == "reduce":
                     return self._reduce()
+                if name.lower() in ("all", "any", "none", "single"):
+                    return self._quantifier(name.lower())
                 return self._func(name)
             return A.Var(name)
         raise CypherSyntaxError(
@@ -551,6 +553,17 @@ class _Parser:
         body = self.expr()
         self.take("sym", ")")
         return A.Reduce(acc, init, var, source, body)
+
+    def _quantifier(self, kind: str) -> A.Quantifier:
+        """all/any/none/single(x IN list WHERE pred)."""
+        self.take("sym", "(")
+        var = self.take("ident")
+        self.take("kw", "in")
+        source = self.expr()
+        self.take("kw", "where")
+        pred = self.expr()
+        self.take("sym", ")")
+        return A.Quantifier(kind, var, source, pred)
 
     def _func(self, name: str) -> A.Func:
         self.take("sym", "(")

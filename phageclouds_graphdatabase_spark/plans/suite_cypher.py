@@ -375,6 +375,48 @@ WHERE u1.src IN {_KHOP_SEED_SQL}
 """
 
 
+def cypher_quantified_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-quantifier predicates over named paths: all()/any() compile to
+    F.forall / F.exists over the per-hop dists array — the Neo4j idiom for
+    per-relationship conditions on var-length matches
+    (``WHERE all(d IN p.dists WHERE ...)``). Oracle unrolls the two hops
+    into explicit per-hop conjuncts."""
+    eng = CypherEngine(
+        phage_catalog(
+            _nodes(spark, sf_dir),
+            graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+            _infects(spark, sf_dir),
+        )
+    )
+    q = """MATCH p = (a:PhageGenome)-[:sharesDNA*2..2]-(b:PhageGenome)
+            WHERE a.accession IN {} AND all(d IN p.dists WHERE d <= 0.01)
+            RETURN nodes(p) AS path,
+            any(d IN p.dists WHERE d > 0.005) AS has_loose;""".format(
+        _KHOP_SEEDS
+    )
+    return eng.run(q)
+
+
+CYPHER_QUANTIFIED_SQL = _CTE + f"""
+, fe AS (
+    SELECT src, dst, distance FROM edges WHERE distance <= {GRAPH_THRESHOLD}
+),
+und AS (
+    SELECT src, dst, distance,
+           LEAST(src, dst) || '|' || GREATEST(src, dst) AS rid FROM fe
+    UNION ALL
+    SELECT dst AS src, src AS dst, distance,
+           LEAST(src, dst) || '|' || GREATEST(src, dst) AS rid FROM fe
+)
+SELECT [u1.src, u1.dst, u2.dst] AS path,
+       (u1.distance > 0.005 OR u2.distance > 0.005) AS has_loose
+FROM und u1
+JOIN und u2 ON u2.src = u1.dst AND u2.rid <> u1.rid
+WHERE u1.src IN {_KHOP_SEED_SQL}
+  AND u1.distance <= 0.01 AND u2.distance <= 0.01
+"""
+
+
 def cypher_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION across two full queries (A3 through the query language):
     distinct union of the supplier-labelled genomes and the large-genome
@@ -586,6 +628,9 @@ ENTRIES = {
     ),
     "cypher_union_sources": SuiteEntry(
         cypher_union_sources, CYPHER_UNION_SQL, ("S2", "A3")
+    ),
+    "cypher_quantified_paths": SuiteEntry(
+        cypher_quantified_paths, CYPHER_QUANTIFIED_SQL, ("S2", "J2", "V8")
     ),
     "cypher_entity_functions": SuiteEntry(
         cypher_entity_functions, CYPHER_ENTITY_FUNCS_SQL, ("S2", "V8")

@@ -675,3 +675,31 @@ class TestEntityAndStringFunctions:
     def test_type_on_node_rejected(self, eng):
         with pytest.raises(CypherCompileError, match="relationship"):
             eng.run("MATCH (a:PhageGenome) RETURN type(a) AS t")
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    pv=st.text(alphabet="pqxyz", min_size=1, max_size=6),
+    lo=st.integers(min_value=1, max_value=5),
+    span=st.integers(min_value=0, max_value=5),
+    fn=st.sampled_from(["shortestPath", "allShortestPaths"]),
+    quant=st.sampled_from(["all", "any", "none", "single"]),
+)
+def test_new_constructs_parse_for_any_args(pv, lo, span, fn, quant):
+    """Named paths, shortestPath, reduce, quantifiers, UNION parse for any
+    generated identifiers/bounds (or raise the typed syntax error)."""
+    hi = lo + span
+    queries = [
+        f"MATCH {pv} = (a:L)-[:T*{lo}..{hi}]-(b:L) "
+        f"RETURN nodes({pv}) AS n, length({pv}) AS h",
+        f"MATCH {pv} = {fn}((a:L)-[:T*..{hi}]-(b:L)) RETURN {pv}",
+        f"MATCH (a:L) RETURN reduce(acc = 0, x IN [1, 2] | acc + x) AS s",
+        f"MATCH {pv} = (a:L)-[:T*{lo}..{hi}]-(b:L) "
+        f"WHERE {quant}(d IN {pv}.dists WHERE d <= 0.5) RETURN count(*) AS n",
+        "MATCH (a:L) RETURN a.k AS k UNION MATCH (b:M) RETURN b.k AS k",
+    ]
+    for q in queries:
+        try:
+            parse(q)
+        except CypherSyntaxError:
+            pass

@@ -305,6 +305,35 @@ class TestReduceAndDists:
         assert eng.run(q).collect()[0].s == 91
 
 
+class TestQuantifiers:
+    def test_all_filters_paths(self, eng):
+        # A1 2-hop paths: A1>A2>A3 (.10,.15), A1>A3>A2 (.20,.15),
+        # A1>A3>B1 (.20,.40); all(d <= 0.15) keeps only A1>A2>A3
+        q = ("MATCH p = (a:PhageGenome {accession:'A1'})"
+             "-[:sharesDNA*2..2]-(b:PhageGenome) "
+             "WHERE all(d IN p.dists WHERE d <= 0.15) "
+             "RETURN nodes(p) AS path")
+        assert paths_of(eng.run(q)) == ["A1>A2>A3"]
+
+    def test_any_none_single_projections(self, eng):
+        q = ("MATCH p = (a:PhageGenome {accession:'A1'})"
+             "-[:sharesDNA*2..2]-(b:PhageGenome {accession:'B1'}) "
+             "RETURN any(d IN p.dists WHERE d > 0.3) AS has_big, "
+             "none(d IN p.dists WHERE d > 0.5) AS none_huge, "
+             "single(d IN p.dists WHERE d = 0.4) AS one_forty")
+        r = eng.run(q).collect()[0]
+        assert (r.has_big, r.none_huge, r.one_forty) == (True, True, True)
+
+    def test_quantifier_over_literal_list(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'A1'}) "
+             "RETURN all(x IN [1, 2, 3] WHERE x > 0) AS t, "
+             "any(x IN [1, 2, 3] WHERE x > 2) AS u, "
+             "none(x IN [1, 2, 3] WHERE x > 3) AS v, "
+             "single(x IN [1, 2, 3] WHERE x = 2) AS w")
+        r = eng.run(q).collect()[0]
+        assert (r.t, r.u, r.v, r.w) == (True, True, True, True)
+
+
 class TestErrors:
     def test_optional_named_path_rejected(self, eng):
         q = ("MATCH (a:PhageGenome {accession:'A1'}) "
