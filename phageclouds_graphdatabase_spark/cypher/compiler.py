@@ -899,11 +899,6 @@ class CypherEngine:
         WHERE must constrain the match, not filter rows afterwards
         (/root/reference/phageclouds_gdb_family.py:94 keeps edgeless family
         members only because of this)."""
-        if pat.path_var is not None or pat.shortest is not None:
-            raise CypherCompileError(
-                "named paths and shortestPath are not supported in "
-                "OPTIONAL MATCH"
-            )
         first = pat.nodes[0]
         if first.var is None or not frame.has(first.var):
             raise CypherCompileError(
@@ -916,19 +911,15 @@ class CypherEngine:
 
         sub = _Frame(used=frame.used, _tmp=frame._tmp + 100)
         # anchor the sub-frame on the full node table of the bound label:
-        # only its KEY survives into the join, so no duplicate columns
+        # only its KEY survives into the join, so no duplicate columns.
+        # _fold_pattern then handles every pattern kind — fixed chains,
+        # named paths, var-length (per-path when named), shortestPath —
+        # so OPTIONAL MATCH p = shortestPath(...) works. NB: the sub-frame
+        # expands from EVERY node of the anchor label (same as the fixed
+        # chain case); the left-outer join below restores row scope.
         sub.df = nt.df.select(_struct_of(nt.df, first.var, nt.key, sub))
         sub.vars[first.var] = ("node", label)
-        anchor = first.var
-        if first.props:
-            sub.df = sub.df.filter(
-                self._props_pred(sub, first.var, first.props, params)
-            )
-        for i, (edge, node) in enumerate(zip(pat.edges, pat.nodes[1:])):
-            anchor = self._join_step(
-                sub, anchor, edge, node, params, "inner",
-                is_last=(i == len(pat.edges) - 1),
-            )
+        self._fold_pattern(sub, pat, params)
         if where is not None:
             self._apply_where(sub, where, params)
 

@@ -334,13 +334,42 @@ class TestQuantifiers:
         assert (r.t, r.u, r.v, r.w) == (True, True, True, True)
 
 
-class TestErrors:
-    def test_optional_named_path_rejected(self, eng):
-        q = ("MATCH (a:PhageGenome {accession:'A1'}) "
+class TestOptionalPaths:
+    def test_optional_fixed_named_path(self, eng):
+        # E1 has no edges: its path/b stay NULL; A1 matches twice
+        q = ("MATCH (a:PhageGenome) WHERE a.accession IN ['A1', 'E1'] "
              "OPTIONAL MATCH p = (a)-[:sharesDNA]->(b:PhageGenome) "
-             "RETURN a.accession")
-        with pytest.raises(CypherCompileError, match="OPTIONAL"):
-            eng.run(q)
+             "RETURN a.accession AS src, nodes(p) AS path")
+        rows = eng.run(q).collect()
+        got = sorted((r.src, tuple(r.path) if r.path else None) for r in rows)
+        assert got == [("A1", ("A1", "A2")), ("A1", ("A1", "A3")),
+                       ("E1", None)]
+
+    def test_optional_var_length_named_path(self, eng):
+        q = ("MATCH (a:PhageGenome) WHERE a.accession IN ['A1', 'E1'] "
+             "OPTIONAL MATCH p = (a)-[:sharesDNA*1..2]-(b:PhageGenome) "
+             "RETURN a.accession AS src, nodes(p) AS path")
+        rows = eng.run(q).collect()
+        a1 = sorted(">".join(r.path) for r in rows if r.src == "A1")
+        assert a1 == sorted(
+            ["A1>A2", "A1>A3", "A1>C1",
+             "A1>A2>A3", "A1>A3>A2", "A1>A3>B1"]
+        )
+        e1 = [r for r in rows if r.src == "E1"]
+        assert len(e1) == 1 and e1[0].path is None
+
+    def test_optional_shortest_path(self, eng):
+        # A1 reaches B2 in 3 hops; D1 cannot reach B2 at all -> NULL
+        q = ("MATCH (a:PhageGenome) WHERE a.accession IN ['A1', 'D1'] "
+             "OPTIONAL MATCH p = shortestPath("
+             "(a)-[:sharesDNA*..4]-(b:PhageGenome {accession:'B2'})) "
+             "RETURN a.accession AS src, nodes(p) AS path")
+        got = {r.src: (tuple(r.path) if r.path else None)
+               for r in eng.run(q).collect()}
+        assert got == {"A1": ("A1", "A3", "B1", "B2"), "D1": None}
+
+
+class TestErrors:
 
     def test_multi_edge_var_length_named_path_rejected(self, eng):
         q = ("MATCH p = (a:PhageGenome)-[:sharesDNA*1..2]-(m:PhageGenome)"
