@@ -246,10 +246,45 @@ class CypherEngine:
                 raise CypherCompileError("OPTIONAL MATCH supports one pattern")
             self._fold_optional(frame, clause.patterns[0], clause.where, params)
             return
+        # Predicate pushdown ahead of var-length expansion: a WHERE conjunct
+        # that references only already-bound variables filters the frame
+        # BEFORE the iterative expansion seeds from it — without this,
+        # `MATCH p = (a)-[*2..3]-(b) WHERE a.accession IN [...]` expands
+        # from EVERY node of the label and filters ~all paths away at the
+        # end (measured: cypher_path_enumeration 56 s -> 9 s at sf0.01).
+        # Plain conjuncts only; existential PatternPreds keep their
+        # semi/anti-join treatment in the final _apply_where. Sound because
+        # the pre-WHERE joins are all inner.
+        pending = (
+            _conjuncts(clause.where) if clause.where is not None else []
+        )
+
+        def push() -> None:
+            nonlocal pending
+            if frame.df is None:
+                return
+            still = []
+            for c in pending:
+                if _pushable(c, frame, params):
+                    frame.df = frame.df.filter(self._col(frame, c, params))
+                else:
+                    still.append(c)
+            pending = still
+
         for pat in clause.patterns:
+            expansion = pat.shortest is not None or any(
+                e.var_length is not None for e in pat.edges
+            )
+            if expansion and pat.nodes[0].var is not None:
+                self._anchor_node(frame, pat.nodes[0], params)
+                push()
             self._fold_pattern(frame, pat, params)
-        if clause.where is not None:
-            self._apply_where(frame, clause.where, params)
+            push()
+        if pending:
+            rest = pending[0]
+            for c in pending[1:]:
+                rest = A.And(rest, c)
+            self._apply_where(frame, rest, params)
 
     def _fold_pattern(self, frame: _Frame, pat: A.PathPat, params: dict) -> None:
         """Fold one node(-edge-node)* chain into the frame with inner joins.
@@ -522,16 +557,24 @@ class CypherEngine:
         for name, val in edge.props:
             edf = edf.filter(F.col(name) == self._scalar(val, params))
 
-        # materialize the step table once: the hop loop re-joins it every
-        # round, and on a DERIVED edge table (the catalog's edges may be an
-        # aggregation) each reference would otherwise recompute the full
-        # lineage per hop (measured: cypher_var_length_khop 24 s -> ~8 s
-        # at sf0.01)
+        # materialize the step table once (the hop loop re-joins it every
+        # round; a derived edge table would otherwise recompute per hop)
+        # and SEED the expansion from the frame's anchor keys — with the
+        # _fold_match predicate pushdown this makes the frontier
+        # anchor-set-sized instead of whole-graph-sized (measured:
+        # cypher_var_length_khop 23 s -> ~3 s at sf0.01)
         step = edf.select(
             F.col(near).alias("__va"), F.col(far).alias("__vb")
         ).localCheckpoint()
-        frontier = step
-        reached = step if lo <= 1 else None
+        anchor_key = F.col(anchor)[self.catalog.node(
+            frame.vars[anchor][1]).key]
+        seeds = frame.df.select(anchor_key.alias("__vs")).distinct()
+        frontier = (
+            seeds.join(step, F.col("__vs") == F.col("__va"))
+            .select(F.col("__vs").alias("__va"), "__vb")
+            .distinct()
+        )
+        reached = frontier if lo <= 1 else None
         for hop in range(2, hi + 1):
             nxt = step.select(
                 F.col("__va").alias("__vb2"), F.col("__vb").alias("__vc")
@@ -548,8 +591,6 @@ class CypherEngine:
                 )
 
         reached = reached.filter(F.col("__va") != F.col("__vb"))
-        anchor_key = F.col(anchor)[self.catalog.node(
-            frame.vars[anchor][1]).key]
         joined = frame.df.join(reached, anchor_key == F.col("__va"), how)
 
         nvar = node.var or frame.fresh("n")
@@ -1466,6 +1507,30 @@ def re_escape(s: str) -> str:
     import re as _re
 
     return _re.escape(s)
+
+
+def _pushable(e, frame: "_Frame", params: dict) -> bool:
+    """A WHERE conjunct may filter the frame early iff every variable it
+    references is already bound AND it needs none of _apply_where's special
+    compilations: existential PatternPreds (anywhere in the tree — `NOT
+    (a)-[:t]->(...)` arrives as Not(PatternPred)), DataFrame IN-parameters
+    (semi-join path), or lambda scopes (deferred for simplicity)."""
+    if isinstance(e, (A.ListComp, A.Reduce, A.Quantifier, A.PatternPred)):
+        return False
+    if isinstance(e, A.Param):
+        return not isinstance(params.get(e.name), DataFrame)
+    if isinstance(e, A.Var):
+        return frame.has(e.name)
+    if isinstance(e, A.Prop):
+        return frame.has(e.var)
+    if isinstance(e, (list, tuple)):
+        return all(_pushable(x, frame, params) for x in e)
+    if hasattr(e, "__dataclass_fields__"):
+        return all(
+            _pushable(getattr(e, f), frame, params)
+            for f in e.__dataclass_fields__
+        )
+    return True
 
 
 def _refs_any(e, names: set) -> bool:
