@@ -959,6 +959,16 @@ class CypherEngine:
         # expands from EVERY node of the anchor label (same as the fixed
         # chain case); the left-outer join below restores row scope.
         sub.df = nt.df.select(_struct_of(nt.df, first.var, nt.key, sub))
+        # seed the sub-frame with only the anchors the outer frame actually
+        # holds: the left-outer join below discards every other row anyway,
+        # and iterative sub-patterns (var-length / shortestPath) would
+        # otherwise expand from the WHOLE label table
+        keys = frame.df.select(
+            F.col(first.var)[nt.key].alias("__ok")
+        ).distinct()
+        sub.df = sub.df.join(
+            keys, F.col(first.var)[nt.key] == F.col("__ok"), "left_semi"
+        )
         sub.vars[first.var] = ("node", label)
         self._fold_pattern(sub, pat, params)
         if where is not None:

@@ -417,6 +417,59 @@ WHERE u1.src IN {_KHOP_SEED_SQL}
 """
 
 
+def cypher_optional_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL MATCH p = shortestPath(...): anchors that cannot reach the
+    target keep their row with a NULL path (the classic Neo4j
+    degrees-of-separation-or-null query). The optional sub-frame seeds
+    from the bound anchors only. Oracle: two unrolled BFS levels with
+    new-pair exclusions, lex-min per pair, LEFT JOIN from the seed list."""
+    eng = CypherEngine(
+        phage_catalog(
+            _nodes(spark, sf_dir),
+            graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+            _infects(spark, sf_dir),
+        )
+    )
+    q = """MATCH (a:PhageGenome) WHERE a.accession IN {}
+            OPTIONAL MATCH p = shortestPath(
+            (a)-[:sharesDNA*..2]-(b:PhageGenome {{accession:'S1'}}))
+            RETURN a.accession AS src, nodes(p) AS path;""".format(_KHOP_SEEDS)
+    return eng.run(q)
+
+
+CYPHER_OPTIONAL_SHORTEST_SQL = _CTE + f"""
+, fe AS (
+    SELECT src, dst FROM edges WHERE distance <= {GRAPH_THRESHOLD}
+),
+und AS (
+    SELECT src, dst FROM fe
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM fe
+),
+p1 AS (
+    SELECT u.src AS n0, u.dst AS n1 FROM und u
+    WHERE u.src IN {_KHOP_SEED_SQL} AND u.dst <> u.src
+),
+v1 AS (SELECT DISTINCT n0, n1 AS v FROM p1),
+p2 AS (
+    SELECT p.n0, p.n1, u.dst AS n2 FROM p1 p JOIN und u ON u.src = p.n1
+    WHERE u.dst <> p.n0
+      AND NOT EXISTS (SELECT 1 FROM v1 WHERE v1.n0 = p.n0 AND v1.v = u.dst)
+),
+sp AS (
+    SELECT n0, MIN(path) AS path FROM (
+        SELECT n0, [n0, n1] AS path FROM p1 WHERE n1 = 'S1'
+        UNION ALL
+        SELECT n0, [n0, n1, n2] FROM p2 WHERE n2 = 'S1'
+    ) GROUP BY n0
+)
+SELECT s.id AS src, sp.path
+FROM (SELECT DISTINCT accession AS id FROM nodes
+      WHERE accession IN {_KHOP_SEED_SQL}) s
+LEFT JOIN sp ON sp.n0 = s.id
+"""
+
+
 def cypher_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION across two full queries (A3 through the query language):
     distinct union of the supplier-labelled genomes and the large-genome
@@ -631,6 +684,10 @@ ENTRIES = {
     ),
     "cypher_quantified_paths": SuiteEntry(
         cypher_quantified_paths, CYPHER_QUANTIFIED_SQL, ("S2", "J2", "V8")
+    ),
+    "cypher_optional_shortest": SuiteEntry(
+        cypher_optional_shortest, CYPHER_OPTIONAL_SHORTEST_SQL,
+        ("S2", "J4", "J2", "W6")
     ),
     "cypher_entity_functions": SuiteEntry(
         cypher_entity_functions, CYPHER_ENTITY_FUNCS_SQL, ("S2", "V8")
