@@ -37,7 +37,11 @@ HEADLINE = [
     "graph_components",
     "dedup_exact_docs",
     "minhash_signatures",
+    # round 2: the headline tracks the CAPPED Jaccard join (the shape that
+    # survives a hot shingle at 100 TB -- frequency cap + exact full-set
+    # verification) alongside the uncapped variant it supersedes
     "neardup_jaccard_pairs",
+    "neardup_jaccard_capped",
     "minhash_lsh_candidates",
     "simhash_fingerprint",
     "knn_cosine_bruteforce",

@@ -731,16 +731,39 @@ class CypherEngine:
         )
         joined = frame.df.join(reached, anchor_key == F.col("__pa"), "inner")
 
-        nvar = node.var or frame.fresh("n")
-        nlabel = node.label or rel.dst_label
-        nt = self.catalog.node(nlabel)
-        ndf = nt.df
-        for name, val in node.props:
-            ndf = ndf.filter(F.col(name) == self._scalar(val, params))
-        nside = ndf.select(_struct_of(ndf, nvar, nt.key, frame))
+        if node.var is not None and frame.has(node.var):
+            # Far endpoint already bound (the canonical Neo4j usage
+            # ``MATCH (a {..}), (b {..}) MATCH p = (a)-[*lo..hi]-(b)``):
+            # close onto the existing binding -- re-joining a fresh node
+            # struct under the same name would duplicate the column
+            # (AMBIGUOUS_REFERENCE). Mirrors _join_step's cycle-close.
+            nvar = node.var
+            nlabel = frame.vars[nvar][1]
+            if node.label is not None and node.label != nlabel:
+                raise CypherCompileError(
+                    f"{nvar} is bound to :{nlabel}, not :{node.label}"
+                )
+            bound = joined.filter(
+                F.col("__pb") == F.col(nvar)[self.catalog.node(nlabel).key]
+            )
+            for name, val in node.props:
+                bound = bound.filter(
+                    F.col(nvar)[name] == self._scalar(val, params)
+                )
+        else:
+            nvar = node.var or frame.fresh("n")
+            nlabel = node.label or rel.dst_label
+            nt = self.catalog.node(nlabel)
+            ndf = nt.df
+            for name, val in node.props:
+                ndf = ndf.filter(F.col(name) == self._scalar(val, params))
+            nside = ndf.select(_struct_of(ndf, nvar, nt.key, frame))
+            bound = joined.join(
+                nside, F.col("__pb") == F.col(nvar)[nt.key], "inner"
+            )
+            frame.vars[nvar] = ("node", nlabel)
         frame.df = (
-            joined.join(nside, F.col("__pb") == F.col(nvar)[nt.key], "inner")
-            .withColumn(
+            bound.withColumn(
                 path_var,
                 F.struct(
                     F.col("__nodes").alias("nodes"),
@@ -754,7 +777,6 @@ class CypherEngine:
             )
             .drop("__pa", "__pb", "__nodes", "__rels", "__dists", "__pl")
         )
-        frame.vars[nvar] = ("node", nlabel)
         frame.vars[path_var] = ("path", None)
         return nvar
 
@@ -895,16 +917,38 @@ class CypherEngine:
                 )
         joined = frame.df.join(reached, anchor_key == F.col("__pa"), "inner")
 
-        nvar = node.var or frame.fresh("n")
-        nlabel = node.label or rel.dst_label
-        nt = self.catalog.node(nlabel)
-        ndf = nt.df
-        for name, val in node.props:
-            ndf = ndf.filter(F.col(name) == self._scalar(val, params))
-        nside = ndf.select(_struct_of(ndf, nvar, nt.key, frame))
-        frame.df = joined.join(
-            nside, F.col("__pb") == F.col(nvar)[nt.key], "inner"
-        )
+        if node.var is not None and frame.has(node.var):
+            # Far endpoint already bound (``MATCH (a {..}), (b {..})
+            # MATCH p = shortestPath((a)-[*..k]-(b))`` -- the canonical
+            # Neo4j degrees-of-separation form): close onto the existing
+            # binding instead of re-joining a fresh node struct under the
+            # same name (AMBIGUOUS_REFERENCE). Mirrors _join_step's
+            # cycle-close branch.
+            nvar = node.var
+            nlabel = frame.vars[nvar][1]
+            if node.label is not None and node.label != nlabel:
+                raise CypherCompileError(
+                    f"{nvar} is bound to :{nlabel}, not :{node.label}"
+                )
+            frame.df = joined.filter(
+                F.col("__pb") == F.col(nvar)[self.catalog.node(nlabel).key]
+            )
+            for name, val in node.props:
+                frame.df = frame.df.filter(
+                    F.col(nvar)[name] == self._scalar(val, params)
+                )
+        else:
+            nvar = node.var or frame.fresh("n")
+            nlabel = node.label or rel.dst_label
+            nt = self.catalog.node(nlabel)
+            ndf = nt.df
+            for name, val in node.props:
+                ndf = ndf.filter(F.col(name) == self._scalar(val, params))
+            nside = ndf.select(_struct_of(ndf, nvar, nt.key, frame))
+            frame.df = joined.join(
+                nside, F.col("__pb") == F.col(nvar)[nt.key], "inner"
+            )
+            frame.vars[nvar] = ("node", nlabel)
         if path_var is not None:
             rels = F.expr(
                 "transform(sequence(1, size(__nodes) - 1), i -> "
@@ -927,7 +971,6 @@ class CypherEngine:
             )
             frame.vars[path_var] = ("path", None)
         frame.df = frame.df.drop("__pa", "__pb", "__nodes", "__dists", "__pl")
-        frame.vars[nvar] = ("node", nlabel)
         return nvar
 
     # -- OPTIONAL MATCH ------------------------------------------------------
@@ -950,39 +993,77 @@ class CypherEngine:
         kind, label = frame.vars[first.var]
         nt = self.catalog.node(label)
 
+        # every OTHER outer-bound node variable the pattern references must
+        # be pre-bound in the sub-frame too (OPTIONAL MATCH p =
+        # shortestPath((a)-[*..k]-(b)) with b from an earlier MATCH) --
+        # otherwise a fresh unconstrained copy would shadow it and the
+        # optional match would ignore the binding entirely.
+        bound_extra: list[str] = []
+        for n in pat.nodes[1:]:
+            if (
+                n.var is not None
+                and n.var != first.var
+                and n.var not in bound_extra
+                and frame.has(n.var)
+                and frame.vars[n.var][0] == "node"
+            ):
+                bound_extra.append(n.var)
+
         sub = _Frame(used=frame.used, _tmp=frame._tmp + 100)
         # anchor the sub-frame on the full node table of the bound label:
         # only its KEY survives into the join, so no duplicate columns.
         # _fold_pattern then handles every pattern kind — fixed chains,
         # named paths, var-length (per-path when named), shortestPath —
-        # so OPTIONAL MATCH p = shortestPath(...) works. NB: the sub-frame
-        # expands from EVERY node of the anchor label (same as the fixed
-        # chain case); the left-outer join below restores row scope.
+        # so OPTIONAL MATCH p = shortestPath(...) works.
         sub.df = nt.df.select(_struct_of(nt.df, first.var, nt.key, sub))
-        # seed the sub-frame with only the anchors the outer frame actually
-        # holds: the left-outer join below discards every other row anyway,
-        # and iterative sub-patterns (var-length / shortestPath) would
-        # otherwise expand from the WHOLE label table
-        keys = frame.df.select(
-            F.col(first.var)[nt.key].alias("__ok")
-        ).distinct()
+        # seed the sub-frame with only the (anchor, bound-var...) key
+        # tuples the outer frame actually holds: the left-outer join below
+        # discards every other row anyway, and iterative sub-patterns
+        # (var-length / shortestPath) would otherwise expand from the
+        # WHOLE label table
+        key_cols = [F.col(first.var)[nt.key].alias("__ok")]
+        for i, v in enumerate(bound_extra):
+            vt = self.catalog.node(frame.vars[v][1])
+            key_cols.append(F.col(v)[vt.key].alias(f"__ob{i}"))
+        keys = frame.df.select(*key_cols).distinct()
         sub.df = sub.df.join(
-            keys, F.col(first.var)[nt.key] == F.col("__ok"), "left_semi"
-        )
+            keys, F.col(first.var)[nt.key] == F.col("__ok"), "inner"
+        ).drop("__ok")
         sub.vars[first.var] = ("node", label)
+        for i, v in enumerate(bound_extra):
+            vlabel = frame.vars[v][1]
+            vt = self.catalog.node(vlabel)
+            vside = vt.df.select(_struct_of(vt.df, v, vt.key, sub))
+            sub.df = sub.df.join(
+                vside, F.col(v)[vt.key] == F.col(f"__ob{i}"), "inner"
+            ).drop(f"__ob{i}")
+            sub.vars[v] = ("node", vlabel)
         self._fold_pattern(sub, pat, params)
         if where is not None:
             self._apply_where(sub, where, params)
 
-        new_vars = [v for v in sub.vars if v != first.var and not v.startswith("__")]
+        new_vars = [
+            v
+            for v in sub.vars
+            if v != first.var
+            and v not in bound_extra
+            and not v.startswith("__")
+        ]
         keyc = frame.fresh("k")
-        right = sub.df.select(
-            F.col(first.var)[nt.key].alias(keyc),
-            *[F.col(v) for v in new_vars],
+        right_cols = [F.col(first.var)[nt.key].alias(keyc)]
+        extra_keys: list[tuple[str, str, str]] = []
+        for v in bound_extra:
+            vkey = self.catalog.node(frame.vars[v][1]).key
+            kc = frame.fresh("k")
+            right_cols.append(F.col(v)[vkey].alias(kc))
+            extra_keys.append((v, vkey, kc))
+        right = sub.df.select(*right_cols, *[F.col(v) for v in new_vars])
+        cond = F.col(first.var)[nt.key] == F.col(keyc)
+        for v, vkey, kc in extra_keys:
+            cond = cond & (F.col(v)[vkey] == F.col(kc))
+        frame.df = frame.df.join(right, cond, "left_outer").drop(
+            keyc, *[kc for _, _, kc in extra_keys]
         )
-        frame.df = frame.df.join(
-            right, F.col(first.var)[nt.key] == F.col(keyc), "left_outer"
-        ).drop(keyc)
         for v in new_vars:
             frame.vars[v] = sub.vars[v]
 
@@ -1395,7 +1476,10 @@ class CypherEngine:
         return F.array(*[F.lit(f.name) for f in dt.fields])
 
     def _func_col(self, frame: _Frame, e: A.Func, params: dict, env: dict):
-        if e.name in ("collect", "count", "sum", "min", "max", "avg"):
+        if e.name in (
+            "collect", "count", "sum", "min", "max", "avg",
+            "percentilecont", "percentiledisc", "stdev", "stdevp",
+        ):
             raise CypherCompileError(
                 f"{e.name}() is an aggregate; use it in WITH/RETURN items"
             )
@@ -1474,6 +1558,31 @@ class CypherEngine:
             raise CypherCompileError(f"expected an aggregate, got {e!r}")
         if e.name == "count" and e.star:
             return F.count(F.lit(1))
+        if e.name in ("percentilecont", "percentiledisc"):
+            # Neo4j percentileCont/percentileDisc(expr, p). Cont = linear
+            # interpolation: Spark's exact `percentile` aggregate (DuckDB
+            # quantile_cont, verified identical). Disc = lower nearest-rank
+            # (element at max(1, ceil(p*n)) of the sorted values — DuckDB
+            # quantile_disc's convention; Neo4j's tie choice is
+            # version-dependent, documented deviation). Disc materializes
+            # the group as a sorted array — group-sized memory, same as
+            # collect(); use percentileCont (no collect) on huge groups.
+            if e.distinct:
+                raise CypherCompileError(f"DISTINCT {e.name}() not supported")
+            if len(e.args) != 2:
+                raise CypherCompileError(
+                    f"{e.name}() takes (expression, percentile)"
+                )
+            arg = self._col(frame, e.args[0], params)
+            p = self._scalar(e.args[1], params)
+            if e.name == "percentilecont":
+                return F.percentile(arg, F.lit(p))
+            return F.element_at(
+                F.array_sort(F.collect_list(arg)),
+                F.greatest(
+                    F.lit(1), F.ceil(F.lit(p) * F.count(arg)).cast("int")
+                ),
+            )
         arg = self._col(frame, e.args[0], params)
         if e.distinct:
             if e.name == "collect":
@@ -1489,6 +1598,9 @@ class CypherEngine:
             "min": F.min,
             "max": F.max,
             "avg": F.avg,
+            # Neo4j stDev (sample) / stDevP (population)
+            "stdev": F.stddev_samp,
+            "stdevp": F.stddev_pop,
         }[e.name](arg)
 
     def _is_array(
@@ -1567,6 +1679,7 @@ def _conjuncts(e: A.Expr) -> list:
 def _is_aggregate(e: A.Expr) -> bool:
     return isinstance(e, A.Func) and e.name in (
         "collect", "count", "sum", "min", "max", "avg",
+        "percentilecont", "percentiledisc", "stdev", "stdevp",
     )
 
 

@@ -206,9 +206,28 @@ class GraphFrame:
         )
 
     def shortestPaths(self, landmarks: DataFrame, max_hops: int = 10) -> DataFrame:
-        """BFS hop distances TO the landmark set (GraphFrames semantics are
-        per-landmark distances; here: (src=landmark, dst, path, hops))."""
-        return G.shortest_paths(landmarks, self.edges, max_hops, mode="one")
+        """Each vertex's hop distance TO the landmark set over directed
+        edges — GraphFrames' semantics (vertex -> ... -> landmark).
+        ADVICE r1 fix: BFS previously ran FROM the landmarks over
+        out-edges, which computes landmark-to-vertex distances — a
+        different answer on directed graphs. It now runs from the
+        landmarks over REVERSED edges and flips the result back, so a
+        returned row reads ``(src=vertex, dst=landmark, path
+        vertex->...->landmark, hops)``. Output shape (one row per
+        reachable pair, lexicographically-smallest path) remains the
+        engine's documented deviation from GraphFrames' distances map."""
+        rev = self.edges.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            *[c for c in self.edges.columns if c not in ("src", "dst")],
+        )
+        got = G.shortest_paths(landmarks, rev, max_hops, mode="one")
+        return got.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            F.reverse("path").alias("path"),
+            "hops",
+        )
 
     def bfs(self, fromExpr, toExpr, maxPathLength: int = 10) -> DataFrame:
         """GraphFrames ``bfs``: shortest paths from vertices matching

@@ -28,6 +28,38 @@ def as_node_set(df: DataFrame, col: str) -> DataFrame:
     return df.select(F.col(col).alias("id")).distinct()
 
 
+# Hint cap for node-set broadcasts. Query-sized seed sets (the reference's
+# use case: hundreds to thousands of accessions) stay far below it; a
+# cloud-membership node set from a large component (the 100M rehearsal
+# produced 38.4M-node clouds) blows past it and must NOT be force-broadcast
+# -- an F.broadcast hint overrides AQE's judgment and OOMs the executors.
+BROADCAST_CAP_BYTES = 64 << 20
+
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate (no job is triggered).
+    None when the JVM plan is unreachable (e.g. Spark Connect)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def maybe_broadcast(df: DataFrame, cap: int = BROADCAST_CAP_BYTES) -> DataFrame:
+    """Broadcast-hint ``df`` only when Catalyst estimates it under ``cap``.
+
+    Above the cap (or when no estimate is available and the plan could be
+    huge) the frame is returned unhinted: AQE picks broadcast at runtime if
+    the actual size turns out small, and the runtime bloom filter
+    (session.py) still prunes the scan side of the semi-join. Catalyst
+    *over*-estimates derived sets (join-product bounds), which fails safe
+    here -- an overestimate only costs the hint, never an OOM."""
+    sz = _estimated_bytes(df)
+    if sz is not None and 0 <= sz <= cap:
+        return F.broadcast(df)
+    return df
+
+
 def expand(
     seeds: DataFrame,
     edges: DataFrame,
@@ -47,13 +79,15 @@ def expand(
     expand of `/root/reference/phageclouds_gdb_family.py:94`, J4).
     """
     e = edges if threshold is None else edges.filter(F.col("distance") <= F.lit(threshold))
-    # seeds is small relative to edges -> broadcast the semi side.
-    out = e.join(F.broadcast(seeds), e["src"] == seeds["id"], "left_semi").select(
+    # seeds is usually small relative to edges -> hint the semi side, but
+    # only under the size cap (a giant seed set must go through AQE).
+    bseeds = maybe_broadcast(seeds)
+    out = e.join(bseeds, e["src"] == seeds["id"], "left_semi").select(
         F.col("dst").alias("id")
     )
     frontier = out
     if not directed:
-        inc = e.join(F.broadcast(seeds), e["dst"] == seeds["id"], "left_semi").select(
+        inc = e.join(bseeds, e["dst"] == seeds["id"], "left_semi").select(
             F.col("src").alias("id")
         )
         frontier = out.unionByName(inc)
@@ -70,14 +104,17 @@ def induced_subgraph(
 
     The reference round-trips the node set as a Python list literal inside
     the Cypher text (`/root/reference/phageclouds_gdb.py:64-67`) -- an
-    O(|nodes|) query string. Here it is two broadcast semi-joins, and at the
-    100 TB tier a runtime bloom filter on the scan side
+    O(|nodes|) query string. Here it is two semi-joins -- broadcast-hinted
+    only while the node set's estimated size stays under
+    ``BROADCAST_CAP_BYTES`` (query-sized clouds), shuffle + AQE + the
+    runtime bloom filter beyond it
     (spark.sql.optimizer.runtime.bloomFilter.enabled, see session.py).
     """
     e = edges if threshold is None else edges.filter(F.col("distance") <= F.lit(threshold))
     ns = node_set.select("id")
-    e = e.join(F.broadcast(ns), e["src"] == ns["id"], "left_semi")
-    e = e.join(F.broadcast(ns), e["dst"] == ns["id"], "left_semi")
+    bns = maybe_broadcast(ns)
+    e = e.join(bns, e["src"] == ns["id"], "left_semi")
+    e = e.join(bns, e["dst"] == ns["id"], "left_semi")
     return e
 
 

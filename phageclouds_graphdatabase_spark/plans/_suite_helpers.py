@@ -56,6 +56,21 @@ def quant(col: Column, scale: float = 10000.0) -> Column:
     return F.floor(col.cast("double") * F.lit(scale) + F.lit(0.5)).cast("long")
 
 
+def arr_str(col: Column | str) -> Column:
+    """Serialize an array column to a ``'->'``-joined string, NULL-preserving.
+
+    The driver's canonicalizer sorts result rows with pandas ``sort_values``,
+    which cannot factorize list cells — so every suite entry that emits an
+    array to the driver serializes it identically on both sides. Oracle
+    equivalent: ``array_to_string(<list>, '->')`` (also NULL-for-NULL;
+    empty arrays never occur in the suite — DuckDB maps them to NULL while
+    Spark's concat_ws yields '', so keep them out)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat_ws("->", c.cast("array<string>"))
+    )
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokenization, empty-safe; oracle equivalent:
     list_filter(regexp_split_to_array(trim(x), '\\s+'), t -> t <> '')."""

@@ -83,7 +83,7 @@ def clouds_by_taxon(
     # Non-optional MATCH: only seeds that actually have a qualifying
     # out-edge (and their targets) enter the node set
     # (/root/reference/phageclouds_gdb.py:56-62).
-    seed_edges = qual.join(F.broadcast(seeds), qual["src"] == seeds["id"], "left_semi")
+    seed_edges = qual.join(G.maybe_broadcast(seeds), qual["src"] == seeds["id"], "left_semi")
     if directed:
         node_set = (
             seed_edges.select(F.col("src").alias("id"))
@@ -91,7 +91,7 @@ def clouds_by_taxon(
             .distinct()
         )
     else:
-        incoming = qual.join(F.broadcast(seeds), qual["dst"] == seeds["id"], "left_semi")
+        incoming = qual.join(G.maybe_broadcast(seeds), qual["dst"] == seeds["id"], "left_semi")
         node_set = (
             seed_edges.select(F.col("src").alias("id"))
             .unionByName(seed_edges.select(F.col("dst").alias("id")))
@@ -228,7 +228,7 @@ def clouds_by_host(
     if harsh:
         hosted = hosted.filter(F.col("source") != "GTDB_predicted_prophages")
     seeds = hosted.select(F.col("accession").alias("id"))
-    seed_edges = qual.join(F.broadcast(seeds), qual["src"] == seeds["id"], "left_semi")
+    seed_edges = qual.join(G.maybe_broadcast(seeds), qual["src"] == seeds["id"], "left_semi")
     node_set = (
         seed_edges.select(F.col("src").alias("id"))
         .unionByName(seed_edges.select(F.col("dst").alias("id")))

@@ -25,6 +25,7 @@ from phageclouds_graphdatabase_spark.plans._suite_helpers import (
     GRAPH_SEEDS_SQL,
     GRAPH_THRESHOLD,
     SuiteEntry,
+    arr_str,
     cents,
     graph_edges,
     graph_seeds,
@@ -140,7 +141,9 @@ def graph_path_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample (paths explode combinatorially -- the sample keeps the oracle
     join tractable while still exercising ~100k paths at sf0.01). The
     oracle unrolls the two frontier joins as plain chained CTEs with
-    explicit per-hop relationship-id disequalities."""
+    explicit per-hop relationship-id disequalities. The path array is
+    serialized to a '->'-joined string on both sides (driver contract:
+    no list cells in results)."""
     p = t(spark, sf_dir, "part")
     seeds = (
         p.filter(
@@ -156,7 +159,7 @@ def graph_path_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi=3,
         threshold=GRAPH_THRESHOLD,
         directed=False,
-    )
+    ).withColumn("path", arr_str("path"))
 
 
 GRAPH_PATHS_SQL = f"""
@@ -184,10 +187,11 @@ p3 AS (
     FROM p2 p
     JOIN und u3 ON u3.src = p.n2 AND u3.rid <> p.r1 AND u3.rid <> p.r2
 )
-SELECT n0 AS src, n2 AS dst, [n0, n1, n2] AS path, CAST(2 AS INTEGER) AS hops
+SELECT n0 AS src, n2 AS dst, array_to_string([n0, n1, n2], '->') AS path,
+       CAST(2 AS INTEGER) AS hops
 FROM p2
 UNION ALL
-SELECT n0, n3, [n0, n1, n2, n3], 3 FROM p3
+SELECT n0, n3, array_to_string([n0, n1, n2, n3], '->'), 3 FROM p3
 """
 
 
@@ -213,7 +217,7 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=GRAPH_THRESHOLD,
         directed=False,
         mode="one",
-    )
+    ).withColumn("path", arr_str("path"))
 
 
 GRAPH_SHORTEST_SQL = f"""
@@ -250,7 +254,7 @@ allp AS (
     UNION ALL SELECT n0, n2, [n0, n1, n2] FROM p2
     UNION ALL SELECT n0, n3, [n0, n1, n2, n3] FROM p3
 )
-SELECT src, dst, MIN(path) AS path,
+SELECT src, dst, array_to_string(MIN(path), '->') AS path,
        CAST(len(MIN(path)) - 1 AS INTEGER) AS hops
 FROM allp GROUP BY src, dst
 """
@@ -405,7 +409,7 @@ msgs AS (
     UNION ALL
     SELECT e.dst AS id, v.val AS msg FROM eg e JOIN v ON e.src = v.id
 )
-SELECT id, SUM(msg) AS nbr_val_sum FROM msgs GROUP BY id
+SELECT id, CAST(SUM(msg) AS BIGINT) AS nbr_val_sum FROM msgs GROUP BY id
 """
 
 
@@ -482,7 +486,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         walks_per_node=2,
         threshold=GRAPH_THRESHOLD,
         directed=False,
-    )
+    ).withColumn("walk", arr_str("walk"))
 
 
 GRAPH_WALKS_SQL = f"""
@@ -529,7 +533,7 @@ s3 AS (
         FROM s2 JOIN und ON und.u = s2.n2
     ) WHERE rn = 1
 )
-SELECT id AS start, wid, [id, n1, n2, n3] AS walk FROM s3
+SELECT id AS start, wid, array_to_string([id, n1, n2, n3], '->') AS walk FROM s3
 """
 
 

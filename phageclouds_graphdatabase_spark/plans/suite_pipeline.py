@@ -251,16 +251,21 @@ WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DO
 def collect_order_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        h.arr_str(F.sort_array(F.collect_list("o_orderkey"))).alias(
+            "order_keys"
+        ),
+        h.arr_str(F.sort_array(F.collect_set("o_orderpriority"))).alias(
+            "priorities"
+        ),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
 
 COLLECT_LISTS_SQL = """
 SELECT o_custkey,
-       list_sort(list(o_orderkey)) AS order_keys,
-       list_sort(list_distinct(list(o_orderpriority))) AS priorities,
+       array_to_string(list_sort(list(o_orderkey)), '->') AS order_keys,
+       array_to_string(list_sort(list_distinct(list(o_orderpriority))), '->')
+           AS priorities,
        COUNT(*) AS n_orders
 FROM orders GROUP BY o_custkey
 """
@@ -431,7 +436,9 @@ FROM events p JOIN events c
 def vis_html_golden_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python DataSource (Spark 4 DataSource API): every reference
     vis.js HTML network scanned as one nodes table, one file per partition.
-    Rows-only check: the source reads HTML, which DuckDB can't oracle."""
+    Value-oracled since round 2: DuckDB re-extracts the same vis.DataSet
+    JSON via read_text + regexp_extract + JSON unnest, so the custom
+    source's full row values hash-check (was rows-only in round 1)."""
     from phageclouds_graphdatabase_spark.sources import vis_datasource
 
     vis_datasource.register(spark)
@@ -444,6 +451,31 @@ def vis_html_golden_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(ref)
         .orderBy("_file", "id")
     )
+
+
+VIS_HTML_SCAN_SQL = r"""
+WITH files AS (
+    SELECT regexp_replace(filename, '.*/', '') AS _file, content
+    FROM read_text('/root/reference/*.html')
+),
+raw AS (
+    SELECT _file,
+           regexp_extract(
+               content, '(?s)nodes = new vis\.DataSet\((\[.*?\])\);', 1
+           ) AS njson
+    FROM files
+),
+n AS (
+    SELECT _file, unnest(CAST(njson AS JSON[])) AS j FROM raw
+)
+SELECT CAST(j->>'id' AS VARCHAR) AS id,
+       j->'color'->>'background' AS color_background,
+       j->'color'->>'border' AS color_border,
+       CAST(j->>'size' AS INTEGER) AS size,
+       j->>'title' AS title,
+       _file
+FROM n
+"""
 
 
 def skew_safe_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,20 +791,75 @@ GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
 
 # --------------------------------------------------------------------------
 # Approximate aggregations (A6): HLL++ distinct + quantile sketch. The
-# algorithms differ between engines, so no value oracle exists -- the driver
-# records the rows-only check; tests/test_approx.py pins relative error
-# against the exact answer instead.
+# sketch algorithms differ between engines, so the approx VALUES can't be
+# oracle-hashed -- instead the Spark side verifies its own sketches against
+# the exact answers it also computes (tolerance-verdict booleans + the exact
+# values), and the oracle emits the same exact values with TRUE constants.
+# A hash match therefore proves BOTH the exact aggregates and that the
+# sketches met their error bounds (HLL++ rsd 0.05 -> 3-sigma 0.15 bound;
+# percentile_approx accuracy 10000 -> rank-fraction error <= 0.005).
 # --------------------------------------------------------------------------
 
 def approx_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    approx = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("a_orders"),
+        F.approx_count_distinct("l_partkey").alias("a_parts"),
         F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-            "price_quantiles"
+            "qs"
         ),
     )
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    j = approx.crossJoin(exact)
+    # rank(v) = #rows with price <= v; sketch guarantees |rank/n - q| small
+    ranks = li.crossJoin(F.broadcast(j)).agg(
+        *[
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("qs")[i]).cast("long")
+            ).alias(f"rank_q{i}")
+            for i in range(3)
+        ]
+    )
+    out = j.crossJoin(F.broadcast(ranks))
+    rel = lambda a, e: F.abs(a.cast("double") / e - 1.0)  # noqa: E731
+    qok = [
+        (
+            F.abs(
+                F.col(f"rank_q{i}").cast("double") / F.col("n_rows")
+                - F.lit(q)
+            )
+            <= F.lit(0.005)
+        ).alias(f"q{int(q * 100)}_ok")
+        for i, q in enumerate((0.5, 0.9, 0.99))
+    ]
+    return out.select(
+        (rel(F.col("a_orders"), F.col("exact_orders")) <= 0.15).alias(
+            "orders_ok"
+        ),
+        (rel(F.col("a_parts"), F.col("exact_parts")) <= 0.15).alias(
+            "parts_ok"
+        ),
+        *qok,
+        F.col("exact_orders"),
+        F.col("exact_parts"),
+        F.col("n_rows"),
+    )
+
+
+APPROX_STATS_SQL = """
+SELECT TRUE AS orders_ok, TRUE AS parts_ok,
+       TRUE AS q50_ok, TRUE AS q90_ok, TRUE AS q99_ok,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1124,7 +1211,9 @@ ENTRIES: dict[str, SuiteEntry] = {
     "rolling_hash_fingerprint": SuiteEntry(rolling_hash_fingerprint, ROLLING_HASH_SQL, ("W5",)),
     "ivf_ann_topk": SuiteEntry(ivf_ann_topk, IVF_ANN_SQL, ("W5",)),
     "grouping_sets_orders": SuiteEntry(grouping_sets_orders, GROUPING_SETS_SQL, ("A6",)),
-    "approx_stats_lineitem": SuiteEntry(approx_stats_lineitem, None, ("A6",)),
+    "approx_stats_lineitem": SuiteEntry(
+        approx_stats_lineitem, APPROX_STATS_SQL, ("A6",)
+    ),
     "asof_prev_purchase": SuiteEntry(asof_prev_purchase, ASOF_SQL, ("J7", "W2")),
     "minhash_lsh_candidates": SuiteEntry(minhash_lsh_candidates, MINHASH_LSH_SQL, ("W5", "J7")),
     "text_bpe_token_count": SuiteEntry(text_bpe_token_count, TEXT_BPE_SQL, ("W5", "V8")),
@@ -1137,7 +1226,9 @@ ENTRIES: dict[str, SuiteEntry] = {
     "stream_user_totals": SuiteEntry(stream_user_totals, STREAM_USER_TOTALS_SQL, ("W3", "W4")),
     "stream_static_join": SuiteEntry(stream_static_join, STREAM_STATIC_SQL, ("W3", "J1")),
     "stream_stream_join": SuiteEntry(stream_stream_join, STREAM_STREAM_SQL, ("W3", "J1")),
-    "vis_html_golden_scan": SuiteEntry(vis_html_golden_scan, None, ("S6",)),
+    "vis_html_golden_scan": SuiteEntry(
+        vis_html_golden_scan, VIS_HTML_SCAN_SQL, ("S6",)
+    ),
     "skew_safe_event_counts": SuiteEntry(skew_safe_event_counts, SKEW_COUNTS_SQL, ("A6",)),
 }
 

@@ -13,6 +13,13 @@ from __future__ import annotations
 
 from xml.sax.saxutils import escape
 
+
+def _attr(v: str) -> str:
+    """Escape for ATTRIBUTE position (double-quoted): &<> AND the quote
+    itself -- plain escape() leaves '"' alone, which malforms the XML when
+    an id or column name contains one (ADVICE r1, graphml.py:85)."""
+    return escape(v, {'"': "&quot;"})
+
 from pyspark.sql import DataFrame
 
 _HEADER = (
@@ -58,38 +65,38 @@ def write_graphml(
     out = [_HEADER]
     for name, typ in sorted(n_attrs):
         out.append(
-            f'  <key id="n_{escape(name)}" for="node" '
-            f'attr.name="{escape(name)}" attr.type="{typ}"/>\n'
+            f'  <key id="n_{_attr(name)}" for="node" '
+            f'attr.name="{_attr(name)}" attr.type="{typ}"/>\n'
         )
     for name, typ in sorted(e_attrs):
         out.append(
-            f'  <key id="e_{escape(name)}" for="edge" '
-            f'attr.name="{escape(name)}" attr.type="{typ}"/>\n'
+            f'  <key id="e_{_attr(name)}" for="edge" '
+            f'attr.name="{_attr(name)}" attr.type="{typ}"/>\n'
         )
     kind = "directed" if directed else "undirected"
     out.append(f'  <graph id="G" edgedefault="{kind}">\n')
     for row in npd.itertuples(index=False):
         d = row._asdict()
-        out.append(f'    <node id="{escape(str(d[node_id]))}">\n')
+        out.append(f'    <node id="{_attr(str(d[node_id]))}">\n')
         for name, _ in sorted(n_attrs):
             v = d[name]
             if v is not None and v == v:  # skip None and NaN
                 out.append(
-                    f'      <data key="n_{escape(name)}">'
+                    f'      <data key="n_{_attr(name)}">'
                     f"{escape(str(v))}</data>\n"
                 )
         out.append("    </node>\n")
     for i, row in enumerate(epd.itertuples(index=False)):
         d = row._asdict()
         out.append(
-            f'    <edge id="e{i}" source="{escape(str(d[edge_src]))}" '
-            f'target="{escape(str(d[edge_dst]))}">\n'
+            f'    <edge id="e{i}" source="{_attr(str(d[edge_src]))}" '
+            f'target="{_attr(str(d[edge_dst]))}">\n'
         )
         for name, _ in sorted(e_attrs):
             v = d[name]
             if v is not None and v == v:
                 out.append(
-                    f'      <data key="e_{escape(name)}">'
+                    f'      <data key="e_{_attr(name)}">'
                     f"{escape(str(v))}</data>\n"
                 )
         out.append("    </edge>\n")

@@ -1,6 +1,8 @@
-"""Approximate aggregations (A6) have no cross-engine value oracle (sketch
-algorithms differ); correctness is pinned here as relative error against the
-exact answers instead."""
+"""Approximate aggregations (A6): since round 2 the suite entry is
+self-verifying (it computes approx AND exact and emits tolerance-verdict
+booleans, so the DuckDB oracle hash-checks it). This test asserts the
+verdict booleans really hold and the exact columns match an independently
+written exact aggregation."""
 
 from __future__ import annotations
 
@@ -12,14 +14,14 @@ from phageclouds_graphdatabase_spark.sources.readers import read_table
 
 def test_approx_stats_within_tolerance(spark, sf_dir):
     row = approx_stats_lineitem(spark, sf_dir).collect()[0]
+    assert row.orders_ok and row.parts_ok
+    assert row.q50_ok and row.q90_ok and row.q99_ok
     li = read_table(spark, sf_dir, "lineitem")
     exact = li.agg(
         F.countDistinct("l_orderkey").alias("orders"),
         F.countDistinct("l_partkey").alias("parts"),
-        F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("q"),
+        F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    # HLL++ default rsd is 5%; allow 10% slack.
-    assert abs(row.approx_orders - exact.orders) <= 0.10 * exact.orders
-    assert abs(row.approx_parts - exact.parts) <= 0.10 * exact.parts
-    for approx_q, exact_q in zip(row.price_quantiles, exact.q):
-        assert abs(approx_q - exact_q) <= 0.05 * abs(exact_q)
+    assert row.exact_orders == exact.orders
+    assert row.exact_parts == exact.parts
+    assert row.n_rows == exact.n

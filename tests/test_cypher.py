@@ -607,6 +607,43 @@ class TestAggregateVariants:
         r = eng.run(q).collect()[0]
         assert (r.s, r.mn, r.mx) == (45000 + 12000 + 12500, 12000, 45000)
 
+    def test_percentile_cont_disc(self, eng):
+        # Tara genome sizes: 12000, 12500, 45000 (n=3).
+        # cont(0.5) = middle value; disc(0.5) = element ceil(0.5*3)=2nd;
+        # disc(0.9) = element ceil(2.7)=3rd; cont(0) / disc with p=0 -> min
+        q = ("MATCH (a:PhageGenome {source:'Tara'}) "
+             "RETURN percentileCont(a.genome_size, 0.5) AS pc, "
+             "percentileDisc(a.genome_size, 0.5) AS pd, "
+             "percentileDisc(a.genome_size, 0.9) AS pd9, "
+             "percentileDisc(a.genome_size, 0.0) AS pd0")
+        r = eng.run(q).collect()[0]
+        assert (r.pc, r.pd, r.pd9, r.pd0) == (12500.0, 12500, 45000, 12000)
+
+    def test_percentile_grouped(self, eng):
+        q = ("MATCH (a:PhageGenome) RETURN a.source AS src, "
+             "percentileDisc(a.genome_size, 0.5) AS p50 ORDER BY src")
+        got = {r.src: r.p50 for r in eng.run(q).collect()}
+        assert got["Tara"] == 12500
+
+    def test_stdev_sample_and_population(self, eng):
+        import math
+
+        q = ("MATCH (a:PhageGenome {source:'Tara'}) "
+             "RETURN stDev(a.genome_size) AS sd, stDevP(a.genome_size) AS sdp")
+        r = eng.run(q).collect()[0]
+        vals = [12000, 12500, 45000]
+        m = sum(vals) / 3
+        var_p = sum((v - m) ** 2 for v in vals) / 3
+        var_s = sum((v - m) ** 2 for v in vals) / 2
+        assert math.isclose(r.sd, math.sqrt(var_s), rel_tol=1e-9)
+        assert math.isclose(r.sdp, math.sqrt(var_p), rel_tol=1e-9)
+
+    def test_percentile_wrong_arity_rejected(self, eng):
+        q = ("MATCH (a:PhageGenome) "
+             "RETURN percentileCont(a.genome_size) AS p")
+        with pytest.raises(CypherCompileError, match="percentile"):
+            eng.run(q)
+
 
 class TestUnionQueries:
     def test_union_distinct(self, eng):

@@ -369,6 +369,57 @@ class TestOptionalPaths:
         assert got == {"A1": ("A1", "A3", "B1", "B2"), "D1": None}
 
 
+class TestBoundEndpoints:
+    """ADVICE r1 (compiler.py:734): var-length / shortestPath with the far
+    endpoint ALREADY bound by an earlier MATCH — the canonical Neo4j
+    degrees-of-separation form — used to crash with AMBIGUOUS_REFERENCE
+    (a fresh node struct re-joined under the bound name). The joiners now
+    close onto the existing binding, mirroring _join_step's cycle-close."""
+
+    def test_shortest_to_prebound_endpoint(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'A1'}), "
+             "(b:PhageGenome {accession:'B2'}) "
+             "MATCH p = shortestPath((a)-[:sharesDNA*..4]-(b)) "
+             "RETURN nodes(p) AS path, length(p) AS hops")
+        r = eng.run(q).collect()
+        assert len(r) == 1
+        assert r[0].path == ["A1", "A3", "B1", "B2"] and r[0].hops == 3
+
+    def test_var_length_to_prebound_endpoint(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'A1'}), "
+             "(b:PhageGenome {accession:'B1'}) "
+             "MATCH p = (a)-[:sharesDNA*2..3]-(b) RETURN nodes(p) AS path")
+        assert paths_of(eng.run(q)) == sorted(["A1>A3>B1", "A1>A2>A3>B1"])
+
+    def test_optional_shortest_prebound_unreachable(self, eng):
+        # D1 is disconnected from A1: the bound pair keeps its row, NULL path
+        q = ("MATCH (a:PhageGenome {accession:'A1'}), "
+             "(b:PhageGenome {accession:'D1'}) "
+             "OPTIONAL MATCH p = shortestPath((a)-[:sharesDNA*..2]-(b)) "
+             "RETURN a.accession AS src, b.accession AS tgt, "
+             "nodes(p) AS path")
+        r = eng.run(q).collect()
+        assert len(r) == 1
+        assert (r[0].src, r[0].tgt, r[0].path) == ("A1", "D1", None)
+
+    def test_optional_shortest_prebound_reachable(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'A1'}), "
+             "(b:PhageGenome {accession:'B1'}) "
+             "OPTIONAL MATCH p = shortestPath((a)-[:sharesDNA*..2]-(b)) "
+             "RETURN a.accession AS src, b.accession AS tgt, "
+             "nodes(p) AS path")
+        r = eng.run(q).collect()
+        assert len(r) == 1
+        assert r[0].path == ["A1", "A3", "B1"]
+
+    def test_prebound_label_mismatch_rejected(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'A1'}), (h:Host) "
+             "MATCH p = shortestPath((a)-[:sharesDNA*..2]-(h:PhageGenome)) "
+             "RETURN count(*) AS n")
+        with pytest.raises(CypherCompileError, match="bound to"):
+            eng.run(q)
+
+
 class TestErrors:
 
     def test_multi_edge_var_length_named_path_rejected(self, eng):

@@ -114,6 +114,23 @@ class TestAccessorsAndAlgorithms:
         assert labels["a"] == labels["d"]  # all connected nodes share a label
         assert labels["e"] != labels["a"]  # isolated vertex is its own cloud
 
+    def test_shortest_paths_distance_to_landmark(self, g, spark):
+        """ADVICE r1: shortestPaths must give vertex-TO-landmark distances
+        on directed graphs (GraphFrames semantics). Landmark d: a reaches
+        d via a->c->d (2 hops, NOT via the nonexistent d->...->a); d's own
+        out-edges must not produce reverse answers."""
+        lm = spark.createDataFrame([("d",)], "id string")
+        got = {
+            (r.src, r.dst): (r.path, r.hops)
+            for r in g.shortestPaths(lm, max_hops=4).collect()
+        }
+        assert got[("c", "d")] == (["c", "d"], 1)
+        assert got[("a", "d")] == (["a", "c", "d"], 2)
+        assert got[("b", "d")] == (["b", "c", "d"], 2)
+        # no vertex is reachable FROM d except itself (self-loop excluded):
+        # nothing may claim a d->x answer
+        assert all(dst == "d" for (_, dst) in got)
+
 
 class TestPregelAndCommunities:
     def test_aggregate_messages_both_directions(self, g, spark):

@@ -59,6 +59,27 @@ def test_graphml_escapes_xml(spark, tmp_path):
     assert n.find("g:data", NS).text == 'quo"te'
 
 
+def test_graphml_quote_in_attribute_position(spark, tmp_path):
+    """ADVICE r1: a double quote inside an id (attribute position) used to
+    produce malformed XML — escape() leaves '"' alone. Must parse and
+    round-trip the quote now."""
+    nodes = spark.createDataFrame(
+        [('id"with"quotes', "v")], "id string, label string"
+    )
+    edges = spark.createDataFrame(
+        [('id"with"quotes', 'id"with"quotes', 0.1)],
+        "src string, dst string, distance double",
+    )
+    p = str(tmp_path / "quo.graphml")
+    write_graphml(nodes, edges, p)
+    root = ET.parse(p).getroot()  # malformed XML would raise here
+    g = root.find("g:graph", NS)
+    assert g.find("g:node", NS).attrib["id"] == 'id"with"quotes'
+    e = g.find("g:edge", NS)
+    assert e.attrib["source"] == 'id"with"quotes'
+    assert e.attrib["target"] == 'id"with"quotes'
+
+
 def test_graphml_deterministic_bytes(spark, tmp_path):
     nodes = spark.createDataFrame(
         [("a", 1), ("b", 2)], "id string, v int"
