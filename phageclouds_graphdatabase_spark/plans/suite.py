@@ -41,6 +41,7 @@ _WINDOW = [
     "cypher_percentiles",
     "cypher_var_length_khop",
     "cypher_path_enumeration",
+    "cypher_chain_paths",
     "cypher_shortest_paths",
     "cypher_weighted_paths",
     "cypher_union_sources",
@@ -69,7 +70,6 @@ _WINDOW = [
     "mjpeg_frames_real",
     "wav_stats_real",
     "flac_stats_real",
-    "avi_frames_real",
     # Dedup / similarity / ANN (W5 north star)
     "neardup_jaccard_pairs",
     "neardup_jaccard_capped",

@@ -311,6 +311,56 @@ SELECT array_to_string([n0, n1, n2, n3], '->'), 3, n3 FROM p3
 """
 
 
+def cypher_chain_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-edge named var-length CHAIN (VERDICT r1 next #5, previously
+    fail-fast): ``p = (a)-[:sharesDNA*1..2]-(m)-[:sharesDNA]->(b)`` — a
+    var-length undirected segment followed by a fixed DIRECTED hop, with
+    relationship-uniqueness spanning the whole chain. Oracle unrolls both
+    segment lengths plus the fixed hop with explicit rid disequalities."""
+    eng = CypherEngine(
+        phage_catalog(
+            _nodes(spark, sf_dir),
+            graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+            _infects(spark, sf_dir),
+        )
+    )
+    q = """MATCH p = (a:PhageGenome)-[:sharesDNA*1..2]-(m:PhageGenome)
+            -[:sharesDNA]->(b:PhageGenome)
+            WHERE a.accession IN {}
+            RETURN nodes(p) AS path, m.accession AS mid,
+            b.accession AS dst;""".format(_KHOP_SEEDS)
+    return eng.run(q).withColumn("path", arr_str("path"))
+
+
+CYPHER_CHAIN_SQL = _CTE + f"""
+, fe AS (
+    SELECT src, dst,
+           LEAST(src, dst) || '|' || GREATEST(src, dst) AS rid
+    FROM edges WHERE distance <= {GRAPH_THRESHOLD}
+),
+und AS (
+    SELECT src, dst, rid FROM fe
+    UNION ALL
+    SELECT dst AS src, src AS dst, rid FROM fe
+),
+s1 AS (
+    SELECT u.src AS n0, u.dst AS n1, u.rid AS r1 FROM und u
+    WHERE u.src IN {_KHOP_SEED_SQL}
+),
+s2 AS (
+    SELECT s.n0, s.n1, u.dst AS n2, s.r1, u.rid AS r2
+    FROM s1 s JOIN und u ON u.src = s.n1 AND u.rid <> s.r1
+)
+SELECT array_to_string([n0, n1, f.dst], '->') AS path,
+       n1 AS mid, f.dst AS dst
+FROM s1 JOIN fe f ON f.src = s1.n1 AND f.rid <> s1.r1
+UNION ALL
+SELECT array_to_string([n0, n1, n2, f.dst], '->'),
+       n2, f.dst
+FROM s2 JOIN fe f ON f.src = s2.n2 AND f.rid <> s2.r1 AND f.rid <> s2.r2
+"""
+
+
 def cypher_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``allShortestPaths((a)-[:sharesDNA*..3]-(b))`` through the frontend:
     every shortest path per reachable pair (level-synchronous BFS with
@@ -704,6 +754,9 @@ ENTRIES = {
     ),
     "cypher_path_enumeration": SuiteEntry(
         cypher_path_enumeration, CYPHER_PATHS_SQL, ("S2", "J2", "W6")
+    ),
+    "cypher_chain_paths": SuiteEntry(
+        cypher_chain_paths, CYPHER_CHAIN_SQL, ("S2", "J1", "J2", "W6")
     ),
     "cypher_shortest_paths": SuiteEntry(
         cypher_shortest_paths, CYPHER_SHORTEST_SQL, ("S2", "J2", "W6")
