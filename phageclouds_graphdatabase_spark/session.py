@@ -65,6 +65,12 @@ def get_spark(
     ``master`` defaults to ``$SPARK_GRAFT_CPUS`` threads locally, or
     ``local[*]``; on a cluster, leave it None and let spark-submit decide.
     """
+    # before the JVM launches: workers inherit PYTHONPATH from it, and
+    # transformWithStateInPandas workers need google.protobuf (protomini
+    # fallback when the real distribution is absent)
+    from phageclouds_graphdatabase_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
     builder = SparkSession.builder.appName(app_name)
     if master is None and "SPARK_MASTER" not in os.environ:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")

@@ -39,7 +39,13 @@ TAXA = np.array(
 )
 
 
-def generate(out_dir: str, n_nodes: int, avg_degree: int, seed: int = 42) -> None:
+def generate(
+    out_dir: str,
+    n_nodes: int,
+    avg_degree: int,
+    seed: int = 42,
+    skew: bool = False,
+) -> None:
     rng = np.random.default_rng(seed)
     acc = np.array([f"ACC{i:07d}" for i in range(n_nodes)])
     source = SOURCES[rng.choice(len(SOURCES), n_nodes, p=[0.75, 0.05, 0.08, 0.07, 0.05])]
@@ -70,6 +76,26 @@ def generate(out_dir: str, n_nodes: int, avg_degree: int, seed: int = 42) -> Non
 
     src = np.concatenate([src_i, src_x])
     dst = np.concatenate([dst_i, dst_x])
+
+    if skew:
+        # Worst-case skew (VERDICT r1 next #8): ONE near-clique cloud with
+        # the Tequatrovirus_025 golden's density profile at 1000x the node
+        # count (264 nodes / 23,247 edges -> avg degree ~176 kept, node
+        # count x1000), plus 5 mega-hub nodes of ~100k degree each — the
+        # hot join keys that break a naive shuffle without AQE skew
+        # splitting. All skew edges pass the 0.15 threshold so the dense
+        # component IS the workload, not filtered noise.
+        C = min(264_000, n_nodes // 2)
+        m = C * 176 // 2
+        src_c = rng.integers(0, C, m)
+        dst_c = rng.integers(0, C, m)
+        hubs = rng.choice(C, 5, replace=False)
+        hub_deg = min(100_000, n_nodes // 4)
+        src_h = np.repeat(hubs, hub_deg)
+        dst_h = rng.integers(0, n_nodes, 5 * hub_deg)
+        src = np.concatenate([src, src_c, src_h])
+        dst = np.concatenate([dst, dst_c, dst_h])
+
     keep = src != dst
     src, dst = src[keep], dst[keep]
     # one direction per unordered pair (golden invariant)
@@ -78,6 +104,12 @@ def generate(out_dir: str, n_nodes: int, avg_degree: int, seed: int = 42) -> Non
     _, first = np.unique(pair, return_index=True)
     src, dst = src[first], dst[first]
     distance = np.round(rng.beta(2, 5, len(src)) * 0.5, 6)
+    if skew:
+        # skew-injected pairs (they sort AFTER the base pairs' first
+        # occurrences is not guaranteed, so mark by membership): any pair
+        # touching the clique range or a hub gets a passing distance
+        in_skew = (np.minimum(src, dst) < C) | np.isin(src, hubs) | np.isin(dst, hubs)
+        distance = np.where(in_skew, np.round(rng.uniform(0.0, 0.15, len(src)), 6), distance)
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -107,12 +139,18 @@ def main() -> None:
     ap.add_argument("--avg-degree", type=int, default=8)
     ap.add_argument("--work-dir", default="/tmp/phageclouds_scale")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="inject the worst-case single near-clique cloud "
+        "(Tequatrovirus_025 x1000) + 5 mega-hub nodes",
+    )
     args = ap.parse_args()
 
     work = args.work_dir
     shutil.rmtree(work, ignore_errors=True)
     t0 = time.time()
-    generate(work, args.nodes, args.avg_degree)
+    generate(work, args.nodes, args.avg_degree, skew=args.skew)
     t_gen = time.time() - t0
 
     # Size the session to the graph, the way a cluster submit would:
@@ -185,36 +223,42 @@ def main() -> None:
     # combinatorial by definition, so the rehearsal measures throughput per
     # seed cohort, not an all-pairs sweep (which nobody runs).
 
-    sample = (
-        nodes.select(F.col("accession").alias("id"))
-        .filter(F.abs(F.xxhash64("id")) % 1000 == 0)
-        .localCheckpoint()
-    )
-    n_sample = sample.count()
+    n_sample = n_paths = n_sp = n_cp = 0
+    if not args.skew:
+        # per-path enumeration on a near-clique is combinatorial by
+        # definition (176-degree clique -> ~176^3 paths per seed); the
+        # skew rehearsal measures the set-oriented operators instead
+        sample = (
+            nodes.select(F.col("accession").alias("id"))
+            .filter(F.abs(F.xxhash64("id")) % 1000 == 0)
+            .localCheckpoint()
+        )
+        n_sample = sample.count()
 
-    t0 = time.time()
-    vlp = G.var_length_paths(sample, edges, 2, 3, threshold=0.15, directed=False)
-    n_paths = vlp.count()
-    timings["var_length_paths_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        vlp = G.var_length_paths(sample, edges, 2, 3, threshold=0.15, directed=False)
+        n_paths = vlp.count()
+        timings["var_length_paths_sec"] = round(time.time() - t0, 2)
 
-    t0 = time.time()
-    sp = G.shortest_paths(
-        sample, edges, 3, threshold=0.15, directed=False, mode="one"
-    )
-    n_sp = sp.count()
-    timings["shortest_paths_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        sp = G.shortest_paths(
+            sample, edges, 3, threshold=0.15, directed=False, mode="one"
+        )
+        n_sp = sp.count()
+        timings["shortest_paths_sec"] = round(time.time() - t0, 2)
 
-    t0 = time.time()
-    cp = G.cheapest_path_costs(
-        sample, edges, 3, threshold=0.15, directed=False
-    )
-    n_cp = cp.count()
-    timings["cheapest_paths_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        cp = G.cheapest_path_costs(
+            sample, edges, 3, threshold=0.15, directed=False
+        )
+        n_cp = cp.count()
+        timings["cheapest_paths_sec"] = round(time.time() - t0, 2)
 
     print(
         json.dumps(
             {
                 "n_nodes": args.nodes,
+                "skew": args.skew,
                 "n_path_seeds": n_sample,
                 "n_var_length_paths": n_paths,
                 "n_shortest_pairs": n_sp,
