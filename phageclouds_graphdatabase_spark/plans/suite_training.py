@@ -1298,7 +1298,90 @@ ANTI JOIN (SELECT h FROM d WHERE doc_id < {_INGEST_CUTOFF}) c ON f.h = c.h
 """
 
 
+# --------------------------------------------------------------------------
+# Cross-document exact SPAN dedup (the MassiveText/C4 "remove repeated
+# passages corpus-wide" step, complementing intra-doc repeated_ngram_spans
+# and whole-doc dedup_exact_docs): chunk every document into consecutive
+# 8-token spans, keep only each span's FIRST occurrence across the whole
+# corpus (ordered by doc_id, then position), and report per doc how much
+# survived plus an md5 over the kept spans (order-preserving) so the oracle
+# checks the reconstruction, not just the counts.
+#
+# Scale shape: tokenize + chunk are per-row maps; the keep-first decision
+# is one window over md5(span) — a hash-partitioned shuffle with no
+# skew beyond genuinely viral spans (bounded by corpus repetition itself);
+# per-doc reassembly is a grouped sort-agg. No collect, no cross join.
+# --------------------------------------------------------------------------
+
+def dedup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+            )
+        ).alias("idx", "chunk"),
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("idx"), F.col("chunk"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.sum((F.col("rn") == 1).cast("long")).alias("kept_chunks"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("dropped_chunks"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["chunk"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+
+
+DEDUP_SPANS_SQL = r"""
+WITH docs AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+chunks AS (
+    SELECT doc_id, CAST(i AS INTEGER) AS idx,
+           array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ') AS chunk
+    FROM docs,
+         UNNEST(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS t(i)
+),
+ranked AS (
+    SELECT doc_id, idx, chunk,
+           ROW_NUMBER() OVER (
+               PARTITION BY md5(chunk) ORDER BY doc_id, idx
+           ) AS rn
+    FROM chunks
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS kept_chunks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dropped_chunks,
+       md5(COALESCE(
+           string_agg(CASE WHEN rn = 1 THEN chunk END, '|' ORDER BY idx),
+           '')) AS kept_md5
+FROM ranked GROUP BY doc_id
+"""
+
+
 ENTRIES: dict[str, SuiteEntry] = {
+    "dedup_spans_exact": SuiteEntry(
+        dedup_spans_exact, DEDUP_SPANS_SQL, ("W5", "W2")
+    ),
     "split_train_val_test": SuiteEntry(split_train_val_test, SPLIT_SQL, ("W5", "P6")),
     "pack_sequences": SuiteEntry(pack_sequences, PACK_SQL, ("W5", "W2")),
     "shuffle_order_global": SuiteEntry(shuffle_order_global, SHUFFLE_ORDER_SQL, ("W5", "W2")),
