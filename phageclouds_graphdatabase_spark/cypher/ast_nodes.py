@@ -157,6 +157,25 @@ class PatternPred(Expr):
     pattern: "PathPat"
 
 
+@dataclass(frozen=True)
+class ExistsSub(Expr):
+    """Neo4j 5 block form: ``EXISTS { [MATCH] <pattern> [WHERE <expr>] }``
+    — the modern spelling of the existential predicate, with an inner
+    WHERE the inline form can't express."""
+
+    pattern: "PathPat"
+    where: "Expr | None"
+
+
+@dataclass(frozen=True)
+class CountSub(Expr):
+    """Neo4j 5 ``COUNT { [MATCH] <pattern> [WHERE <expr>] }`` — correlated
+    per-row match count (the idiomatic degree expression)."""
+
+    pattern: "PathPat"
+    where: "Expr | None"
+
+
 # --- patterns --------------------------------------------------------------
 
 

@@ -271,7 +271,12 @@ class CypherEngine:
             still = []
             for c in pending:
                 if _pushable(c, frame, params):
-                    frame.df = frame.df.filter(self._col(frame, c, params))
+                    # compile BEFORE reading frame.df: a COUNT{}/EXISTS{}
+                    # conjunct mutates frame.df (correlated-count join),
+                    # and Python binds the .filter receiver before
+                    # evaluating its argument
+                    cc = self._col(frame, c, params)
+                    frame.df = frame.df.filter(cc)
                 else:
                     still.append(c)
             pending = still
@@ -1316,6 +1321,15 @@ class CypherEngine:
                 self._exists_join(frame, conj.pattern, params, "left_semi")
             elif isinstance(conj, A.Not) and isinstance(conj.expr, A.PatternPred):
                 self._exists_join(frame, conj.expr.pattern, params, "left_anti")
+            elif isinstance(conj, A.ExistsSub):
+                self._exists_join(
+                    frame, conj.pattern, params, "left_semi", where=conj.where
+                )
+            elif isinstance(conj, A.Not) and isinstance(conj.expr, A.ExistsSub):
+                self._exists_join(
+                    frame, conj.expr.pattern, params, "left_anti",
+                    where=conj.expr.where,
+                )
             elif (
                 isinstance(conj, A.InList)
                 and isinstance(conj.source, A.Param)
@@ -1343,13 +1357,14 @@ class CypherEngine:
                 pred = c if pred is None else pred & c
             frame.df = frame.df.filter(pred)
 
-    def _exists_join(
-        self, frame: _Frame, pat: A.PathPat, params: dict, how: str
-    ) -> None:
-        """WHERE (a)-[:t]->(:Label {k:v}) — P8 semi-join
-        (/root/reference/phageclouds_gdb_host.py:57). The anchor must be
-        bound; inner vars of the existential stay out of scope (openCypher
-        semantics)."""
+    def _exists_subframe(
+        self, frame: _Frame, pat: A.PathPat, params: dict,
+        where: A.Expr | None
+    ) -> tuple[_Frame, str, "object"]:
+        """Shared sub-frame builder for existential predicates and COUNT{}
+        blocks: anchor at the bound first variable, fold the whole pattern
+        (any kind — fixed chain, var-length, named path), apply the inner
+        WHERE. Returns (sub_frame, anchor_var, anchor NodeTable)."""
         first = pat.nodes[0]
         if first.var is None or not frame.has(first.var):
             raise CypherCompileError(
@@ -1360,17 +1375,44 @@ class CypherEngine:
         sub = _Frame(used=frame.used, _tmp=frame._tmp + 200)
         sub.df = nt.df.select(_struct_of(nt.df, first.var, nt.key, sub))
         sub.vars[first.var] = ("node", label)
-        anchor = first.var
-        for i, (edge, node) in enumerate(zip(pat.edges, pat.nodes[1:])):
-            anchor = self._join_step(
-                sub, anchor, edge, node, params, "inner",
-                is_last=(i == len(pat.edges) - 1),
-            )
+        self._fold_pattern(sub, pat, params)
+        if where is not None:
+            self._apply_where(sub, where, params)
+        return sub, first.var, nt
+
+    def _exists_join(
+        self, frame: _Frame, pat: A.PathPat, params: dict, how: str,
+        where: A.Expr | None = None,
+    ) -> None:
+        """WHERE (a)-[:t]->(:Label {k:v}) — P8 semi-join
+        (/root/reference/phageclouds_gdb_host.py:57) — and the Neo4j 5
+        block form EXISTS { pattern WHERE ... }. The anchor must be bound;
+        inner vars of the existential stay out of scope (openCypher
+        semantics)."""
+        sub, anchor, nt = self._exists_subframe(frame, pat, params, where)
         keyc = frame.fresh("k")
-        keys = sub.df.select(F.col(first.var)[nt.key].alias(keyc))
+        keys = sub.df.select(F.col(anchor)[nt.key].alias(keyc))
         frame.df = frame.df.join(
-            F.broadcast(keys), F.col(first.var)[nt.key] == F.col(keyc), how
+            F.broadcast(keys), F.col(anchor)[nt.key] == F.col(keyc), how
         )
+
+    def _count_sub_col(self, frame: _Frame, e: A.CountSub, params: dict):
+        """COUNT { pattern [WHERE ...] } — correlated per-row match count
+        (the Neo4j 5 degree idiom). Compiles to a grouped count on the
+        sub-frame left-joined back on the anchor key (0 when no match);
+        the extra join lands on frame.df before the enclosing projection/
+        filter reads it, so the returned Column is an ordinary reference."""
+        sub, anchor, nt = self._exists_subframe(
+            frame, e.pattern, params, e.where
+        )
+        kc, cc = frame.fresh("k"), frame.fresh("cnt")
+        counts = sub.df.groupBy(
+            F.col(anchor)[nt.key].alias(kc)
+        ).agg(F.count(F.lit(1)).alias(cc))
+        frame.df = frame.df.join(
+            counts, F.col(anchor)[nt.key] == F.col(kc), "left_outer"
+        ).drop(kc)
+        return F.coalesce(F.col(cc), F.lit(0)).cast("long")
 
     # -- WITH / RETURN -------------------------------------------------------
 
@@ -1533,6 +1575,22 @@ class CypherEngine:
                     f"reference it as `{e.var}`"
                 )
             return F.col(e.var)[e.name]
+        if isinstance(e, A.CountSub):
+            if env:
+                raise CypherCompileError(
+                    "COUNT { } is not supported inside lambda bodies"
+                )
+            return self._count_sub_col(frame, e, params)
+        if isinstance(e, A.ExistsSub):
+            if env:
+                raise CypherCompileError(
+                    "EXISTS { } is not supported inside lambda bodies"
+                )
+            # general-expression position: count > 0 (WHERE conjuncts take
+            # the semi/anti-join fast path in _apply_where instead)
+            return self._count_sub_col(
+                frame, A.CountSub(e.pattern, e.where), params
+            ) > 0
         if isinstance(e, A.Not):
             return ~self._col(frame, e.expr, params, env)
         if isinstance(e, A.And):
@@ -1964,7 +2022,12 @@ def _pushable(e, frame: "_Frame", params: dict) -> bool:
     compilations: existential PatternPreds (anywhere in the tree — `NOT
     (a)-[:t]->(...)` arrives as Not(PatternPred)), DataFrame IN-parameters
     (semi-join path), or lambda scopes (deferred for simplicity)."""
-    if isinstance(e, (A.ListComp, A.Reduce, A.Quantifier, A.PatternPred)):
+    if isinstance(e, (A.ListComp, A.Reduce, A.Quantifier, A.PatternPred,
+                      A.ExistsSub)):
+        # ExistsSub keeps _apply_where's semi/anti-join compilation;
+        # CountSub is deliberately NOT excluded — its correlated-count
+        # join is row-preserving, so pushing it ahead of var-length
+        # expansion is sound and filters the seed frame early
         return False
     if isinstance(e, A.Param):
         return not isinstance(params.get(e.name), DataFrame)

@@ -528,6 +528,8 @@ class _Parser:
             name = self.take("ident")
             if self.accept("sym", "."):
                 return A.Prop(name, self._name())
+            if name.lower() in ("exists", "count") and self.at("sym", "{"):
+                return self._block_subquery(name.lower())
             if self.at("sym", "("):
                 if name.lower() == "reduce":
                     return self._reduce()
@@ -537,6 +539,22 @@ class _Parser:
             return A.Var(name)
         raise CypherSyntaxError(
             f"expected an expression at position {pos}, found {tv!r}"
+        )
+
+    def _block_subquery(self, kind: str):
+        """Neo4j 5 block subqueries: ``EXISTS { [MATCH] pattern [WHERE e] }``
+        and ``COUNT { [MATCH] pattern [WHERE e] }``. One pattern chain; the
+        optional inner WHERE scopes to the block."""
+        self.take("sym", "{")
+        self.accept("kw", "match")
+        pat = self._pattern()
+        where = None
+        if self.accept("kw", "where"):
+            where = self.expr()
+        self.take("sym", "}")
+        return (
+            A.ExistsSub(pat, where) if kind == "exists"
+            else A.CountSub(pat, where)
         )
 
     def _reduce(self) -> A.Reduce:

@@ -48,6 +48,7 @@ _WINDOW = [
     "cypher_quantified_paths",
     "cypher_optional_shortest",
     "cypher_entity_functions",
+    "cypher_exists_count_blocks",
     "cypher_topk_order_limit",
     "cypher_unwind_case",
     "cypher_merge_upsert_nodes",
@@ -68,7 +69,6 @@ _WINDOW = [
     "jpeg_baseline_stats_real",
     "jpeg_progressive_stats_real",
     "mjpeg_frames_real",
-    "wav_stats_real",
     "flac_stats_real",
     # Dedup / similarity / ANN (W5 north star)
     "neardup_jaccard_pairs",

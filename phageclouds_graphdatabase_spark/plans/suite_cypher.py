@@ -311,6 +311,32 @@ SELECT array_to_string([n0, n1, n2, n3], '->'), 3, n3 FROM p3
 """
 
 
+def cypher_exists_count_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neo4j 5 block subqueries: ``EXISTS { pattern WHERE ... }`` (with an
+    inner WHERE the inline existential can't express) filtering the match,
+    and ``COUNT { pattern }`` as the per-row degree expression. EXISTS
+    compiles to a semi-join on the anchor key; COUNT to a grouped count
+    left-joined back (0 for no match)."""
+    q = """MATCH (a:PhageGenome)
+            WHERE EXISTS {{ MATCH (a)-[r:sharesDNA]->(b:PhageGenome)
+                            WHERE r.distance <= {t} }}
+            RETURN a.accession AS id,
+            COUNT {{ (a)-[:sharesDNA]->(c:PhageGenome) }} AS outdeg;""".format(
+        t=GRAPH_THRESHOLD
+    )
+    return _engine(spark, sf_dir).run(q)
+
+
+CYPHER_EXISTS_COUNT_SQL = _CTE + f"""
+SELECT n.accession AS id,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM edges e
+        WHERE e.src = n.accession) AS outdeg
+FROM nodes n
+WHERE EXISTS (SELECT 1 FROM edges e2
+              WHERE e2.src = n.accession AND e2.distance <= {GRAPH_THRESHOLD})
+"""
+
+
 def cypher_chain_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-edge named var-length CHAIN (VERDICT r1 next #5, previously
     fail-fast): ``p = (a)-[:sharesDNA*1..2]-(m)-[:sharesDNA]->(b)`` — a
@@ -757,6 +783,9 @@ ENTRIES = {
     ),
     "cypher_chain_paths": SuiteEntry(
         cypher_chain_paths, CYPHER_CHAIN_SQL, ("S2", "J1", "J2", "W6")
+    ),
+    "cypher_exists_count_blocks": SuiteEntry(
+        cypher_exists_count_blocks, CYPHER_EXISTS_COUNT_SQL, ("S2", "P8", "A6")
     ),
     "cypher_shortest_paths": SuiteEntry(
         cypher_shortest_paths, CYPHER_SHORTEST_SQL, ("S2", "J2", "W6")

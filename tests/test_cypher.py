@@ -645,6 +645,55 @@ class TestAggregateVariants:
             eng.run(q)
 
 
+class TestBlockSubqueries:
+    """Neo4j 5 EXISTS { } / COUNT { } blocks (new in round 2)."""
+
+    def test_exists_block_with_inner_where(self, eng):
+        q = ("MATCH (a:PhageGenome) WHERE EXISTS { "
+             "MATCH (a)-[r:sharesDNA]->(b:PhageGenome) "
+             "WHERE r.distance <= 0.1 } "
+             "RETURN a.accession AS id ORDER BY id")
+        # out-edges with d <= 0.1: A1 (.10), B1 (.05), B3 (.05), C1 (.10),
+        # F1 (-0.0)
+        assert [r.id for r in eng.run(q).collect()] == [
+            "A1", "B1", "B3", "C1", "F1"
+        ]
+
+    def test_not_exists_block_is_anti_join(self, eng):
+        q = ("MATCH (a:PhageGenome) WHERE NOT EXISTS { "
+             "(a)-[:sharesDNA]->(b:PhageGenome) } "
+             "RETURN a.accession AS id ORDER BY id")
+        assert [r.id for r in eng.run(q).collect()] == [
+            "B2", "D2", "E1", "F2"
+        ]
+
+    def test_count_block_as_degree(self, eng):
+        q = ("MATCH (a:PhageGenome) RETURN a.accession AS id, "
+             "COUNT { (a)-[:sharesDNA]-(b:PhageGenome) } AS deg "
+             "ORDER BY id LIMIT 4")
+        assert [(r.id, r.deg) for r in eng.run(q).collect()] == [
+            ("A1", 3), ("A2", 2), ("A3", 3), ("B1", 2)
+        ]
+
+    def test_count_block_in_where(self, eng):
+        q = ("MATCH (a:PhageGenome) "
+             "WHERE COUNT { (a)-[:sharesDNA]->(b:PhageGenome) } >= 2 "
+             "RETURN a.accession AS id")
+        assert [r.id for r in eng.run(q).collect()] == ["A1"]
+
+    def test_count_block_zero_for_isolated(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'E1'}) RETURN "
+             "COUNT { (a)-[:sharesDNA]-(b:PhageGenome) } AS deg")
+        assert eng.run(q).collect()[0].deg == 0
+
+    def test_exists_block_unbound_anchor_rejected(self, eng):
+        q = ("MATCH (a:PhageGenome) WHERE EXISTS { "
+             "(z:PhageGenome)-[:sharesDNA]->(b:PhageGenome) } "
+             "RETURN count(*) AS n")
+        with pytest.raises(CypherCompileError, match="bound"):
+            eng.run(q)
+
+
 class TestUnionQueries:
     def test_union_distinct(self, eng):
         q = ("MATCH (a:PhageGenome {source:'NCBI'}) RETURN a.accession AS id "
