@@ -61,10 +61,10 @@ _WINDOW = [
     "stream_static_join",
     "stream_stream_join",
     "stream_stream_left_join",
+    "stream_session_counts",
     # Real media codecs (W4)
     "image_stats_real",
     "png_stats_real",
-    "gif_stats_real",
     "jpeg_lossless_stats_real",
     "jpeg_baseline_stats_real",
     "jpeg_progressive_stats_real",

@@ -357,6 +357,43 @@ FROM events GROUP BY 1, 2
 """
 
 
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows under REAL Structured Streaming (readStream +
+    watermark + F.session_window, Trigger.AvailableNow) — the stateful
+    merging-window operator, not its batch twin (events_session_window
+    covers that). Complete-mode output equals the batch session
+    computation, which is the oracle."""
+    from phageclouds_graphdatabase_spark.streaming import events as stream
+
+    s = stream.read_events_stream(spark, sf_dir)
+    rows = stream.run_available_now(
+        stream.session_counts(s), output_mode="complete"
+    )
+    return spark.createDataFrame(
+        rows, "user_id long, session_start timestamp, n_events long"
+    )
+
+
+STREAM_SESSION_SQL = """
+WITH x AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+y AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM x
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM y GROUP BY user_id, sid
+"""
+
+
 def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The applyInPandasWithState custom stateful operator, driven through
     the driver contract: per-user running totals over the event stream. The
@@ -1224,6 +1261,9 @@ ENTRIES: dict[str, SuiteEntry] = {
     ),
     "stream_tumbling_counts": SuiteEntry(stream_tumbling_counts, STREAM_TUMBLING_SQL, ("W3",)),
     "stream_user_totals": SuiteEntry(stream_user_totals, STREAM_USER_TOTALS_SQL, ("W3", "W4")),
+    "stream_session_counts": SuiteEntry(
+        stream_session_counts, STREAM_SESSION_SQL, ("W3",)
+    ),
     "stream_static_join": SuiteEntry(stream_static_join, STREAM_STATIC_SQL, ("W3", "J1")),
     "stream_stream_join": SuiteEntry(stream_stream_join, STREAM_STREAM_SQL, ("W3", "J1")),
     "vis_html_golden_scan": SuiteEntry(
