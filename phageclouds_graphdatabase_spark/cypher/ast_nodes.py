@@ -240,6 +240,15 @@ class UnwindClause:
 
 
 @dataclass(frozen=True)
+class CallSub:
+    """``CALL { WITH <vars> ... RETURN ... }`` — Neo4j scoped subquery,
+    executed per outer row (the per-row top-k / per-row aggregate idiom).
+    The first inner clause must be the importing WITH."""
+
+    query: "Query"
+
+
+@dataclass(frozen=True)
 class ReturnClause:
     items: tuple
     distinct: bool = False

@@ -28,6 +28,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from phageclouds_graphdatabase_spark.cypher import ast_nodes as A
 from phageclouds_graphdatabase_spark.cypher.parser import parse
@@ -228,6 +229,8 @@ class CypherEngine:
                 self._fold_with(frame, clause, params)
             elif isinstance(clause, A.UnwindClause):
                 self._fold_unwind(frame, clause, params)
+            elif isinstance(clause, A.CallSub):
+                self._fold_call_subquery(frame, clause, params)
             elif isinstance(clause, A.ReturnClause):
                 out = self._fold_return(frame, clause, params)
             elif isinstance(
@@ -1215,6 +1218,158 @@ class CypherEngine:
             frame.vars[path_var] = ("path", None)
         frame.df = frame.df.drop("__pa", "__pb", "__nodes", "__dists", "__pl")
         return nvar
+
+    # -- CALL { } subqueries -------------------------------------------------
+
+    def _fold_call_subquery(
+        self, frame: _Frame, call: A.CallSub, params: dict
+    ) -> None:
+        """``CALL { WITH a MATCH ... RETURN x ORDER BY ... LIMIT k }`` —
+        the per-row scoped subquery (Neo4j 4+), i.e. the per-anchor top-k /
+        per-anchor aggregate idiom.
+
+        Compilation: the sub-frame seeds from the DISTINCT imported key
+        tuples (never the outer frame's full width), the inner clauses fold
+        normally, and the inner ORDER BY + LIMIT/SKIP becomes a row_number
+        window PARTITIONED BY the import keys — per-invocation semantics
+        without any per-row re-execution, which is the only shape that
+        survives 100 TB. Aggregates in the inner RETURN group by the
+        import keys (+ non-aggregate items), giving per-invocation
+        aggregation. The result joins back INNER on the import keys
+        (a CALL producing no rows eliminates the outer row — Neo4j
+        semantics); returned aliases bind as flat columns."""
+        q = call.query
+        clauses = q.clauses
+        if not clauses or not isinstance(clauses[0], A.WithClause):
+            raise CypherCompileError(
+                "CALL { } must start with an importing WITH"
+            )
+        imp = clauses[0]
+        if (imp.distinct or imp.where is not None or imp.order_by
+                or imp.skip is not None or imp.limit is not None):
+            raise CypherCompileError(
+                "the importing WITH takes bare variables only"
+            )
+        imports: list[str] = []
+        for item in imp.items:
+            ok = isinstance(item.expr, A.Var) and item.alias in (
+                None, item.expr.name
+            )
+            if not ok:
+                raise CypherCompileError(
+                    "the importing WITH takes bare variables only"
+                )
+            v = item.expr.name
+            if not frame.has(v) or frame.vars[v][0] != "node":
+                raise CypherCompileError(
+                    f"CALL import {v} must be a bound node variable"
+                )
+            imports.append(v)
+        if not isinstance(clauses[-1], A.ReturnClause):
+            raise CypherCompileError("CALL { } must end with RETURN")
+        ret = clauses[-1]
+        if ret.limit is not None and not ret.order_by:
+            raise CypherCompileError(
+                "LIMIT inside CALL { } needs an ORDER BY (deterministic "
+                "per-row top-k)"
+            )
+
+        # sub-frame seeded from the distinct imported key tuples
+        sub = _Frame(used=frame.used, _tmp=frame._tmp + 400)
+        key_in = [
+            F.col(v)[self.catalog.node(frame.vars[v][1]).key].alias(
+                f"__ci{i}"
+            )
+            for i, v in enumerate(imports)
+        ]
+        seed = frame.df.select(*key_in).distinct()
+        for i, v in enumerate(imports):
+            label = frame.vars[v][1]
+            nt = self.catalog.node(label)
+            vside = nt.df.select(_struct_of(nt.df, v, nt.key, sub))
+            seed = seed.join(
+                vside, F.col(f"__ci{i}") == F.col(v)[nt.key], "inner"
+            ).drop(f"__ci{i}")
+            sub.vars[v] = ("node", label)
+        sub.df = seed
+
+        for cl in clauses[1:-1]:
+            if isinstance(cl, A.MatchClause):
+                self._fold_match(sub, cl, params)
+            elif isinstance(cl, A.UnwindClause):
+                self._fold_unwind(sub, cl, params)
+            else:
+                raise CypherCompileError(
+                    "CALL { } supports WITH-imports, MATCH/OPTIONAL MATCH, "
+                    "UNWIND and a final RETURN"
+                )
+
+        # project: import keys + RETURN items (per-invocation grouping for
+        # aggregates), then per-invocation ORDER BY/SKIP/LIMIT as a window
+        kcols = [
+            F.col(v)[self.catalog.node(sub.vars[v][1]).key].alias(f"__ck{i}")
+            for i, v in enumerate(imports)
+        ]
+        knames = [f"__ck{i}" for i in range(len(imports))]
+        names, plain_cols, agg_idx = [], [], []
+        for i, item in enumerate(ret.items):
+            name = item.alias or _default_name(item)
+            if name in frame.vars:
+                raise CypherCompileError(
+                    f"CALL {{ }} RETURN name {name} is already bound outside"
+                )
+            names.append(name)
+            if _is_aggregate(item.expr):
+                agg_idx.append(i)
+                plain_cols.append(None)
+            else:
+                plain_cols.append(
+                    self._col(sub, item.expr, params).alias(name)
+                )
+        if agg_idx:
+            if ret.order_by:
+                raise CypherCompileError(
+                    "ORDER BY with aggregates inside CALL { } is not "
+                    "supported"
+                )
+            aggs = [
+                self._agg_col(sub, ret.items[i].expr, params).alias(names[i])
+                for i in agg_idx
+            ]
+            out = sub.df.groupBy(
+                *kcols, *[c for c in plain_cols if c is not None]
+            ).agg(*aggs)
+        else:
+            ocols = [
+                self._col(sub, e, params).alias(f"__co{i}")
+                for i, (e, _d) in enumerate(ret.order_by)
+            ]
+            out = sub.df.select(*kcols, *plain_cols, *ocols)
+            if ret.distinct:
+                out = out.dropDuplicates(knames + names)
+            if ret.order_by:
+                order = [
+                    (F.col(f"__co{i}").desc() if d else F.col(f"__co{i}").asc())
+                    for i, (_e, d) in enumerate(ret.order_by)
+                ]
+                w = Window.partitionBy(*knames).orderBy(*order)
+                out = out.withColumn("__crn", F.row_number().over(w))
+                lo = ret.skip or 0
+                cond = F.col("__crn") > lo
+                if ret.limit is not None:
+                    cond = cond & (F.col("__crn") <= lo + ret.limit)
+                out = out.filter(cond).drop("__crn")
+            out = out.drop(*[f"__co{i}" for i in range(len(ret.order_by))])
+
+        # join back on the import keys
+        cond = None
+        for i, v in enumerate(imports):
+            k = self.catalog.node(frame.vars[v][1]).key
+            c = F.col(v)[k] == F.col(f"__ck{i}")
+            cond = c if cond is None else cond & c
+        frame.df = frame.df.join(out, cond, "inner").drop(*knames)
+        for name in names:
+            frame.vars[name] = ("flat", None)
 
     # -- OPTIONAL MATCH ------------------------------------------------------
 

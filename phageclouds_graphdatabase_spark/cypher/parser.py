@@ -163,6 +163,12 @@ class _Parser:
                 e = self.expr()
                 self.take("kw", "as")
                 clauses.append(A.UnwindClause(e, self._name()))
+            elif self.at("ident") and self.peek()[1].lower() == "call":
+                self.take("ident")
+                self.take("sym", "{")
+                inner = self._single_query()
+                self.take("sym", "}")
+                clauses.append(A.CallSub(inner))
             elif self.accept("kw", "create"):
                 clauses.append(self._create())
             elif self.accept("kw", "merge"):

@@ -49,6 +49,7 @@ _WINDOW = [
     "cypher_optional_shortest",
     "cypher_entity_functions",
     "cypher_exists_count_blocks",
+    "cypher_call_topk",
     "cypher_topk_order_limit",
     "cypher_unwind_case",
     "cypher_merge_upsert_nodes",
@@ -63,7 +64,6 @@ _WINDOW = [
     "stream_stream_left_join",
     "stream_session_counts",
     # Real media codecs (W4)
-    "image_stats_real",
     "png_stats_real",
     "jpeg_lossless_stats_real",
     "jpeg_baseline_stats_real",

@@ -337,6 +337,32 @@ WHERE EXISTS (SELECT 1 FROM edges e2
 """
 
 
+def cypher_call_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL { } scoped subquery (Neo4j 4+): per-row top-2 nearest
+    neighbors — the inner ORDER BY + LIMIT applies PER INVOCATION, which
+    compiles to a row_number window partitioned by the import key (no
+    per-row re-execution). Oracle: the same window in SQL."""
+    q = """MATCH (a:PhageGenome {source:'ECONOMY'})
+            CALL { WITH a
+                   MATCH (a)-[r:sharesDNA]->(b:PhageGenome)
+                   RETURN b.accession AS nbr, r.distance AS d
+                   ORDER BY r.distance ASC, b.accession ASC LIMIT 2 }
+            RETURN a.accession AS id, nbr, d;"""
+    return _engine(spark, sf_dir).run(q)
+
+
+CYPHER_CALL_TOPK_SQL = _CTE + """
+SELECT id, nbr, d FROM (
+    SELECT n.accession AS id, e.dst AS nbr, e.distance AS d,
+           ROW_NUMBER() OVER (
+               PARTITION BY n.accession ORDER BY e.distance ASC, e.dst ASC
+           ) AS rn
+    FROM nodes n JOIN edges e ON e.src = n.accession
+    WHERE n.source = 'ECONOMY'
+) WHERE rn <= 2
+"""
+
+
 def cypher_chain_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-edge named var-length CHAIN (VERDICT r1 next #5, previously
     fail-fast): ``p = (a)-[:sharesDNA*1..2]-(m)-[:sharesDNA]->(b)`` — a
@@ -786,6 +812,9 @@ ENTRIES = {
     ),
     "cypher_exists_count_blocks": SuiteEntry(
         cypher_exists_count_blocks, CYPHER_EXISTS_COUNT_SQL, ("S2", "P8", "A6")
+    ),
+    "cypher_call_topk": SuiteEntry(
+        cypher_call_topk, CYPHER_CALL_TOPK_SQL, ("S2", "W1", "W2")
     ),
     "cypher_shortest_paths": SuiteEntry(
         cypher_shortest_paths, CYPHER_SHORTEST_SQL, ("S2", "J2", "W6")

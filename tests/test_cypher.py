@@ -694,6 +694,64 @@ class TestBlockSubqueries:
             eng.run(q)
 
 
+class TestCallSubqueries:
+    """CALL { WITH a ... RETURN ... } scoped subqueries (Neo4j 4+)."""
+
+    def test_per_row_top1_neighbor(self, eng):
+        q = ("MATCH (a:PhageGenome) "
+             "CALL { WITH a MATCH (a)-[r:sharesDNA]-(b:PhageGenome) "
+             "RETURN b.accession AS nbr, r.distance AS d "
+             "ORDER BY r.distance ASC, b.accession ASC LIMIT 1 } "
+             "RETURN a.accession AS id, nbr ORDER BY id")
+        got = [(r.id, r.nbr) for r in eng.run(q).collect()]
+        # E1 is isolated: the empty CALL eliminates its row (Neo4j rule)
+        assert got == [
+            ("A1", "A2"), ("A2", "A1"), ("A3", "A2"), ("B1", "B2"),
+            ("B2", "B1"), ("B3", "B2"), ("C1", "A1"), ("D1", "D2"),
+            ("D2", "D1"), ("F1", "F2"), ("F2", "F1"),
+        ]
+
+    def test_per_row_aggregate(self, eng):
+        q = ("MATCH (a:PhageGenome) "
+             "CALL { WITH a MATCH (a)-[r:sharesDNA]-(b:PhageGenome) "
+             "RETURN count(b.accession) AS deg, min(r.distance) AS closest } "
+             "RETURN a.accession AS id, deg, closest ORDER BY id LIMIT 3")
+        got = [(r.id, r.deg, r.closest) for r in eng.run(q).collect()]
+        assert got == [("A1", 3, 0.1), ("A2", 2, 0.1), ("A3", 3, 0.15)]
+
+    def test_limit_two_with_skip_semantics(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'A1'}) "
+             "CALL { WITH a MATCH (a)-[r:sharesDNA]-(b:PhageGenome) "
+             "RETURN b.accession AS nbr "
+             "ORDER BY r.distance ASC, b.accession ASC SKIP 1 LIMIT 2 } "
+             "RETURN nbr ORDER BY nbr")
+        # A1's neighbors by distance: A2 (.10), C1 (.10), A3 (.20);
+        # skip 1 -> C1, A3
+        assert [r.nbr for r in eng.run(q).collect()] == ["A3", "C1"]
+
+    def test_limit_without_order_rejected(self, eng):
+        q = ("MATCH (a:PhageGenome) "
+             "CALL { WITH a MATCH (a)-[:sharesDNA]->(b:PhageGenome) "
+             "RETURN b.accession AS nbr LIMIT 1 } "
+             "RETURN nbr")
+        with pytest.raises(CypherCompileError, match="ORDER BY"):
+            eng.run(q)
+
+    def test_missing_import_with_rejected(self, eng):
+        q = ("MATCH (a:PhageGenome) "
+             "CALL { MATCH (z:PhageGenome) RETURN z.accession AS x } "
+             "RETURN x")
+        with pytest.raises(CypherCompileError, match="importing WITH"):
+            eng.run(q)
+
+    def test_name_collision_rejected(self, eng):
+        q = ("MATCH (a:PhageGenome) "
+             "CALL { WITH a MATCH (a)-[:sharesDNA]->(b:PhageGenome) "
+             "RETURN b.accession AS a } RETURN a")
+        with pytest.raises(CypherCompileError, match="already bound"):
+            eng.run(q)
+
+
 class TestUnionQueries:
     def test_union_distinct(self, eng):
         q = ("MATCH (a:PhageGenome {source:'NCBI'}) RETURN a.accession AS id "
