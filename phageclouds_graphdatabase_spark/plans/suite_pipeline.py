@@ -1138,6 +1138,127 @@ WHERE rnk <= 3
 _KMEANS_K = 8
 
 
+_SEMDEDUP_K = 8
+_SEMDEDUP_THR = 0.30
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup over embeddings: cluster with a
+    coarse quantizer (max-dot assignment to the seed centroids, ties to
+    the smaller id — IVF's convention), then prune WITHIN each cluster:
+    a vector is dropped when a smaller-id cluster-mate sits above the
+    cosine threshold. Pairwise work is cluster-bounded, never all-pairs —
+    the property that makes semantic dedup feasible at 100 TB (the
+    greedy smaller-id-wins rule, rather than chained absorption into
+    already-pruned members, is the documented deterministic variant).
+    Integer-exact cross-engine: quantized vectors, integer dots, one
+    identically-written IEEE division for the cosine."""
+    qv = ext._quantized(spark, sf_dir).cache()
+    cent = qv.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("c")
+    )
+    dots = qv.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.aggregate(
+            F.zip_with("q", "c", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("cdot"),
+    )
+    assigned = (
+        dots.groupBy("vec_id")
+        .agg(F.min(F.struct((-F.col("cdot")).alias("nd"), F.col("cid"))).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cell"))
+    )
+    norms = qv.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with("q", "q", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n2"),
+    )
+    aq = assigned.join(qv, "vec_id")
+    a = aq.select(
+        F.col("cell"), F.col("vec_id").alias("i"), F.col("q").alias("qi")
+    )
+    b = aq.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("j"),
+        F.col("q").alias("qj"),
+    )
+    pairs = a.join(
+        b, (F.col("cell") == F.col("cell_b")) & (F.col("i") < F.col("j"))
+    ).select(
+        "i",
+        "j",
+        F.aggregate(
+            F.zip_with("qi", "qj", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+    )
+    ni = norms.select(F.col("vec_id").alias("i"), F.col("n2").alias("ni"))
+    nj = norms.select(F.col("vec_id").alias("j"), F.col("n2").alias("nj"))
+    pruned = (
+        pairs.join(F.broadcast(ni), "i")
+        .join(F.broadcast(nj), "j")
+        .filter(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("ni").cast("double")) * F.sqrt(F.col("nj").cast("double")))
+            >= F.lit(_SEMDEDUP_THR)
+        )
+        .select(F.col("j").alias("vec_id"))
+        .distinct()
+        .withColumn("pruned", F.lit(True))
+    )
+    return (
+        assigned.join(pruned, "vec_id", "left_outer")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(~F.col("pruned"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+SEMDEDUP_SQL = "WITH " + ext._QUANT_ELEMS_SQL + f"""
+, cdots AS (
+    SELECT v.vec_id, c.vec_id AS cid, CAST(SUM(v.qe * c.qe) AS BIGINT) AS cdot
+    FROM elems v JOIN elems c ON c.d = v.d AND c.vec_id < {_SEMDEDUP_K}
+    GROUP BY v.vec_id, c.vec_id
+),
+assigned AS (
+    SELECT vec_id, cid AS cell
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cdot DESC, cid) AS rn
+          FROM cdots) z
+    WHERE rn = 1
+),
+pairs AS (
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           CAST(SUM(ea.qe * eb.qe) AS BIGINT) AS dot
+    FROM assigned a
+    JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    JOIN elems ea ON ea.vec_id = a.vec_id
+    JOIN elems eb ON eb.vec_id = b.vec_id AND eb.d = ea.d
+    GROUP BY 1, 2
+),
+pruned AS (
+    SELECT DISTINCT j AS vec_id
+    FROM pairs
+    JOIN norms na ON na.vec_id = i
+    JOIN norms nb ON nb.vec_id = j
+    WHERE CAST(dot AS DOUBLE) /
+          (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+          >= {_SEMDEDUP_THR}
+)
+SELECT a.vec_id, a.cell, (p.vec_id IS NULL) AS kept
+FROM assigned a LEFT JOIN pruned p ON p.vec_id = a.vec_id
+"""
+
+
 def kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # qv feeds the seed table, both assignment joins, and the update;
     # cache once (Catalyst re-derives repeated subplans otherwise).
@@ -1232,6 +1353,7 @@ WHERE rn = 1
 
 
 ENTRIES: dict[str, SuiteEntry] = {
+    "semdedup_prune": SuiteEntry(semdedup_prune, SEMDEDUP_SQL, ("W5",)),
     "kmeans_ivf_train": SuiteEntry(kmeans_ivf_train, KMEANS_SQL, ("W5",)),
     "graph_wedge_counts": SuiteEntry(graph_wedge_counts, GRAPH_WEDGES_SQL, ("J1", "A6")),
     "graph_triangle_counts": SuiteEntry(
