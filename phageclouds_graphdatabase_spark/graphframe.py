@@ -230,12 +230,62 @@ class GraphFrame:
         )
 
     def bfs(self, fromExpr, toExpr, maxPathLength: int = 10) -> DataFrame:
-        """GraphFrames ``bfs``: shortest paths from vertices matching
-        ``fromExpr`` to vertices matching ``toExpr``. Output is the
-        engine's path shape ``(src, dst, path, hops)`` — one row per
-        shortest path per (from, to) pair — rather than GraphFrames'
-        exploded from/e0/v1/... columns (documented deviation; the
-        information content is identical)."""
+        """GraphFrames ``bfs``, output-shape compatible since round 2:
+        shortest paths from vertices matching ``fromExpr`` to vertices
+        matching ``toExpr``, returned with GraphFrames' exploded columns
+        ``from, e0, v1, e1, ..., to`` (vertex/edge structs). Matches
+        GraphFrames semantics: only the globally SHORTEST distance is
+        returned (the search stops at the first level with a hit), a
+        vertex matching both expressions yields the zero-length path
+        (just ``from``/``to``), and no hit yields an empty ``from``/
+        ``to`` frame. The raw engine shape remains available as
+        ``bfs_paths`` (one row per path: src, dst, path, hops)."""
+        v = self.vertices
+        vstruct = F.struct(*[F.col(c) for c in v.columns])
+        both = v.filter(fromExpr).filter(toExpr)
+        if not both.isEmpty():
+            # zero-length paths win (GraphFrames rule)
+            return both.select(
+                vstruct.alias("from"), vstruct.alias("to")
+            )
+        hits = self.bfs_paths(fromExpr, toExpr, maxPathLength)
+        row = hits.agg(F.min("hops").alias("k")).collect()[0]
+        if row.k is None:
+            empty = v.filter(F.lit(False))
+            return empty.select(vstruct.alias("from"), vstruct.alias("to"))
+        k = int(row.k)
+        out = hits.filter(F.col("hops") == k)
+        names = []
+        for i in range(k + 1):
+            name = "from" if i == 0 else ("to" if i == k else f"v{i}")
+            side = v.select(
+                vstruct.alias(name), F.col("id").alias(f"__vid{i}")
+            )
+            out = out.join(
+                side, F.element_at("path", i + 1) == F.col(f"__vid{i}")
+            )
+            names.append(name)
+        e = self.edges
+        estruct = F.struct(*[F.col(c) for c in e.columns])
+        for i in range(k):
+            side = e.select(
+                estruct.alias(f"e{i}"),
+                F.col("src").alias(f"__es{i}"),
+                F.col("dst").alias(f"__ed{i}"),
+            )
+            out = out.join(
+                side,
+                (F.element_at("path", i + 1) == F.col(f"__es{i}"))
+                & (F.element_at("path", i + 2) == F.col(f"__ed{i}")),
+            )
+        ordered = [names[0]]
+        for i in range(k):
+            ordered.extend([f"e{i}", names[i + 1]])
+        return out.select(*ordered)
+
+    def bfs_paths(self, fromExpr, toExpr, maxPathLength: int = 10) -> DataFrame:
+        """The engine-native bfs shape: one row per shortest path per
+        (from, to) pair — ``(src, dst, path array, hops)``."""
         seeds = self.vertices.filter(fromExpr).select("id")
         paths = G.shortest_paths(
             seeds, self.edges, maxPathLength, mode="all"

@@ -166,9 +166,42 @@ class TestPregelAndCommunities:
         with pytest.raises(MotifError, match="sendToSrc"):
             g.aggregateMessages(F.count(F.lit(1)).alias("n"))
 
-    def test_bfs(self, g):
-        r = g.bfs(F.col("val") == 1, F.col("val") == 4, 5)
+    def test_bfs_paths_engine_shape(self, g):
+        r = g.bfs_paths(F.col("val") == 1, F.col("val") == 4, 5)
         assert sorted(tuple(x.path) for x in r.collect()) == [("a", "c", "d")]
+
+    def test_bfs_graphframes_exploded_shape(self, g):
+        # a -> c -> d is the single shortest a-to-d path (2 hops):
+        # GraphFrames columns from, e0, v1, e1, to with vertex/edge structs
+        r = g.bfs(F.col("val") == 1, F.col("val") == 4, 5)
+        assert r.columns == ["from", "e0", "v1", "e1", "to"]
+        rows = r.collect()
+        assert len(rows) == 1
+        x = rows[0]
+        assert (x["from"]["id"], x.v1["id"], x.to["id"]) == ("a", "c", "d")
+        assert (x.e0.src, x.e0.dst, x.e1.src, x.e1.dst) == (
+            "a", "c", "c", "d"
+        )
+        assert x.e0.distance == 0.3 and x.e1.distance == 0.4
+
+    def test_bfs_only_shortest_level_returned(self, g):
+        # from {a} to {b, c}: distance-1 hits (a->b, a->c) suppress any
+        # longer paths (a->b->c never appears)
+        r = g.bfs(F.col("id") == "a", F.col("val").isin(2, 3), 5)
+        assert r.columns == ["from", "e0", "to"]
+        got = sorted((x["from"]["id"], x.to["id"]) for x in r.collect())
+        assert got == [("a", "b"), ("a", "c")]
+
+    def test_bfs_zero_length_path(self, g):
+        r = g.bfs(F.col("val") <= 2, F.col("val") == 1, 5)
+        assert r.columns == ["from", "to"]
+        rows = r.collect()
+        assert len(rows) == 1
+        assert rows[0]["from"]["id"] == "a" and rows[0].to["id"] == "a"
+
+    def test_bfs_no_path_empty(self, g):
+        r = g.bfs(F.col("id") == "e", F.col("id") == "a", 5)
+        assert r.columns == ["from", "to"] and r.count() == 0
 
     def test_label_propagation_two_triangles(self, spark):
         v = spark.createDataFrame([(x,) for x in "abcxyz"], "id string")
