@@ -388,6 +388,164 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+# --- TIFF (baseline 6.0: uncompressed + PackBits, both byte orders) -------
+
+def _packbits_decode(b: bytes) -> bytes:
+    """PackBits (TIFF 6.0 §9 / the classic Apple RLE): n in [0,127] copies
+    the next n+1 literal bytes; n in [129,255] repeats the next byte
+    257-n times; 128 is a no-op."""
+    out = bytearray()
+    i, ln = 0, len(b)
+    while i < ln:
+        n = b[i]
+        i += 1
+        if n < 128:
+            out += b[i:i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([b[i]]) * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(b: bytes) -> bytes:
+    """Greedy PackBits encoder: runs of >= 3 identical bytes become
+    replicate packets, everything else literal packets (max 128 each)."""
+    out = bytearray()
+    i, ln = 0, len(b)
+    while i < ln:
+        # find run length at i
+        j = i + 1
+        while j < ln and j - i < 128 and b[j] == b[i]:
+            j += 1
+        run = j - i
+        if run >= 3:
+            out += bytes([257 - run, b[i]])
+            i = j
+            continue
+        # literal: until the next >=3 run or 128 bytes
+        j = i
+        while j < ln and j - i < 128:
+            if j + 2 < ln and b[j] == b[j + 1] == b[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + b[i:j]
+        i = j
+    return bytes(out)
+
+
+_TIFF_COMP_NONE, _TIFF_COMP_PACKBITS = 1, 32773
+
+
+def _decode_tiff(data: bytes) -> np.ndarray:
+    """Baseline TIFF -> HxWx3 uint8 RGB: II and MM byte orders, 8-bit
+    grayscale (replicated to 3 channels) or RGB, multi-strip, compression
+    none or PackBits. Fail-closed on anything else (tiled TIFFs, LZW,
+    16-bit) — same contract as the other codecs."""
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise NotImplementedError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    (n_entries,) = struct.unpack_from(bo + "H", data, ifd_off)
+    _SZ = {1: 1, 2: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, count = struct.unpack_from(bo + "HHI", data, off)
+        if typ not in _SZ:
+            continue
+        total = _SZ[typ] * count
+        src = off + 8 if total <= 4 else struct.unpack_from(bo + "I", data, off + 8)[0]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack_from(bo + str(count) + fmt, data, src))
+    try:
+        w, h = tags[256][0], tags[257][0]
+        spp = tags.get(277, [1])[0]
+        bits = tags.get(258, [8] * spp)
+        comp = tags.get(259, [_TIFF_COMP_NONE])[0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}") from None
+    if any(b != 8 for b in bits) or spp not in (1, 3):
+        raise NotImplementedError("only 8-bit gray/RGB TIFFs decode")
+    if comp not in (_TIFF_COMP_NONE, _TIFF_COMP_PACKBITS):
+        raise NotImplementedError(f"TIFF compression {comp} not supported")
+    raw = bytearray()
+    for o, c in zip(offsets, counts):
+        strip = bytes(data[o:o + c])
+        raw += _packbits_decode(strip) if comp == _TIFF_COMP_PACKBITS else strip
+    expect = w * h * spp
+    if len(raw) < expect:
+        raise ValueError("TIFF strip data short of width*height*samples")
+    arr = np.frombuffer(bytes(raw[:expect]), np.uint8).reshape(h, w, spp)
+    if spp == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    return arr
+
+
+def encode_tiff(arr: np.ndarray, compression: str = "packbits") -> bytes:
+    """HxWx3 uint8 RGB (or HxW gray) -> little-endian baseline TIFF, one
+    strip per row, compression 'none' or 'packbits'."""
+    arr = np.ascontiguousarray(arr, np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    spp = 1 if gray else arr.shape[2]
+    comp = _TIFF_COMP_PACKBITS if compression == "packbits" else _TIFF_COMP_NONE
+    rows = [arr[r].tobytes() for r in range(h)]
+    if comp == _TIFF_COMP_PACKBITS:
+        rows = [_packbits_encode(r) for r in rows]
+    data_start = 8
+    offsets, counts, pos = [], [], data_start
+    for r in rows:
+        offsets.append(pos)
+        counts.append(len(r))
+        pos += len(r)
+    ifd_off = pos + (pos & 1)  # word-align the IFD
+    body = b"".join(rows) + (b"\x00" if pos & 1 else b"")
+
+    entries = []
+    extra = bytearray()
+    extra_base = 0  # patched once the entry count is known
+
+    def entry(tag, typ, values):
+        fmt = {3: "H", 4: "I"}[typ]
+        packed = struct.pack("<" + str(len(values)) + fmt, *values)
+        if len(packed) <= 4:
+            entries.append(
+                struct.pack("<HHI", tag, typ, len(values))
+                + packed.ljust(4, b"\x00")
+            )
+        else:
+            entries.append(
+                struct.pack("<HHII", tag, typ, len(values),
+                            extra_base + len(extra))
+            )
+            extra.extend(packed)
+
+    n_pre = 10  # fixed entry count below
+    extra_base = ifd_off + 2 + 12 * n_pre + 4
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, [8] * spp)
+    entry(259, 3, [comp])
+    entry(262, 3, [1 if gray else 2])
+    entry(273, 4, offsets)
+    entry(277, 3, [spp])
+    entry(278, 4, [1])
+    entry(279, 4, counts)
+    entry(282, 3, [72])  # XResolution as SHORT is nonstandard but inert
+    assert len(entries) == n_pre
+    ifd = (
+        struct.pack("<H", n_pre) + b"".join(entries) + struct.pack("<I", 0)
+        + bytes(extra)
+    )
+    return b"II*\x00" + struct.pack("<I", ifd_off) + body + ifd
+
+
 def decode_image_array(payload: bytes) -> np.ndarray:
     """Dispatch on magic bytes; NotImplementedError marks the formats a
     real Pillow install would add (JPEG)."""
@@ -399,13 +557,15 @@ def decode_image_array(payload: bytes) -> np.ndarray:
         return _decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(payload)
     if payload[:2] == b"\xff\xd8":
         from phageclouds_graphdatabase_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
     raise NotImplementedError(
         "no native codec for this payload; "
-        "PPM P6 / 24-bit BMP / 8-bit PNG / GIF / JPEG decode natively"
+        "PPM P6 / 24-bit BMP / 8-bit PNG / GIF / TIFF / JPEG decode natively"
     )
 
 

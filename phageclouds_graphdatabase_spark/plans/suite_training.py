@@ -640,6 +640,41 @@ FROM ch, (SELECT unnest(range(0, 2)) AS f)
 """
 
 
+def tiff_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract proof through the REAL TIFF codec (baseline 6.0,
+    PackBits RLE): each document's first 48 bytes become a 4x4 RGB image,
+    PackBits-encoded into a little-endian TIFF, decoded back via the
+    pure-numpy strip reader. A value match proves IFD build -> PackBits
+    encode -> strip decode bit-for-bit against an oracle that never sees
+    an image."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from phageclouds_graphdatabase_spark.operators import multimodal as mm
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")[:48].ljust(48, b" ")
+                arr = np.frombuffer(raw, np.uint8).reshape(4, 4, 3)
+                payloads.append(mm.encode_tiff(arr, "packbits"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["image"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    media = d.mapInPandas(build, mm.MEDIA_COLUMNS)
+    return mm.image_stats(media)
+
+
 def gif_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same contract proof as ``png_stats_real`` but through the REAL GIF
     codec: each document's first 48 bytes become a 4x4 RGB image (at most
@@ -1398,6 +1433,7 @@ ENTRIES: dict[str, SuiteEntry] = {
     "wav_stats_real": SuiteEntry(wav_stats_real, WAV_STATS_SQL, ("W4",)),
     "avi_frames_real": SuiteEntry(avi_frames_real, AVI_FRAMES_SQL, ("W4",)),
     "gif_stats_real": SuiteEntry(gif_stats_real, IMAGE_STATS_SQL, ("W4",)),
+    "tiff_stats_real": SuiteEntry(tiff_stats_real, IMAGE_STATS_SQL, ("W4",)),
     "jpeg_lossless_stats_real": SuiteEntry(
         jpeg_lossless_stats_real, IMAGE_STATS_SQL, ("W4",)
     ),

@@ -451,3 +451,72 @@ def test_png_malformed_raises_codec_marker():
         mm.decode_image_array(_hand_png(1, 1, 2, raw)[:16] +
                               struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1) +
                               _hand_png(1, 1, 2, raw)[29:])
+
+
+# --- TIFF (baseline 6.0, round 2) ------------------------------------------
+
+def test_packbits_spec_vector():
+    """The canonical TIFF 6.0 §9 PackBits example: encoded
+    FE AA | 02 80 00 2A | FD AA | 03 80 00 2A 22 | F7 AA decodes to
+    3xAA 80 00 2A 4xAA 80 00 2A 22 10xAA."""
+    enc = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    want = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22" + "AA" * 10)
+    assert mm._packbits_decode(enc) == want
+    # our encoder round-trips the same payload (byte-identical output is
+    # not required by the spec; decodability is)
+    assert mm._packbits_decode(mm._packbits_encode(want)) == want
+
+
+def test_packbits_noop_128_skipped():
+    assert mm._packbits_decode(b"\x80\x00A") == b"A"
+
+
+@settings(max_examples=30, deadline=None)
+@given(w=_DIMS, h=_DIMS, seed=st.integers(0, 2**31 - 1),
+       comp=st.sampled_from(["none", "packbits"]))
+def test_prop_tiff_roundtrip(w, h, seed, comp):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(mm._decode_tiff(mm.encode_tiff(a, comp)), a)
+
+
+def test_tiff_gray_replicates_channels():
+    g = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    got = mm._decode_tiff(mm.encode_tiff(g, "packbits"))
+    np.testing.assert_array_equal(got, np.repeat(g[:, :, None], 3, axis=2))
+
+
+def test_tiff_big_endian_decodes():
+    """Hand-build a minimal MM (big-endian) uncompressed 2x1 RGB TIFF."""
+    pix = bytes([1, 2, 3, 4, 5, 6])
+    entries = [
+        (256, 3, 1, 2), (257, 3, 1, 1), (259, 3, 1, 1), (262, 3, 1, 2),
+        (273, 4, 1, 8), (277, 3, 1, 3), (278, 4, 1, 1), (279, 4, 1, 6),
+    ]
+    ifd = struct.pack(">H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if typ == 3:
+            ifd += struct.pack(">HHIHH", tag, typ, cnt, val, 0)
+        else:
+            ifd += struct.pack(">HHII", tag, typ, cnt, val)
+    ifd += struct.pack(">I", 0)
+    data = b"MM\x00*" + struct.pack(">I", 8 + len(pix)) + pix + ifd
+    got = mm._decode_tiff(data)
+    np.testing.assert_array_equal(got, np.array([[[1, 2, 3], [4, 5, 6]]]))
+
+
+def test_tiff_unsupported_compression_fail_closed():
+    a = np.zeros((2, 2, 3), np.uint8)
+    payload = bytearray(mm.encode_tiff(a, "none"))
+    # patch compression tag value to 5 (LZW) in the IFD
+    idx = payload.find(struct.pack("<HH", 259, 3))
+    payload[idx + 8:idx + 10] = struct.pack("<H", 5)
+    with pytest.raises(NotImplementedError, match="compression"):
+        mm._decode_tiff(bytes(payload))
+
+
+def test_tiff_dispatches_from_decode_image_array():
+    a = np.full((3, 3, 3), 7, np.uint8)
+    np.testing.assert_array_equal(
+        mm.decode_image_array(mm.encode_tiff(a)), a
+    )
