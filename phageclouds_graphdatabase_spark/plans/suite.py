@@ -63,8 +63,8 @@ _WINDOW = [
     "stream_stream_join",
     "stream_stream_left_join",
     "stream_session_counts",
+    "stream_user_totals_tws",
     # Real media codecs (W4)
-    "png_stats_real",
     "jpeg_lossless_stats_real",
     "jpeg_baseline_stats_real",
     "jpeg_progressive_stats_real",

@@ -421,6 +421,45 @@ FROM events GROUP BY user_id
 """
 
 
+def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 ``transformWithStateInPandas`` StatefulProcessor (W3+W4),
+    in the driver contract since round 2: its Python worker speaks protobuf
+    to the JVM state server, which vendor/protomini supplies when the real
+    protobuf distribution is absent. Requires the RocksDB state store
+    provider; same batch-aggregation oracle as the applyInPandasWithState
+    twin — two stateful APIs, one oracle."""
+    from phageclouds_graphdatabase_spark.streaming import events as stream
+    from phageclouds_graphdatabase_spark.vendor import ensure_protobuf
+
+    if not ensure_protobuf():  # pragma: no cover - protomini always loads
+        raise RuntimeError("no protobuf runtime available")
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        s = stream.read_events_stream(spark, sf_dir)
+        rows = stream.run_available_now(
+            stream.running_user_totals_tws(s), output_mode="update"
+        )
+    finally:
+        if old:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    final: dict = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.sum_value_cents)
+    return spark.createDataFrame(
+        [(k, n, s_) for k, (n, s_) in final.items()],
+        "user_id long, n_events long, sum_value_cents long",
+    )
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join driven through the driver contract: the event
     stream enriched with the (static) customer dim, aggregated per
@@ -1385,6 +1424,9 @@ ENTRIES: dict[str, SuiteEntry] = {
     "stream_user_totals": SuiteEntry(stream_user_totals, STREAM_USER_TOTALS_SQL, ("W3", "W4")),
     "stream_session_counts": SuiteEntry(
         stream_session_counts, STREAM_SESSION_SQL, ("W3",)
+    ),
+    "stream_user_totals_tws": SuiteEntry(
+        stream_user_totals_tws, STREAM_USER_TOTALS_SQL, ("W3", "W4")
     ),
     "stream_static_join": SuiteEntry(stream_static_join, STREAM_STATIC_SQL, ("W3", "J1")),
     "stream_stream_join": SuiteEntry(stream_stream_join, STREAM_STREAM_SQL, ("W3", "J1")),
