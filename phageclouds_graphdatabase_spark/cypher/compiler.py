@@ -1298,10 +1298,40 @@ class CypherEngine:
                 self._fold_match(sub, cl, params)
             elif isinstance(cl, A.UnwindClause):
                 self._fold_unwind(sub, cl, params)
+            elif isinstance(cl, A.WithClause):
+                # mid-WITH inside the CALL body: per-invocation semantics —
+                # the import variables are implicit grouping keys, so they
+                # are appended as bare items when the user didn't carry
+                # them (`WITH count(b) AS c WHERE c > 2` groups per
+                # invocation, not globally). ORDER/SKIP/LIMIT would need
+                # per-invocation windows mid-stream; not supported.
+                if cl.order_by or cl.skip is not None or cl.limit is not None:
+                    raise CypherCompileError(
+                        "ORDER BY/SKIP/LIMIT on a WITH inside CALL { } is "
+                        "not supported (put it on the final RETURN)"
+                    )
+                carried = {
+                    item.expr.name
+                    for item in cl.items
+                    if isinstance(item.expr, A.Var)
+                }
+                extra = tuple(
+                    A.Item(A.Var(v), None, v)
+                    for v in imports
+                    if v not in carried
+                )
+                self._fold_with(
+                    sub,
+                    A.WithClause(
+                        cl.items + extra, cl.distinct, cl.where,
+                        (), None, None,
+                    ),
+                    params,
+                )
             else:
                 raise CypherCompileError(
                     "CALL { } supports WITH-imports, MATCH/OPTIONAL MATCH, "
-                    "UNWIND and a final RETURN"
+                    "UNWIND, mid-WITH and a final RETURN"
                 )
 
         # project: import keys + RETURN items (per-invocation grouping for

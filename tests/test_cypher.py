@@ -751,6 +751,27 @@ class TestCallSubqueries:
         with pytest.raises(CypherCompileError, match="already bound"):
             eng.run(q)
 
+    def test_mid_with_per_invocation_having(self, eng):
+        # WITH count(..) WHERE inside the CALL groups PER INVOCATION (the
+        # import keys are implicit grouping keys), i.e. per-row HAVING
+        q = ("MATCH (a:PhageGenome) "
+             "CALL { WITH a MATCH (a)-[r:sharesDNA]-(b:PhageGenome) "
+             "WITH count(b.accession) AS deg WHERE deg >= 2 "
+             "RETURN deg } "
+             "RETURN a.accession AS id, deg ORDER BY id")
+        got = [(r.id, r.deg) for r in eng.run(q).collect()]
+        assert got == [
+            ("A1", 3), ("A2", 2), ("A3", 3), ("B1", 2), ("B2", 2)
+        ]
+
+    def test_mid_with_order_by_rejected(self, eng):
+        q = ("MATCH (a:PhageGenome) "
+             "CALL { WITH a MATCH (a)-[r:sharesDNA]-(b:PhageGenome) "
+             "WITH b.accession AS x ORDER BY x LIMIT 1 RETURN x } "
+             "RETURN x")
+        with pytest.raises(CypherCompileError, match="final RETURN"):
+            eng.run(q)
+
 
 class TestUnionQueries:
     def test_union_distinct(self, eng):

@@ -408,6 +408,13 @@ class TestBoundEndpoints:
         assert len(r) == 1
         assert r[0].path == ["A1", "A3", "B1", "B2"] and r[0].hops == 3
 
+    def test_all_shortest_to_prebound_endpoint(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'A1'}), "
+             "(b:PhageGenome {accession:'B2'}) "
+             "MATCH p = allShortestPaths((a)-[:sharesDNA*..4]-(b)) "
+             "RETURN nodes(p) AS path")
+        assert paths_of(eng.run(q)) == ["A1>A3>B1>B2"]
+
     def test_var_length_to_prebound_endpoint(self, eng):
         q = ("MATCH (a:PhageGenome {accession:'A1'}), "
              "(b:PhageGenome {accession:'B1'}) "
