@@ -243,9 +243,12 @@ class UnwindClause:
 class CallSub:
     """``CALL { WITH <vars> ... RETURN ... }`` — Neo4j scoped subquery,
     executed per outer row (the per-row top-k / per-row aggregate idiom).
-    The first inner clause must be the importing WITH."""
+    The first inner clause must be the importing WITH. ``optional=True``
+    is Neo4j 5.24's OPTIONAL CALL: outer rows with an empty subquery
+    result keep their row with NULL outputs."""
 
     query: "Query"
+    optional: bool = False
 
 
 @dataclass(frozen=True)

@@ -1391,13 +1391,15 @@ class CypherEngine:
                 out = out.filter(cond).drop("__crn")
             out = out.drop(*[f"__co{i}" for i in range(len(ret.order_by))])
 
-        # join back on the import keys
+        # join back on the import keys; OPTIONAL CALL (Neo4j 5.24) keeps
+        # outer rows with NULL outputs when the subquery is empty
         cond = None
         for i, v in enumerate(imports):
             k = self.catalog.node(frame.vars[v][1]).key
             c = F.col(v)[k] == F.col(f"__ck{i}")
             cond = c if cond is None else cond & c
-        frame.df = frame.df.join(out, cond, "inner").drop(*knames)
+        how = "left_outer" if call.optional else "inner"
+        frame.df = frame.df.join(out, cond, how).drop(*knames)
         for name in names:
             frame.vars[name] = ("flat", None)
 

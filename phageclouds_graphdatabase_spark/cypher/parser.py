@@ -153,8 +153,15 @@ class _Parser:
         clauses: list = []
         while True:
             if self.accept("kw", "optional"):
-                self.take("kw", "match")
-                clauses.append(self._match(optional=True))
+                if self.at("ident") and self.peek()[1].lower() == "call":
+                    self.take("ident")
+                    self.take("sym", "{")
+                    inner = self._single_query()
+                    self.take("sym", "}")
+                    clauses.append(A.CallSub(inner, optional=True))
+                else:
+                    self.take("kw", "match")
+                    clauses.append(self._match(optional=True))
             elif self.accept("kw", "match"):
                 clauses.append(self._match(optional=False))
             elif self.accept("kw", "with"):

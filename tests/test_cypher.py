@@ -764,6 +764,17 @@ class TestCallSubqueries:
             ("A1", 3), ("A2", 2), ("A3", 3), ("B1", 2), ("B2", 2)
         ]
 
+    def test_optional_call_keeps_empty_rows(self, eng):
+        # Neo4j 5.24 OPTIONAL CALL: E1 (isolated) keeps its row, NULL nbr
+        q = ("MATCH (a:PhageGenome) WHERE a.accession IN ['A1', 'E1'] "
+             "OPTIONAL CALL { WITH a "
+             "MATCH (a)-[r:sharesDNA]-(b:PhageGenome) "
+             "RETURN b.accession AS nbr "
+             "ORDER BY r.distance ASC, b.accession ASC LIMIT 1 } "
+             "RETURN a.accession AS id, nbr ORDER BY id")
+        got = [(r.id, r.nbr) for r in eng.run(q).collect()]
+        assert got == [("A1", "A2"), ("E1", None)]
+
     def test_mid_with_order_by_rejected(self, eng):
         q = ("MATCH (a:PhageGenome) "
              "CALL { WITH a MATCH (a)-[r:sharesDNA]-(b:PhageGenome) "
