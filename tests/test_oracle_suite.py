@@ -57,3 +57,33 @@ def test_oracle_sql_column_names_align(duck, sf_dir):
         cur = duck.execute(f"SELECT * FROM ({sql}) LIMIT 0")
         d_cols = sorted(c[0] for c in cur.description)
         assert len(d_cols) == len(set(d_cols)), f"{name}: duplicate oracle columns {d_cols}"
+
+
+def test_driver_window_invariants(spark, sf_dir):
+    """The driver checks the FIRST 50 dict entries of queries(). Guard the
+    rotation's invariants: the window is exactly 50 names, every one has a
+    value oracle, and no window entry emits an array/map/struct column
+    (the driver's canonicalizer cannot sort list cells — the round-1
+    failure mode)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    import __spark_entry__ as se
+
+    qs, oracles = se.queries(), se.oracle_sql()
+    window = list(qs)[:50]
+    assert len(window) == 50
+    missing = [n for n in window if n not in oracles]
+    assert not missing, f"window entries without oracles: {missing}"
+    offenders = []
+    for name in window:
+        if name.startswith("stream_"):
+            continue  # streaming entries execute eagerly; checked via run
+        df = qs[name](spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, f"non-scalar driver outputs: {offenders}"
