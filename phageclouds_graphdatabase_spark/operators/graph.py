@@ -1056,3 +1056,243 @@ def deterministic_walks(
         )
     out = frontier if done is None else frontier.unionByName(done)
     return out.select(F.col("id").alias("start"), "wid", "walk")
+
+
+def _scc_local(edges: DataFrame, nodes: DataFrame | None) -> DataFrame:
+    """Driver-local iterative Tarjan for graphs under the small-graph
+    threshold — the same adaptive cutover as ``connected_components``. One
+    Arrow transfer in, one createDataFrame out. Labels match the
+    distributed path exactly (SCC label = MIN member id)."""
+    id_type = edges.schema["src"].dataType
+    pdf = edges.select("src", "dst").toPandas()
+    adj: dict = {}
+    for s, d in zip(pdf["src"], pdf["dst"]):
+        adj.setdefault(s, []).append(d)
+        adj.setdefault(d, [])
+    if nodes is not None:
+        for (n,) in nodes.select("id").toPandas().itertuples(index=False):
+            adj.setdefault(n, [])
+
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    label: dict = {}
+    counter = [0]
+
+    def strongconnect(root):
+        # explicit work stack: (node, iterator position) — no recursion
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            nbrs = adj[v]
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    label[w] = m
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+
+    for v in list(adj):
+        if v not in index:
+            strongconnect(v)
+    schema = StructType(
+        [StructField("id", id_type, False), StructField("scc", id_type, False)]
+    )
+    return edges.sparkSession.createDataFrame(
+        sorted(label.items()), schema
+    )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_rounds: int = 60,
+    checkpoint_dir: str | None = None,
+    local_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED graph (W6): one row per
+    node, ``scc`` = MIN node id among its mutually-reachable set. The
+    directed sibling of ``connected_components`` (which the reference's
+    clouds are); no Cypher/GDS equivalent exists in the 375-LoC reference —
+    this is the engine-extension surface.
+
+    Distributed path = trim + forward-backward coloring (the Orzan/FB-Trim
+    family — the standard shared-nothing SCC shape, also what GraphX/Pregel
+    implementations use), all DataFrame joins/aggs:
+
+    - **Trim**: nodes with zero in- or out-degree inside the remaining
+      subgraph are singleton SCCs; peel them to fixpoint (each pass is two
+      anti-joins, so a long acyclic chain costs cheap trim passes, never a
+      full color+sweep round per layer).
+    - **Color**: propagate ``color(v) = max(id over ancestors ∪ {v})``
+      along edge direction to fixpoint (join + groupBy-max per step,
+      lineage truncated per step). Roots are nodes whose color is their own
+      id.
+    - **Backward sweep**: within each color class, nodes that reach their
+      root along reversed edges form the root's SCC (semi-join fixpoint
+      over same-color edges). All roots resolve simultaneously.
+    - Peel the finished SCCs, repeat on the remainder.
+
+    Outer rounds needed = nesting depth of the condensation "levels", not
+    SCC count (every level's roots resolve in parallel); ``max_rounds``
+    guards pathological chains — exceeded raises rather than returning a
+    partial answer. At 100 TB scale each step is shuffle-on-node-id sized
+    and the giant-SCC case (web graphs) converges in a handful of rounds;
+    per-step ``localCheckpoint`` (or reliable ``checkpoint`` when
+    ``checkpoint_dir`` is set) keeps lineage flat exactly as the
+    ``connected_components`` loop rehearsed to 390M edges.
+
+    ``local_threshold``: at or under this many edges (probe via
+    ``limit(N+1).count()``) run a driver-local iterative Tarjan instead —
+    identical labels, no iterative jobs. Pass 0 to force the distributed
+    path (differential tests do)."""
+    if (
+        local_threshold
+        and edges.limit(local_threshold + 1).count() <= local_threshold
+    ):
+        return _scc_local(edges, nodes)
+    reliable = checkpoint_dir is not None
+    if reliable:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    # node set from the UNfiltered edges: a node whose only edge is a
+    # self-loop is still a (singleton) SCC
+    n = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    )
+    if nodes is not None:
+        n = n.unionByName(nodes.select("id"))
+    remaining = _ckpt(n.distinct(), reliable)
+    e = _ckpt(e, reliable)
+    # empty accumulator up front so an empty/all-self-loop graph returns an
+    # empty 2-col frame instead of crashing on done=None
+    done: DataFrame = remaining.select(
+        "id", F.col("id").alias("scc")
+    ).limit(0)
+
+    def _accum(done, part):
+        return done.unionByName(part)
+
+    for _ in range(max_rounds):
+        if remaining.isEmpty():
+            return done.select("id", "scc")
+        # --- trim TO FIXPOINT: zero in-degree or zero out-degree =>
+        # singleton SCC. Fixpoint here (cheap: two anti-joins per pass)
+        # rather than in the outer loop, so a long acyclic chain in the
+        # condensation costs trim passes only — never a full
+        # color+backward-sweep round per peeled layer.
+        while True:
+            has_out = e.select(F.col("src").alias("id")).distinct()
+            has_in = e.select(F.col("dst").alias("id")).distinct()
+            trimmed = remaining.join(has_out, "id", "left_anti").unionByName(
+                remaining.join(has_in, "id", "left_anti")
+            ).distinct()
+            if trimmed.isEmpty():
+                break
+            done = _accum(done, trimmed.select("id", F.col("id").alias("scc")))
+            remaining = _ckpt(
+                remaining.join(trimmed, "id", "left_anti"), reliable
+            )
+            e = _ckpt(
+                e.join(trimmed.withColumnRenamed("id", "src"), "src", "left_anti")
+                .join(trimmed.withColumnRenamed("id", "dst"), "dst", "left_anti")
+                .select("src", "dst"),
+                reliable,
+            )
+        if remaining.isEmpty():
+            return done.select("id", "scc")
+        # --- forward max-ancestor coloring to fixpoint
+        color = _ckpt(remaining.select("id", F.col("id").alias("color")), reliable)
+        while True:
+            upd = (
+                e.join(color.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max("color").alias("in_color"))
+            )
+            new = _ckpt(
+                color.join(upd, "id", "left").select(
+                    "id",
+                    F.greatest(
+                        "color", F.coalesce("in_color", "color")
+                    ).alias("color"),
+                ),
+                reliable,
+            )
+            changed = (
+                new.join(color.withColumnRenamed("color", "old"), "id")
+                .filter(F.col("color") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            color = new
+            if changed == 0:
+                break
+        # --- backward sweep within color classes, all roots at once
+        ce = (
+            e.join(
+                color.select(F.col("id").alias("src"), F.col("color").alias("c1")),
+                "src",
+            )
+            .join(
+                color.select(F.col("id").alias("dst"), F.col("color").alias("c2")),
+                "dst",
+            )
+            .filter(F.col("c1") == F.col("c2"))
+            .select("src", "dst")
+        )
+        ce = _ckpt(ce, reliable)
+        marked = _ckpt(
+            color.filter(F.col("id") == F.col("color")).select("id"), reliable
+        )
+        while True:
+            step = (
+                ce.join(marked.withColumnRenamed("id", "dst"), "dst")
+                .select(F.col("src").alias("id"))
+                .distinct()
+                .join(marked, "id", "left_anti")
+            )
+            if step.isEmpty():
+                break
+            marked = _ckpt(marked.unionByName(step), reliable)
+        scc_nodes = marked.join(color, "id")
+        labels = scc_nodes.groupBy("color").agg(F.min("id").alias("scc"))
+        done = _accum(done, scc_nodes.join(labels, "color").select("id", "scc"))
+        remaining = _ckpt(remaining.join(marked, "id", "left_anti"), reliable)
+        e = _ckpt(
+            e.join(marked.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(marked.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .select("src", "dst"),
+            reliable,
+        )
+    if remaining.isEmpty():
+        return done.select("id", "scc")
+    raise RuntimeError(
+        f"strongly_connected_components did not converge in {max_rounds} rounds"
+    )

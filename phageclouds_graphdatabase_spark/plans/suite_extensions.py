@@ -2025,3 +2025,181 @@ ENTRIES.update({
         embedding_centroids_bylabel, EMBEDDING_CENTROIDS_SQL, ("W5", "A6")
     ),
 })
+
+
+# --------------------------------------------------------------------------
+# Strongly connected components (W6): the directed sibling of
+# graph_components. The test graph is a deterministic functional graph over
+# doc_ids -- x -> (x^2+1) mod M for every doc plus x -> (17x+3) mod M for
+# every 7th -- which yields a rich mix of multi-node cycles, rho-shaped
+# tails, and singleton SCCs. The oracle is the textbook definition run to
+# completion: recursive transitive closure, mutual-reachability pairs,
+# label = MIN id of the mutual set (every subquery inlined: DuckDB 1.0
+# mis-evaluates non-recursive CTE siblings of WITH RECURSIVE).
+# --------------------------------------------------------------------------
+
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    m = docs.agg((F.max("doc_id") + F.lit(1)).alias("m"))
+    base = docs.select("doc_id").crossJoin(F.broadcast(m))
+    e1 = base.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * F.col("doc_id") + 1, F.col("m")).alias("dst"),
+    )
+    e2 = base.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 17 + 3, F.col("m")).alias("dst"),
+    )
+    res = G.strongly_connected_components(
+        e1.unionByName(e2), docs.select(F.col("doc_id").alias("id"))
+    )
+    return res.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("scc").cast("long").alias("scc"),
+    )
+
+
+GRAPH_SCC_SQL = """
+WITH RECURSIVE reach(src, dst) AS (
+    SELECT src, dst FROM (
+        SELECT doc_id AS src,
+               (doc_id * doc_id + 1) % (SELECT MAX(doc_id) + 1 FROM documents) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               (doc_id * 17 + 3) % (SELECT MAX(doc_id) + 1 FROM documents)
+        FROM documents WHERE doc_id % 7 = 0
+    )
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN (
+        SELECT doc_id AS src,
+               (doc_id * doc_id + 1) % (SELECT MAX(doc_id) + 1 FROM documents) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               (doc_id * 17 + 3) % (SELECT MAX(doc_id) + 1 FROM documents)
+        FROM documents WHERE doc_id % 7 = 0
+    ) e ON r.dst = e.src
+)
+SELECT n.id,
+       CAST(MIN(LEAST(n.id, COALESCE(m.w, n.id))) AS BIGINT) AS scc
+FROM (SELECT doc_id AS id FROM documents) n
+LEFT JOIN (
+    SELECT a.src AS v, a.dst AS w
+    FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+) m ON m.v = n.id
+GROUP BY n.id
+"""
+
+
+ENTRIES.update({
+    "graph_scc": SuiteEntry(graph_scc, GRAPH_SCC_SQL, ("W6",)),
+})
+
+
+def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG of the SCC decomposition: one node per SCC, a
+    distinct edge per cross-SCC original edge, plus fan-in/out counts --
+    the artifact dependency schedulers consume. Two broadcast joins of the
+    (tiny) label map against the edge list."""
+    docs = t(spark, sf_dir, "documents")
+    m = docs.agg((F.max("doc_id") + F.lit(1)).alias("m"))
+    base = docs.select("doc_id").crossJoin(F.broadcast(m))
+    e1 = base.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * F.col("doc_id") + 1, F.col("m")).alias("dst"),
+    )
+    e2 = base.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 17 + 3, F.col("m")).alias("dst"),
+    )
+    edges = e1.unionByName(e2)
+    labels = G.strongly_connected_components(
+        edges, docs.select(F.col("doc_id").alias("id"))
+    )
+    cond = (
+        edges.join(
+            labels.select(F.col("id").alias("src"), F.col("scc").alias("src_scc")),
+            "src",
+        )
+        .join(
+            labels.select(F.col("id").alias("dst"), F.col("scc").alias("dst_scc")),
+            "dst",
+        )
+        .filter(F.col("src_scc") != F.col("dst_scc"))
+        .groupBy("src_scc", "dst_scc")
+        .agg(F.count("*").cast("long").alias("n_orig_edges"))
+    )
+    return cond.select(
+        F.col("src_scc").cast("long").alias("src_scc"),
+        F.col("dst_scc").cast("long").alias("dst_scc"),
+        "n_orig_edges",
+    )
+
+
+# Same recursive-closure labeling as GRAPH_SCC_SQL; only `reach` is a CTE
+# (recursive CTEs may be referenced repeatedly; NON-recursive siblings are
+# what DuckDB 1.0 mis-evaluates, so the label map is inlined twice).
+GRAPH_SCC_CONDENSATION_SQL = """
+WITH RECURSIVE reach(src, dst) AS (
+    SELECT src, dst FROM (
+        SELECT doc_id AS src,
+               (doc_id * doc_id + 1) % (SELECT MAX(doc_id) + 1 FROM documents) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               (doc_id * 17 + 3) % (SELECT MAX(doc_id) + 1 FROM documents)
+        FROM documents WHERE doc_id % 7 = 0
+    )
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN (
+        SELECT doc_id AS src,
+               (doc_id * doc_id + 1) % (SELECT MAX(doc_id) + 1 FROM documents) AS dst
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               (doc_id * 17 + 3) % (SELECT MAX(doc_id) + 1 FROM documents)
+        FROM documents WHERE doc_id % 7 = 0
+    ) e ON r.dst = e.src
+)
+SELECT la.scc AS src_scc, lb.scc AS dst_scc,
+       CAST(COUNT(*) AS BIGINT) AS n_orig_edges
+FROM (
+    SELECT doc_id AS src,
+           (doc_id * doc_id + 1) % (SELECT MAX(doc_id) + 1 FROM documents) AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           (doc_id * 17 + 3) % (SELECT MAX(doc_id) + 1 FROM documents)
+    FROM documents WHERE doc_id % 7 = 0
+) e
+JOIN (
+    SELECT n.id,
+           CAST(MIN(LEAST(n.id, COALESCE(m.w, n.id))) AS BIGINT) AS scc
+    FROM (SELECT doc_id AS id FROM documents) n
+    LEFT JOIN (
+        SELECT a.src AS v, a.dst AS w
+        FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+    ) m ON m.v = n.id
+    GROUP BY n.id
+) la ON la.id = e.src
+JOIN (
+    SELECT n.id,
+           CAST(MIN(LEAST(n.id, COALESCE(m.w, n.id))) AS BIGINT) AS scc
+    FROM (SELECT doc_id AS id FROM documents) n
+    LEFT JOIN (
+        SELECT a.src AS v, a.dst AS w
+        FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+    ) m ON m.v = n.id
+    GROUP BY n.id
+) lb ON lb.id = e.dst
+WHERE la.scc <> lb.scc
+GROUP BY la.scc, lb.scc
+"""
+
+
+ENTRIES.update({
+    "graph_scc_condensation": SuiteEntry(
+        graph_scc_condensation, GRAPH_SCC_CONDENSATION_SQL, ("W6", "A6")
+    ),
+})

@@ -254,10 +254,23 @@ def main() -> None:
         n_cp = cp.count()
         timings["cheapest_paths_sec"] = round(time.time() - t0, 2)
 
+    # Strongly connected components over the DIRECTED thresholded graph
+    # (stored direction = edge direction). Random orientations make this
+    # mostly-acyclic with scattered directed cycles — the trim fixpoint
+    # carries most of the work, the color/backward rounds resolve the
+    # cyclic cores; worst case for outer rounds is nested-cycle depth.
+    t0 = time.time()
+    scc = G.strongly_connected_components(
+        fe.select("src", "dst"), checkpoint_dir=ckpt, local_threshold=0
+    )
+    n_scc = scc.select("scc").distinct().count()
+    timings["scc_sec"] = round(time.time() - t0, 2)
+
     print(
         json.dumps(
             {
                 "n_nodes": args.nodes,
+                "n_scc": n_scc,
                 "skew": args.skew,
                 "n_path_seeds": n_sample,
                 "n_var_length_paths": n_paths,
