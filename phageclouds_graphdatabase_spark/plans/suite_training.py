@@ -1458,3 +1458,409 @@ ENTRIES: dict[str, SuiteEntry] = {
         dedup_incremental_exact, DEDUP_INCR_SQL, ("W5", "A4", "J7")
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# WebDataset tar shards (W4/S7): the sharded tar layout LLM training loaders
+# stream. The entry proves the FULL cycle -- DataFrame -> deterministic tar
+# shards (stdlib tarfile, zeroed metadata, sorted members) -> format(
+# "webdataset") scan (one shard per InputPartition) -> per-shard corpus
+# fingerprint. The oracle recomputes the same fingerprint straight from the
+# parquet view with the same pmod placement, so a single flipped byte
+# anywhere in the tar write/read path flips content_fp. At 100 TB the shard
+# IS the partition: writing is one shuffle on shard id, reading is
+# shuffle-free and embarrassingly parallel across shards.
+# --------------------------------------------------------------------------
+
+def webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from phageclouds_graphdatabase_spark.sources import webdataset as wds
+
+    docs = t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "pcgdb_wds_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    payload = docs.select(
+        "doc_id",
+        F.col("text").alias("txt"),
+        F.to_json(F.struct("lang", "source", "n_chars")).alias("json"),
+    )
+    wds.write_webdataset(payload, out, "doc_id", F.pmod(F.col("doc_id"), F.lit(8)), 8)
+    wds.register(spark)
+    back = spark.read.format("webdataset").option("exts", "txt,json").load(out)
+    meta = F.from_json("json", "lang string, source string, n_chars long")
+    per = back.select(
+        F.regexp_extract("_shard", r"shard-(\d+)\.tar", 1).cast("int").alias("shard"),
+        F.md5(F.col("txt").cast("binary")).alias("h"),
+        meta.getField("n_chars").alias("nc"),
+        meta.getField("lang").alias("lang"),
+    )
+    return (
+        per.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nc").cast("long").alias("sum_chars_meta"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list("h"))).cast("binary")
+            ).alias("content_fp"),
+        )
+        .orderBy("shard")
+    )
+
+
+WEBDATASET_SQL = """
+WITH d AS (
+    SELECT CAST(doc_id % 8 AS INTEGER) AS shard, text, lang, n_chars
+    FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars_meta,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       md5(array_to_string(list_sort(list(md5(text))), '')) AS content_fp
+FROM d GROUP BY shard ORDER BY shard
+"""
+
+
+# --------------------------------------------------------------------------
+# Corpus-level Zipf profile (W5): global token frequencies, the first plot
+# anyone makes of a new pretraining corpus (and the sanity check that a
+# dedup/filter pass didn't nuke the head of the distribution). Top-k via
+# orderBy+limit compiles to TakeOrderedAndProject -- per-partition heaps, no
+# global sort -- so the same plan holds when the vocabulary is billions of
+# types; the row_number ranks only the k survivors.
+# --------------------------------------------------------------------------
+
+def zipf_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(50)
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    return top.select(
+        "tok",
+        "n",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        (F.col("n") * F.row_number().over(w)).cast("long").alias("zipf_product"),
+    ).orderBy("rnk")
+
+
+ZIPF_SQL = r"""
+WITH tok AS (
+    SELECT u.t AS tok
+    FROM documents,
+         UNNEST(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS u(t)
+), c AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tok
+), r AS (
+    SELECT tok, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rnk
+    FROM c
+)
+SELECT tok, n, rnk, CAST(n * rnk AS BIGINT) AS zipf_product
+FROM r WHERE rnk <= 50 ORDER BY rnk
+"""
+
+
+ENTRIES.update(
+    {
+        "webdataset_roundtrip": SuiteEntry(
+            webdataset_roundtrip, WEBDATASET_SQL, ("S7", "W4", "W5")
+        ),
+        "zipf_token_stats": SuiteEntry(zipf_token_stats, ZIPF_SQL, ("W5", "A6")),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# BM25 document ranking (W5): the standard retrieval score, in the
+# inverted-index shape -- tokens filtered to the query terms FIRST, so the
+# posting join is query-sized, never corpus-sized; dl/df/L are plain
+# aggregates. Cross-engine exactness: k1=1.2, b=0.75 cleared to integers
+# (num = 22*tf*L*(2N-2df+1), den = (10*L*tf+3*L+9*dl*N)*(2df+1)) so the
+# whole score is ONE IEEE division of exactly-representable integers,
+# quantized to micro-units per the helpers' FLOOR(x*1e6+0.5) rule. The
+# rational Robertson idf (N-df+.5)/(df+.5) stands in for its log (a
+# monotone transform -- documented deviation that keeps the oracle
+# transcendental-free). BIGINT headroom: num < 2^63 up to ~10^15 corpus
+# tokens; past 2^53 the double conversion rounds identically (IEEE
+# round-to-nearest) in both engines.
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "merge", "window")
+
+
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    scal = docs.agg(F.count("*").cast("long").alias("n_docs")).crossJoin(
+        dl.agg(F.sum("dl").cast("long").alias("corpus_len"))
+    )
+    post = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = post.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    j = (
+        post.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(scal))
+    )
+    num = (
+        F.lit(22)
+        * F.col("tf")
+        * F.col("corpus_len")
+        * (F.lit(2) * F.col("n_docs") - F.lit(2) * F.col("df") + F.lit(1))
+    )
+    den = (
+        F.lit(10) * F.col("corpus_len") * F.col("tf")
+        + F.lit(3) * F.col("corpus_len")
+        + F.lit(9) * F.col("dl") * F.col("n_docs")
+    ) * (F.lit(2) * F.col("df") + F.lit(1))
+    micro = F.floor(
+        num.cast("double") / den.cast("double") * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    agg = j.groupBy("doc_id").agg(
+        F.sum(micro).cast("long").alias("score_micro"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    top = agg.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "score_micro",
+        "n_terms",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    ).orderBy("rnk")
+
+
+BM25_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, u.t AS tok
+    FROM documents,
+         UNNEST(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS u(t)
+), dl AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), scal AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS corpus_len
+), post AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks WHERE tok IN ('spark', 'join', 'merge', 'window')
+    GROUP BY doc_id, tok
+), dfreq AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY tok
+), scored AS (
+    SELECT p.doc_id,
+           CAST(FLOOR(
+               CAST(22 * p.tf * s.corpus_len
+                    * (2 * s.n_docs - 2 * f.df + 1) AS DOUBLE)
+               / CAST((10 * s.corpus_len * p.tf + 3 * s.corpus_len
+                       + 9 * d.dl * s.n_docs) * (2 * f.df + 1) AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT) AS micro
+    FROM post p
+    JOIN dl d USING (doc_id)
+    JOIN dfreq f USING (tok)
+    CROSS JOIN scal s
+), agg AS (
+    SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS score_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_terms
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score_micro, n_terms,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+            AS BIGINT) AS rnk
+FROM agg ORDER BY score_micro DESC, doc_id LIMIT 20
+"""
+
+
+ENTRIES.update(
+    {
+        "bm25_doc_ranking": SuiteEntry(
+            bm25_doc_ranking, BM25_SQL, ("W5", "A6", "W1")
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training (W5/V8): learn the first TWO byte-pair merges over
+# the corpus -- the inner loop of every modern tokenizer build, in the
+# shape that scales: all state is VOCABULARY-sized (distinct words with
+# frequencies), never corpus-sized; pair counting is an explode + sum over
+# the word table; the argmax merge broadcasts back as two scalar columns.
+# Applying a merge is a left fold over each word's symbol array
+# (greedy non-overlapping, the reference BPE semantics): Spark
+# `aggregate(...)`, DuckDB `list_reduce(...)`, with a CASE lambda written
+# identically on both sides. Determinism: merge pick ties break on
+# (count DESC, left ASC, right ASC). Output: top-5 pairs of each round.
+# --------------------------------------------------------------------------
+
+# greedy merge fold over a space-joined symbol string; `ml`/`mr` are the
+# learned merge pair as outer columns. "a a a" under merge (a,a) -> "aa a"
+# (non-overlapping), because the merged token's string can never equal the
+# bare left symbol.
+_BPE_FOLD = (
+    "CASE WHEN x = mr AND (acc = ml OR {endswith}(acc, {concat_sp_ml})) "
+    "THEN {suffix_cut} ELSE {acc_app} END"
+)
+_BPE_FOLD_SPARK = _BPE_FOLD.format(
+    endswith="endswith",
+    concat_sp_ml="concat(' ', ml)",
+    suffix_cut="concat(substring(acc, 1, length(acc) - length(ml)), ml, mr)",
+    acc_app="concat(acc, ' ', x)",
+)
+_BPE_FOLD_DUCK = _BPE_FOLD.format(
+    endswith="ends_with",
+    concat_sp_ml="' ' || ml",
+    suffix_cut="substring(acc, 1, length(acc) - length(ml)) || ml || mr",
+    acc_app="acc || ' ' || x",
+)
+
+
+def _bpe_pairs(syms_df: DataFrame) -> DataFrame:
+    """(l, r, cnt): adjacent symbol pairs weighted by word frequency."""
+    two = syms_df.filter(F.size("syms") >= 2)
+    p = two.select(
+        "wf",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1),"
+                " i -> struct(element_at(syms, i) AS l,"
+                "             element_at(syms, i + 1) AS r))"
+            )
+        ).alias("p"),
+    )
+    return p.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r")).agg(
+        F.sum("wf").cast("long").alias("cnt")
+    )
+
+
+def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wf"))
+    )
+    s0 = wf.select(
+        "wf",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    )
+    p1 = _bpe_pairs(s0).cache()
+    m1 = p1.orderBy(F.desc("cnt"), "l", "r").limit(1).select(
+        F.col("l").alias("ml"), F.col("r").alias("mr")
+    )
+    s1 = s0.crossJoin(F.broadcast(m1)).select(
+        "wf",
+        F.split(
+            F.expr(
+                "aggregate(slice(syms, 2, size(syms) - 1),"
+                f" element_at(syms, 1), (acc, x) -> {_BPE_FOLD_SPARK})"
+            ),
+            " ",
+        ).alias("syms"),
+    )
+    p2 = _bpe_pairs(s1)
+
+    def _top(p: DataFrame, rnd: int) -> DataFrame:
+        w = Window.orderBy(F.desc("cnt"), "l", "r")
+        return (
+            p.orderBy(F.desc("cnt"), "l", "r")
+            .limit(5)
+            .select(
+                F.lit(rnd).cast("long").alias("rnd"),
+                F.row_number().over(w).cast("long").alias("rnk"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                "cnt",
+            )
+        )
+
+    return _top(p1, 1).unionByName(_top(p2, 2)).orderBy("rnd", "rnk")
+
+
+_BPE_WF_SQL = r"""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS wf
+    FROM (
+        SELECT u.t AS word
+        FROM documents,
+             UNNEST(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                      '\s+'),
+                                x -> x <> '')) AS u(t)
+    ) GROUP BY word
+"""
+
+_BPE_PAIRS_SQL = """
+    SELECT l, r, CAST(SUM(wf) AS BIGINT) AS cnt
+    FROM (
+        SELECT wf, list_extract(syms, i) AS l,
+               list_extract(syms, i + 1) AS r
+        FROM {src}, UNNEST(generate_series(1, len(syms) - 1)) AS u(i)
+        WHERE len(syms) >= 2
+    ) GROUP BY l, r
+"""
+
+BPE_SQL = f"""
+WITH wf AS ({_BPE_WF_SQL}),
+s0 AS (
+    SELECT wf,
+           list_transform(generate_series(1, length(word)),
+                          i -> substring(word, i, 1)) AS syms
+    FROM wf
+),
+p1 AS ({_BPE_PAIRS_SQL.format(src='s0')}),
+m1 AS (SELECT l AS ml, r AS mr FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+s1 AS (
+    SELECT wf,
+           string_split(list_reduce(syms,
+               (acc, x) -> {_BPE_FOLD_DUCK}), ' ') AS syms
+    FROM s0 CROSS JOIN m1
+),
+p2 AS ({_BPE_PAIRS_SQL.format(src='s1')}),
+r1 AS (
+    SELECT CAST(1 AS BIGINT) AS rnd,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS BIGINT) AS rnk,
+           l AS left_sym, r AS right_sym, cnt
+    FROM p1
+),
+r2 AS (
+    SELECT CAST(2 AS BIGINT) AS rnd,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r) AS BIGINT) AS rnk,
+           l AS left_sym, r AS right_sym, cnt
+    FROM p2
+)
+SELECT * FROM (
+    SELECT * FROM r1 WHERE rnk <= 5
+    UNION ALL
+    SELECT * FROM r2 WHERE rnk <= 5
+) ORDER BY rnd, rnk
+"""
+
+
+ENTRIES.update(
+    {
+        "bpe_merge_train": SuiteEntry(
+            bpe_merge_train, BPE_SQL, ("W5", "V8", "A6")
+        ),
+    }
+)
