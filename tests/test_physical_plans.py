@@ -192,3 +192,27 @@ def test_cypher_struct_pruning_reaches_scans(spark, sf_dir):
     assert all("p_size" not in s and "p_brand" not in s for s in part_scans)
     # the b side is key-only
     assert any(s.endswith("struct<p_partkey:bigint>") for s in part_scans)
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """At-rest tables partitioned by a dimension column must get DPP: a
+    selective filter on the joined dim side becomes a runtime partition
+    filter on the fact scan (dynamicpruningexpression), so a 100 TB
+    partitioned fact reads only the partitions the dim filter selects
+    instead of all of them."""
+    orders = read_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "orders_by_priority")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(p)
+    fact = spark.read.parquet(p)
+    dim = (
+        orders.select(F.col("o_orderpriority").alias("pri"))
+        .distinct()
+        .filter(F.col("pri").startswith("1"))
+    )
+    j = (
+        fact.join(dim, fact.o_orderpriority == dim.pri)
+        .groupBy("pri")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = full_explain(j)
+    assert "dynamicpruning" in plan.lower(), plan
