@@ -260,8 +260,10 @@ def main() -> None:
     # carries most of the work, the color/backward rounds resolve the
     # cyclic cores; worst case for outer rounds is nested-cycle depth.
     t0 = time.time()
+    # production-adaptive shape: distributed trim/color/sweep while the
+    # residual exceeds local_threshold, Tarjan cutover once it fits
     scc = G.strongly_connected_components(
-        fe.select("src", "dst"), checkpoint_dir=ckpt, local_threshold=0
+        fe.select("src", "dst"), checkpoint_dir=ckpt
     )
     n_scc = scc.select("scc").distinct().count()
     timings["scc_sec"] = round(time.time() - t0, 2)
