@@ -26,6 +26,13 @@ Read side
     extension (``txt``/``json`` as string, anything else binary), plus
     ``_shard`` for provenance.
 
+Streaming side
+    ``spark.readStream.format("webdataset").load(dir)`` ingests a GROWING
+    shard directory micro-batch by micro-batch: offset = consumed-shard
+    count over the sorted listing, one shard per InputPartition, replayable
+    offset ranges -> exactly-once shard ingestion under checkpointed
+    queries (proven by restart test).
+
 At 100 TB: shard size is the unit of parallelism — write with
 ``shards = ceil(bytes / 512 MiB)`` and reading 200k shards across 1000
 executors is embarrassingly parallel with zero shuffle. The writer's single
@@ -45,7 +52,12 @@ from typing import Iterator
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _TEXT_EXTS = {"txt", "json", "html", "xml", "csv", "md"}
 
@@ -142,9 +154,55 @@ class _ShardPartition(InputPartition):
         self.path = path
 
 
+def _make_row(key: str, fields: dict[str, bytes], shard: str, exts) -> tuple:
+    vals: list = [key]
+    for ext in exts:
+        raw = fields.get(ext)
+        if raw is None:
+            vals.append(None)
+        elif ext in _TEXT_EXTS:
+            vals.append(raw.decode("utf-8"))
+        else:
+            vals.append(raw)
+    vals.append(shard)
+    return tuple(vals)
+
+
+def _read_shard(path: str, exts) -> Iterator[tuple]:
+    """Stream one tar shard: regroup adjacent same-basename members into
+    samples, one output row per sample. Sequential I/O, constant memory."""
+    shard = os.path.basename(path)
+    with tarfile.open(path, "r") as tf:
+        cur_key: str | None = None
+        fields: dict[str, bytes] = {}
+        for member in tf:
+            if not member.isfile():
+                continue
+            base, dot, ext = member.name.rpartition(".")
+            if not dot:
+                base, ext = member.name, ""
+            if base != cur_key:
+                if cur_key is not None:
+                    yield _make_row(cur_key, fields, shard, exts)
+                cur_key, fields = base, {}
+            if ext in exts:
+                f = tf.extractfile(member)
+                fields[ext] = f.read() if f is not None else b""
+        if cur_key is not None:
+            yield _make_row(cur_key, fields, shard, exts)
+
+
+def _opt_exts(options: dict) -> list[str]:
+    return [
+        e.strip()
+        for e in options.get("exts", "txt,json").split(",")
+        if e.strip()
+    ]
+
+
 class WebDatasetReader(DataSourceReader):
     def __init__(self, options: dict):
-        self.exts = [e.strip() for e in options.get("exts", "txt,json").split(",") if e.strip()]
+        self.exts = _opt_exts(options)
         self.paths = _expand_shards(options.get("path", ""))
         if not self.paths:
             raise ValueError("webdataset requires a load(path) of .tar shard(s)")
@@ -153,38 +211,43 @@ class WebDatasetReader(DataSourceReader):
         return [_ShardPartition(p) for p in self.paths]
 
     def read(self, partition: _ShardPartition) -> Iterator[tuple]:
-        shard = os.path.basename(partition.path)
-        with tarfile.open(partition.path, "r") as tf:
-            cur_key: str | None = None
-            fields: dict[str, bytes] = {}
-            for member in tf:
-                if not member.isfile():
-                    continue
-                base, dot, ext = member.name.rpartition(".")
-                if not dot:
-                    base, ext = member.name, ""
-                if base != cur_key:
-                    if cur_key is not None:
-                        yield self._row(cur_key, fields, shard)
-                    cur_key, fields = base, {}
-                if ext in self.exts:
-                    f = tf.extractfile(member)
-                    fields[ext] = f.read() if f is not None else b""
-            if cur_key is not None:
-                yield self._row(cur_key, fields, shard)
+        yield from _read_shard(partition.path, self.exts)
 
-    def _row(self, key: str, fields: dict[str, bytes], shard: str) -> tuple:
-        vals: list = [key]
-        for ext in self.exts:
-            raw = fields.get(ext)
-            if raw is None:
-                vals.append(None)
-            elif ext in _TEXT_EXTS:
-                vals.append(raw.decode("utf-8"))
-            else:
-                vals.append(raw)
-        vals.append(shard)
-        return tuple(vals)
+
+class WebDatasetStreamReader(DataSourceStreamReader):
+    """Micro-batch ingestion of a GROWING shard directory — the arrival
+    pattern of a training corpus under construction (each producer drop is
+    one immutable tar shard; shard files are never rewritten).
+
+    Offset = ``{"index": n}``, the count of shards consumed from the
+    sorted listing. Each micro-batch reads the newly-arrived suffix, one
+    shard per InputPartition (shard-parallel, shuffle-free), and replaying
+    any (start, end] offset range re-reads exactly those shards — which
+    with a checkpointed query gives exactly-once shard ingestion. The
+    writer's zero-padded ``shard-NNNNNN.tar`` names sort appended shards
+    after consumed ones; any naming scheme with that property works."""
+
+    def __init__(self, options: dict):
+        self.exts = _opt_exts(options)
+        self.path = options.get("path", "")
+        if not self.path:
+            raise ValueError("webdataset stream requires a load(path) directory")
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(_expand_shards(self.path))}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        shards = _expand_shards(self.path)[start["index"] : end["index"]]
+        return [_ShardPartition(p) for p in shards]
+
+    def read(self, partition: _ShardPartition) -> Iterator[tuple]:
+        yield from _read_shard(partition.path, self.exts)
+
+    def commit(self, end: dict) -> None:
+        pass  # consumed shards stay in place; offset tracking is the state
 
 
 class WebDatasetDataSource(DataSource):
@@ -205,6 +268,9 @@ class WebDatasetDataSource(DataSource):
 
     def reader(self, schema) -> WebDatasetReader:
         return WebDatasetReader(dict(self.options))
+
+    def streamReader(self, schema) -> WebDatasetStreamReader:
+        return WebDatasetStreamReader(dict(self.options))
 
 
 def register(spark: SparkSession) -> None:

@@ -99,3 +99,48 @@ def test_single_shard_many_partitions(spark, sample, tmp_path):
     wds.register(spark)
     back = spark.read.format("webdataset").option("exts", "txt").load(str(out))
     assert back.count() == 5
+
+
+def test_stream_incremental_shard_ingestion(spark, sample, tmp_path):
+    """Streaming reader: offset = consumed-shard count. First run drains
+    the existing shards; shards appended afterwards are picked up by a
+    restart over the SAME checkpoint without re-reading the old ones —
+    exactly-once shard ingestion."""
+    src = tmp_path / "grow"
+    ckpt = str(tmp_path / "ckpt")
+    _write(sample, src)  # shards 0 and 1
+    wds.register(spark)
+
+    seen: list[tuple] = []
+
+    def drain():
+        q = (
+            spark.readStream.format("webdataset")
+            .option("exts", "txt")
+            .load(str(src))
+            .writeStream.foreachBatch(
+                lambda df, _eid: seen.extend(
+                    (r["key"], r["txt"], r["_shard"]) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted(k for k, _, _ in seen) == ["0", "1", "10", "2", "3"]
+
+    # producer drops two more immutable shards (names sort after existing)
+    more = spark.createDataFrame(
+        [(20, "late twenty"), (21, "late twenty-one")], "doc_id long, txt string"
+    )
+    wds.write_webdataset(
+        more, str(src), "doc_id", F.pmod(F.col("doc_id"), F.lit(2)) + F.lit(2), 2
+    )
+    before = len(seen)
+    drain()
+    new = seen[before:]
+    assert sorted(k for k, _, _ in new) == ["20", "21"]
+    assert {s for _, _, s in new} == {"shard-000002.tar", "shard-000003.tar"}
