@@ -1951,3 +1951,87 @@ ENTRIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Negative-sampling table (W5): the word2vec / NCE unigram^0.75 noise
+# distribution over the corpus vocabulary. Vocabulary-sized state; the
+# 3/4 power is computed as sqrt(sqrt(cnt^3)) — IEEE sqrt is CORRECTLY
+# ROUNDED by spec, so unlike pow()/exp()/ln() it is bit-identical across
+# engines; each weight is quantized to integer micro-units BEFORE any
+# summation, so the normalizer and cumulative ranks are exact BIGINTs
+# (float sums are order-dependent; integer sums are not). Output: top-64
+# sampled tokens with exact parts-per-billion probabilities.
+# --------------------------------------------------------------------------
+
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    wq = F.floor(
+        F.sqrt(F.sqrt((F.col("cnt") * F.col("cnt") * F.col("cnt")).cast("double")))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    weighted = counts.select("tok", "cnt", wq.alias("weight_q"))
+    total = weighted.agg(F.sum("weight_q").cast("long").alias("total_q"))
+    top = (
+        weighted.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("weight_q"), F.asc("tok"))
+        .limit(64)
+    )
+    w = Window.orderBy(F.desc("weight_q"), F.asc("tok"))
+    return top.select(
+        "tok",
+        "cnt",
+        "weight_q",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        # multiply in the DOUBLE domain (matching the oracle text): a
+        # BIGINT product would overflow int64 at ~1e10 weight units while
+        # the IEEE double product rounds identically in both engines
+        F.floor(
+            F.col("weight_q").cast("double")
+            * F.lit(1000000000.0)
+            / F.col("total_q").cast("double")
+        ).cast("long").alias("p_ppb"),
+    ).orderBy("rnk")
+
+
+NEG_SAMPLING_SQL = r"""
+WITH c AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT u.t AS tok
+        FROM documents,
+             UNNEST(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                      '\s+'),
+                                x -> x <> '')) AS u(t)
+    ) GROUP BY tok
+), wtd AS (
+    SELECT tok, cnt,
+           CAST(FLOOR(sqrt(sqrt(CAST(cnt * cnt * cnt AS DOUBLE)))
+                      * 1000000.0 + 0.5) AS BIGINT) AS weight_q
+    FROM c
+), tot AS (SELECT CAST(SUM(weight_q) AS BIGINT) AS total_q FROM wtd),
+r AS (
+    SELECT tok, cnt, weight_q,
+           CAST(ROW_NUMBER() OVER (ORDER BY weight_q DESC, tok)
+                AS BIGINT) AS rnk,
+           CAST(FLOOR(weight_q * 1000000000.0 / total_q) AS BIGINT) AS p_ppb
+    FROM wtd CROSS JOIN tot
+)
+SELECT tok, cnt, weight_q, rnk, p_ppb
+FROM r WHERE rnk <= 64 ORDER BY rnk
+"""
+
+
+ENTRIES.update(
+    {
+        "negative_sampling_table": SuiteEntry(
+            negative_sampling_table, NEG_SAMPLING_SQL, ("W5", "A6", "W1")
+        ),
+    }
+)
