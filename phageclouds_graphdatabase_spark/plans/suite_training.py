@@ -2035,3 +2035,126 @@ ENTRIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Data-quality audit (A6/J7/P1): the dbt-style check suite an ingestion
+# pipeline runs before a corpus is trusted — null checks, key uniqueness,
+# referential integrity, domain constraints, freshness-ish ranges — as ONE
+# lazy plan of named checks UNIONed into a (check, violations) report.
+# Each check is a filter+count or anti-join+count: map-side combinable,
+# no driver round-trips, and Catalyst shares the common scans.
+# --------------------------------------------------------------------------
+
+def dq_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cust = t(spark, sf_dir, "customer")
+    docs = t(spark, sf_dir, "documents")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("long").alias("violations"),
+        )
+
+    dup_orders = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    rep = (
+        check("orders_null_custkey", orders.filter(F.col("o_custkey").isNull()))
+        .unionByName(check("orders_dup_orderkey", dup_orders))
+        .unionByName(
+            check(
+                "orders_orphan_custkey",
+                orders.join(
+                    cust.select(F.col("c_custkey").alias("o_custkey")),
+                    "o_custkey",
+                    "left_anti",
+                ),
+            )
+        )
+        .unionByName(
+            check(
+                "lineitem_orphan_orderkey",
+                li.join(
+                    orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                    "l_orderkey",
+                    "left_anti",
+                ),
+            )
+        )
+        .unionByName(
+            check(
+                "lineitem_null_shipdate",
+                li.filter(F.col("l_shipdate").isNull()),
+            )
+        )
+        .unionByName(
+            check(
+                "lineitem_nonpositive_qty",
+                li.filter(F.col("l_quantity") <= 0),
+            )
+        )
+        .unionByName(
+            check(
+                "lineitem_discount_range",
+                li.filter(
+                    (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+                ),
+            )
+        )
+        .unionByName(
+            check(
+                "docs_chars_mismatch",
+                docs.filter(F.length("text") != F.col("n_chars")),
+            )
+        )
+        .unionByName(
+            check("docs_empty_text", docs.filter(F.length(F.trim("text")) == 0))
+        )
+    )
+    return rep.orderBy("check_name")
+
+
+DQ_AUDIT_SQL = """
+SELECT 'orders_null_custkey' AS check_name, CAST(COUNT(*) AS BIGINT) AS violations
+FROM orders WHERE o_custkey IS NULL
+UNION ALL
+SELECT 'orders_dup_orderkey', CAST(COUNT(*) AS BIGINT) FROM (
+    SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+)
+UNION ALL
+SELECT 'orders_orphan_custkey', CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'lineitem_orphan_orderkey', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'lineitem_null_shipdate', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_shipdate IS NULL
+UNION ALL
+SELECT 'lineitem_nonpositive_qty', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_quantity <= 0
+UNION ALL
+SELECT 'lineitem_discount_range', CAST(COUNT(*) AS BIGINT)
+FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+UNION ALL
+SELECT 'docs_chars_mismatch', CAST(COUNT(*) AS BIGINT)
+FROM documents WHERE length(text) <> n_chars
+UNION ALL
+SELECT 'docs_empty_text', CAST(COUNT(*) AS BIGINT)
+FROM documents WHERE length(trim(text)) = 0
+ORDER BY check_name
+"""
+
+
+ENTRIES.update(
+    {
+        "dq_audit_report": SuiteEntry(
+            dq_audit_report, DQ_AUDIT_SQL, ("A6", "J7", "P1")
+        ),
+    }
+)
