@@ -1188,7 +1188,7 @@ def strongly_connected_components(
     nodes: DataFrame | None = None,
     max_rounds: int = 60,
     checkpoint_dir: str | None = None,
-    local_threshold: int = 2_000_000,
+    local_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Strongly connected components of a DIRECTED graph (W6): one row per
     node, ``scc`` = MIN node id among its mutually-reachable set. The
@@ -1231,7 +1231,11 @@ def strongly_connected_components(
     residual under the threshold the tail is one Tarjan pass instead of
     dozens of fixpoint iterations (measured at 640k/1.45M: trim leaves a
     1.07M-edge cyclic core that Tarjan finishes in ~10 s, where the
-    distributed color fixpoint alone needs ~30+ shuffle rounds). Pass 0 to
+    distributed color fixpoint alone needs ~30+ shuffle rounds). The 5M
+    default is deliberate: outer rounds cost condensation-DEPTH levels of
+    full fixpoints — a linear Tarjan over a few hundred MB in the driver
+    beats hundreds of shuffle rounds whenever the residual fits, and the
+    distributed ladder remains for graphs that genuinely don't. Pass 0 to
     force the distributed path end-to-end (differential tests do)."""
     if (
         local_threshold
@@ -1331,7 +1335,14 @@ def strongly_connected_components(
             .select("id", F.col("lab").alias("color"))
         )
         labels = scc_nodes.groupBy("color").agg(F.min("id").alias("scc"))
-        done = _accum(done, scc_nodes.join(labels, "color").select("id", "scc"))
+        # checkpoint the accumulator once per outer round: it is a union
+        # chain that otherwise grows one leg per trim pass + round, and a
+        # few hundred legs turn Catalyst planning itself into the
+        # bottleneck (observed: minutes of driver-side CPU, zero jobs)
+        done = _ckpt(
+            _accum(done, scc_nodes.join(labels, "color").select("id", "scc")),
+            reliable,
+        )
         marked = _ckpt(scc_nodes.select("id"), reliable)
         remaining = _ckpt(remaining.join(marked, "id", "left_anti"), reliable)
         e = _ckpt(
