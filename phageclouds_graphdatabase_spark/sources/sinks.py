@@ -121,3 +121,45 @@ def write_csv(df: DataFrame, path: str) -> None:
 
 def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
+
+
+def write_neo4j_admin_csv(
+    nodes: DataFrame,
+    edges: DataFrame,
+    out_dir: str,
+    label: str = "PhageGenome",
+    rel_type: str = "sharesDNA",
+    id_col: str = "accession",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> None:
+    """Export the property graph in `neo4j-admin database import` bulk
+    layout — the interop path BACK into the reference's own store
+    (`/root/reference/phageclouds_gdb.py` reads a Neo4j database of
+    :PhageGenome nodes and :sharesDNA relationships; this writes the CSV
+    layout its official bulk importer ingests).
+
+    Layout: ``nodes/`` CSV part-files with an ``<id>:ID`` header column and
+    a constant ``:LABEL``; ``relationships/`` part-files with
+    ``:START_ID`` / ``:END_ID`` / ``:TYPE``. Headers ride in every part
+    file (Spark CSV header option) — neo4j-admin accepts per-file headers
+    when globbing parts. Fully distributed: a plain CSV write per side,
+    no driver materialization, so a 100 TB graph exports as fast as the
+    cluster writes CSV."""
+    from pyspark.sql import functions as F
+
+    n = nodes.select(
+        F.col(id_col).alias(f"{id_col}:ID"),
+        *[c for c in nodes.columns if c != id_col],
+        F.lit(label).alias(":LABEL"),
+    )
+    e = edges.select(
+        F.col(src_col).alias(":START_ID"),
+        *[c for c in edges.columns if c not in (src_col, dst_col)],
+        F.col(dst_col).alias(":END_ID"),
+        F.lit(rel_type).alias(":TYPE"),
+    )
+    n.write.mode("overwrite").option("header", True).csv(out_dir + "/nodes")
+    e.write.mode("overwrite").option("header", True).csv(
+        out_dir + "/relationships"
+    )

@@ -119,3 +119,40 @@ def test_all_goldens_parse_to_baseline_cardinalities(spark):
             continue
         nodes, edges = golden.parse_vis_html(path)
         assert (len(nodes), len(edges)) == (nn, ne), fname
+
+
+def test_neo4j_admin_csv_export(spark, tmp_path):
+    import csv as _csv
+    import glob
+
+    from phageclouds_graphdatabase_spark.sources.sinks import (
+        write_neo4j_admin_csv,
+    )
+
+    nodes = spark.createDataFrame(
+        [("ACC1", "NCBI", 40000), ("ACC2", "Tara", 38000)],
+        "accession string, source string, genome_size long",
+    )
+    edges = spark.createDataFrame(
+        [("ACC1", "ACC2", 0.12)], "src string, dst string, distance double"
+    )
+    out = str(tmp_path / "bulk")
+    write_neo4j_admin_csv(nodes, edges, out)
+
+    nrows = []
+    for p in glob.glob(out + "/nodes/part-*.csv"):
+        with open(p, newline="") as f:
+            r = list(_csv.reader(f))
+            assert r[0] == ["accession:ID", "source", "genome_size", ":LABEL"]
+            nrows += r[1:]
+    assert sorted(nrows) == [
+        ["ACC1", "NCBI", "40000", "PhageGenome"],
+        ["ACC2", "Tara", "38000", "PhageGenome"],
+    ]
+    erows = []
+    for p in glob.glob(out + "/relationships/part-*.csv"):
+        with open(p, newline="") as f:
+            r = list(_csv.reader(f))
+            assert r[0] == [":START_ID", "distance", ":END_ID", ":TYPE"]
+            erows += r[1:]
+    assert erows == [["ACC1", "0.12", "ACC2", "sharesDNA"]]

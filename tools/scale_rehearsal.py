@@ -163,7 +163,13 @@ def main() -> None:
         "SPARK_GRAFT_DRIVER_MEM",
         "80g"
         if args.nodes >= 80_000_000
-        else ("48g" if args.nodes >= 10_000_000 else "16g"),
+        else (
+            "48g"
+            # the --skew graph carries a 23M-edge near-clique whose SCC
+            # checkpoint blocks overflow the 16g tier (observed OOM)
+            if args.nodes >= 10_000_000 or args.skew
+            else "16g"
+        ),
     )
     spark = get_spark(
         "scale-rehearsal",
@@ -261,9 +267,15 @@ def main() -> None:
     # cyclic cores; worst case for outer rounds is nested-cycle depth.
     t0 = time.time()
     # production-adaptive shape: distributed trim/color/sweep while the
-    # residual exceeds local_threshold, Tarjan cutover once it fits
+    # residual exceeds local_threshold, Tarjan cutover once it fits.
+    # Reliable disk checkpoints (not localCheckpoint blocks) whenever the
+    # dense skew core is present — same memory-bounding lesson as the
+    # 100M components run.
+    scc_ckpt = (
+        os.path.join(work, "scc_ckpt") if (args.skew or ckpt) else None
+    )
     scc = G.strongly_connected_components(
-        fe.select("src", "dst"), checkpoint_dir=ckpt
+        fe.select("src", "dst"), checkpoint_dir=scc_ckpt
     )
     n_scc = scc.select("scc").distinct().count()
     timings["scc_sec"] = round(time.time() - t0, 2)
