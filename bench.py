@@ -61,6 +61,11 @@ HEADLINE = [
     # compile overhead and the compiled plan's execution
     "cypher_seed_expand",
     "repeated_ngram_spans",
+    # round-2 late additions tracked from their introduction round:
+    # directed SCC (adaptive), BM25 retrieval scoring, BPE merge training
+    "graph_scc",
+    "bm25_doc_ranking",
+    "bpe_merge_train",
 ]
 
 

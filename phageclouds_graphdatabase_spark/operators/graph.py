@@ -144,6 +144,33 @@ def _ckpt(df: DataFrame, reliable: bool) -> DataFrame:
     return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
 
 
+def _pq_ckpt(df: DataFrame, reliable: bool) -> DataFrame:
+    """Lineage cut that also RESETS plan statistics.
+
+    ``Dataset.checkpoint``/``localCheckpoint`` rewrite the new LogicalRDD's
+    stats from the PRE-checkpoint plan's estimates
+    (``LogicalRDD.rewriteStatsAndConstraints``), so join-size estimates
+    COMPOUND across checkpoint generations: S_{r+1} ~ S_r^joins. In a
+    deep-round loop (SCC on a deep condensation) the sizeInBytes BigInt
+    grows to millions of digits and Toom-Cook multiplication inside
+    ``SizeInBytesOnlyStatsPlanVisitor`` becomes the actual bottleneck
+    (observed: 700+ CPU-seconds in BigInteger.multiply on the skew
+    rehearsal). A parquet round-trip gives a relation whose stats are the
+    REAL file size — honest, and constant-size to compute. Used by the
+    SCC loop in reliable mode; falls back to localCheckpoint (with its
+    estimate carry-over) when no checkpoint dir is set, where shallow
+    round counts keep the compounding harmless."""
+    if not reliable:
+        return df.localCheckpoint()
+    import uuid
+
+    spark = df.sparkSession
+    base = spark.sparkContext.getCheckpointDir()
+    path = f"{base}/pq_{uuid.uuid4().hex[:12]}"
+    df.write.parquet(path)
+    return spark.read.parquet(path)
+
+
 def _components_local(
     edges: DataFrame, nodes: DataFrame | None
 ) -> DataFrame:
@@ -1141,7 +1168,7 @@ def _hashmax_fixpoint(
     a node's label is always an ancestor-or-self, and an ancestor's
     ancestors are the node's ancestors; labels grow monotonically to the
     max-ancestor fixpoint in O(log diameter) rounds."""
-    lab = _ckpt(nodes.select("id", F.col("id").alias("lab")), reliable)
+    lab = _pq_ckpt(nodes.select("id", F.col("id").alias("lab")), reliable)
     for _ in range(max_iterations):
         # both the edge step and the jump read the CHECKPOINTED previous
         # labels (jumping off the freshly-updated frame would re-evaluate
@@ -1173,7 +1200,7 @@ def _hashmax_fixpoint(
                 ).alias("_changed"),
             )
         )
-        new = _ckpt(new.withColumnRenamed("new_lab", "lab"), reliable)
+        new = _pq_ckpt(new.withColumnRenamed("new_lab", "lab"), reliable)
         n_changed = new.filter(F.col("_changed")).count()
         lab = new.drop("_changed")
         if n_changed == 0:
@@ -1254,8 +1281,8 @@ def strongly_connected_components(
     )
     if nodes is not None:
         n = n.unionByName(nodes.select("id"))
-    remaining = _ckpt(n.distinct(), reliable)
-    e = _ckpt(e, reliable)
+    remaining = _pq_ckpt(n.distinct(), reliable)
+    e = _pq_ckpt(e, reliable)
     # empty accumulator up front so an empty/all-self-loop graph returns an
     # empty 2-col frame instead of crashing on done=None
     done: DataFrame = remaining.select(
@@ -1287,7 +1314,7 @@ def strongly_connected_components(
             # endpoint projections (saves two shuffles per pass)
             has_out = e.select(F.col("src").alias("id"))
             has_in = e.select(F.col("dst").alias("id"))
-            trimmed = _ckpt(  # materialize once; reused by 3 plans below
+            trimmed = _pq_ckpt(  # materialize once; reused by 3 plans below
                 remaining.join(has_out, "id", "left_anti")
                 .unionByName(remaining.join(has_in, "id", "left_anti"))
                 .distinct(),
@@ -1296,10 +1323,10 @@ def strongly_connected_components(
             if trimmed.isEmpty():
                 break
             done = _accum(done, trimmed.select("id", F.col("id").alias("scc")))
-            remaining = _ckpt(
+            remaining = _pq_ckpt(
                 remaining.join(trimmed, "id", "left_anti"), reliable
             )
-            e = _ckpt(
+            e = _pq_ckpt(
                 e.join(trimmed.withColumnRenamed("id", "src"), "src", "left_anti")
                 .join(trimmed.withColumnRenamed("id", "dst"), "dst", "left_anti")
                 .select("src", "dst"),
@@ -1315,7 +1342,7 @@ def strongly_connected_components(
         # within each class over REVERSED class edges. The class root r is
         # the class's max id, so v belongs to r's SCC  ⟺  v reaches r
         # within the class  ⟺  bcolor(v) == color(v).
-        ce = _ckpt(
+        ce = _pq_ckpt(
             e.join(
                 color.select(F.col("id").alias("src"), F.col("lab").alias("c1")),
                 "src",
@@ -1339,13 +1366,13 @@ def strongly_connected_components(
         # chain that otherwise grows one leg per trim pass + round, and a
         # few hundred legs turn Catalyst planning itself into the
         # bottleneck (observed: minutes of driver-side CPU, zero jobs)
-        done = _ckpt(
+        done = _pq_ckpt(
             _accum(done, scc_nodes.join(labels, "color").select("id", "scc")),
             reliable,
         )
-        marked = _ckpt(scc_nodes.select("id"), reliable)
-        remaining = _ckpt(remaining.join(marked, "id", "left_anti"), reliable)
-        e = _ckpt(
+        marked = _pq_ckpt(scc_nodes.select("id"), reliable)
+        remaining = _pq_ckpt(remaining.join(marked, "id", "left_anti"), reliable)
+        e = _pq_ckpt(
             e.join(marked.withColumnRenamed("id", "src"), "src", "left_anti")
             .join(marked.withColumnRenamed("id", "dst"), "dst", "left_anti")
             .select("src", "dst"),
