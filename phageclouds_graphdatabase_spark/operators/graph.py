@@ -156,19 +156,30 @@ def _pq_ckpt(df: DataFrame, reliable: bool) -> DataFrame:
     ``SizeInBytesOnlyStatsPlanVisitor`` becomes the actual bottleneck
     (observed: 700+ CPU-seconds in BigInteger.multiply on the skew
     rehearsal). A parquet round-trip gives a relation whose stats are the
-    REAL file size — honest, and constant-size to compute. Used by the
-    SCC loop in reliable mode; falls back to localCheckpoint (with its
-    estimate carry-over) when no checkpoint dir is set, where shallow
-    round counts keep the compounding harmless."""
-    if not reliable:
-        return df.localCheckpoint()
+    REAL file size — honest, and constant-size to compute. Reliable mode
+    writes under the session checkpoint dir (HDFS/S3 on a cluster);
+    without one, a process-lifetime temp dir is used — correct on
+    local/single-node runs (where tests and rehearsals live); MULTI-NODE
+    clusters must pass ``checkpoint_dir`` so the round-trip lands on
+    shared storage."""
     import uuid
 
     spark = df.sparkSession
-    base = spark.sparkContext.getCheckpointDir()
+    if reliable:
+        base = spark.sparkContext.getCheckpointDir()
+    else:
+        global _PQ_CKPT_TMP
+        if _PQ_CKPT_TMP is None:
+            import tempfile
+
+            _PQ_CKPT_TMP = tempfile.TemporaryDirectory(prefix="pcgdb_pqckpt_")
+        base = _PQ_CKPT_TMP.name
     path = f"{base}/pq_{uuid.uuid4().hex[:12]}"
     df.write.parquet(path)
     return spark.read.parquet(path)
+
+
+_PQ_CKPT_TMP = None
 
 
 def _components_local(

@@ -271,9 +271,7 @@ def main() -> None:
     # Reliable disk checkpoints (not localCheckpoint blocks) whenever the
     # dense skew core is present — same memory-bounding lesson as the
     # 100M components run.
-    scc_ckpt = (
-        os.path.join(work, "scc_ckpt") if (args.skew or ckpt) else None
-    )
+    scc_ckpt = os.path.join(work, "scc_ckpt")
     scc = G.strongly_connected_components(
         fe.select("src", "dst"), checkpoint_dir=scc_ckpt
     )
