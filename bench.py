@@ -66,6 +66,9 @@ HEADLINE = [
     "graph_scc",
     "bm25_doc_ranking",
     "bpe_merge_train",
+    # binned range join (J7 at scale): large x large point-in-interval as a
+    # shuffle equi-join on the bin key -- tracked from its introduction round
+    "range_join_clicks_in_windows",
 ]
 
 

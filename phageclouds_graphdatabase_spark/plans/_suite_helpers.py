@@ -56,6 +56,20 @@ def quant(col: Column, scale: float = 10000.0) -> Column:
     return F.floor(col.cast("double") * F.lit(scale) + F.lit(0.5)).cast("long")
 
 
+def epoch_us(col: Column) -> Column:
+    """Microseconds since 1970-01-01 for a TIMESTAMP_NTZ column,
+    SESSION-TIMEZONE-INDEPENDENT (pure wall-clock arithmetic): the driver
+    runs the suite in its own plain SparkSession whose timeZone we don't
+    control, and ``unix_micros(cast(ntz AS timestamp))`` shifts by the
+    session offset. Oracle equivalent: DuckDB ``epoch_us(ts)`` (naive
+    timestamps treated as UTC)."""
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        col.cast("timestamp_ntz"),
+    )
+
+
 def arr_str(col: Column | str) -> Column:
     """Serialize an array column to a ``'->'``-joined string, NULL-preserving.
 

@@ -14,7 +14,7 @@ from pyspark.sql.window import Window
 
 from phageclouds_graphdatabase_spark.plans import _suite_helpers as h
 from phageclouds_graphdatabase_spark.plans import suite_extensions as ext
-from phageclouds_graphdatabase_spark.plans._suite_helpers import SuiteEntry, t
+from phageclouds_graphdatabase_spark.plans._suite_helpers import SuiteEntry, epoch_us, t
 
 
 # --------------------------------------------------------------------------
@@ -2092,10 +2092,10 @@ def events_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         # microsecond-exact: unix_timestamp truncates sub-second parts and
-        # DuckDB's epoch() returns a fractional double -- off-by-one seconds
-        # (ts is TIMESTAMP_NTZ; the cast shift cancels in the difference)
-        (F.unix_micros(F.col("ts").cast("timestamp"))
-         - F.unix_micros(prev_ts.cast("timestamp")))
+        # DuckDB's epoch() returns a fractional double -- off-by-one seconds.
+        # epoch_us is session-timezone-independent (the driver's session tz
+        # is not ours; a cast-shift would even break across DST boundaries)
+        (epoch_us(F.col("ts")) - epoch_us(prev_ts))
         .cast("long")
         .alias("gap_us"),
         F.lead("event_type").over(w).alias("next_type"),

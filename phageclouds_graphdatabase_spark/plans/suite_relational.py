@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from phageclouds_graphdatabase_spark.plans._suite_helpers import SuiteEntry, cents, t
+from phageclouds_graphdatabase_spark.plans._suite_helpers import SuiteEntry, cents, epoch_us, t
 
 
 # --------------------------------------------------------------------------
@@ -733,6 +733,143 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Binned range joins (J7 at 100 TB): large x large non-equi joins as
+# shuffle equi-joins on a bin key (operators/rangejoin.py). The oracle is
+# the plain non-equi join -- fine for DuckDB at sf0.01, the very plan shape
+# the binned operator exists to avoid at scale.
+# --------------------------------------------------------------------------
+
+_CLICK_WINDOW_US = 86_400_000_000  # 24 hours, microseconds
+_CLICK_BIN_US = 21_600_000_000  # 6-hour bins: each window spans 4-5 bins,
+# exercising the interval-explode path (not just the 1-bin fast case)
+
+
+def range_join_clicks_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 large x large point-in-interval join, binned: clicks landing
+    inside any same-user 24-hour purchase window. Both sides are the
+    events fact table -- the case the BNLJ/cartesian fallback cannot
+    survive at scale."""
+    from phageclouds_graphdatabase_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        epoch_us(F.col("ts")).alias("cus"),
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            epoch_us(F.col("ts")).alias("pus"),
+        )
+        .withColumn("pend", F.col("pus") + F.lit(_CLICK_WINDOW_US))
+    )
+    pairs = point_in_interval_join(
+        clicks,
+        purchases,
+        point_col="cus",
+        lo_col="pus",
+        hi_col="pend",
+        bin_width=_CLICK_BIN_US,
+        partition_keys=["user_id"],
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("click_id").alias("n_clicks"),
+        F.sum(F.col("cus") - F.col("pus")).alias("sum_lag_us"),
+        F.min("click_id").alias("first_click"),
+        F.max("purchase_id").alias("last_purchase"),
+    )
+
+
+RANGE_JOIN_CLICKS_SQL = f"""
+WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pus
+           FROM events WHERE event_type = 'purchase')
+SELECT c.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT c.click_id) AS BIGINT) AS n_clicks,
+       CAST(SUM(c.cus - p.pus) AS BIGINT) AS sum_lag_us,
+       MIN(c.click_id) AS first_click,
+       MAX(p.purchase_id) AS last_purchase
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND c.cus >= p.pus AND c.cus < p.pus + {_CLICK_WINDOW_US}
+GROUP BY c.user_id
+"""
+
+
+_ORDER_WINDOW_US = 30 * 86_400_000_000  # 30 days, microseconds
+
+
+def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 interval x interval overlap join, binned: same-customer order
+    pairs whose 30-day fulfilment windows overlap. Exactly-once via the
+    first-shared-bin filter, no distinct."""
+    from phageclouds_graphdatabase_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        epoch_us(F.col("o_orderdate")).alias("d"),
+    )
+    left = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("k1"),
+        F.col("d").alias("lo1"),
+        (F.col("d") + F.lit(_ORDER_WINDOW_US)).alias("hi1"),
+    )
+    right = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("k2"),
+        F.col("d").alias("lo2"),
+        (F.col("d") + F.lit(_ORDER_WINDOW_US)).alias("hi2"),
+    )
+    pairs = interval_overlap_join(
+        left,
+        right,
+        left_lo="lo1",
+        left_hi="hi1",
+        right_lo="lo2",
+        right_hi="hi2",
+        bin_width=_ORDER_WINDOW_US,
+        partition_keys=["o_custkey"],
+    ).filter(F.col("k1") < F.col("k2"))
+    return pairs.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum(
+            F.least("hi1", "hi2") - F.greatest("lo1", "lo2")
+        ).alias("sum_overlap_us"),
+        F.min("k1").alias("min_k1"),
+        F.max("k2").alias("max_k2"),
+    )
+
+
+INTERVAL_OVERLAP_SQL = f"""
+WITH b AS (SELECT o_custkey, o_orderkey AS k, epoch_us(o_orderdate) AS lo,
+                  epoch_us(o_orderdate) + {_ORDER_WINDOW_US} AS hi
+           FROM orders)
+SELECT a.o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+       CAST(SUM(LEAST(a.hi, b2.hi) - GREATEST(a.lo, b2.lo)) AS BIGINT) AS sum_overlap_us,
+       MIN(a.k) AS min_k1,
+       MAX(b2.k) AS max_k2
+FROM b a JOIN b b2
+  ON a.o_custkey = b2.o_custkey
+ AND a.lo < b2.hi AND b2.lo < a.hi
+ AND a.k < b2.k
+GROUP BY a.o_custkey
+"""
+
+
 ENTRIES: dict[str, SuiteEntry] = {
     "q1_pricing_summary": SuiteEntry(q1_pricing_summary, Q1_SQL, ("P3", "A6", "V4")),
     "q3_shipping_priority": SuiteEntry(q3_shipping_priority, Q3_SQL, ("J1", "A6", "W1")),
@@ -744,6 +881,12 @@ ENTRIES: dict[str, SuiteEntry] = {
     "left_outer_nation_customers": SuiteEntry(left_outer_nation_customers, LEFT_OUTER_SQL, ("J4", "J5", "A6")),
     "full_outer_nation_presence": SuiteEntry(full_outer_nation_presence, FULL_OUTER_SQL, ("J7",)),
     "range_join_price_bands": SuiteEntry(range_join_price_bands, RANGE_JOIN_SQL, ("J7",)),
+    "range_join_clicks_in_windows": SuiteEntry(
+        range_join_clicks_in_windows, RANGE_JOIN_CLICKS_SQL, ("J7",)
+    ),
+    "interval_overlap_orders": SuiteEntry(
+        interval_overlap_orders, INTERVAL_OVERLAP_SQL, ("J7",)
+    ),
     "grouped_agg_stats": SuiteEntry(grouped_agg_stats, GROUPED_AGG_SQL, ("A6",)),
     "rollup_status_priority": SuiteEntry(rollup_status_priority, ROLLUP_SQL, ("A6",)),
     "cube_returnflag_linestatus": SuiteEntry(cube_returnflag_linestatus, CUBE_SQL, ("A6",)),
