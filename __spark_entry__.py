@@ -17,6 +17,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# At import time, before any SparkSession this importer may create: the
+# transformWithStateInPandas Python worker needs google.protobuf, and the
+# protomini fallback's PYTHONPATH edit only reaches JVM-spawned workers if it
+# happens before the JVM launches. (Sessions created even earlier are handled
+# post-hoc by vendor.ensure_protobuf_on_workers inside the TWS queries.)
+from phageclouds_graphdatabase_spark.vendor import ensure_protobuf  # noqa: E402
+
+ensure_protobuf()
+
 from phageclouds_graphdatabase_spark.plans.suite import SUITE  # noqa: E402
 
 

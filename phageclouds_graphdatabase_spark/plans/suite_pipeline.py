@@ -429,9 +429,12 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     provider; same batch-aggregation oracle as the applyInPandasWithState
     twin — two stateful APIs, one oracle."""
     from phageclouds_graphdatabase_spark.streaming import events as stream
-    from phageclouds_graphdatabase_spark.vendor import ensure_protobuf
+    from phageclouds_graphdatabase_spark.vendor import ensure_protobuf_on_workers
 
-    if not ensure_protobuf():  # pragma: no cover - protomini always loads
+    # Post-JVM-safe: also routes protomini to the JVM-spawned workers via
+    # sc.environment["PYTHONPATH"] when the session launched before this
+    # package was imported (the external-harness ordering).
+    if not ensure_protobuf_on_workers(spark):  # pragma: no cover
         raise RuntimeError("no protobuf runtime available")
     old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(

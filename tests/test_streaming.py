@@ -14,6 +14,8 @@ from phageclouds_graphdatabase_spark.plans import suite_extensions as ext
 from phageclouds_graphdatabase_spark.sources.readers import read_table
 from phageclouds_graphdatabase_spark.streaming import events as stream
 
+from conftest import SF_DIR
+
 
 @pytest.fixture(scope="module")
 def events_stream(spark, sf_dir):
@@ -262,3 +264,43 @@ def test_membership_time_travel(spark, tmp_path):
     assert set(v0) == {"a", "b"}          # after batch 0: only the first edge
     assert set(vN) == {"a", "b", "c"}     # final: merged chain
     assert vN["c"] == vN["a"]
+
+
+def test_tws_protobuf_reaches_workers_post_jvm(tmp_path):
+    """Regression for the round-2 driver red (CORRECTNESS_r02
+    stream_user_totals_tws): an external harness builds its SparkSession
+    BEFORE importing this package, so vendor.ensure_protobuf()'s
+    os.environ["PYTHONPATH"] edit never reaches the JVM and the
+    transformWithStateInPySpark driver worker crashes on `import
+    google.protobuf`. The fix routes protomini through
+    sc.environment["PYTHONPATH"] (UDF envVars) post-JVM. Reproduced here in
+    a subprocess with a scrubbed PYTHONPATH and the harness's exact
+    session-first ordering."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "driver_order.py"
+    script.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[2]')\n"
+        "         .config('spark.sql.shuffle.partitions', '4')\n"
+        "         .config('spark.ui.showConsoleProgress', 'false')\n"
+        "         .config('spark.ui.enabled', 'false')\n"
+        "         .getOrCreate())\n"
+        "import __spark_entry__ as e\n"
+        "df = e.queries()['stream_user_totals_tws'](spark, "
+        f"{SF_DIR!r})\n"
+        "print('TWS_POST_JVM_ROWS', df.count())\n"
+        "spark.stop()\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [_sys.executable, str(script)],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert "TWS_POST_JVM_ROWS" in out.stdout, out.stderr[-4000:]
+    n = int(out.stdout.split("TWS_POST_JVM_ROWS")[1].split()[0])
+    assert n > 0
