@@ -291,6 +291,21 @@ class SetClause:
 
 
 @dataclass(frozen=True)
+class RemoveClause:
+    """REMOVE n.prop / REMOVE n:Label — Neo4j's SET counterpart.
+
+    Property removal is exactly ``SET n.prop = NULL`` (Neo4j stores no
+    NULLs, so removed and NULL are indistinguishable — same here, where the
+    declared StructType keeps the column and the value becomes NULL). Label
+    removal maps to this engine's one-table-per-label catalog as removal of
+    the matched rows from that label's node table, with incident edges
+    KEPT (unlike DELETE): the entity merely stops matching ``:Label``."""
+
+    props: tuple = ()  # (Prop, ...)
+    labels: tuple = ()  # ((var, label), ...)
+
+
+@dataclass(frozen=True)
 class DeleteClause:
     names: tuple  # bound variable names
     detach: bool = False

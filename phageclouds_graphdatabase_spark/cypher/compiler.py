@@ -188,6 +188,25 @@ class CypherEngine:
         ast = parse(query)
         if isinstance(ast, A.UnionQuery):
             return self._compile_union(ast, params or {})
+        if any(
+            isinstance(
+                c,
+                (A.CreateClause, A.MergeClause, A.SetClause, A.RemoveClause,
+                 A.DeleteClause),
+            )
+            for c in ast.clauses
+        ):
+            # Neo4j's `MERGE ... RETURN n` / `CREATE ... RETURN n.id` idiom:
+            # run() on a write query returns the RETURN rows (computed over
+            # the post-write frame); the updated catalog is discarded — use
+            # apply()/apply_returning() to keep it.
+            _, df = self.apply_returning(query, params)
+            if df is None:
+                raise CypherCompileError(
+                    "write query without RETURN: use CypherEngine.apply() "
+                    "to get the updated catalog"
+                )
+            return df
         return self.compile(ast, params or {})
 
     def _compile_union(self, uq: A.UnionQuery, params: dict) -> DataFrame:
@@ -210,11 +229,23 @@ class CypherEngine:
         return out if uq.all else out.distinct()
 
     def apply(self, query: str, params: dict | None = None) -> "GraphCatalog":
-        """Run a Cypher WRITE query (CREATE/MERGE/SET/DELETE); returns the
-        updated catalog as copy-on-write DataFrame plans (cypher/writes.py)."""
+        """Run a Cypher WRITE query (CREATE/MERGE/SET/REMOVE/DELETE); returns
+        the updated catalog as copy-on-write DataFrame plans
+        (cypher/writes.py)."""
         from phageclouds_graphdatabase_spark.cypher.writes import apply_write
 
         return apply_write(self, query, params)
+
+    def apply_returning(
+        self, query: str, params: dict | None = None
+    ) -> tuple["GraphCatalog", DataFrame | None]:
+        """Run a Cypher WRITE query and also evaluate its trailing RETURN
+        over the post-write frame; returns ``(catalog, df_or_None)``."""
+        from phageclouds_graphdatabase_spark.cypher.writes import (
+            apply_write_returning,
+        )
+
+        return apply_write_returning(self, query, params)
 
     # -- clause folding -----------------------------------------------------
 
@@ -234,7 +265,9 @@ class CypherEngine:
             elif isinstance(clause, A.ReturnClause):
                 out = self._fold_return(frame, clause, params)
             elif isinstance(
-                clause, (A.CreateClause, A.MergeClause, A.SetClause, A.DeleteClause)
+                clause,
+                (A.CreateClause, A.MergeClause, A.SetClause, A.RemoveClause,
+                 A.DeleteClause),
             ):
                 raise CypherCompileError(
                     "write clauses run through CypherEngine.apply(), which "

@@ -48,7 +48,7 @@ _KEYWORDS = {
     "in", "contains", "starts", "ends", "distinct", "is", "null", "true",
     "false", "order", "by", "asc", "ascending", "desc", "descending",
     "skip", "limit", "unwind", "case", "when", "then", "else", "end",
-    "create", "merge", "set", "delete", "detach", "on", "union",
+    "create", "merge", "set", "delete", "detach", "on", "union", "remove",
 }
 
 _TOKEN_RE = re.compile(
@@ -182,6 +182,8 @@ class _Parser:
                 clauses.append(self._merge())
             elif self.accept("kw", "set"):
                 clauses.append(A.SetClause(self._set_items()))
+            elif self.accept("kw", "remove"):
+                clauses.append(self._remove())
             elif self.at("kw", "detach") or self.at("kw", "delete"):
                 clauses.append(self._delete())
             elif self.accept("kw", "return"):
@@ -275,6 +277,20 @@ class _Parser:
             if not self.accept("sym", ","):
                 break
         return tuple(items)
+
+    def _remove(self) -> A.RemoveClause:
+        props: list = []
+        labels: list = []
+        while True:
+            var = self._name()
+            if self.accept("sym", ":"):
+                labels.append((var, self._name()))
+            else:
+                self.take("sym", ".")
+                props.append(A.Prop(var, self._name()))
+            if not self.accept("sym", ","):
+                break
+        return A.RemoveClause(tuple(props), tuple(labels))
 
     def _delete(self) -> A.DeleteClause:
         detach = self.accept("kw", "detach")

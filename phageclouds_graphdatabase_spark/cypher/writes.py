@@ -31,17 +31,25 @@ frame, which Catalyst broadcasts; the target table is scanned once. At
 100 TB the full-outer MERGE is the same plan a Delta/Iceberg MERGE INTO
 lowers to.
 
+Also supported, matching Neo4j:
+- ``REMOVE n.prop`` (== ``SET n.prop = NULL``) and ``REMOVE n:Label``
+  (mapped to this engine's one-table-per-label catalog: the matched rows
+  leave that label's node table, incident edges kept).
+- plain ``DELETE`` of a node with the runtime edge-guard: succeeds when no
+  relationship references it, raises :class:`CypherDeleteConstraintError`
+  otherwise (one broadcast semi-join existence probe per incident
+  relationship table at apply time).
+- ``RETURN`` after write clauses (``MERGE ... RETURN n``): each write keeps
+  the driving frame bound to the post-write entity values, and the trailing
+  RETURN projects through the ordinary read path
+  (:func:`apply_write_returning` / ``CypherEngine.run``).
+
 Documented deviations from Neo4j:
-- plain ``DELETE`` of a *node* raises at compile time (Neo4j raises at
-  runtime when edges still reference it; without executing we cannot prove
-  there are none — ``DETACH DELETE`` is the supported spelling). Deleting
-  bound *relationship* variables works with plain ``DELETE``.
 - several context rows merging/setting the same key collapse to one
   arbitrary-but-deterministic-per-plan row (``dropDuplicates`` on the match
   keys) instead of firing per-row; Neo4j applies them sequentially in
   transaction order, an order a distributed batch engine does not have.
-- ``RETURN`` after a write clause is unsupported; run reads against the
-  returned catalog instead.
+  Consequently ``MERGE ... RETURN`` yields one row per distinct merge key.
 """
 
 from __future__ import annotations
@@ -61,6 +69,12 @@ from phageclouds_graphdatabase_spark.cypher.compiler import (
 from phageclouds_graphdatabase_spark.cypher.parser import parse
 
 
+class CypherDeleteConstraintError(RuntimeError):
+    """Plain ``DELETE`` of nodes still referenced by relationships — the
+    batch-engine mirror of Neo4j's ConstraintValidationFailed (raised at
+    apply time, after the existence probe, not at parse time)."""
+
+
 def apply_write(
     engine: CypherEngine, query: str, params: dict | None = None
 ) -> GraphCatalog:
@@ -68,6 +82,18 @@ def apply_write(
     catalog. Read clauses (MATCH/OPTIONAL MATCH/WHERE/WITH/UNWIND) build the
     driving frame exactly as in reads; reads placed *after* a write clause
     see the pending writes (Cypher clause-ordering semantics)."""
+    return apply_write_returning(engine, query, params)[0]
+
+
+def apply_write_returning(
+    engine: CypherEngine, query: str, params: dict | None = None
+) -> tuple[GraphCatalog, DataFrame | None]:
+    """Like :func:`apply_write` but also evaluates a trailing ``RETURN``
+    (Neo4j's ``MERGE ... RETURN n`` / ``CREATE ... RETURN n.id`` idiom):
+    each write clause keeps the driving frame bound to the POST-write
+    entity values (created rows, merged rows, updated structs), so the
+    final projection runs through the ordinary read path over that frame.
+    Returns ``(catalog, df_or_None)``."""
     q = parse(query)
     if not isinstance(q, A.Query):
         raise CypherCompileError("UNION is not supported in write queries")
@@ -78,6 +104,7 @@ def apply_write(
     # whole entities (e.g. DELETE of an edge var needs its src/dst columns)
     frame = _Frame(used=None)
     wrote = False
+    returned: DataFrame | None = None
     for clause in q.clauses:
         if isinstance(clause, A.MatchClause):
             eng._fold_match(frame, clause, params)
@@ -95,6 +122,9 @@ def apply_write(
         elif isinstance(clause, A.SetClause):
             eng.catalog = _apply_set(eng, frame, clause, params)
             wrote = True
+        elif isinstance(clause, A.RemoveClause):
+            eng.catalog = _apply_remove(eng, frame, clause, params)
+            wrote = True
         elif isinstance(clause, A.DeleteClause):
             eng.catalog = _apply_delete(eng, frame, clause, params)
             wrote = True
@@ -103,17 +133,14 @@ def apply_write(
                 raise CypherCompileError(
                     "no write clause found; use CypherEngine.run() for reads"
                 )
-            raise CypherCompileError(
-                "RETURN in a write query is not supported; query the "
-                "returned catalog instead"
-            )
+            returned = eng._project_ordered(frame, clause, params)
         else:  # pragma: no cover
             raise CypherCompileError(f"unsupported clause {clause!r}")
     if not wrote:
         raise CypherCompileError(
             "no write clause found; use CypherEngine.run() for reads"
         )
-    return eng.catalog
+    return eng.catalog, returned
 
 
 # --------------------------------------------------------------------------
@@ -246,13 +273,18 @@ def _apply_create(
             raise CypherCompileError(
                 f"CREATE (:{npat.label}) must set the key property {nt.key!r}"
             )
-        rows = ctx.select(
-            *_aligned_create_cols(eng, frame, props, nt.df.schema, params, env)
-        )
+        cols = _aligned_create_cols(eng, frame, props, nt.df.schema, params, env)
+        rows = ctx.select(*cols)
         cat = _swap_node(cat, npat.label, nt.df.unionByName(rows))
         key_expr[i] = eng._col(frame, props[nt.key], params, env).cast(
             dict((f.name, f.dataType) for f in nt.df.schema.fields)[nt.key]
         )
+        if npat.var is not None:
+            # bind the created entity so later clauses / RETURN see it
+            # (Neo4j's ``CREATE (n {...}) RETURN n`` idiom)
+            ctx = ctx.withColumn(npat.var, F.struct(*cols))
+            frame.df = ctx
+            frame.vars[npat.var] = ("node", npat.label)
     # second pass: edges between consecutive node pats
     for i, epat in enumerate(pat.edges):
         if epat.reltype is None:
@@ -279,7 +311,7 @@ def _apply_create(
             raise CypherCompileError(
                 f"properties {sorted(unknown)} not in the declared schema"
             )
-        prop_cols = []
+        prop_exprs: dict[str, Column] = {}
         for f in rel.df.schema.fields:
             if f.name in (rel.src_col, rel.dst_col):
                 continue
@@ -288,13 +320,29 @@ def _apply_create(
                 if f.name in props
                 else F.lit(None)
             )
-            prop_cols.append(c.cast(f.dataType).alias(f.name))
+            prop_exprs[f.name] = c.cast(f.dataType).alias(f.name)
+        prop_cols = list(prop_exprs.values())
         rows = ctx.select(
             key_expr[li].alias(rel.src_col),
             key_expr[ri].alias(rel.dst_col),
             *prop_cols,
         ).select(*[F.col(f.name) for f in rel.df.schema.fields])
         cat = _swap_rel(cat, epat.reltype, rel.df.unionByName(rows))
+        if epat.var is not None:
+            types = {f.name: f.dataType for f in rel.df.schema.fields}
+            struct_cols = []
+            for f in rel.df.schema.fields:
+                if f.name == rel.src_col:
+                    struct_cols.append(
+                        key_expr[li].cast(types[f.name]).alias(f.name))
+                elif f.name == rel.dst_col:
+                    struct_cols.append(
+                        key_expr[ri].cast(types[f.name]).alias(f.name))
+                else:
+                    struct_cols.append(prop_exprs[f.name])
+            ctx = ctx.withColumn(epat.var, F.struct(*struct_cols))
+            frame.df = ctx
+            frame.vars[epat.var] = ("edge", epat.reltype)
     return cat
 
 
@@ -334,14 +382,20 @@ def _merged_table(
     on_create: tuple,
     on_match: tuple,
     params: dict,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame | None]:
     """The single full-outer-join MERGE plan shared by node and edge merges.
 
     ``create_vals`` maps target columns to their ``__``-prefixed source
     column names for the create branch; SET items are evaluated post-join,
     where the merge variable resolves to the existing row (ON MATCH) or the
     created values (ON CREATE) and frame variables resolve through the
-    carried ``__v_`` columns."""
+    carried ``__v_`` columns.
+
+    Returns ``(merged_table, bound_rows)``: the new full table, plus — for
+    ``MERGE ... RETURN`` — the driving rows restricted to the merge source
+    (``__new`` side), each carrying its post-merge entity struct under the
+    merge variable and the frame variables restored from their ``__v_``
+    columns (None when there is nothing to bind)."""
     tgt = target.withColumn("__old", F.lit(True))
     cond = None
     for n in match_cols:
@@ -394,7 +448,32 @@ def _merged_table(
             cv = oc[f.name]  # ON CREATE SET overrides the pattern prop
         v = F.when(created, cv.cast(f.dataType)).otherwise(v)
         out.append(v.alias(f.name))
-    return j.select(*out)
+    bound_sel = [F.col(f"__v_{v}").alias(v) for v in _carry(frame)]
+    if var is not None:
+        bound_sel.append(F.struct(*out).alias(var))
+    bound = (
+        j.where(F.col("__new").isNotNull()).select(*bound_sel)
+        if bound_sel
+        else None
+    )
+    return j.select(*out), bound
+
+
+def _rebind_after_merge(
+    frame: _Frame, bound: DataFrame | None, var: str | None, kind: tuple
+) -> None:
+    """After a MERGE, the driving frame becomes the distinct merge-source
+    rows with the merge variable bound to its post-merge entity struct —
+    what ``MERGE ... RETURN n`` projects. Carried variables keep their
+    bindings; one row per distinct merge key (the documented deviation:
+    duplicate context rows collapse)."""
+    if bound is None:
+        return
+    kinds = {v: frame.vars[v] for v in _carry(frame)}
+    if var is not None:
+        kinds[var] = kind
+    frame.df = bound
+    frame.vars = kinds
 
 
 def _apply_merge(
@@ -419,11 +498,12 @@ def _apply_merge(
                 f"properties {sorted(unknown)} not in the declared schema"
             )
         src = _merge_source(eng, frame, ctx, props, params)
-        merged = _merged_table(
+        merged, bound = _merged_table(
             eng, frame, nt.df, src,
             list(props), {n: f"__p_{n}" for n in props},
             npat.var, clause.on_create, clause.on_match, params,
         )
+        _rebind_after_merge(frame, bound, npat.var, ("node", npat.label))
         return _swap_node(cat, npat.label, merged)
 
     if len(pat.edges) != 1:
@@ -454,11 +534,12 @@ def _apply_merge(
         *_carried_cols(frame),
         F.lit(True).alias("__new"),
     ).dropDuplicates([f"__p_{n}" for n in match_cols])
-    merged = _merged_table(
+    merged, bound = _merged_table(
         eng, frame, rel.df, src,
         match_cols, {n: f"__p_{n}" for n in match_cols},
         epat.var, clause.on_create, clause.on_match, params,
     )
+    _rebind_after_merge(frame, bound, epat.var, ("edge", epat.reltype))
     return _swap_rel(cat, epat.reltype, merged)
 
 
@@ -530,7 +611,61 @@ def _apply_set(
             if kind == "node"
             else _swap_rel(cat, label, new)
         )
+        # rebind the frame's entity struct so later clauses / RETURN see the
+        # updated values (all RHS evaluated against the pre-SET row: inside
+        # withColumn, F.col(var) still resolves to the old column)
+        newcol = F.col(var)
+        for n, v in items:
+            newcol = newcol.withField(
+                n, eng._col(frame, v, params).cast(types[n])
+            )
+        frame.df = frame.df.withColumn(var, newcol)
     return cat
+
+
+# --------------------------------------------------------------------------
+# REMOVE
+# --------------------------------------------------------------------------
+
+
+def _apply_remove(
+    eng: CypherEngine, frame: _Frame, clause: A.RemoveClause, params: dict
+) -> GraphCatalog:
+    """``REMOVE n.prop`` is exactly ``SET n.prop = NULL`` (Neo4j stores no
+    NULL properties, so removed == NULL; here the declared StructType keeps
+    the column and the value becomes NULL) — it reuses the SET update-join
+    plan verbatim. ``REMOVE n:Label`` maps to the one-table-per-label
+    catalog as removal of the matched rows from that label's node table
+    with incident edges KEPT (the entity stops matching ``:Label``; unlike
+    DELETE nothing else is touched)."""
+    if frame.df is None:
+        raise CypherCompileError("REMOVE needs a preceding MATCH")
+    if clause.props:
+        eng.catalog = _apply_set(
+            eng,
+            frame,
+            A.SetClause(tuple((p, A.Literal(None)) for p in clause.props)),
+            params,
+        )
+    for var, label in clause.labels:
+        if not frame.has(var):
+            raise CypherCompileError(f"unbound variable {var}")
+        kind, bound_label = frame.vars[var]
+        if kind != "node":
+            raise CypherCompileError(
+                f"REMOVE {var}:{label}: {var} is not a node variable"
+            )
+        if bound_label != label:
+            raise CypherCompileError(
+                f"{var} is a :{bound_label} node, not :{label}"
+            )
+        nt = eng.catalog.node(label)
+        keys = frame.df.select(F.col(var)[nt.key].alias("__k")).distinct()
+        new_nodes = nt.df.join(
+            F.broadcast(keys), F.col(nt.key) == F.col("__k"), "left_anti"
+        )
+        eng.catalog = _swap_node(eng.catalog, label, new_nodes)
+    return eng.catalog
 
 
 # --------------------------------------------------------------------------
@@ -561,35 +696,58 @@ def _apply_delete(
                 "left_anti",
             )
             cat = _swap_rel(cat, label, new)
+            # deleted variables are no longer bound (RETURN of one errors,
+            # matching Neo4j's EntityNotFound on deleted-entity access)
+            frame.df = frame.df.drop(var)
+            del frame.vars[var]
             continue
         if kind != "node":
             raise CypherCompileError(f"{var} is not an entity variable")
-        if not clause.detach:
-            raise CypherCompileError(
-                "plain DELETE of a node may leave dangling relationships; "
-                "use DETACH DELETE (fail-fast mirror of Neo4j's runtime "
-                "constraint)"
-            )
         nt = cat.node(label)
         keys = frame.df.select(F.col(var)[nt.key].alias("__k")).distinct()
         bkeys = F.broadcast(keys)
+        if not clause.detach:
+            # Neo4j semantics: plain DELETE succeeds unless relationships
+            # still reference the node (ConstraintValidationFailed at
+            # runtime). The guard is one broadcast semi-join existence probe
+            # per incident relationship table — the key set is the (small)
+            # match frame, the edge tables are scanned once with the
+            # semi-join's early-out.
+            for rtype, rel in cat.rels.items():
+                for col_, lbl in (
+                    (rel.src_col, rel.src_label),
+                    (rel.dst_col, rel.dst_label),
+                ):
+                    if lbl != label:
+                        continue
+                    hit = rel.df.join(
+                        bkeys, F.col(col_) == F.col("__k"), "left_semi"
+                    )
+                    if hit.limit(1).count():
+                        raise CypherDeleteConstraintError(
+                            f"cannot DELETE :{label} nodes still referenced "
+                            f"by :{rtype} relationships; use DETACH DELETE"
+                        )
         new_nodes = nt.df.join(
             bkeys, F.col(nt.key) == F.col("__k"), "left_anti"
         )
         cat = _swap_node(cat, label, new_nodes)
-        for rtype, rel in list(cat.rels.items()):
-            df = rel.df
-            changed = False
-            if rel.src_label == label:
-                df = df.join(
-                    bkeys, F.col(rel.src_col) == F.col("__k"), "left_anti"
-                )
-                changed = True
-            if rel.dst_label == label:
-                df = df.join(
-                    bkeys, F.col(rel.dst_col) == F.col("__k"), "left_anti"
-                )
-                changed = True
-            if changed:
-                cat = _swap_rel(cat, rtype, df)
+        if clause.detach:
+            for rtype, rel in list(cat.rels.items()):
+                df = rel.df
+                changed = False
+                if rel.src_label == label:
+                    df = df.join(
+                        bkeys, F.col(rel.src_col) == F.col("__k"), "left_anti"
+                    )
+                    changed = True
+                if rel.dst_label == label:
+                    df = df.join(
+                        bkeys, F.col(rel.dst_col) == F.col("__k"), "left_anti"
+                    )
+                    changed = True
+                if changed:
+                    cat = _swap_rel(cat, rtype, df)
+        frame.df = frame.df.drop(var)
+        del frame.vars[var]
     return cat

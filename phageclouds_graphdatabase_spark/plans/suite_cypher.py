@@ -782,6 +782,75 @@ WHERE distance <= 0.01
 """
 
 
+def cypher_remove_property(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write surface: REMOVE — property removal (== SET NULL, same
+    update-join plan) on the supplier nodes, then label removal (the
+    matched rows leave the label's table, edges kept) for one genus
+    (cypher/writes.py _apply_remove)."""
+    q = """MATCH (a:PhageGenome {source:'SUPPLIER'}) REMOVE a.taxonomy
+           MATCH (b:PhageGenome {genus:'Brand#13'}) REMOVE b:PhageGenome;"""
+    cat = _engine_sp(spark, sf_dir).apply(q)
+    return cat.node("PhageGenome").df
+
+
+CYPHER_REMOVE_SQL = _CTE + """
+SELECT accession, source,
+       CASE WHEN source = 'SUPPLIER' THEN CAST(NULL AS VARCHAR)
+            ELSE taxonomy END AS taxonomy,
+       genome_size, genus
+FROM nodes
+WHERE genus IS NULL OR genus <> 'Brand#13'
+"""
+
+
+_MERGE_RETURN_KEYS = ["P1", "P2", "P3", "X1", "X2"]
+
+
+def cypher_merge_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write surface: MERGE ... RETURN n — Neo4j's upsert-and-read idiom.
+    The trailing RETURN projects the POST-write entity struct (created
+    values on the ON CREATE branch, updated values on ON MATCH), one row
+    per distinct merge key (cypher/writes.py apply_write_returning)."""
+    q = """UNWIND {} AS x
+           MERGE (n:PhageGenome {{accession: x}})
+           ON CREATE SET n.source = 'NEW', n.genome_size = 0
+           ON MATCH SET n.source = 'SEEN'
+           RETURN n.accession AS accession, n.source AS source,
+                  n.genome_size AS genome_size;""".format(_MERGE_RETURN_KEYS)
+    return _engine_sp(spark, sf_dir).run(q)
+
+
+CYPHER_MERGE_RETURN_SQL = _CTE + f"""
+, upsert AS (SELECT DISTINCT unnest({_MERGE_RETURN_KEYS}) AS acc)
+SELECT u.acc AS accession,
+       CASE WHEN n.accession IS NOT NULL THEN 'SEEN' ELSE 'NEW' END AS source,
+       CASE WHEN n.accession IS NOT NULL THEN n.genome_size
+            ELSE CAST(0 AS BIGINT) END AS genome_size
+FROM upsert u LEFT JOIN nodes n ON n.accession = u.acc
+"""
+
+
+def cypher_delete_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write surface: plain DELETE with Neo4j's runtime edge-guard — the
+    matched nodes are provably isolated (NOT EXISTS prunes every supplier
+    with an incident sharesDNA edge; suppliers have no infects rows), so
+    the guard's per-rel-table semi-join probe finds nothing and the delete
+    proceeds (cypher/writes.py _apply_delete)."""
+    q = """MATCH (a:PhageGenome)
+           WHERE a.source = 'SUPPLIER'
+             AND NOT EXISTS { MATCH (a)<-[:sharesDNA]-(b:PhageGenome) }
+           DELETE a;"""
+    cat = _engine_sp(spark, sf_dir).apply(q)
+    return cat.node("PhageGenome").df
+
+
+CYPHER_DELETE_NODES_SQL = _CTE + """
+SELECT * FROM nodes
+WHERE NOT (source = 'SUPPLIER'
+           AND accession NOT IN (SELECT dst FROM edges))
+"""
+
+
 ENTRIES = {
     "cypher_seed_expand": SuiteEntry(
         cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
@@ -852,5 +921,14 @@ ENTRIES = {
     ),
     "cypher_create_edges": SuiteEntry(
         cypher_create_edges, CYPHER_CREATE_EDGES_SQL, ("S2", "S7")
+    ),
+    "cypher_remove_property": SuiteEntry(
+        cypher_remove_property, CYPHER_REMOVE_SQL, ("S2", "V8")
+    ),
+    "cypher_merge_return": SuiteEntry(
+        cypher_merge_return, CYPHER_MERGE_RETURN_SQL, ("S2", "J7", "A4")
+    ),
+    "cypher_delete_nodes": SuiteEntry(
+        cypher_delete_nodes, CYPHER_DELETE_NODES_SQL, ("S2", "P8", "J7")
     ),
 }

@@ -91,17 +91,25 @@ class TestWriteParsing:
 
 
 class TestRouting:
-    def test_run_rejects_writes(self, eng):
+    def test_run_write_with_return_yields_rows(self, eng):
+        rows = eng.run(
+            "CREATE (n:PhageGenome {accession:'Z1'}) RETURN n.accession AS a"
+        ).collect()
+        assert [r.a for r in rows] == ["Z1"]
+
+    def test_run_rejects_write_without_return(self, eng):
         with pytest.raises(CypherCompileError, match="apply"):
-            eng.run("CREATE (n:PhageGenome {accession:'Z1'}) RETURN n.accession")
+            eng.run("CREATE (n:PhageGenome {accession:'Z1'})")
 
     def test_apply_rejects_reads(self, eng):
         with pytest.raises(CypherCompileError, match="no write clause"):
             eng.apply("MATCH (a:PhageGenome) RETURN a.accession")
 
-    def test_apply_rejects_return(self, eng):
-        with pytest.raises(CypherCompileError, match="RETURN"):
-            eng.apply("CREATE (n:PhageGenome {accession:'Z1'}) RETURN n")
+    def test_apply_accepts_trailing_return(self, eng):
+        cat = eng.apply("CREATE (n:PhageGenome {accession:'Z1'}) RETURN n")
+        assert (
+            cat.node("PhageGenome").df.where("accession = 'Z1'").count() == 1
+        )
 
 
 # --------------------------------------------------------------------------
@@ -300,9 +308,21 @@ class TestDelete:
         # infects rows for A1 cascade too
         assert cat.rel("infects").df.filter(F.col("src") == "A1").count() == 0
 
-    def test_plain_node_delete_rejected(self, eng):
-        with pytest.raises(CypherCompileError, match="DETACH"):
-            eng.apply("MATCH (a:PhageGenome {accession:'E1'}) DELETE a")
+    def test_plain_node_delete_isolated_ok(self, eng):
+        # E1 has no sharesDNA or infects rows: Neo4j semantics allow the
+        # plain DELETE (the runtime guard finds nothing).
+        cat = eng.apply("MATCH (a:PhageGenome {accession:'E1'}) DELETE a")
+        assert node_row(cat, "E1") is None
+        assert cat.node("PhageGenome").df.count() == 11
+
+    def test_plain_node_delete_with_edges_raises(self, eng):
+        from phageclouds_graphdatabase_spark.cypher.writes import (
+            CypherDeleteConstraintError,
+        )
+
+        # D1 still has a sharesDNA edge and an infects edge
+        with pytest.raises(CypherDeleteConstraintError, match="DETACH"):
+            eng.apply("MATCH (a:PhageGenome {accession:'D1'}) DELETE a")
 
     def test_edge_delete(self, eng):
         cat = eng.apply(
@@ -330,3 +350,147 @@ class TestClauseOrdering:
             "MATCH (m:PhageGenome {accession:'Z9'}) SET m.genus = 'Fresh'"
         )
         assert node_row(cat, "Z9") == ("Z9", "Tara", None, 5, "Fresh")
+
+
+# --------------------------------------------------------------------------
+# REMOVE
+# --------------------------------------------------------------------------
+
+
+class TestRemove:
+    def test_parse_remove(self):
+        q = parse("MATCH (n:PhageGenome) REMOVE n.genus, n.source, n:PhageGenome")
+        c = q.clauses[1]
+        assert isinstance(c, A.RemoveClause)
+        assert [(p.var, p.name) for p in c.props] == [
+            ("n", "genus"), ("n", "source")
+        ]
+        assert c.labels == (("n", "PhageGenome"),)
+
+    def test_remove_property_sets_null(self, eng):
+        cat = eng.apply(
+            "MATCH (a:PhageGenome) WHERE a.accession IN ['A1','A2'] "
+            "REMOVE a.genus"
+        )
+        df = cat.node("PhageGenome").df
+        assert df.where("accession IN ('A1','A2') AND genus IS NULL").count() == 2
+        # untouched rows keep their value
+        assert node_row(cat, "B1")[4] == "Lambdavirus"
+        assert df.count() == 12
+
+    def test_remove_two_properties_one_clause(self, eng):
+        cat = eng.apply(
+            "MATCH (a:PhageGenome {accession:'D1'}) REMOVE a.genus, a.source"
+        )
+        assert node_row(cat, "D1")[1] is None
+        assert node_row(cat, "D1")[4] is None
+
+    def test_remove_key_property_rejected(self, eng):
+        with pytest.raises(CypherCompileError, match="key"):
+            eng.apply("MATCH (a:PhageGenome) REMOVE a.accession")
+
+    def test_remove_label_drops_rows_keeps_edges(self, eng):
+        cat = eng.apply(
+            "MATCH (a:PhageGenome {accession:'D1'}) REMOVE a:PhageGenome"
+        )
+        assert node_row(cat, "D1") is None
+        assert cat.node("PhageGenome").df.count() == 11
+        # unlike DELETE, incident edges are kept
+        assert cat.rel("sharesDNA").df.where("src = 'D1'").count() == 1
+
+    def test_remove_unknown_property_rejected(self, eng):
+        with pytest.raises(CypherCompileError, match="schema"):
+            eng.apply("MATCH (a:PhageGenome) REMOVE a.nope")
+
+    def test_remove_needs_match(self, eng):
+        with pytest.raises(CypherCompileError, match="MATCH"):
+            eng.apply("REMOVE a.genus")
+
+    def test_remove_then_return_sees_null(self, eng):
+        rows = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) REMOVE a.genus "
+            "RETURN a.accession AS acc, a.genus AS g"
+        ).collect()
+        assert [(r.acc, r.g) for r in rows] == [("A1", None)]
+
+
+# --------------------------------------------------------------------------
+# RETURN after write clauses
+# --------------------------------------------------------------------------
+
+
+class TestWriteReturn:
+    def test_create_return_node_props(self, eng):
+        rows = eng.run(
+            "CREATE (n:PhageGenome {accession:'Z1', genome_size: 5}) "
+            "RETURN n.accession AS acc, n.genome_size AS gs"
+        ).collect()
+        assert [(r.acc, r.gs) for r in rows] == [("Z1", 5)]
+
+    def test_create_edge_return_edge_var(self, eng):
+        rows = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}), "
+            "(b:PhageGenome {accession:'D1'}) "
+            "CREATE (a)-[r:sharesDNA {distance: 0.33}]->(b) "
+            "RETURN r.distance AS d"
+        ).collect()
+        assert [r.d for r in rows] == [0.33]
+
+    def test_merge_return_on_match_values(self, eng):
+        # A1 exists: ON MATCH fires, RETURN sees the updated entity
+        rows = eng.run(
+            "MERGE (n:PhageGenome {accession:'A1'}) "
+            "ON MATCH SET n.source = 'SEEN' "
+            "RETURN n.accession AS acc, n.source AS src, n.genome_size AS gs"
+        ).collect()
+        assert [(r.acc, r.src, r.gs) for r in rows] == [("A1", "SEEN", 168000)]
+
+    def test_merge_return_on_create_values(self, eng):
+        rows = eng.run(
+            "MERGE (n:PhageGenome {accession:'NEW9'}) "
+            "ON CREATE SET n.source = 'FRESH' "
+            "RETURN n.accession AS acc, n.source AS src"
+        ).collect()
+        assert [(r.acc, r.src) for r in rows] == [("NEW9", "FRESH")]
+
+    def test_unwind_merge_return_one_row_per_key(self, eng, spark):
+        eng.spark = spark
+        rows = eng.run(
+            "UNWIND ['A1', 'NEW1', 'NEW1'] AS acc "
+            "MERGE (n:PhageGenome {accession: acc}) "
+            "RETURN n.accession AS a ORDER BY a"
+        ).collect()
+        # duplicate context rows collapse per distinct merge key (documented)
+        assert [r.a for r in rows] == ["A1", "NEW1"]
+
+    def test_set_return_sees_new_value(self, eng):
+        rows = eng.run(
+            "MATCH (a:PhageGenome {accession:'B1'}) "
+            "SET a.genome_size = a.genome_size + 1 "
+            "RETURN a.genome_size AS gs"
+        ).collect()
+        assert [r.gs for r in rows] == [48503]
+
+    def test_delete_then_return_deleted_var_errors(self, eng):
+        with pytest.raises(CypherCompileError, match="unbound"):
+            eng.run(
+                "MATCH (a:PhageGenome {accession:'E1'}) DELETE a "
+                "RETURN a.accession"
+            )
+
+    def test_delete_return_other_var(self, eng):
+        rows = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'})-[r:sharesDNA]->"
+            "(b:PhageGenome {accession:'A2'}) DELETE r "
+            "RETURN a.accession AS src, b.accession AS dst"
+        ).collect()
+        assert [(r.src, r.dst) for r in rows] == [("A1", "A2")]
+
+    def test_create_return_aggregate(self, eng, spark):
+        eng.spark = spark
+        rows = eng.run(
+            "UNWIND ['X1','X2','X3'] AS acc "
+            "CREATE (n:PhageGenome {accession: acc}) "
+            "RETURN count(n.accession) AS n_created"
+        ).collect()
+        assert rows[0].n_created == 3

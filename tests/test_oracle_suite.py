@@ -87,3 +87,24 @@ def test_driver_window_invariants(spark, sf_dir):
         if bad:
             offenders.append((name, bad))
     assert not offenders, f"non-scalar driver outputs: {offenders}"
+
+
+def test_coverage_md_matches_suite():
+    """COVERAGE.md is generated (tools/gen_coverage.py); this pins it to the
+    live suite so rotation blindness can't hide a drift between the
+    committed inventory and the code (VERDICT_r2 ask #6)."""
+    import os
+
+    from phageclouds_graphdatabase_spark.plans.suite import survey_coverage
+    from tools.gen_coverage import COVERAGE_PATH, render_table
+
+    with open(COVERAGE_PATH) as f:
+        text = f.read()
+    assert text.endswith(render_table()), (
+        "COVERAGE.md is stale; run `python tools/gen_coverage.py`"
+    )
+    # every suite entry appears in at least one row
+    listed = set()
+    for names in survey_coverage().values():
+        listed.update(names)
+    assert listed == set(SUITE), sorted(set(SUITE) ^ listed)

@@ -304,3 +304,91 @@ def test_tws_protobuf_reaches_workers_post_jvm(tmp_path):
     assert "TWS_POST_JVM_ROWS" in out.stdout, out.stderr[-4000:]
     n = int(out.stdout.split("TWS_POST_JVM_ROWS")[1].split()[0])
     assert n > 0
+
+
+def test_tws_restart_resumes_state(spark, tmp_path):
+    """transformWithStateInPandas restart contract (VERDICT_r2 ask #9): run
+    the StatefulProcessor over batch 0 with a durable checkpoint, let the
+    query terminate, append batch 1, then start a NEW query over the SAME
+    checkpoint. The RocksDB-backed ValueState must survive the restart
+    (user 1's running totals include batch 0) and batch 0's offsets must
+    not be reprocessed (user 2, untouched by batch 1, emits nothing in
+    update mode on the second run)."""
+    import datetime as dt
+
+    from phageclouds_graphdatabase_spark.vendor import (
+        ensure_protobuf_on_workers,
+    )
+
+    assert ensure_protobuf_on_workers(spark)
+    old = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, stream.EVENTS_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run_once():
+        got: list = []
+
+        def capture(batch_df, batch_id):
+            got.extend(batch_df.collect())
+
+        sdf = (
+            spark.readStream.schema(stream.EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.running_user_totals_tws(sdf)
+            .writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        return {r.user_id: (r.n_events, r.sum_value_cents) for r in got}
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    try:
+        write_batch(
+            [
+                (1, t0, 1, "click", 1.0, "{}"),
+                (2, t0, 1, "click", 2.0, "{}"),
+                (3, t0, 2, "view", 5.0, "{}"),
+            ]
+        )
+        first = run_once()
+        assert first == {1: (2, 300), 2: (1, 500)}
+
+        write_batch(
+            [
+                (4, t0, 1, "click", 3.0, "{}"),
+                (5, t0, 3, "view", 7.0, "{}"),
+            ]
+        )
+        second = run_once()
+        # user 1: state restored from the checkpointed store (2+1 events,
+        # 300+300 cents); user 3 fresh; user 2 absent => batch 0 was not
+        # reprocessed after the restart.
+        assert second == {1: (3, 600), 3: (1, 700)}
+    finally:
+        if old:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
+        else:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )

@@ -31,7 +31,15 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument(
+        "--strict",
+        action="store_true",
+        help="CI gate (VERDICT_r2 ask #6): force the FULL suite (no --only),"
+        " fail on any non-PASS entry, and fail if COVERAGE.md is stale",
+    )
     args = ap.parse_args()
+    if args.strict and args.only:
+        ap.error("--strict runs the full suite; drop --only")
 
     import __spark_entry__ as se
     from phageclouds_graphdatabase_spark.session import get_spark
@@ -101,6 +109,17 @@ def main() -> int:
     )
     with open("VERIFY_LOCAL.json", "w") as f:
         json.dump(merged, f, indent=1)
+    if args.strict:
+        from tools.gen_coverage import COVERAGE_PATH, render_table
+
+        with open(COVERAGE_PATH) as f:
+            if not f.read().endswith(render_table()):
+                print("STRICT: COVERAGE.md is stale; run tools/gen_coverage.py")
+                return 1
+        missing = [n for n in qs if n not in results]
+        if missing:  # pragma: no cover - full run covers every name
+            print(f"STRICT: {len(missing)} suite entries not checked")
+            return 1
     return 1 if n_fail else 0
 
 
