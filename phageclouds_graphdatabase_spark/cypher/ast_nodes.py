@@ -312,6 +312,19 @@ class DeleteClause:
 
 
 @dataclass(frozen=True)
+class ForeachClause:
+    """FOREACH (var IN expr | update-clauses) — Neo4j's per-element update
+    block. Compiled as a scoped UNWIND: the body's writes apply against the
+    frame unwound by ``var`` (one driving row per list element), then the
+    outer frame is restored unchanged (FOREACH never alters the record
+    stream's cardinality; an empty/NULL list makes the body a no-op)."""
+
+    var: str
+    expr: Expr
+    body: tuple  # write clauses (Create/Merge/Set/Remove/Delete/Foreach)
+
+
+@dataclass(frozen=True)
 class Query:
     clauses: tuple = field(default_factory=tuple)  # Match/With, then Return last
 

@@ -192,7 +192,7 @@ class CypherEngine:
             isinstance(
                 c,
                 (A.CreateClause, A.MergeClause, A.SetClause, A.RemoveClause,
-                 A.DeleteClause),
+                 A.DeleteClause, A.ForeachClause),
             )
             for c in ast.clauses
         ):
@@ -267,7 +267,7 @@ class CypherEngine:
             elif isinstance(
                 clause,
                 (A.CreateClause, A.MergeClause, A.SetClause, A.RemoveClause,
-                 A.DeleteClause),
+                 A.DeleteClause, A.ForeachClause),
             ):
                 raise CypherCompileError(
                     "write clauses run through CypherEngine.apply(), which "

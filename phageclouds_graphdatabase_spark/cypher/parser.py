@@ -49,6 +49,7 @@ _KEYWORDS = {
     "false", "order", "by", "asc", "ascending", "desc", "descending",
     "skip", "limit", "unwind", "case", "when", "then", "else", "end",
     "create", "merge", "set", "delete", "detach", "on", "union", "remove",
+    "foreach",
 }
 
 _TOKEN_RE = re.compile(
@@ -184,6 +185,8 @@ class _Parser:
                 clauses.append(A.SetClause(self._set_items()))
             elif self.accept("kw", "remove"):
                 clauses.append(self._remove())
+            elif self.accept("kw", "foreach"):
+                clauses.append(self._foreach())
             elif self.at("kw", "detach") or self.at("kw", "delete"):
                 clauses.append(self._delete())
             elif self.accept("kw", "return"):
@@ -277,6 +280,37 @@ class _Parser:
             if not self.accept("sym", ","):
                 break
         return tuple(items)
+
+    def _foreach(self) -> A.ForeachClause:
+        self.take("sym", "(")
+        var = self._name()
+        self.take("kw", "in")
+        e = self.expr()
+        self.take("sym", "|")
+        body: list = []
+        while True:
+            if self.accept("kw", "set"):
+                body.append(A.SetClause(self._set_items()))
+            elif self.accept("kw", "remove"):
+                body.append(self._remove())
+            elif self.accept("kw", "create"):
+                body.append(self._create())
+            elif self.accept("kw", "merge"):
+                body.append(self._merge())
+            elif self.accept("kw", "foreach"):
+                body.append(self._foreach())
+            elif self.at("kw", "detach") or self.at("kw", "delete"):
+                body.append(self._delete())
+            else:
+                break
+        if not body:
+            _, tv, pos, _ = self.peek()
+            raise CypherSyntaxError(
+                f"FOREACH body needs at least one update clause at position "
+                f"{pos}, found {tv!r}"
+            )
+        self.take("sym", ")")
+        return A.ForeachClause(var, e, tuple(body))
 
     def _remove(self) -> A.RemoveClause:
         props: list = []

@@ -112,21 +112,7 @@ def apply_write_returning(
             eng._fold_with(frame, clause, params)
         elif isinstance(clause, A.UnwindClause):
             eng._fold_unwind(frame, clause, params)
-        elif isinstance(clause, A.CreateClause):
-            for pat in clause.patterns:
-                eng.catalog = _apply_create(eng, frame, pat, params)
-            wrote = True
-        elif isinstance(clause, A.MergeClause):
-            eng.catalog = _apply_merge(eng, frame, clause, params)
-            wrote = True
-        elif isinstance(clause, A.SetClause):
-            eng.catalog = _apply_set(eng, frame, clause, params)
-            wrote = True
-        elif isinstance(clause, A.RemoveClause):
-            eng.catalog = _apply_remove(eng, frame, clause, params)
-            wrote = True
-        elif isinstance(clause, A.DeleteClause):
-            eng.catalog = _apply_delete(eng, frame, clause, params)
+        elif _apply_update_clause(eng, frame, clause, params):
             wrote = True
         elif isinstance(clause, A.ReturnClause):
             if not wrote:
@@ -141,6 +127,48 @@ def apply_write_returning(
             "no write clause found; use CypherEngine.run() for reads"
         )
     return eng.catalog, returned
+
+
+def _apply_update_clause(
+    eng: CypherEngine, frame: _Frame, clause, params: dict
+) -> bool:
+    """Apply one update clause against the frame (catalog swaps land on
+    ``eng.catalog``); returns False for non-write clauses so the caller can
+    route them. Shared by the top-level write loop and FOREACH bodies."""
+    if isinstance(clause, A.CreateClause):
+        for pat in clause.patterns:
+            eng.catalog = _apply_create(eng, frame, pat, params)
+    elif isinstance(clause, A.MergeClause):
+        eng.catalog = _apply_merge(eng, frame, clause, params)
+    elif isinstance(clause, A.SetClause):
+        eng.catalog = _apply_set(eng, frame, clause, params)
+    elif isinstance(clause, A.RemoveClause):
+        eng.catalog = _apply_remove(eng, frame, clause, params)
+    elif isinstance(clause, A.DeleteClause):
+        eng.catalog = _apply_delete(eng, frame, clause, params)
+    elif isinstance(clause, A.ForeachClause):
+        _apply_foreach(eng, frame, clause, params)
+    else:
+        return False
+    return True
+
+
+def _apply_foreach(
+    eng: CypherEngine, frame: _Frame, clause: A.ForeachClause, params: dict
+) -> None:
+    """FOREACH (x IN expr | updates): the body runs against the frame
+    unwound by ``x`` (one driving row per list element — UNWIND drops
+    NULL/empty lists, matching FOREACH's no-op on them), then the outer
+    frame is restored: FOREACH never changes the record stream, only the
+    catalog. Nested FOREACH recurses through the same dispatch."""
+    snap_df, snap_vars = frame.df, dict(frame.vars)
+    eng._fold_unwind(
+        frame, A.UnwindClause(clause.expr, clause.var), params
+    )
+    for c in clause.body:
+        _apply_update_clause(eng, frame, c, params)
+    frame.df = snap_df
+    frame.vars = snap_vars
 
 
 # --------------------------------------------------------------------------

@@ -851,6 +851,35 @@ WHERE NOT (source = 'SUPPLIER'
 """
 
 
+_FOREACH_KEYS = ["P5", "P6", "Y1", "Y2", "Y3"]
+
+
+def cypher_foreach_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write surface: FOREACH (x IN list | MERGE ...) — Neo4j's per-element
+    update block, compiled as a scoped UNWIND whose writes persist while the
+    outer frame's cardinality is untouched (cypher/writes.py
+    _apply_foreach). Same bulk-upsert plan as UNWIND+MERGE underneath."""
+    q = """FOREACH (acc IN {} |
+             MERGE (n:PhageGenome {{accession: acc}})
+             ON CREATE SET n.source = 'FE', n.genome_size = 1
+             ON MATCH SET n.source = 'SEEN');""".format(_FOREACH_KEYS)
+    cat = _engine_sp(spark, sf_dir).apply(q)
+    return cat.node("PhageGenome").df
+
+
+CYPHER_FOREACH_SQL = _CTE + f"""
+, upsert AS (SELECT unnest({_FOREACH_KEYS}) AS acc)
+SELECT n.accession,
+       CASE WHEN u.acc IS NOT NULL THEN 'SEEN' ELSE n.source END AS source,
+       n.taxonomy, n.genome_size, n.genus
+FROM nodes n LEFT JOIN upsert u ON n.accession = u.acc
+UNION ALL
+SELECT u.acc, 'FE', CAST(NULL AS VARCHAR), CAST(1 AS BIGINT),
+       CAST(NULL AS VARCHAR)
+FROM upsert u WHERE u.acc NOT IN (SELECT accession FROM nodes)
+"""
+
+
 ENTRIES = {
     "cypher_seed_expand": SuiteEntry(
         cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
@@ -930,5 +959,8 @@ ENTRIES = {
     ),
     "cypher_delete_nodes": SuiteEntry(
         cypher_delete_nodes, CYPHER_DELETE_NODES_SQL, ("S2", "P8", "J7")
+    ),
+    "cypher_foreach_ingest": SuiteEntry(
+        cypher_foreach_ingest, CYPHER_FOREACH_SQL, ("S2", "J7", "A4")
     ),
 }

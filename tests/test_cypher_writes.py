@@ -494,3 +494,82 @@ class TestWriteReturn:
             "RETURN count(n.accession) AS n_created"
         ).collect()
         assert rows[0].n_created == 3
+
+
+# --------------------------------------------------------------------------
+# FOREACH
+# --------------------------------------------------------------------------
+
+
+class TestForeach:
+    def test_parse_foreach(self):
+        q = parse(
+            "FOREACH (x IN ['a','b'] | MERGE (n:L {accession: x}) "
+            "SET n.source = x)"
+        )
+        (c,) = q.clauses
+        assert isinstance(c, A.ForeachClause)
+        assert c.var == "x" and len(c.body) == 2
+
+    def test_parse_foreach_empty_body_rejected(self):
+        from phageclouds_graphdatabase_spark.cypher.parser import (
+            CypherSyntaxError,
+        )
+
+        with pytest.raises(CypherSyntaxError, match="update clause"):
+            parse("FOREACH (x IN [1] | )")
+
+    def test_foreach_merge_ingestion(self, eng, spark):
+        eng.spark = spark
+        cat = eng.apply(
+            "FOREACH (acc IN ['A1', 'Z7', 'Z8'] | "
+            "MERGE (n:PhageGenome {accession: acc}) "
+            "ON CREATE SET n.source = 'FE')"
+        )
+        df = cat.node("PhageGenome").df
+        assert df.count() == 14
+        assert df.where("source = 'FE'").count() == 2
+        # existing A1 untouched
+        assert node_row(cat, "A1") == node_row(eng.catalog, "A1")
+
+    def test_foreach_preserves_outer_frame(self, eng, spark):
+        eng.spark = spark
+        # the outer MATCH frame survives the FOREACH: RETURN still sees `a`
+        rows = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "FOREACH (x IN ['Q1','Q2'] | "
+            "CREATE (n:PhageGenome {accession: x})) "
+            "RETURN a.accession AS acc"
+        ).collect()
+        assert [r.acc for r in rows] == ["A1"]
+
+    def test_foreach_set_via_merge_list_from_frame(self, eng, spark):
+        eng.spark = spark
+        # list expression referencing the outer frame: per-row lists unwind
+        cat = eng.apply(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "FOREACH (x IN [a.accession + '_c1', a.accession + '_c2'] | "
+            "CREATE (n:PhageGenome {accession: x, source: 'CLONE'}))"
+        )
+        df = cat.node("PhageGenome").df
+        assert sorted(
+            r.accession for r in df.where("source = 'CLONE'").collect()
+        ) == ["A1_c1", "A1_c2"]
+
+    def test_nested_foreach(self, eng, spark):
+        eng.spark = spark
+        cat = eng.apply(
+            "FOREACH (x IN ['N1','N2'] | FOREACH (y IN ['a','b'] | "
+            "MERGE (n:PhageGenome {accession: x + y})))"
+        )
+        df = cat.node("PhageGenome").df
+        assert df.count() == 16
+        assert df.where("accession IN ('N1a','N1b','N2a','N2b')").count() == 4
+
+    def test_foreach_empty_list_noop(self, eng, spark):
+        eng.spark = spark
+        cat = eng.apply(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "FOREACH (x IN [] | CREATE (n:PhageGenome {accession: 'NOPE'}))"
+        )
+        assert cat.node("PhageGenome").df.count() == 12

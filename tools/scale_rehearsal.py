@@ -145,6 +145,12 @@ def main() -> None:
         help="inject the worst-case single near-clique cloud "
         "(Tequatrovirus_025 x1000) + 5 mega-hub nodes",
     )
+    ap.add_argument(
+        "--scc-only",
+        action="store_true",
+        help="skip the batch ladder (taxon/degrees/components/paths) and "
+        "probe ONLY the directed-SCC operator at this tier",
+    )
     args = ap.parse_args()
 
     work = args.work_dir
@@ -190,6 +196,34 @@ def main() -> None:
     n_edges = edges.count()
 
     timings: dict[str, float] = {}
+
+    from pyspark.sql import functions as F
+
+    if args.scc_only:
+        fe = edges.filter(F.col("distance") <= 0.15)
+        scc_ckpt = os.path.join(work, "scc_ckpt")
+        t0 = time.time()
+        scc = G.strongly_connected_components(
+            fe.select("src", "dst"), checkpoint_dir=scc_ckpt
+        )
+        n_scc = scc.select("scc").distinct().count()
+        timings["scc_sec"] = round(time.time() - t0, 2)
+        print(
+            json.dumps(
+                {
+                    "n_nodes": args.nodes,
+                    "n_scc": n_scc,
+                    "skew": args.skew,
+                    "n_edges": n_edges,
+                    "gen_sec": round(t_gen, 2),
+                    "ingest_sec": round(t_ingest, 2),
+                    **timings,
+                }
+            )
+        )
+        if not args.keep:
+            shutil.rmtree(work, ignore_errors=True)
+        return
 
     t0 = time.time()
     res = clouds.clouds_by_taxon(nodes, edges, "Tequatrovirus", 0.15)
