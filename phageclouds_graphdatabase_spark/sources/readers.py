@@ -199,3 +199,54 @@ def read_acc_taxid(spark: SparkSession, path: str) -> DataFrame:
     """accession->taxid mapping (headerless CSV), the broadcast equivalent of
     the dict at ``/root/reference/phageclouds_gdb_family.py:101-102`` (J6)."""
     return spark.read.csv(path, header=False, schema=schemas.ACC_TAXID)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema
+) -> tuple[DataFrame, DataFrame]:
+    """Fail-open JSONL ingestion (S4 for the crawl/training-data path):
+    PERMISSIVE parse against a declared schema with the raw line of every
+    malformed record captured in ``_corrupt_record``. Returns
+    ``(good, quarantined)`` — good rows with the corrupt column dropped, and
+    the quarantined raw lines for a dead-letter sink. At 100 TB a bad
+    shard must never kill the job NOR silently vanish: both halves come
+    from ONE pass over the input (same cached scan), and the quarantine
+    count is the data-quality metric to alert on.
+
+    Spark quirk handled here: with a corrupt-record column, referencing
+    ONLY ``_corrupt_record`` in a filter is disallowed (the parser would
+    have nothing to fail on), so both branches filter with the column
+    alongside a real data column reference.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    full = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    quarantined = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, quarantined
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """S7 alternate columnar sink: ORC with zstd — the interchange format
+    for Hive/Trino-resident warehouses. Same predicate-pushdown +
+    column-pruning behavior as parquet at scan time."""
+    df.write.mode("overwrite").option("compression", "zstd").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """S4 alternate columnar scan; vectorized reader, min/max row-group
+    skipping, and partition pruning all apply as with parquet."""
+    return spark.read.orc(path)

@@ -156,3 +156,64 @@ def test_neo4j_admin_csv_export(spark, tmp_path):
             assert r[0] == [":START_ID", "distance", ":END_ID", ":TYPE"]
             erows += r[1:]
     assert erows == [["ACC1", "0.12", "ACC2", "sharesDNA"]]
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    """read_jsonl_quarantine: well-formed lines parse against the declared
+    schema; malformed lines (bad JSON, type mismatch under FAILFAST rules)
+    land in the quarantine with their raw text — one pass, nothing lost."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from phageclouds_graphdatabase_spark.sources.readers import (
+        read_jsonl_quarantine,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        'this is not json\n'
+        '{"doc_id": 2, "text": "beta"}\n'
+        '{"doc_id": "oops", "text": "gamma"}\n'
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    good, bad = read_jsonl_quarantine(spark, str(p), schema)
+    assert sorted((r.doc_id, r.text) for r in good.collect()) == [
+        (1, "alpha"),
+        (2, "beta"),
+    ]
+    bad_lines = sorted(r.raw_line for r in bad.collect())
+    assert len(bad_lines) == 2
+    assert "not json" in bad_lines[1] or "not json" in bad_lines[0]
+    assert any("oops" in b for b in bad_lines)
+    assert good.columns == ["doc_id", "text"]
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/scan round-trip on the part table, and the scan must keep
+    predicate pushdown (filters reach the OrcScan, same as parquet)."""
+    from phageclouds_graphdatabase_spark.sources.readers import (
+        read_orc,
+        read_table,
+        write_orc,
+    )
+
+    part = read_table(spark, sf_dir, "part")
+    out = str(tmp_path / "part_orc")
+    write_orc(part, out)
+    back = read_orc(spark, out)
+    assert back.count() == part.count()
+    assert sorted(back.columns) == sorted(part.columns)
+    filtered = back.filter(F.col("p_size") > 40).select("p_partkey", "p_size")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "p_size" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], plan
+    want = part.filter(F.col("p_size") > 40).count()
+    assert filtered.count() == want
