@@ -31,11 +31,13 @@ _ALL: dict[str, SuiteEntry] = {
 # (VERDICT_r2 "What's wrong" #2), (b) this round's new Cypher write surface
 # (REMOVE / MERGE..RETURN / guarded plain DELETE), (c) the late-round-2
 # additions, and (d) the first 32 of the remaining never-checked entries.
-# The 20 still-unchecked entries (split_train_val_test ...
-# weighted_sample_bylang) rotate in round 4 together with a re-check of the
-# round-1 head.
+# The 21 still-unchecked entries (dedup_spans_exact, split_train_val_test
+# ... weighted_sample_bylang) rotate in round 4 together with a re-check of
+# the round-1 head.
 _WINDOW = [
-    # (a) round-1-red fixes, never driver-reconfirmed
+    # (a) the round-2 red (now fixed) and round-1-red fixes that were
+    # never driver-reconfirmed — the driver must see these green
+    "stream_user_totals_tws",
     "motif_aggregate_messages",
     "graph_path_enumeration",
     "graph_shortest_paths",
@@ -88,7 +90,6 @@ _WINDOW = [
     "dsir_importance_weights",
     "corpus_profile",
     "events_lag_lead_delta",
-    "dedup_spans_exact",
 ]
 
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate window entry"

@@ -37,14 +37,43 @@ def main() -> int:
         help="CI gate (VERDICT_r2 ask #6): force the FULL suite (no --only),"
         " fail on any non-PASS entry, and fail if COVERAGE.md is stale",
     )
+    ap.add_argument(
+        "--plain-session",
+        action="store_true",
+        help="simulate the external driver harness: a bare SparkSession "
+        "(none of session.py's tuned conf), built BEFORE the suite import "
+        "— catches conf-dependent and import-order-dependent bugs",
+    )
+    ap.add_argument(
+        "--window",
+        type=int,
+        default=None,
+        metavar="N",
+        help="check only the first N suite entries (the driver's "
+        "correctness window is the first 50)",
+    )
     args = ap.parse_args()
-    if args.strict and args.only:
-        ap.error("--strict runs the full suite; drop --only")
+    if args.strict and (args.only or args.window):
+        ap.error("--strict runs the full suite; drop --only/--window")
 
-    import __spark_entry__ as se
-    from phageclouds_graphdatabase_spark.session import get_spark
+    if args.plain_session:
+        # harness ordering: the JVM exists before our package is imported
+        from pyspark.sql import SparkSession
 
-    spark = get_spark("verify-local")
+        spark = (
+            SparkSession.builder.master(
+                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
+            )
+            .appName("verify-plain")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+        import __spark_entry__ as se
+    else:
+        import __spark_entry__ as se
+        from phageclouds_graphdatabase_spark.session import get_spark
+
+        spark = get_spark("verify-local")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(args.sf_dir, f"{t}.parquet")
@@ -54,6 +83,9 @@ def main() -> int:
     qs = se.queries()
     oracles = se.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
+
+    if args.window:
+        qs = dict(list(qs.items())[: args.window])
 
     results = {}
     n_pass = n_fail = 0
@@ -101,7 +133,7 @@ def main() -> int:
     print(f"\n{n_pass} pass / {n_fail} fail")
     # --only runs merge into the existing record instead of clobbering it.
     merged = {}
-    if only and os.path.exists("VERIFY_LOCAL.json"):
+    if (only or args.window) and os.path.exists("VERIFY_LOCAL.json"):
         with open("VERIFY_LOCAL.json") as f:
             merged = json.load(f)
     merged.update(
