@@ -463,6 +463,68 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_tws(spark: SparkSession, sf_dir: str, builder) -> list:
+    """Shared RocksDB-provider harness for the transformWithState entries:
+    protobuf routed to workers post-JVM, provider conf restored after."""
+    from phageclouds_graphdatabase_spark.streaming import events as stream
+    from phageclouds_graphdatabase_spark.vendor import ensure_protobuf_on_workers
+
+    if not ensure_protobuf_on_workers(spark):  # pragma: no cover
+        raise RuntimeError("no protobuf runtime available")
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        s = stream.read_events_stream(spark, sf_dir)
+        return stream.run_available_now(builder(s), output_mode="update")
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+STREAM_TYPE_COUNTS_SQL = """
+SELECT user_id, event_type, COUNT(*) AS n
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def stream_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapState StatefulProcessor (W3+W4): per-user per-event-type running
+    counts through the state server's map protocol; the last update-mode
+    row per (user, type) equals the batch GROUP BY — the oracle."""
+    from phageclouds_graphdatabase_spark.streaming import events as stream
+
+    rows = _run_tws(spark, sf_dir, stream.running_type_counts_tws)
+    final: dict = {}
+    for r in rows:
+        final[(r.user_id, r.event_type)] = r.n
+    return spark.createDataFrame(
+        [(u, t, n) for (u, t), n in final.items()],
+        "user_id long, event_type string, n long",
+    )
+
+
+def stream_event_log_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ListState StatefulProcessor (W3+W4): per-user append-only cents log,
+    totals recomputed each batch by iterating the persisted list (proves
+    AppendList + iterator paging); same oracle as the ValueState twin."""
+    from phageclouds_graphdatabase_spark.streaming import events as stream
+
+    rows = _run_tws(spark, sf_dir, stream.user_event_log_tws)
+    final: dict = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.sum_value_cents)
+    return spark.createDataFrame(
+        [(k, n, s_) for k, (n, s_) in final.items()],
+        "user_id long, n_events long, sum_value_cents long",
+    )
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join driven through the driver contract: the event
     stream enriched with the (static) customer dim, aggregated per
@@ -1430,6 +1492,12 @@ ENTRIES: dict[str, SuiteEntry] = {
     ),
     "stream_user_totals_tws": SuiteEntry(
         stream_user_totals_tws, STREAM_USER_TOTALS_SQL, ("W3", "W4")
+    ),
+    "stream_type_counts_tws": SuiteEntry(
+        stream_type_counts_tws, STREAM_TYPE_COUNTS_SQL, ("W3", "W4")
+    ),
+    "stream_event_log_tws": SuiteEntry(
+        stream_event_log_tws, STREAM_USER_TOTALS_SQL, ("W3", "W4")
     ),
     "stream_static_join": SuiteEntry(stream_static_join, STREAM_STATIC_SQL, ("W3", "J1")),
     "stream_stream_join": SuiteEntry(stream_stream_join, STREAM_STREAM_SQL, ("W3", "J1")),

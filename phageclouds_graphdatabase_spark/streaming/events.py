@@ -199,6 +199,113 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+_TYPE_COUNTS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def running_type_counts_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas with **MapState** (W3/W4): per-user map
+    event_type -> running count across micro-batches. Exercises the state
+    server's map-state protocol (UpdateValue/GetValue round-trips through
+    the protobuf channel protomini supplies) — the shape for per-key
+    sub-keyed state like per-user per-feature counters. Update-mode output:
+    the last row per (user, type) carries the final count, which equals the
+    batch groupBy — the differential-test contract."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            local: dict = {}
+            for pdf in rows:
+                for et, c in pdf.groupby("event_type").size().items():
+                    local[et] = local.get(et, 0) + int(c)
+            out = []
+            for et, c in local.items():
+                prev = (
+                    self._counts.getValue((et,))
+                    if self._counts.containsKey((et,))
+                    else None
+                )
+                n = (prev[0] if prev else 0) + c
+                self._counts.updateValue((et,), (n,))
+                out.append((key[0], et, n))
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "event_type": [r[1] for r in out],
+                    "n": [r[2] for r in out],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        TypeCounts(),
+        outputStructType=_TYPE_COUNTS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def user_event_log_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas with **ListState** (W3/W4): per-user
+    append-only log of value-cents; each batch appends its elements and
+    recomputes (count, sum) by iterating the FULL persisted list — proving
+    the list-state protocol (AppendList + iterator paging) end-to-end, not
+    just an in-memory accumulator. Same oracle as running_user_totals: the
+    final row per user equals the batch aggregation."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class EventLog(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._log = handle.getListState("log", "cents bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            vals: list[int] = []
+            for pdf in rows:
+                vals.extend(
+                    int(v)
+                    for v in (pdf["value"] * 100.0 + 0.5).apply(float)
+                )
+            if vals:
+                self._log.appendList([(v,) for v in vals])
+            n = 0
+            s = 0
+            for (v,) in self._log.get():
+                n += 1
+                s += v
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value_cents": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        EventLog(),
+        outputStructType=_RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_static_segment_counts(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static join (W3): enrich the event stream with the customer
     dimension (user_id == c_custkey), then aggregate per (segment, type).

@@ -392,3 +392,81 @@ def test_tws_restart_resumes_state(spark, tmp_path):
             spark.conf.unset(
                 "spark.sql.streaming.stateStore.providerClass"
             )
+
+
+@pytest.fixture()
+def rocksdb_provider(spark):
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    yield
+    if old:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+    else:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_tws_mapstate_type_counts_match_batch(
+    spark, sf_dir, rocksdb_provider
+):
+    """MapState StatefulProcessor: final per-(user, type) counts equal the
+    batch groupBy — exercising UpdateValue/GetValue/ContainsKey through the
+    state-server protobuf channel."""
+    from phageclouds_graphdatabase_spark.vendor import (
+        ensure_protobuf_on_workers,
+    )
+
+    assert ensure_protobuf_on_workers(spark)
+    got = stream.run_available_now(
+        stream.running_type_counts_tws(
+            stream.read_events_stream(spark, sf_dir)
+        ),
+        output_mode="update",
+    )
+    final = {}
+    for r in got:
+        final[(r.user_id, r.event_type)] = r.n
+    e = read_table(spark, sf_dir, "events")
+    want = {
+        (r.user_id, r.event_type): r.n
+        for r in e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == want and len(final) > 0
+
+
+def test_tws_liststate_event_log_matches_batch(
+    spark, sf_dir, rocksdb_provider
+):
+    """ListState StatefulProcessor: totals recomputed from the persisted
+    list equal the batch aggregation — exercising AppendList + the list
+    iterator's paged reads."""
+    from phageclouds_graphdatabase_spark.vendor import (
+        ensure_protobuf_on_workers,
+    )
+
+    assert ensure_protobuf_on_workers(spark)
+    got = stream.run_available_now(
+        stream.user_event_log_tws(stream.read_events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    final = {}
+    for r in got:
+        final[r.user_id] = (r.n_events, r.sum_value_cents)
+    e = read_table(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long")).alias(
+                "s"
+            ),
+        )
+        .collect()
+    }
+    assert final == want
