@@ -287,7 +287,19 @@ class MergeClause:
 
 @dataclass(frozen=True)
 class SetClause:
-    items: tuple  # ((Prop, Expr), ...)
+    items: tuple  # ((Prop | MapSet, payload), ...)
+
+
+@dataclass(frozen=True)
+class MapSet:
+    """``SET n += {...}`` (merge: listed keys updated, rest untouched) or
+    ``SET n = {...}`` (replace: listed keys updated, every OTHER non-key
+    property nulled — Neo4j's whole-property-map overwrite). The payload
+    in the SetClause item is either a ((name, Expr), ...) literal map or an
+    :class:`Param` whose bound value is a dict."""
+
+    var: str
+    mode: str  # 'merge' | 'replace'
 
 
 @dataclass(frozen=True)

@@ -273,10 +273,30 @@ class _Parser:
         items = []
         while True:
             var = self._name()
-            self.take("sym", ".")
-            prop = self._name()
-            self.take("sym", "=")
-            items.append((A.Prop(var, prop), self.expr()))
+            if self.accept("sym", "."):
+                prop = self._name()
+                self.take("sym", "=")
+                items.append((A.Prop(var, prop), self.expr()))
+            else:
+                # SET n += {...} (merge) / SET n = {...} (replace)
+                if self.accept("sym", "+"):
+                    mode = "merge"
+                else:
+                    mode = "replace"
+                self.take("sym", "=")
+                payload: object
+                if self.at("sym", "{"):
+                    payload = self._props()
+                elif self.at("param"):
+                    payload = A.Param(self.take("param")[1:])
+                else:
+                    _, tv, pos, _ = self.peek()
+                    raise CypherSyntaxError(
+                        f"SET {var} {'+=' if mode == 'merge' else '='} "
+                        f"needs a map literal or $param at position {pos}, "
+                        f"found {tv!r}"
+                    )
+                items.append((A.MapSet(var, mode), payload))
             if not self.accept("sym", ","):
                 break
         return tuple(items)

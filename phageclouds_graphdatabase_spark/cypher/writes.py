@@ -379,6 +379,33 @@ def _apply_create(
 # --------------------------------------------------------------------------
 
 
+def _expand_on_items(items: tuple, var: str | None, params: dict) -> tuple:
+    """ON CREATE SET / ON MATCH SET items with map-form sugar lowered:
+    ``SET n += {...}`` / ``+= $props`` (the classic bulk-ingest idiom)
+    expands to per-property items. Replace mode is rejected here — inside a
+    MERGE branch Neo4j's ``=`` overwrite interacts with the pattern's own
+    props; spell the intent explicitly instead."""
+    out: list = []
+    for p, v in items:
+        if isinstance(p, A.Prop):
+            out.append((p, v))
+            continue
+        if p.mode != "merge":
+            raise CypherCompileError(
+                "SET n = {map} (replace) is not supported in ON CREATE/"
+                "ON MATCH; use += or explicit properties"
+            )
+        if var is not None and p.var != var:
+            raise CypherCompileError(
+                f"ON CREATE/ON MATCH SET {p.var} += ...: only the merge "
+                f"variable {var!r} is assignable here"
+            )
+        out.extend(
+            (A.Prop(p.var, n), e) for n, e in _map_pairs(p, v, params)
+        )
+    return tuple(out)
+
+
 def _merge_source(
     eng: CypherEngine,
     frame: _Frame,
@@ -449,9 +476,13 @@ def _merged_table(
             ]
         )
     oc = {
-        p.name: eng._col(jframe, v, params, env_create) for p, v in on_create
+        p.name: eng._col(jframe, v, params, env_create)
+        for p, v in _expand_on_items(on_create, var, params)
     }
-    om = {p.name: eng._col(jframe, v, params, env_match) for p, v in on_match}
+    om = {
+        p.name: eng._col(jframe, v, params, env_match)
+        for p, v in _expand_on_items(on_match, var, params)
+    }
     for items, what in ((oc, "ON CREATE SET"), (om, "ON MATCH SET")):
         unknown = set(items) - {f.name for f in fields}
         if unknown:
@@ -576,6 +607,59 @@ def _apply_merge(
 # --------------------------------------------------------------------------
 
 
+def _map_pairs(p: "A.MapSet", v, params: dict) -> list:
+    """The (name, Expr) pairs of a map-form SET payload: a literal map's
+    items, or a dict-bound $param re-expressed as literals."""
+    if isinstance(v, A.Param):
+        bound = params.get(v.name)
+        if not isinstance(bound, dict):
+            raise CypherCompileError(
+                f"${v.name} must be bound to a dict for "
+                f"SET {p.var} {'+=' if p.mode == 'merge' else '='}"
+            )
+        return [(k, A.Literal(val)) for k, val in bound.items()]
+    return list(v)
+
+
+def _expand_set_items(
+    eng: CypherEngine, frame: _Frame, items: tuple, params: dict
+) -> tuple:
+    """Lower map-form items (``SET n += {...}`` / ``SET n = {...}``) to
+    per-property assignments at compile time — the declared StructType
+    makes every key statically known, so the map forms are pure sugar over
+    the same single update join. Replace mode additionally nulls every
+    non-key property the map does not list (Neo4j's whole-map overwrite;
+    the key/endpoint columns stay, since identity is immutable here)."""
+    out: list = []
+    for p, v in items:
+        if isinstance(p, A.Prop):
+            out.append((p, v))
+            continue
+        if not frame.has(p.var):
+            raise CypherCompileError(f"unbound variable {p.var}")
+        pairs = _map_pairs(p, v, params)
+        out.extend((A.Prop(p.var, n), e) for n, e in pairs)
+        if p.mode == "replace":
+            kind, label = frame.vars[p.var]
+            if kind == "node":
+                nt = eng.catalog.node(label)
+                cols, keys = nt.df.columns, {nt.key}
+            elif kind == "edge":
+                rel = eng.catalog.rel(label)
+                cols, keys = rel.df.columns, {rel.src_col, rel.dst_col}
+            else:
+                raise CypherCompileError(
+                    f"{p.var} is not an entity variable"
+                )
+            named = {n for n, _ in pairs}
+            out.extend(
+                (A.Prop(p.var, c), A.Literal(None))
+                for c in cols
+                if c not in named and c not in keys
+            )
+    return tuple(out)
+
+
 def _apply_set(
     eng: CypherEngine, frame: _Frame, clause: A.SetClause, params: dict
 ) -> GraphCatalog:
@@ -584,7 +668,7 @@ def _apply_set(
     cat = eng.catalog
     # group items per target variable: one update join per entity
     by_var: dict[str, list] = {}
-    for p, v in clause.items:
+    for p, v in _expand_set_items(eng, frame, clause.items, params):
         by_var.setdefault(p.var, []).append((p.name, v))
     for var, items in by_var.items():
         if not frame.has(var):

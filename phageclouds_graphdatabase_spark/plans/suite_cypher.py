@@ -880,6 +880,36 @@ FROM upsert u WHERE u.acc NOT IN (SELECT accession FROM nodes)
 """
 
 
+def cypher_set_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write surface: SET n += $props (dict-param merge, the bulk-enrich
+    idiom) on the supplier nodes and SET n = {map} (whole-map replace:
+    unlisted non-key properties nulled) on one genus — both lowered at
+    compile time to the same single update join as per-property SET
+    (cypher/writes.py _expand_set_items)."""
+    q = """MATCH (a:PhageGenome {source:'SUPPLIER'}) SET a += $enrich
+           MATCH (b:PhageGenome {genus:'Brand#15'}) SET b = {genus: 'B15'};"""
+    cat = _engine_sp(spark, sf_dir).apply(
+        q, {"enrich": {"genus": "SUP", "genome_size": 0}}
+    )
+    return cat.node("PhageGenome").df
+
+
+CYPHER_SET_MAP_SQL = _CTE + """
+SELECT accession,
+       CASE WHEN genus = 'Brand#15' THEN CAST(NULL AS VARCHAR)
+            ELSE source END AS source,
+       CASE WHEN genus = 'Brand#15' THEN CAST(NULL AS VARCHAR)
+            ELSE taxonomy END AS taxonomy,
+       CASE WHEN genus = 'Brand#15' THEN CAST(NULL AS BIGINT)
+            WHEN source = 'SUPPLIER' THEN CAST(0 AS BIGINT)
+            ELSE genome_size END AS genome_size,
+       CASE WHEN genus = 'Brand#15' THEN 'B15'
+            WHEN source = 'SUPPLIER' THEN 'SUP'
+            ELSE genus END AS genus
+FROM nodes
+"""
+
+
 ENTRIES = {
     "cypher_seed_expand": SuiteEntry(
         cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
@@ -962,5 +992,8 @@ ENTRIES = {
     ),
     "cypher_foreach_ingest": SuiteEntry(
         cypher_foreach_ingest, CYPHER_FOREACH_SQL, ("S2", "J7", "A4")
+    ),
+    "cypher_set_map_props": SuiteEntry(
+        cypher_set_map_props, CYPHER_SET_MAP_SQL, ("S2", "V8", "V2")
     ),
 }

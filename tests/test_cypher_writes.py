@@ -573,3 +573,85 @@ class TestForeach:
             "FOREACH (x IN [] | CREATE (n:PhageGenome {accession: 'NOPE'}))"
         )
         assert cat.node("PhageGenome").df.count() == 12
+
+
+# --------------------------------------------------------------------------
+# SET += / SET = (property-map forms)
+# --------------------------------------------------------------------------
+
+
+class TestMapSet:
+    def test_parse_map_set(self):
+        q = parse("MATCH (n:L) SET n += {a: 1}, n.b = 2, n = $props")
+        items = q.clauses[1].items
+        assert isinstance(items[0][0], A.MapSet)
+        assert items[0][0].mode == "merge"
+        assert isinstance(items[1][0], A.Prop)
+        assert isinstance(items[2][0], A.MapSet)
+        assert items[2][0].mode == "replace"
+        assert isinstance(items[2][1], A.Param)
+
+    def test_merge_mode_updates_listed_only(self, eng):
+        cat = eng.apply(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "SET a += {genus: 'Mapped', genome_size: 7}"
+        )
+        assert node_row(cat, "A1") == ("A1", "NCBI", 
+            "Viruses;Duplodnaviria;Myoviridae;Tequatrovirus", 7, "Mapped")
+
+    def test_replace_mode_nulls_unlisted(self, eng):
+        cat = eng.apply(
+            "MATCH (a:PhageGenome {accession:'A1'}) SET a = {genus: 'Only'}"
+        )
+        # key kept; every other non-listed property nulled
+        assert node_row(cat, "A1") == ("A1", None, None, None, "Only")
+
+    def test_param_dict_merge(self, eng):
+        cat = eng.apply(
+            "MATCH (a:PhageGenome {accession:'B1'}) SET a += $props",
+            {"props": {"source": "PARAM", "genome_size": 9}},
+        )
+        assert node_row(cat, "B1") == ("B1", "PARAM",
+            "Viruses;Siphoviridae;Lambdavirus", 9, "Lambdavirus")
+
+    def test_param_must_be_dict(self, eng):
+        with pytest.raises(CypherCompileError, match="dict"):
+            eng.apply(
+                "MATCH (a:PhageGenome {accession:'B1'}) SET a += $props",
+                {"props": [1, 2]},
+            )
+
+    def test_map_set_key_rejected(self, eng):
+        with pytest.raises(CypherCompileError, match="key"):
+            eng.apply(
+                "MATCH (a:PhageGenome {accession:'B1'}) "
+                "SET a += {accession: 'NEW'}"
+            )
+
+    def test_on_create_set_plus_equals(self, eng, spark):
+        eng.spark = spark
+        cat = eng.apply(
+            "UNWIND ['W1', 'A1'] AS x "
+            "MERGE (n:PhageGenome {accession: x}) "
+            "ON CREATE SET n += $fresh "
+            "ON MATCH SET n += {source: 'TOUCHED'}",
+            {"fresh": {"source": "NEW", "genome_size": 3}},
+        )
+        assert node_row(cat, "W1") == ("W1", "NEW", None, 3, None)
+        assert node_row(cat, "A1")[1] == "TOUCHED"
+
+    def test_replace_in_on_create_rejected(self, eng, spark):
+        eng.spark = spark
+        with pytest.raises(CypherCompileError, match="replace"):
+            eng.apply(
+                "MERGE (n:PhageGenome {accession:'Q1'}) "
+                "ON CREATE SET n = {genus: 'X'}"
+            )
+
+    def test_map_set_then_return(self, eng):
+        rows = eng.run(
+            "MATCH (a:PhageGenome {accession:'A2'}) "
+            "SET a += {genus: 'Ret'} "
+            "RETURN a.accession AS acc, a.genus AS g"
+        ).collect()
+        assert [(r.acc, r.g) for r in rows] == [("A2", "Ret")]
