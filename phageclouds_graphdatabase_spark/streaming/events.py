@@ -306,6 +306,76 @@ def user_event_log_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def flush_on_timer_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas with **processing-time timers** (W3/W4):
+    per-user totals accumulate in ValueState and are FLUSHED by an expired
+    timer instead of per-batch emission — the idle-key flush pattern (emit
+    a user's aggregate once no new events arrive for them). Each input
+    batch arms a timer that has already passed, so it fires on the NEXT
+    micro-batch; on fire the totals are emitted and the state cleared.
+
+    Measured Spark 4.1 semantics this encodes (probe-verified):
+    - the timer phase runs at the START of the batch it is due in, BEFORE
+      that batch's input rows — a key active in batches N and N+1 flushes
+      its batch-N totals in N+1's timer phase, then re-accumulates;
+    - with Trigger.AvailableNow, pending timers keep the query alive in
+      "no new data but cleaning up state" batches after the input is
+      exhausted (they do fire there) and the query does NOT self-terminate
+      — callers poll the sink for convergence and stop() (see
+      tests/test_streaming.py::test_tws_timer_flush).
+    Completes the StatefulProcessor API surface: ValueState/ListState/
+    MapState/timers, all through the protobuf state-server channel."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class FlushOnTimer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._totals = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                s += int(
+                    (pdf["value"] * 100.0 + 0.5).apply(float).apply(int).sum()
+                )
+            self._totals.update((n, s))
+            # arm: an expiry at (or before) the current batch's clock is
+            # already due, so it fires when the next micro-batch runs. Never
+            # deleted: a stale timer firing after the flush finds cleared
+            # state and emits nothing (cheaper than a delete round-trip per
+            # batch, and avoids mutating timers while iterating them).
+            self._handle.registerTimer(
+                timerValues.getCurrentProcessingTimeInMs()
+            )
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._totals.exists():
+                n, s = self._totals.get()
+                self._totals.clear()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "sum_value_cents": [s],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        FlushOnTimer(),
+        outputStructType=_RUNNING_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+
+
 def stream_static_segment_counts(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static join (W3): enrich the event stream with the customer
     dimension (user_id == c_custkey), then aggregate per (segment, type).

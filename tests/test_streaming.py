@@ -470,3 +470,61 @@ def test_tws_liststate_event_log_matches_batch(
         .collect()
     }
     assert final == want
+
+
+def test_tws_timer_flush(spark, tmp_path, rocksdb_provider):
+    """Processing-time timers (the idle-key flush pattern): each batch arms
+    an already-due timer, so a key's accumulated totals flush at the START
+    of the next batch's timer phase (before that batch's input), and keys
+    from the final input batch flush in AvailableNow's state-cleanup
+    batches. Pending timers keep the query alive, so the test polls the
+    sink for convergence and stops the query (measured Spark 4.1
+    semantics, documented on flush_on_timer_tws)."""
+    import datetime as dt
+    import time
+    import uuid
+
+    from phageclouds_graphdatabase_spark.vendor import (
+        ensure_protobuf_on_workers,
+    )
+
+    assert ensure_protobuf_on_workers(spark)
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def wb(rows):
+        spark.createDataFrame(rows, stream.EVENTS_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    wb([(1, t0, 1, "c", 1.0, "{}"), (2, t0, 2, "c", 2.0, "{}")])
+    wb([(3, t0, 1, "c", 3.0, "{}")])
+    wb([(4, t0, 99, "c", 7.0, "{}")])
+    sdf = (
+        spark.readStream.schema(stream.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "t" + uuid.uuid4().hex[:12]
+    q = (
+        stream.flush_on_timer_tws(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    want = [(1, 1, 100), (1, 1, 300), (2, 1, 200), (99, 1, 700)]
+    got: list = []
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = sorted(map(tuple, spark.table(name).collect()))
+            if got == want or not q.isActive:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    # user 1: batch-0 totals flushed by batch 1's timer phase (BEFORE its
+    # input), batch-1 totals flushed by batch 2; users 2/99 flushed once.
+    assert got == want
