@@ -525,6 +525,69 @@ def stream_event_log_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_PROBE_CELLS = [(1, (1, 2)), (2, (2, 3)), (3, (3, 4))]
+
+
+def ivf_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index at rest (operators/ann.py): the corpus written
+    partitionBy(cell), the probe a partition-PRUNED scan + in-place scoring
+    — the measured fix for the join-probe's candidate shuffle (SCALE.md
+    "ANN rehearsal": 86 s join-probe vs pruned-scan shape). Cell rule here
+    is vec_id % 8 so the oracle can replicate the layout; the pruning
+    physics is identical however cells are assigned. Integer-quantized
+    dot products keep the cosine bit-identical cross-engine."""
+    import tempfile
+
+    from phageclouds_graphdatabase_spark.operators import ann
+
+    qv = ext._quantized(spark, sf_dir)
+    assigned = qv.select(
+        "vec_id",
+        F.pmod("vec_id", F.lit(8)).cast("int").alias("cell"),
+        F.col("q").cast("array<double>").alias("vec"),
+    )
+    path = tempfile.mkdtemp(prefix="ivf_probe_") + "/index"
+    ann.write_ivf_index(assigned, path)
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.q])
+        for r in qv.filter(F.col("vec_id").isin([q for q, _ in _IVF_PROBE_CELLS]))
+        .collect()
+    ]
+    query_cells = [(q, list(cs)) for q, cs in _IVF_PROBE_CELLS]
+    got = ann.probe_topk(spark, path, query_cells, queries, k=5)
+    return got.select(
+        F.col("qid").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("sim").alias("cosine"),
+    )
+
+
+IVF_PROBE_SQL = "WITH " + ext._QUANT_ELEMS_SQL + """
+, probe(qid, cell) AS (VALUES (1, 1), (1, 2), (2, 2), (2, 3), (3, 3), (3, 4))
+, dots AS (
+    SELECT p.qid AS query_id, b.vec_id AS neighbor_id,
+           CAST(SUM(a.qe * b.qe) AS BIGINT) AS dot
+    FROM probe p
+    JOIN elems a ON a.vec_id = p.qid
+    JOIN elems b ON b.d = a.d AND b.vec_id % 8 = p.cell
+    GROUP BY p.qid, b.vec_id
+)
+, scored AS (
+    SELECT query_id, neighbor_id,
+           CAST(dot AS DOUBLE) /
+           (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = query_id
+    JOIN norms nb ON nb.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored) z
+WHERE rnk <= 5
+"""
+
+
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join driven through the driver contract: the event
     stream enriched with the (static) customer dim, aggregated per
@@ -1498,6 +1561,9 @@ ENTRIES: dict[str, SuiteEntry] = {
     ),
     "stream_event_log_tws": SuiteEntry(
         stream_event_log_tws, STREAM_USER_TOTALS_SQL, ("W3", "W4")
+    ),
+    "ivf_partitioned_probe": SuiteEntry(
+        ivf_partitioned_probe, IVF_PROBE_SQL, ("W5", "S7")
     ),
     "stream_static_join": SuiteEntry(stream_static_join, STREAM_STATIC_SQL, ("W3", "J1")),
     "stream_stream_join": SuiteEntry(stream_stream_join, STREAM_STREAM_SQL, ("W3", "J1")),

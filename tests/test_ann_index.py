@@ -1,0 +1,94 @@
+"""Cell-partitioned IVF index (operators/ann.py): the probe must be a
+partition-PRUNED scan (the measured fix for the join-probe's candidate
+shuffle, SCALE.md "ANN rehearsal"), and its top-k must equal brute force
+restricted to the probed cells."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from phageclouds_graphdatabase_spark.operators import ann
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    from tools.ann_rehearsal import assign_cells, gen_vectors, train_centroids
+
+    corpus = gen_vectors(spark, 5000, 16, 32).cache()
+    cents = train_centroids(corpus, 8, 16, iters=1)
+    assigned = assign_cells(corpus, cents).cache()
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    ann.write_ivf_index(assigned, path)
+    return path, assigned, cents
+
+
+def test_index_layout_one_file_per_cell(index, spark):
+    import glob
+    import os
+
+    path, assigned, _ = index
+    cells = sorted(
+        r.cell for r in assigned.select("cell").distinct().collect()
+    )
+    for c in cells:
+        files = glob.glob(os.path.join(path, f"cell={c}", "*.parquet"))
+        assert len(files) == 1, (c, files)
+    # nothing lost in the round trip
+    assert spark.read.parquet(path).count() == assigned.count()
+
+
+def test_probe_scan_is_partition_pruned(index, spark):
+    path, assigned, _ = index
+    probed = ann.read_ivf_cells(spark, path, [1, 3])
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    want = assigned.filter(F.col("cell").isin([1, 3])).count()
+    assert probed.count() == want
+    # the pruned scan reads only the probed directories
+    n_parts = spark.read.parquet(path).select("cell").distinct().count()
+    assert want < assigned.count() or n_parts <= 2
+
+
+def test_probe_topk_matches_bruteforce_in_cells(index, spark):
+    path, assigned, cents = index
+    qrows = assigned.filter(F.col("vec_id") < 3).collect()
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    query_cells = []
+    queries = []
+    for r in qrows:
+        v = np.array(r.vec)
+        top2 = np.argsort(-(v / np.linalg.norm(v)) @ cn.T)[:2]
+        query_cells.append((r.vec_id, [int(c) for c in top2]))
+        queries.append((r.vec_id, [float(x) for x in r.vec]))
+    got = ann.probe_topk(spark, path, query_cells, queries, k=5)
+    rows = got.collect()
+    assert len(rows) == 15  # 3 queries x k
+    # brute-force within the same cells (numpy) must agree
+    adf = assigned.collect()
+    by_id = {r.vec_id: (r.cell, np.array(r.vec)) for r in adf}
+    for qid, cells in query_cells:
+        qv = np.array(dict(queries)[qid])
+        qn = qv / np.linalg.norm(qv)
+        sims = sorted(
+            (
+                (float(qn @ (v / np.linalg.norm(v))), vid)
+                for vid, (cell, v) in by_id.items()
+                if cell in cells
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        want_ids = [vid for _, vid in sims]
+        got_ids = [
+            r.vec_id
+            for r in sorted(
+                (r for r in rows if r.qid == qid),
+                key=lambda r: (-r.sim, r.vec_id),
+            )
+        ]
+        assert got_ids == want_ids
+        # the query itself is in its own top cells -> sim 1.0 first
+        assert got_ids[0] == qid
