@@ -1891,9 +1891,56 @@ WHERE click_id IS NOT NULL OR p_ts < mx - INTERVAL '20 minutes'
 """
 
 
+def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: matched purchase-click pairs
+    plus watermark-gated null rows on both sides. Null emission is gated by
+    the GLOBAL watermark (min over both inputs, each max(side ts) - 10 min),
+    with the 10-minute join interval on top: cutoff =
+    min(max purchase ts, max click ts) - 20 minutes for both sides'
+    outer rows — reproduced exactly by the oracle."""
+    from phageclouds_graphdatabase_spark.streaming import events as stream
+
+    p = stream.read_events_stream(spark, sf_dir)
+    c = stream.read_events_stream(spark, sf_dir)
+    rows = stream.run_available_now(
+        stream.purchase_click_pairs_full(p, c), output_mode="append"
+    )
+    return spark.createDataFrame(
+        rows, "purchase_id long, click_id long, user_id long"
+    )
+
+
+STREAM_STREAM_FULL_SQL = """
+WITH wm AS (
+  SELECT LEAST(
+           (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+           (SELECT max(ts) FROM events WHERE event_type = 'click')
+         ) - INTERVAL '20 minutes' AS cut
+),
+j AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         COALESCE(p.user_id, c.user_id) AS user_id, p.ts AS p_ts, c.ts AS c_ts
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id
+   AND c.ts BETWEEN p.ts - INTERVAL '10 minutes' AND p.ts
+)
+SELECT purchase_id, click_id, user_id FROM j, wm
+WHERE (purchase_id IS NOT NULL AND click_id IS NOT NULL)
+   OR (click_id IS NULL AND p_ts < wm.cut)
+   OR (purchase_id IS NULL AND c_ts < wm.cut)
+"""
+
+
 ENTRIES.update({
     "stream_stream_left_join": SuiteEntry(
         stream_stream_left_join, STREAM_STREAM_LEFT_SQL, ("W3", "J4")
+    ),
+})
+
+ENTRIES.update({
+    "stream_stream_full_join": SuiteEntry(
+        stream_stream_full_join, STREAM_STREAM_FULL_SQL, ("W3", "J7")
     ),
 })
 

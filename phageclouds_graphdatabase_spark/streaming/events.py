@@ -306,6 +306,46 @@ def user_event_log_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def purchase_click_pairs_full(
+    purchases: DataFrame, clicks: DataFrame
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join (W3): matched pairs, plus
+    watermark-gated null rows on BOTH sides — unmatched purchases once no
+    click can still arrive for them, unmatched clicks once no purchase can.
+    The global watermark is the MIN over both inputs (Spark's default
+    multipleWatermarkPolicy), so each side's null cutoff derives from
+    min(max purchase ts, max click ts) — the oracle reproduces it."""
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+    )
+
+
 def flush_on_timer_tws(events: DataFrame) -> DataFrame:
     """transformWithStateInPandas with **processing-time timers** (W3/W4):
     per-user totals accumulate in ValueState and are FLUSHED by an expired
