@@ -1938,9 +1938,59 @@ ENTRIES.update({
     ),
 })
 
+def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join: purchases with >=1 preceding
+    click, emitted once each — the final set equals the batch semi-join
+    (no watermark cutoff in the result, unlike the outer variants)."""
+    from phageclouds_graphdatabase_spark.streaming import events as stream
+
+    p = stream.read_events_stream(spark, sf_dir)
+    c = stream.read_events_stream(spark, sf_dir)
+    rows = stream.run_available_now(
+        stream.purchase_click_pairs_semi(p, c), output_mode="append"
+    )
+    return spark.createDataFrame(rows, "purchase_id long, user_id long")
+
+
+STREAM_STREAM_SEMI_SQL = """
+SELECT DISTINCT p.event_id AS purchase_id, p.user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL '10 minutes' AND p.ts
+"""
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over the event stream: exactly one
+    row per event_id survives; projecting the key makes the result
+    deterministic (which duplicate's payload survives is arrival-order
+    dependent, the key set is not)."""
+    from phageclouds_graphdatabase_spark.streaming import events as stream
+
+    s = stream.read_events_stream(spark, sf_dir)
+    rows = stream.run_available_now(
+        stream.stream_dedup_within_watermark(s).select("event_id"),
+        output_mode="append",
+    )
+    return spark.createDataFrame(rows, "event_id long")
+
+
+STREAM_DEDUP_WW_SQL = "SELECT DISTINCT event_id FROM events"
+
+
 ENTRIES.update({
     "stream_stream_full_join": SuiteEntry(
         stream_stream_full_join, STREAM_STREAM_FULL_SQL, ("W3", "J7")
+    ),
+})
+
+ENTRIES.update({
+    "stream_stream_semi_join": SuiteEntry(
+        stream_stream_semi_join, STREAM_STREAM_SEMI_SQL, ("W3", "J7", "P8")
+    ),
+    "stream_dedup_within_watermark": SuiteEntry(
+        stream_dedup_within_watermark, STREAM_DEDUP_WW_SQL, ("W3", "A4")
     ),
 })
 

@@ -346,6 +346,50 @@ def purchase_click_pairs_full(
     )
 
 
+def purchase_click_pairs_semi(
+    purchases: DataFrame, clicks: DataFrame
+) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join (W3): purchases that had at
+    least one click in the preceding 10 minutes — each emitted once, on
+    first match, never duplicated by additional clicks. Unmatched rows
+    never emit (that is the left-OUTER variant's job), so no watermark
+    cutoff enters the result: the final set equals the batch semi-join."""
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_semi",
+    ).select("purchase_id", F.col("p_user").alias("user_id"))
+
+
+def stream_dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """dropDuplicatesWithinWatermark (W3, Spark 3.5+): unlike plain
+    streaming dropDuplicates (state per key forever), state for a key is
+    evicted once the watermark passes its event time + delay — the
+    bounded-memory dedup for at-least-once sources where duplicates arrive
+    close together (retries, replays) rather than arbitrarily late."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def flush_on_timer_tws(events: DataFrame) -> DataFrame:
     """transformWithStateInPandas with **processing-time timers** (W3/W4):
     per-user totals accumulate in ValueState and are FLUSHED by an expired
