@@ -176,6 +176,21 @@ class CountSub(Expr):
     where: "Expr | None"
 
 
+@dataclass(frozen=True)
+class PatternComp(Expr):
+    """Pattern comprehension ``[(a)-[:T]->(b) WHERE pred | proj]`` — the
+    Neo4j idiom for collecting a correlated neighborhood inline without a
+    second MATCH. The pattern must start at a bound variable and contain at
+    least one relationship; inner variables scope only to ``pred``/``proj``.
+    Deviation (documented): Neo4j yields elements in match order, which is
+    nondeterministic — this engine sorts elements ascending so results are
+    reproducible and oracle-checkable."""
+
+    pattern: "PathPat"
+    where: "Expr | None"
+    proj: Expr
+
+
 # --- patterns --------------------------------------------------------------
 
 

@@ -1634,6 +1634,30 @@ class CypherEngine:
         ).drop(kc)
         return F.coalesce(F.col(cc), F.lit(0)).cast("long")
 
+    def _pattern_comp_col(self, frame: _Frame, e: "A.PatternComp", params: dict):
+        """``[(a)-[:T]->(b) WHERE pred | proj]`` — pattern comprehension,
+        Neo4j's inline correlated-collect idiom. Same sub-frame machinery as
+        COUNT { }: fold the pattern anchored at the bound first variable,
+        apply the inner WHERE, then collect the projection per anchor key
+        and left-join the lists back (empty list when nothing matches, as
+        Neo4j). At 100 TB this is one grouped aggregation plus one join on
+        the anchor key — never a per-row subquery. Elements are sorted
+        ascending (documented deviation: Neo4j's match order is
+        nondeterministic; the reference itself set()s collected lists,
+        phageclouds_gdb_family.py:95)."""
+        sub, anchor, nt = self._exists_subframe(frame, e.pattern, params, e.where)
+        proj = self._col(sub, e.proj, params)
+        kc, lc = frame.fresh("k"), frame.fresh("lst")
+        lists = sub.df.groupBy(F.col(anchor)[nt.key].alias(kc)).agg(
+            F.sort_array(F.collect_list(proj)).alias(lc)
+        )
+        frame.df = frame.df.join(
+            lists, F.col(anchor)[nt.key] == F.col(kc), "left_outer"
+        ).drop(kc)
+        # coalesce to an empty array of the matching element type (Catalyst
+        # coerces array<void> up to the list column's type)
+        return F.coalesce(F.col(lc), F.array())
+
     # -- WITH / RETURN -------------------------------------------------------
 
     def _project(
@@ -1801,6 +1825,13 @@ class CypherEngine:
                     "COUNT { } is not supported inside lambda bodies"
                 )
             return self._count_sub_col(frame, e, params)
+        if isinstance(e, A.PatternComp):
+            if env:
+                raise CypherCompileError(
+                    "pattern comprehensions are not supported inside "
+                    "lambda bodies"
+                )
+            return self._pattern_comp_col(frame, e, params)
         if isinstance(e, A.ExistsSub):
             if env:
                 raise CypherCompileError(
@@ -2243,7 +2274,7 @@ def _pushable(e, frame: "_Frame", params: dict) -> bool:
     (a)-[:t]->(...)` arrives as Not(PatternPred)), DataFrame IN-parameters
     (semi-join path), or lambda scopes (deferred for simplicity)."""
     if isinstance(e, (A.ListComp, A.Reduce, A.Quantifier, A.PatternPred,
-                      A.ExistsSub)):
+                      A.ExistsSub, A.PatternComp)):
         # ExistsSub keeps _apply_where's semi/anti-join compilation;
         # CountSub is deliberately NOT excluded — its correlated-count
         # join is row-preserving, so pushing it ahead of var-length

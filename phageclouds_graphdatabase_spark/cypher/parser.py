@@ -695,9 +695,29 @@ class _Parser:
         return A.CaseExpr(operand, tuple(whens), default)
 
     def _bracket(self) -> A.Expr:
-        """Either a list literal [1, 2] or a comprehension
-        [x IN lst WHERE pred | proj] (/root/reference/phageclouds_gdb_family.py:94)."""
+        """A list literal [1, 2], a comprehension
+        [x IN lst WHERE pred | proj] (/root/reference/phageclouds_gdb_family.py:94),
+        or a pattern comprehension [(a)-[:T]->(b) WHERE pred | proj]."""
         self.take("sym", "[")
+        if self.at("sym", "("):
+            # Pattern comprehension — disambiguated from a parenthesized
+            # list element by backtracking: the body must parse as a path
+            # pattern with >= 1 relationship AND carry the mandatory
+            # `| projection` (openCypher requires both).
+            mark = self.i
+            try:
+                pat = self._pattern()
+                if not pat.edges:
+                    raise CypherSyntaxError(
+                        "pattern comprehensions need a relationship"
+                    )
+                where = self.expr() if self.accept("kw", "where") else None
+                self.take("sym", "|")
+                proj = self.expr()
+                self.take("sym", "]")
+                return A.PatternComp(pat, where, proj)
+            except CypherSyntaxError:
+                self.i = mark  # a parenthesized expression after all
         if self.at("ident") and self.at("kw", "in", k=1):
             var = self.take("ident")
             self.take("kw", "in")

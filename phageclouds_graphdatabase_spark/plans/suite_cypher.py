@@ -910,6 +910,43 @@ FROM nodes
 """
 
 
+def cypher_pattern_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern comprehension ``[(a)-[:T]->(b) WHERE ... | b.x]`` — Neo4j's
+    inline correlated-collect idiom (the reference builds exactly this list
+    client-side at phageclouds_gdb_family.py:94-99). Compiles to ONE grouped
+    collect_list + ONE left join on the anchor key — never a per-row
+    subquery — so at 100 TB it costs a single shuffle on the anchor key.
+    Elements are sorted ascending (documented deviation: Neo4j match order
+    is nondeterministic), which is what makes the list value-hashable."""
+    q = """MATCH (a:PhageGenome)
+            WITH a, [(a)-[r:sharesDNA]->(b:PhageGenome)
+                     WHERE r.distance <= {t} | b.accession] AS nbrs
+            WHERE size(nbrs) > 0
+            RETURN a.accession AS acc, size(nbrs) AS degree, nbrs;""".format(
+        t=GRAPH_THRESHOLD
+    )
+    out = _engine(spark, sf_dir).run(q)
+    return out.select(
+        "acc",
+        F.col("degree").cast("long").alias("degree"),
+        arr_str("nbrs").alias("nbrs"),
+    )
+
+
+CYPHER_PATTERN_COMP_SQL = _CTE + f"""
+, lists AS (
+    SELECT e.src AS acc, list_sort(list(e.dst)) AS nbrs
+    FROM edges e
+    WHERE e.distance <= {GRAPH_THRESHOLD}
+    GROUP BY e.src
+)
+SELECT n.accession AS acc,
+       CAST(len(l.nbrs) AS BIGINT) AS degree,
+       array_to_string(l.nbrs, '->') AS nbrs
+FROM nodes n JOIN lists l ON l.acc = n.accession
+"""
+
+
 ENTRIES = {
     "cypher_seed_expand": SuiteEntry(
         cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
@@ -995,5 +1032,8 @@ ENTRIES = {
     ),
     "cypher_set_map_props": SuiteEntry(
         cypher_set_map_props, CYPHER_SET_MAP_SQL, ("S2", "V8", "V2")
+    ),
+    "cypher_pattern_comprehension": SuiteEntry(
+        cypher_pattern_comprehension, CYPHER_PATTERN_COMP_SQL, ("S2", "A1", "J1")
     ),
 }

@@ -694,6 +694,73 @@ class TestBlockSubqueries:
             eng.run(q)
 
 
+class TestPatternComprehension:
+    """[(a)-[:T]->(b) WHERE pred | proj] — inline correlated collect
+    (round 3). Elements are sorted ascending (documented deviation from
+    Neo4j's nondeterministic match order)."""
+
+    def test_out_neighbor_lists(self, eng):
+        q = ("MATCH (a:PhageGenome) RETURN a.accession AS id, "
+             "[(a)-[:sharesDNA]->(b:PhageGenome) | b.accession] AS nbrs "
+             "ORDER BY id LIMIT 4")
+        assert [(r.id, r.nbrs) for r in eng.run(q).collect()] == [
+            ("A1", ["A2", "A3"]), ("A2", ["A3"]),
+            ("A3", ["B1"]), ("B1", ["B2"]),
+        ]
+
+    def test_empty_list_when_no_match(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'E1'}) RETURN "
+             "[(a)-[:sharesDNA]-(b:PhageGenome) | b.accession] AS nbrs")
+        assert eng.run(q).collect()[0].nbrs == []
+
+    def test_inner_where_filters_elements(self, eng):
+        # undirected neighbors of A1 with d <= 0.1: A2 (.10) and C1 (.10);
+        # A3 (.20) is filtered out
+        q = ("MATCH (a:PhageGenome {accession:'A1'}) RETURN "
+             "[(a)-[r:sharesDNA]-(b:PhageGenome) WHERE r.distance <= 0.1 "
+             "| b.accession] AS nbrs")
+        assert eng.run(q).collect()[0].nbrs == ["A2", "C1"]
+
+    def test_projection_uses_edge_property(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'A1'}) RETURN "
+             "[(a)-[r:sharesDNA]->(b:PhageGenome) | r.distance] AS ds")
+        assert eng.run(q).collect()[0].ds == [0.10, 0.20]
+
+    def test_size_of_pattern_comp_in_where(self, eng):
+        q = ("MATCH (a:PhageGenome) WHERE size([(a)-[:sharesDNA]->"
+             "(b:PhageGenome) | 1]) >= 2 RETURN a.accession AS id")
+        assert [r.id for r in eng.run(q).collect()] == ["A1"]
+
+    def test_through_with_clause(self, eng):
+        q = ("MATCH (a:PhageGenome) "
+             "WITH a, [(a)-[:sharesDNA]->(b:PhageGenome) | b.accession] "
+             "AS nbrs WHERE size(nbrs) = 1 "
+             "RETURN a.accession AS id ORDER BY id")
+        assert [r.id for r in eng.run(q).collect()] == [
+            "A2", "A3", "B1", "B3", "C1", "D1", "F1"
+        ]
+
+    def test_list_literal_backtracking_unharmed(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'A1'}) "
+             "RETURN [(1+2), 3] AS lst")
+        assert eng.run(q).collect()[0].lst == [3, 3]
+
+    def test_unbound_anchor_rejected(self, eng):
+        q = ("MATCH (a:PhageGenome) RETURN "
+             "[(z:PhageGenome)-[:sharesDNA]->(b:PhageGenome) "
+             "| b.accession] AS nbrs")
+        with pytest.raises(CypherCompileError, match="bound"):
+            eng.run(q)
+
+    def test_parser_requires_relationship(self):
+        # [(a)] can never be a pattern comprehension — it falls back to a
+        # parse error as a list literal (a bare `(a)` IS a valid
+        # parenthesized variable, so it parses as [a] — a 1-list)
+        q = parse("MATCH (a:L) RETURN [(a)] AS xs")
+        item = q.clauses[-1].items[0]
+        assert isinstance(item.expr, A.ListLit)
+
+
 class TestCallSubqueries:
     """CALL { WITH a ... RETURN ... } scoped subqueries (Neo4j 4+)."""
 
