@@ -1985,12 +1985,56 @@ ENTRIES.update({
     ),
 })
 
+def stream_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 4,
+    SPARK-42376): stream-stream interval join -> tumbling-window count, the
+    funnel-rate shape that previously needed two queries and an
+    intermediate sink. Append mode emits exactly the windows finalized by
+    the terminal watermark — min(max purchase ts, max click ts) - 10 min —
+    which the oracle reproduces with a LEAST() cutoff."""
+    from phageclouds_graphdatabase_spark.streaming import events as stream
+
+    p = stream.read_events_stream(spark, sf_dir)
+    c = stream.read_events_stream(spark, sf_dir)
+    rows = stream.run_available_now(
+        stream.purchase_click_window_counts(p, c), output_mode="append"
+    )
+    return spark.createDataFrame(
+        rows, "window_start timestamp, user_id long, n_pairs long"
+    )
+
+
+STREAM_JOIN_WINDOW_SQL = """
+WITH pairs AS (
+    SELECT p.user_id, p.ts AS p_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL '10 minutes' AND p.ts
+), wm AS (
+    SELECT LEAST(
+        (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'click')
+    ) - INTERVAL '10 minutes' AS w
+)
+SELECT ws AS window_start, user_id, n_pairs FROM (
+    SELECT time_bucket(INTERVAL '10 minutes', p_ts) AS ws, user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs, ANY_VALUE(wm.w) AS ww
+    FROM pairs, wm GROUP BY 1, 2
+    HAVING ws + INTERVAL '10 minutes' <= ANY_VALUE(wm.w)
+) z
+"""
+
+
 ENTRIES.update({
     "stream_stream_semi_join": SuiteEntry(
         stream_stream_semi_join, STREAM_STREAM_SEMI_SQL, ("W3", "J7", "P8")
     ),
     "stream_dedup_within_watermark": SuiteEntry(
         stream_dedup_within_watermark, STREAM_DEDUP_WW_SQL, ("W3", "A4")
+    ),
+    "stream_join_then_window": SuiteEntry(
+        stream_join_then_window, STREAM_JOIN_WINDOW_SQL, ("W3", "J1", "A6")
     ),
 })
 

@@ -2158,3 +2158,86 @@ ENTRIES.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# Hashed linear quality classifier (W5): the fastText-style architecture
+# (Joulin et al. 2016) used industrially for corpus quality gating (e.g.
+# CCNet / LLaMA's Wikipedia-reference classifier). Features are hashed
+# unigrams + bigrams; the document score is a single linear pass. Here the
+# per-feature weights are derived deterministically from the feature hash
+# (integer, centered on zero) so the entry is self-contained and
+# oracle-exact; a production deployment would instead broadcast-join a
+# learned weight table keyed by bucket = hash % 2^21 — the PLAN SHAPE is
+# identical either way: explode features -> map-side partial sums ->
+# one doc_id-keyed reduce. No Python in the loop; scales as one shuffle
+# of (doc_id, weight) pairs that combiners collapse to one row per doc.
+# --------------------------------------------------------------------------
+
+
+def quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped quality scoring: integer logit = sum of hash-derived
+    weights over lowercased unigram+bigram features; passes = logit > 0.
+    Integer end-to-end (the established cross-engine determinism rule)."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "w", tokens(F.lower(F.col("text")))
+    )
+    bi = F.when(
+        F.size("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - F.lit(1)),
+            lambda i: F.concat(
+                F.element_at(F.col("w"), i), F.lit(" "),
+                F.element_at(F.col("w"), i + F.lit(1)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = (
+        d.filter(F.size("w") >= 1)
+        .select("doc_id", F.explode(F.concat(F.col("w"), bi)).alias("f"))
+    )
+    wgt = F.conv(
+        F.substring(F.md5(F.concat(F.lit("qw|"), F.col("f"))), 1, 8), 16, 10
+    ).cast("long") - F.lit(2147483648).cast("long")
+    scored = feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_feats"),
+        F.sum(wgt).cast("long").alias("logit"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        "logit",
+        (F.col("logit") > 0).cast("int").alias("passes"),
+    )
+
+
+QUALITY_CLASSIFIER_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents
+), feats AS (
+    SELECT doc_id,
+           unnest(w || list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i+1])) AS f
+    FROM toks WHERE len(w) >= 1
+), scored AS (
+    SELECT doc_id, COUNT(*) AS n_feats,
+           SUM(""" + _HEX8_SQL.format(h="md5('qw|' || f)") + r""" - 2147483648) AS logit
+    FROM feats GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+       CAST(logit AS BIGINT) AS logit,
+       CAST(CASE WHEN logit > 0 THEN 1 ELSE 0 END AS INTEGER) AS passes
+FROM scored
+"""
+
+
+ENTRIES.update(
+    {
+        "quality_classifier_hashed": SuiteEntry(
+            quality_classifier_hashed, QUALITY_CLASSIFIER_SQL, ("W5", "V8", "A6")
+        ),
+    }
+)

@@ -509,6 +509,53 @@ def purchase_click_pairs(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
 
 
+def purchase_click_window_counts(
+    purchases: DataFrame, clicks: DataFrame
+) -> DataFrame:
+    """CHAINED stateful operators (Spark 4, SPARK-42376): a stream-stream
+    interval join followed by a tumbling-window aggregation in ONE streaming
+    query — the funnel-analytics shape (join events, then rate them per
+    window) that pre-Spark-3.5 required two queries with an intermediate
+    sink. The join output carries the purchase-side event time (still
+    watermarked), so the downstream window aggregation evicts state with
+    the same watermark; append mode emits each (window, user) count exactly
+    once, when the watermark passes the window end. State for BOTH
+    operators stays bounded by interval + late horizon, never stream
+    length."""
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    pairs = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    return (
+        pairs.groupBy(
+            F.window("p_ts", "10 minutes").alias("win"),
+            F.col("p_user").alias("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.col("win.start").alias("window_start"), "user_id", "n_pairs")
+    )
+
+
 def run_foreach_batch_parquet(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> int:

@@ -528,3 +528,44 @@ def test_tws_timer_flush(spark, tmp_path, rocksdb_provider):
     # user 1: batch-0 totals flushed by batch 1's timer phase (BEFORE its
     # input), batch-1 totals flushed by batch 2; users 2/99 flushed once.
     assert got == want
+
+
+def test_chained_join_then_window_matches_batch(spark, sf_dir):
+    """Chained stateful operators (stream-stream join -> windowed agg,
+    SPARK-42376): the appended rows must equal the batch join + window
+    aggregation restricted to windows the terminal watermark finalized
+    (window_end <= min(max purchase ts, max click ts) - 10 min)."""
+    import datetime as dt
+
+    p = stream.read_events_stream(spark, sf_dir)
+    c = stream.read_events_stream(spark, sf_dir)
+    got = stream.run_available_now(
+        stream.purchase_click_window_counts(p, c), output_mode="append"
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    pur = e.filter(F.col("event_type") == "purchase").alias("p")
+    clk = e.filter(F.col("event_type") == "click").alias("c")
+    pairs = pur.join(
+        clk,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c.ts") <= F.col("p.ts")),
+    )
+    full = (
+        pairs.groupBy(
+            F.window(F.col("p.ts"), "10 minutes").alias("win"),
+            F.col("p.user_id").alias("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.col("win.start").alias("window_start"), "user_id", "n_pairs")
+    )
+    wm = min(
+        pur.agg(F.max("ts")).collect()[0][0],
+        clk.agg(F.max("ts")).collect()[0][0],
+    ) - dt.timedelta(minutes=10)
+    want = full.filter(
+        F.col("window_start") + F.expr("INTERVAL 10 MINUTES") <= F.lit(wm)
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(want) > 0
