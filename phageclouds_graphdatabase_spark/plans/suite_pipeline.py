@@ -2026,6 +2026,37 @@ SELECT ws AS window_start, user_id, n_pairs FROM (
 """
 
 
+def stream_session_flush_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-time timer StatefulProcessor (W3+W4) — the last cell of the
+    TWS API matrix (ValueState/ListState/MapState/processing-time timers
+    are already in the contract). Per-user totals arm a timer at
+    max(event ts) + 5 min; the watermark (delay 0), not the wall clock,
+    fires it. With the whole table in one availableNow batch, the
+    state-cleanup batch fires exactly the timers the final watermark
+    (global max ts) passed — so the flushed set is users whose last event
+    precedes the corpus max by >= 5 minutes, with their full totals.
+    Boundary pinned by probe: timer == watermark FIRES (<=)."""
+    from phageclouds_graphdatabase_spark.streaming import events as stream
+
+    rows = _run_tws(spark, sf_dir, stream.session_flush_event_timer_tws)
+    return spark.createDataFrame(
+        rows, "user_id long, n_events long, sum_value_cents long"
+    )
+
+
+STREAM_SESSION_FLUSH_TWS_SQL = """
+WITH u AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents,
+           MAX(ts) AS mx
+    FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, sum_value_cents
+FROM u WHERE mx + INTERVAL '5 minutes' <= (SELECT MAX(ts) FROM events)
+"""
+
+
 ENTRIES.update({
     "stream_stream_semi_join": SuiteEntry(
         stream_stream_semi_join, STREAM_STREAM_SEMI_SQL, ("W3", "J7", "P8")
@@ -2035,6 +2066,9 @@ ENTRIES.update({
     ),
     "stream_join_then_window": SuiteEntry(
         stream_join_then_window, STREAM_JOIN_WINDOW_SQL, ("W3", "J1", "A6")
+    ),
+    "stream_session_flush_tws": SuiteEntry(
+        stream_session_flush_tws, STREAM_SESSION_FLUSH_TWS_SQL, ("W3", "W4")
     ),
 })
 

@@ -460,6 +460,100 @@ def flush_on_timer_tws(events: DataFrame) -> DataFrame:
     )
 
 
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", LongType()),
+        StructField("timer_ms", LongType()),
+    ]
+)
+
+
+def session_flush_event_timer_tws(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "0 seconds"
+) -> DataFrame:
+    """transformWithStateInPandas with **EVENT-time timers** (W3/W4): a
+    custom session window — per-user totals accumulate, and every batch
+    re-arms a timer at (max event time seen for the key) + gap. When the
+    WATERMARK (not the wall clock) passes that expiry, the session flushes
+    and state clears. This is the build-your-own-session-window pattern the
+    TWS API exists for; with built-in session_window the gap must be a
+    constant, while a processor can arm any per-key policy.
+
+    Measured Spark 4.1 semantics (probe-verified, mirrors the
+    processing-time notes on flush_on_timer_tws):
+    - expired timers fire in the timer phase of the batch AFTER the
+      watermark update that passed them (watermark advances at batch end);
+    - under Trigger.AvailableNow, state-cleanup batches after input
+      exhaustion DO fire timers the final watermark passed; sessions whose
+      expiry lies beyond the final watermark never flush (exactly Spark's
+      own session_window append semantics);
+    - the previous timer is deleteTimer()d before re-arming, so extending
+      a session never double-fires.
+    Event-time mode requires a watermark on the input; the timer expiry is
+    compared against it, so totals flush deterministically regardless of
+    processing speed."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = 5 * 60_000 if gap == "5 minutes" else int(gap.split()[0]) * 60_000
+
+    class SessionFlush(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._st = handle.getValueState("sess", _SESSION_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s, old_timer = (
+                self._st.get() if self._st.exists() else (0, 0, 0)
+            )
+            max_ts_ms = 0
+            for pdf in rows:
+                n += len(pdf)
+                s += int(
+                    (pdf["value"] * 100.0 + 0.5).apply(float).apply(int).sum()
+                )
+                batch_max = pdf["ts"].max()
+                max_ts_ms = max(
+                    max_ts_ms, int(batch_max.timestamp() * 1000)
+                )
+            new_timer = max(max_ts_ms + gap_ms, old_timer)
+            if new_timer != old_timer:
+                if old_timer:
+                    self._handle.deleteTimer(old_timer)
+                self._handle.registerTimer(new_timer)
+            self._st.update((n, s, new_timer))
+            return iter(())
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._st.exists():
+                n, s, _ = self._st.get()
+                self._st.clear()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "sum_value_cents": [s],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionFlush(),
+            outputStructType=_RUNNING_SCHEMA,
+            outputMode="Update",
+            timeMode="EventTime",
+        )
+    )
+
+
 def stream_static_segment_counts(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static join (W3): enrich the event stream with the customer
     dimension (user_id == c_custkey), then aggregate per (segment, type).

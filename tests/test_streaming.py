@@ -569,3 +569,58 @@ def test_chained_join_then_window_matches_batch(spark, sf_dir):
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert len(want) > 0
+
+
+def test_tws_event_time_timer_session_flush(spark, tmp_path, rocksdb_provider):
+    """EVENT-time timers (the custom-session-window pattern): totals flush
+    when the WATERMARK passes last-event-time + gap. user1's session
+    (12:00-12:02, timer 12:07) flushes once the 12:30 batch advances the
+    watermark; user2's (12:30, timer 12:35) flushes after the 13:00 batch;
+    user3's timer (13:05) lies beyond the final watermark (13:00) and
+    never fires — exactly session_window's append semantics."""
+    import datetime as dt
+    import time
+    import uuid
+
+    from phageclouds_graphdatabase_spark.vendor import (
+        ensure_protobuf_on_workers,
+    )
+
+    assert ensure_protobuf_on_workers(spark)
+    src = str(tmp_path / "src")
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m, 0)
+
+    def wb(rows):
+        spark.createDataFrame(rows, stream.EVENTS_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    wb([(1, t(12, 0), 1, "c", 1.0, "{}"), (2, t(12, 2), 1, "c", 2.0, "{}")])
+    wb([(3, t(12, 30), 2, "c", 3.0, "{}")])
+    wb([(4, t(13, 0), 3, "c", 4.0, "{}")])
+    sdf = (
+        spark.readStream.schema(stream.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "t" + uuid.uuid4().hex[:12]
+    q = (
+        stream.session_flush_event_timer_tws(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    want = [(1, 2, 300), (2, 1, 300)]
+    got: list = []
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = sorted(map(tuple, spark.table(name).collect()))
+            if got == want or not q.isActive:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert got == want
