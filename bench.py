@@ -66,6 +66,11 @@ HEADLINE = [
     "graph_scc",
     "bm25_doc_ranking",
     "bpe_merge_train",
+    # round-3 additions tracked from their introduction round: int8
+    # quantize->prune->rescore ANN and the fastText-shaped hashed linear
+    # quality classifier (explode -> map-side partial sums)
+    "ann_int8_rescore",
+    "quality_classifier_hashed",
     # binned range join (J7 at scale): large x large point-in-interval as a
     # shuffle equi-join on the bin key -- tracked from its introduction round
     "range_join_clicks_in_windows",

@@ -222,6 +222,13 @@ class PathPat:
 
 
 @dataclass(frozen=True)
+class Star(Expr):
+    """``RETURN *`` / ``WITH *`` — carry every bound variable through the
+    projection (expanded at compile time from the frame's bindings, in
+    binding order, before any explicitly-listed items)."""
+
+
+@dataclass(frozen=True)
 class Item:
     expr: Expr
     alias: str | None

@@ -23,7 +23,7 @@ Clause → plan shape:
 from __future__ import annotations
 
 from contextlib import contextmanager
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as _dc_replace
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1690,6 +1690,9 @@ class CypherEngine:
         return out.distinct() if distinct else out
 
     def _fold_with(self, frame: _Frame, clause: A.WithClause, params: dict) -> None:
+        clause = _dc_replace(
+            clause, items=self._expand_star(frame, clause.items)
+        )
         out = self._project_ordered(frame, clause, params)
         old_vars = frame.vars
         frame.df = out
@@ -1729,6 +1732,25 @@ class CypherEngine:
             self._col(_Frame(df=one, used={}), e, params).alias("__lst")
         )
 
+    def _expand_star(self, frame: _Frame, items: tuple) -> tuple:
+        """``RETURN *`` / ``WITH *``: expand the Star item into one Item per
+        bound non-internal variable, in binding order, keeping any
+        explicitly-listed items after it (Neo4j's ``WITH *, expr AS x``)."""
+        if not any(isinstance(i.expr, A.Star) for i in items):
+            return items
+        out: list = []
+        for item in items:
+            if isinstance(item.expr, A.Star):
+                bound = [v for v in frame.vars if not v.startswith("__")]
+                if not bound:
+                    raise CypherCompileError(
+                        "RETURN * / WITH * with no variables in scope"
+                    )
+                out.extend(A.Item(A.Var(v), None, v) for v in bound)
+            else:
+                out.append(item)
+        return tuple(out)
+
     def _project_ordered(
         self, frame: _Frame, clause, params: dict
     ) -> DataFrame:
@@ -1767,6 +1789,9 @@ class CypherEngine:
     ) -> DataFrame:
         if frame.df is None:
             raise CypherCompileError("RETURN without a preceding MATCH/WITH")
+        clause = _dc_replace(
+            clause, items=self._expand_star(frame, clause.items)
+        )
         return self._project_ordered(frame, clause, params)
 
     # -- expression compilation ---------------------------------------------

@@ -363,6 +363,9 @@ class _Parser:
         return A.ReturnClause(tuple(items), distinct, order_by, skip, limit)
 
     def _item(self) -> A.Item:
+        if self.at("sym", "*"):
+            self.take("sym", "*")
+            return A.Item(A.Star(), None, "*")
         start = self.peek()[2]
         e = self.expr()
         end = self.peek()[2]

@@ -947,6 +947,24 @@ FROM nodes n JOIN lists l ON l.acc = n.accession
 """
 
 
+def cypher_star_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH ... WHERE ... RETURN *`` — the carry-everything projection
+    (round 3). Star expands at compile time to the bound variables in
+    binding order; compiling to a plain column projection means it costs
+    nothing over an explicit list."""
+    q = """MATCH (a:PhageGenome)-[r:sharesDNA]->(b:PhageGenome)
+            WITH a.accession AS src, b.accession AS dst, r.distance AS d
+            WHERE d <= {t}
+            RETURN *;""".format(t=GRAPH_THRESHOLD)
+    return _engine(spark, sf_dir).run(q)
+
+
+CYPHER_STAR_SQL = _CTE + f"""
+SELECT e.src AS src, e.dst AS dst, e.distance AS d
+FROM edges e WHERE e.distance <= {GRAPH_THRESHOLD}
+"""
+
+
 ENTRIES = {
     "cypher_seed_expand": SuiteEntry(
         cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
@@ -1035,5 +1053,8 @@ ENTRIES = {
     ),
     "cypher_pattern_comprehension": SuiteEntry(
         cypher_pattern_comprehension, CYPHER_PATTERN_COMP_SQL, ("S2", "A1", "J1")
+    ),
+    "cypher_star_projection": SuiteEntry(
+        cypher_star_projection, CYPHER_STAR_SQL, ("S2", "P6")
     ),
 }

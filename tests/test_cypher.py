@@ -946,3 +946,39 @@ def test_new_constructs_parse_for_any_args(pv, lo, span, fn, quant):
             parse(q)
         except CypherSyntaxError:
             pass
+
+
+class TestStarProjection:
+    """RETURN * / WITH * (round 3): carry every bound variable."""
+
+    def test_return_star_columns(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'A1'})-[r:sharesDNA]->"
+             "(b:PhageGenome) RETURN * ORDER BY b.accession")
+        df = eng.run(q)
+        assert df.columns == ["a", "r", "b"]
+        rows = df.collect()
+        assert [x.b.accession for x in rows] == ["A2", "A3"]
+
+    def test_with_star_then_more(self, eng):
+        q = ("MATCH (a:PhageGenome {accession:'A1'})-[r:sharesDNA]->"
+             "(b:PhageGenome) "
+             "WITH *, r.distance AS d WHERE d <= 0.1 "
+             "RETURN a.accession AS src, b.accession AS dst, d")
+        rows = eng.run(q).collect()
+        assert [(x.src, x.dst, x.d) for x in rows] == [("A1", "A2", 0.10)]
+
+    def test_with_star_keeps_entities_expandable(self, eng):
+        # after WITH *, b is still an entity — a later MATCH expands from it
+        q = ("MATCH (a:PhageGenome {accession:'A1'})-[:sharesDNA]->"
+             "(b:PhageGenome) WITH * "
+             "MATCH (b)-[:sharesDNA]->(c:PhageGenome) "
+             "RETURN b.accession AS mid, c.accession AS far ORDER BY mid, far")
+        rows = eng.run(q).collect()
+        assert [(x.mid, x.far) for x in rows] == [("A2", "A3"), ("A3", "B1")]
+
+    def test_star_covers_flat_with_bindings(self, eng):
+        # after `WITH count(*) AS n`, the only variable in scope is the flat
+        # n — RETURN * expands to exactly it (Neo4j semantics)
+        df = eng.run("MATCH (a:PhageGenome) WITH count(*) AS n RETURN *, 1 AS x")
+        assert df.columns == ["n", "x"]
+        assert df.collect()[0].n == 12

@@ -216,3 +216,27 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     )
     plan = full_explain(j)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_ann_int8_rescore_broadcasts_and_prunes(spark, sf_dir):
+    """The int8 rescore plan must broadcast the (tiny) query side of the
+    candidate scan and the norm tables; the full-precision table is probed
+    only via the k*overfetch candidate join (no second cross product)."""
+    df = ext.ann_int8_rescore(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # exactly one non-equi candidate product (query x int8 table); the
+    # rescore path is equi-joins on query_id/neighbor_id
+    assert plan.count("NestedLoopJoin") <= 1, plan
+
+
+def test_quality_classifier_has_partial_aggregation(spark, sf_dir):
+    """The hashed-classifier reduce must run map-side partials (combiners)
+    before the doc_id shuffle — the property that bounds the shuffle at
+    corpus scale — and stay free of Python UDFs."""
+    from phageclouds_graphdatabase_spark.plans import suite_training as tr
+
+    df = tr.quality_classifier_hashed(spark, sf_dir)
+    plan = explain_str(df)
+    assert "partial" in plan.lower(), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
