@@ -222,6 +222,26 @@ class PathPat:
 
 
 @dataclass(frozen=True)
+class Subscript(Expr):
+    """``list[i]`` — 0-based element access (negative = from the end, as
+    Neo4j); out-of-range yields NULL. Also ``map['key']``/``entity['prop']``
+    when the index is a string literal."""
+
+    source: Expr
+    index: Expr
+
+
+@dataclass(frozen=True)
+class Slice(Expr):
+    """``list[lo..hi]`` — half-open 0-based slice; either bound may be
+    omitted (``[..n]``, ``[n..]``). Negative bounds count from the end."""
+
+    source: Expr
+    lo: "Expr | None"
+    hi: "Expr | None"
+
+
+@dataclass(frozen=True)
 class Star(Expr):
     """``RETURN *`` / ``WITH *`` — carry every bound variable through the
     projection (expanded at compile time from the frame's bindings, in

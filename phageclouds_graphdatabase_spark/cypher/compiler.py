@@ -1844,6 +1844,29 @@ class CypherEngine:
                     f"reference it as `{e.var}`"
                 )
             return F.col(e.var)[e.name]
+        if isinstance(e, A.Subscript):
+            src = self._col(frame, e.source, params, env)
+            if isinstance(e.index, A.Literal) and isinstance(e.index.value, str):
+                return src[e.index.value]  # map / entity property access
+            idx = self._col(frame, e.index, params, env).cast("int")
+            # Neo4j: 0-based, negative from the end, NULL out of range.
+            # F.get (not element_at) keeps out-of-range NULL under ANSI.
+            return F.get(
+                src, F.when(idx >= 0, idx).otherwise(F.size(src) + idx)
+            )
+        if isinstance(e, A.Slice):
+            src = self._col(frame, e.source, params, env)
+            sz = F.size(src)
+
+            def _bound(b, default):
+                if b is None:
+                    return default
+                c = self._col(frame, b, params, env).cast("int")
+                return F.when(c >= 0, c).otherwise(sz + c)
+
+            lo = F.greatest(_bound(e.lo, F.lit(0)), F.lit(0))
+            hi = F.least(_bound(e.hi, sz), sz)
+            return F.slice(src, lo + F.lit(1), F.greatest(hi - lo, F.lit(0)))
         if isinstance(e, A.CountSub):
             if env:
                 raise CypherCompileError(

@@ -583,7 +583,25 @@ class _Parser:
             if isinstance(inner, A.Literal) and isinstance(inner.value, (int, float)):
                 return A.Literal(-inner.value)
             return A.Arith("-", A.Literal(0), inner)
-        return self._primary()
+        return self._postfix(self._primary())
+
+    def _postfix(self, e: A.Expr) -> A.Expr:
+        """Subscript / slice chains: list[i], list[lo..hi], [..n], [n..]."""
+        while self.at("sym", "["):
+            self.take("sym", "[")
+            lo = None
+            if not self.at("sym", "."):
+                lo = self.expr()
+            if self.accept("sym", "."):
+                self.take("sym", ".")
+                hi = None if self.at("sym", "]") else self.expr()
+                e = A.Slice(e, lo, hi)
+            else:
+                if lo is None:
+                    raise CypherSyntaxError("empty subscript []")
+                e = A.Subscript(e, lo)
+            self.take("sym", "]")
+        return e
 
     def _primary(self) -> A.Expr:
         tk, tv, pos, _ = self.peek()
@@ -612,7 +630,9 @@ class _Parser:
             return self._case()
         if tk == "ident":
             name = self.take("ident")
-            if self.accept("sym", "."):
+            # `.` is property access UNLESS doubled (`xs[i..]` range dots)
+            if self.at("sym", ".") and not self.at("sym", ".", 1):
+                self.take("sym", ".")
                 return A.Prop(name, self._name())
             if name.lower() in ("exists", "count") and self.at("sym", "{"):
                 return self._block_subquery(name.lower())

@@ -965,6 +965,48 @@ FROM edges e WHERE e.distance <= {GRAPH_THRESHOLD}
 """
 
 
+def cypher_list_slicing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``list[i]`` / ``list[lo..hi]`` (round 3): Neo4j 0-based element
+    access (negative counts from the end, out-of-range -> NULL) and
+    half-open slices with omitted/clamped bounds. Compiles to F.get /
+    F.slice over the already-built array — pure expression work, no extra
+    shuffle beyond the pattern comprehension's single grouped collect."""
+    q = """MATCH (a:PhageGenome)
+            WITH a, [(a)-[r:sharesDNA]->(b:PhageGenome)
+                     WHERE r.distance <= {t} | b.accession] AS nbrs
+            WHERE size(nbrs) >= 2
+            RETURN a.accession AS acc,
+                   nbrs[0] AS first_nbr,
+                   nbrs[-1] AS last_nbr,
+                   nbrs[1..3] AS mid,
+                   size(nbrs[1..]) AS rest_n;""".format(t=GRAPH_THRESHOLD)
+    out = _engine(spark, sf_dir).run(q)
+    return out.select(
+        "acc",
+        "first_nbr",
+        "last_nbr",
+        arr_str("mid").alias("mid"),
+        F.col("rest_n").cast("long").alias("rest_n"),
+    )
+
+
+CYPHER_LIST_SLICE_SQL = _CTE + f"""
+, lists AS (
+    SELECT e.src AS acc, list_sort(list(e.dst)) AS nbrs
+    FROM edges e
+    WHERE e.distance <= {GRAPH_THRESHOLD}
+    GROUP BY e.src
+)
+SELECT n.accession AS acc,
+       l.nbrs[1] AS first_nbr,
+       l.nbrs[-1] AS last_nbr,
+       array_to_string(list_slice(l.nbrs, 2, 3), '->') AS mid,
+       CAST(len(l.nbrs) - 1 AS BIGINT) AS rest_n
+FROM nodes n JOIN lists l ON l.acc = n.accession
+WHERE len(l.nbrs) >= 2
+"""
+
+
 ENTRIES = {
     "cypher_seed_expand": SuiteEntry(
         cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
@@ -1056,5 +1098,8 @@ ENTRIES = {
     ),
     "cypher_star_projection": SuiteEntry(
         cypher_star_projection, CYPHER_STAR_SQL, ("S2", "P6")
+    ),
+    "cypher_list_slicing": SuiteEntry(
+        cypher_list_slicing, CYPHER_LIST_SLICE_SQL, ("S2", "V8", "A1")
     ),
 }

@@ -982,3 +982,50 @@ class TestStarProjection:
         df = eng.run("MATCH (a:PhageGenome) WITH count(*) AS n RETURN *, 1 AS x")
         assert df.columns == ["n", "x"]
         assert df.collect()[0].n == 12
+
+
+class TestSubscriptSlice:
+    """list[i] / list[lo..hi] (round 3): Neo4j 0-based element access with
+    negative-from-the-end indices and NULL out of range; half-open slices
+    with either bound omitted, clamped to the list."""
+
+    def test_literal_subscript_and_slice(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "RETURN [1,2,3][0] AS a, [1,2,3][-1] AS b, [1,2,3][1..3] AS c, "
+            "[1,2,3][..2] AS d, [1,2,3][1..] AS e, [1,2,3][5] AS f, "
+            "[1,2,3][-5..99] AS g, [1,2,3][2..1] AS h, [1,2,3][-2..] AS i"
+        ).collect()
+        assert (r.a, r.b, r.c, r.d, r.e) == (1, 3, [2, 3], [1, 2], [2, 3])
+        assert r.f is None          # out of range -> NULL, not error
+        assert r.g == [1, 2, 3]     # bounds clamp to the list
+        assert r.h == []            # hi < lo -> empty, not negative-length
+        assert r.i == [2, 3]        # negative lo counts from the end
+
+    def test_variable_index(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "WITH [9,8,7] AS xs, 1 AS i RETURN xs[i] AS v, xs[i..] AS t"
+        ).collect()
+        assert r.v == 8 and r.t == [8, 7]
+
+    def test_pattern_comprehension_subscript(self, eng):
+        # pattern-comprehension lists are sorted ascending (documented
+        # deviation) so element access is deterministic
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "WITH [(a)-[:sharesDNA]->(b:PhageGenome) | b.accession] AS xs "
+            "RETURN xs[0] AS first, xs[-1] AS last, size(xs[1..]) AS rest"
+        ).collect()
+        assert r.first == "A2" and r.last == "A3" and r.rest == 1
+
+    def test_chained_postfix(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "RETURN [[1,2],[3,4]][1][0] AS v, [1,2,3,4][1..][..2] AS w"
+        ).collect()
+        assert r.v == 3 and r.w == [2, 3]
+
+    def test_empty_subscript_is_syntax_error(self):
+        with pytest.raises(CypherSyntaxError):
+            parse("MATCH (a:L) RETURN a.xs[] AS v")
