@@ -242,6 +242,33 @@ class Slice(Expr):
 
 
 @dataclass(frozen=True)
+class MapLit(Expr):
+    """``{key: expr, ...}`` map literal — compiles to a named struct (the
+    Spark-native heterogeneous map)."""
+
+    items: tuple  # ((key, Expr), ...)
+
+
+@dataclass(frozen=True)
+class MapProj(Expr):
+    """``n {.prop, .*, key: expr, var}`` — Neo4j map projection over a
+    bound entity/map variable. Items are tagged tuples:
+    ("prop", name) | ("all",) | ("kv", key, Expr) | ("var", name)."""
+
+    var: str
+    items: tuple
+
+
+@dataclass(frozen=True)
+class Regex(Expr):
+    """``s =~ pattern`` — Neo4j regex match; the WHOLE string must match
+    (Java String.matches semantics, not a substring search)."""
+
+    left: Expr
+    pattern: Expr
+
+
+@dataclass(frozen=True)
 class Star(Expr):
     """``RETURN *`` / ``WITH *`` — carry every bound variable through the
     projection (expanded at compile time from the frame's bindings, in

@@ -138,6 +138,19 @@ def _collect_used(obj, used: dict) -> None:
         if used.get(v) is not _ALL:
             used.setdefault(v, set()).add(_PATH_FUNC_FIELD[obj.name.lower()])
         return
+    if isinstance(obj, A.MapProj):
+        # `.prop` touches one property; `.*` the whole entity; kv values
+        # are ordinary sub-expressions
+        if any(i[0] == "all" for i in obj.items):
+            used[obj.var] = _ALL
+        elif used.get(obj.var) is not _ALL:
+            used.setdefault(obj.var, set()).update(
+                i[1] for i in obj.items if i[0] == "prop"
+            )
+        for i in obj.items:
+            if i[0] == "kv":
+                _collect_used(i[2], used)
+        return
     if isinstance(obj, A.Var):
         used[obj.name] = _ALL
         return
@@ -1839,6 +1852,12 @@ class CypherEngine:
                 raise CypherCompileError(f"unbound variable {e.var}")
             kind, _ = frame.vars[e.var]
             if kind == "flat":
+                # a projected MAP/struct value still supports m.key access
+                # (Neo4j maps); only non-struct flats reject property access
+                if frame.df is not None and isinstance(
+                    frame.df.schema[e.var].dataType, T.StructType
+                ):
+                    return F.col(e.var)[e.name]
                 raise CypherCompileError(
                     f"{e.var} is a projected value, not an entity; "
                     f"reference it as `{e.var}`"
@@ -1867,6 +1886,23 @@ class CypherEngine:
             lo = F.greatest(_bound(e.lo, F.lit(0)), F.lit(0))
             hi = F.least(_bound(e.hi, sz), sz)
             return F.slice(src, lo + F.lit(1), F.greatest(hi - lo, F.lit(0)))
+        if isinstance(e, A.MapLit):
+            return F.struct(
+                *[
+                    self._col(frame, v, params, env).alias(k)
+                    for k, v in e.items
+                ]
+            )
+        if isinstance(e, A.MapProj):
+            return self._map_proj_col(frame, e, params, env)
+        if isinstance(e, A.Regex):
+            # Neo4j =~ matches the WHOLE string (Java String.matches), not
+            # a substring — anchor the pattern in a non-capturing group
+            l = self._col(frame, e.left, params, env)
+            p = self._col(frame, e.pattern, params, env)
+            return F.regexp_like(
+                l, F.concat(F.lit("^(?:"), p.cast("string"), F.lit(")$"))
+            )
         if isinstance(e, A.CountSub):
             if env:
                 raise CypherCompileError(
@@ -1956,7 +1992,14 @@ class CypherEngine:
                 # Cypher's overloaded +: string concatenation, with the
                 # non-string side implicitly toString'd (Neo4j semantics)
                 return F.concat(l.cast("string"), r.cast("string"))
-            return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[e.op]
+            if e.op == "^":
+                # Neo4j exponent always yields a float (2^3 = 8.0)
+                return F.pow(l, r)
+            # %: remainder with the dividend's sign — Cypher follows Java,
+            # which is what Column.__mod__ compiles to (and DuckDB % too)
+            return {
+                "+": l + r, "-": l - r, "*": l * r, "/": l / r, "%": l % r,
+            }[e.op]
         if isinstance(e, A.Quantifier):
             src = self._col(frame, e.source, params, env)
 
@@ -2043,6 +2086,37 @@ class CypherEngine:
         "tointeger": lambda c: c.cast("long"),
         "tofloat": lambda c: c.cast("double"),
     }
+
+    def _map_proj_col(self, frame: _Frame, e: A.MapProj, params, env):
+        """``n {.prop, .*, key: expr, var}`` — a named struct built from the
+        bound entity/map struct. Pure projection work: the struct fields are
+        column references, so Catalyst prunes the scan to exactly the
+        projected properties."""
+        if not frame.has(e.var):
+            raise CypherCompileError(
+                f"map projection over unbound variable {e.var}"
+            )
+        cols: dict = {}  # key -> Column; maps have UNIQUE keys, last wins
+
+        def put(key, col):
+            cols[key] = col.alias(key)
+
+        for item in e.items:
+            if item[0] == "prop":
+                put(item[1], F.col(e.var)[item[1]])
+            elif item[0] == "all":
+                if frame.df is None:
+                    raise CypherCompileError(".* needs a bound frame")
+                dt = frame.df.schema[e.var].dataType
+                for f in dt.fields:
+                    put(f.name, F.col(e.var)[f.name])
+            elif item[0] == "kv":
+                put(item[1], self._col(frame, item[2], params, env))
+            else:  # ("var", name): key = name, value = the bound variable
+                put(item[1], self._col(frame, A.Var(item[1]), params, env))
+        if not cols:
+            raise CypherCompileError("empty map projection")
+        return F.struct(*cols.values())
 
     def _entity_func_col(self, frame: _Frame, e: A.Func):
         """labels(n)/type(r)/id(n)/properties(n)/keys(n) — entity metadata.

@@ -59,7 +59,7 @@ _TOKEN_RE = re.compile(
   | (?P<string>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<ident>[^\W\d][\w]*|`[^`]+`)
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<sym><>|<=|>=|<-|->|[()\[\]{}:,;.\-+*/=<>|])
+  | (?P<sym><>|<=|>=|<-|->|=~|[()\[\]{}:,;.\-+*/=<>|%^])
     """,
     re.VERBOSE,
 )
@@ -529,6 +529,9 @@ class _Parser:
     def _cmp(self) -> A.Expr:
         e = self._add()
         tk, tv, _, _ = self.peek()
+        if tk == "sym" and tv == "=~":
+            self.i += 1
+            return A.Regex(e, self._add())
         if tk == "sym" and tv in ("=", "<>", "<=", ">=", "<", ">"):
             self.i += 1
             return A.Cmp(tv, e, self._add())
@@ -574,6 +577,9 @@ class _Parser:
             elif self.at("sym", "/"):
                 self.i += 1
                 e = A.Arith("/", e, self._unary())
+            elif self.at("sym", "%"):
+                self.i += 1
+                e = A.Arith("%", e, self._unary())
             else:
                 return e
 
@@ -583,7 +589,13 @@ class _Parser:
             if isinstance(inner, A.Literal) and isinstance(inner.value, (int, float)):
                 return A.Literal(-inner.value)
             return A.Arith("-", A.Literal(0), inner)
-        return self._postfix(self._primary())
+        e = self._postfix(self._primary())
+        if self.at("sym", "^"):
+            # exponent binds tighter than unary minus and is right-assoc
+            # (Neo4j: -2^2 = -(2^2), 2^3^2 = 2^(3^2))
+            self.i += 1
+            return A.Arith("^", e, self._unary())
+        return e
 
     def _postfix(self, e: A.Expr) -> A.Expr:
         """Subscript / slice chains: list[i], list[lo..hi], [..n], [n..]."""
@@ -628,6 +640,8 @@ class _Parser:
             return e
         if tk == "kw" and tv == "case":
             return self._case()
+        if tk == "sym" and tv == "{":
+            return A.MapLit(self._props())
         if tk == "ident":
             name = self.take("ident")
             # `.` is property access UNLESS doubled (`xs[i..]` range dots)
@@ -636,6 +650,8 @@ class _Parser:
                 return A.Prop(name, self._name())
             if name.lower() in ("exists", "count") and self.at("sym", "{"):
                 return self._block_subquery(name.lower())
+            if self.at("sym", "{"):
+                return self._map_projection(name)
             if self.at("sym", "("):
                 if name.lower() == "reduce":
                     return self._reduce()
@@ -646,6 +662,28 @@ class _Parser:
         raise CypherSyntaxError(
             f"expected an expression at position {pos}, found {tv!r}"
         )
+
+    def _map_projection(self, var: str) -> A.MapProj:
+        """``n {.prop, .*, key: expr, other_var}`` — Neo4j map projection."""
+        self.take("sym", "{")
+        items = []
+        if not self.at("sym", "}"):
+            while True:
+                if self.accept("sym", "."):
+                    if self.accept("sym", "*"):
+                        items.append(("all",))
+                    else:
+                        items.append(("prop", self._name()))
+                else:
+                    name = self._name()
+                    if self.accept("sym", ":"):
+                        items.append(("kv", name, self.expr()))
+                    else:
+                        items.append(("var", name))
+                if not self.accept("sym", ","):
+                    break
+        self.take("sym", "}")
+        return A.MapProj(var, tuple(items))
 
     def _block_subquery(self, kind: str):
         """Neo4j 5 block subqueries: ``EXISTS { [MATCH] pattern [WHERE e] }``

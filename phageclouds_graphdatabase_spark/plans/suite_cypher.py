@@ -1007,6 +1007,26 @@ WHERE len(l.nbrs) >= 2
 """
 
 
+def cypher_map_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map projection ``a {.prop, k: expr}`` plus the %, ^ and =~ operators
+    (round 3). The projection compiles to a named struct of column
+    references, so Catalyst prunes the scan to exactly the projected
+    properties; % / ^ are JVM-side arithmetic; =~ anchors the pattern
+    (Neo4j matches the WHOLE string, Java String.matches semantics)."""
+    q = """MATCH (a:PhageGenome)
+            WITH a {.accession, .genus, sz: a.genome_size} AS m
+            WHERE m.sz % 5 = 0 AND m.accession =~ 'P.*[02468]'
+            RETURN m.accession AS acc, m.genus AS genus, m.sz ^ 2 AS sz_sq;"""
+    return _engine(spark, sf_dir).run(q)
+
+
+CYPHER_MAP_PROJ_SQL = _CTE + """
+SELECT accession AS acc, genus, pow(genome_size, 2) AS sz_sq
+FROM nodes
+WHERE genome_size % 5 = 0 AND regexp_full_match(accession, 'P.*[02468]')
+"""
+
+
 ENTRIES = {
     "cypher_seed_expand": SuiteEntry(
         cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
@@ -1101,5 +1121,8 @@ ENTRIES = {
     ),
     "cypher_list_slicing": SuiteEntry(
         cypher_list_slicing, CYPHER_LIST_SLICE_SQL, ("S2", "V8", "A1")
+    ),
+    "cypher_map_projection": SuiteEntry(
+        cypher_map_projection, CYPHER_MAP_PROJ_SQL, ("S2", "V8", "V2")
     ),
 }

@@ -1029,3 +1029,77 @@ class TestSubscriptSlice:
     def test_empty_subscript_is_syntax_error(self):
         with pytest.raises(CypherSyntaxError):
             parse("MATCH (a:L) RETURN a.xs[] AS v")
+
+
+class TestMapsAndOperators:
+    """Map literals {k: v}, map projections n {.prop, .*, k: e, var},
+    and the %, ^, =~ operators (round 3)."""
+
+    def test_map_literal(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "RETURN {a: 1, b: 'x', c: a.accession} AS m"
+        ).collect()
+        assert r.m.a == 1 and r.m.b == "x" and r.m.c == "A1"
+
+    def test_map_projection_props_and_computed(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "RETURN a {.accession, kb: a.genome_size / 1000} AS m"
+        ).collect()
+        assert r.m.accession == "A1" and r.m.kb == 168.0
+
+    def test_map_projection_star_and_last_wins(self, eng):
+        # .* expands every property; duplicate keys collapse last-wins
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "WITH a {.*, source: 'OVERRIDE'} AS m "
+            "RETURN m.accession AS acc, m.source AS src"
+        ).collect()
+        assert r.acc == "A1" and r.src == "OVERRIDE"
+
+    def test_map_projection_var_shorthand(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "WITH a, 42 AS answer RETURN a {.accession, answer} AS m"
+        ).collect()
+        assert r.m.answer == 42
+
+    def test_projected_map_field_access(self, eng):
+        # m.key and m['key'] both read a projected struct
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "WITH {x: 7} AS m RETURN m.x AS a, m['x'] AS b"
+        ).collect()
+        assert r.a == 7 and r.b == 7
+
+    def test_unwind_list_of_maps(self, eng):
+        rs = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "UNWIND [{k: 1}, {k: 2}] AS m RETURN m.k AS k ORDER BY k"
+        ).collect()
+        assert [r.k for r in rs] == [1, 2]
+
+    def test_mod_and_pow(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "RETURN 7 % 3 AS m, -7 % 3 AS mneg, 2 ^ 3 AS p, "
+            "-2 ^ 2 AS np, 2 ^ 3 ^ 2 AS rassoc"
+        ).collect()
+        assert r.m == 1
+        assert r.mneg == -1          # Java/Cypher: sign of the dividend
+        assert r.p == 8.0            # exponent yields float
+        assert r.np == -4.0          # ^ binds tighter than unary minus
+        assert r.rassoc == 512.0     # right-associative
+
+    def test_regex_full_match(self, eng):
+        rs = eng.run(
+            "MATCH (a:PhageGenome) WHERE a.accession =~ 'A.' "
+            "RETURN a.accession AS acc ORDER BY acc"
+        ).collect()
+        assert [r.acc for r in rs] == ["A1", "A2", "A3"]
+        # partial matches do NOT count (Java String.matches semantics)
+        assert eng.run(
+            "MATCH (a:PhageGenome) WHERE a.accession =~ '1' "
+            "RETURN a.accession AS acc"
+        ).count() == 0
