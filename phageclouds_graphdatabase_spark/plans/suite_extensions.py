@@ -2345,3 +2345,175 @@ ENTRIES.update({
         graph_scc_condensation, GRAPH_SCC_CONDENSATION_SQL, ("W6", "A6")
     ),
 })
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ANN (round 3): the FAISS IVF-PQ shape
+# --------------------------------------------------------------------------
+
+_PQ_M = 4       # subspaces
+_PQ_SUB = 16    # dims per subspace (4 x 16 = the 64-dim embedding)
+_PQ_K = 16      # codes per subspace codebook
+_PQ_NQ = 5      # query vectors (vec_id < 5)
+_PQ_TOPK = 10
+
+
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the FAISS IVF-PQ scan shape): each vector
+    splits into M=4 subvectors, each encoded as its nearest per-subspace
+    codebook entry (codebook = the first 16 vectors' subvectors --
+    deterministic; kmeans_ivf_train already proves trained codebooks).
+    Queries compute a tiny ADC lookup table (query-subvector -> every code's
+    exact integer distance), and the approximate distance of a base vector
+    is the SUM of M table lookups over its stored codes.
+
+    100-TB shape: the codebooks and the per-query LUT are KBs -- broadcast;
+    the base side is touched ONCE to encode (M codes per vector, 8 bytes vs
+    64 floats = 16x compression at rest), and the scan is a broadcast-hash
+    join + partial-agg sum per (query, vector): no shuffle of the raw
+    embeddings at query time."""
+    qv = _quantized(spark, sf_dir)
+    d2 = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # one row per (vector, subspace): the subvector
+    sub = qv.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.slice("q", m * _PQ_SUB + 1, _PQ_SUB).alias("sub"),
+                )
+                for m in range(_PQ_M)
+            ])
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.sub").cache()
+    cb = sub.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("m").alias("cm"), F.col("vec_id").alias("code"),
+        F.col("sub").alias("cvec"),
+    )
+    # encode: nearest code per (vector, subspace); ties to the smaller code
+    enc = (
+        sub.join(F.broadcast(cb), sub.m == cb.cm)
+        .select("vec_id", "m", "code", d2(F.col("sub"), F.col("cvec")).alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("b"))
+        .select("vec_id", "m", F.col("b.code").alias("code"))
+    )
+    # ADC lookup table: exact distance from each query subvector to each code
+    qsub = sub.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("m").alias("qm"),
+        F.col("sub").alias("qsub"),
+    )
+    lut = qsub.join(F.broadcast(cb), qsub.qm == cb.cm).select(
+        "qid", "qm", "code", d2(F.col("qsub"), F.col("cvec")).alias("pd2")
+    )
+    ad = (
+        enc.join(F.broadcast(lut), (enc.m == lut.qm) & (enc.code == lut.code))
+        .filter(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("pd2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("qid").orderBy("adc_d2", "vec_id")
+    return (
+        ad.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col("vec_id").cast("long").alias("nbr"),
+            F.col("adc_d2").cast("long").alias("adc_d2"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+PQ_ANN_SQL = f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_Q_SCALE} + 0.5) AS BIGINT)) AS q
+    FROM embeddings
+),
+ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+sub AS (
+    SELECT q.vec_id, ms.m,
+           list_slice(q.q, ms.m * {_PQ_SUB} + 1, ms.m * {_PQ_SUB} + {_PQ_SUB}) AS sub
+    FROM q, ms
+),
+cb AS (SELECT m AS cm, vec_id AS code, sub AS cvec FROM sub WHERE vec_id < {_PQ_K}),
+pairs AS (
+    SELECT s.vec_id, s.m, c.code,
+           CAST(list_sum(list_transform(range(1, {_PQ_SUB} + 1),
+                i -> (s.sub[i] - c.cvec[i]) * (s.sub[i] - c.cvec[i]))) AS BIGINT) AS d2
+    FROM sub s JOIN cb c ON c.cm = s.m
+),
+enc AS (
+    SELECT vec_id, m, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn
+        FROM pairs) z
+    WHERE rn = 1
+),
+lut AS (
+    SELECT vec_id AS qid, m AS qm, code, d2 AS pd2
+    FROM pairs WHERE vec_id < {_PQ_NQ}
+),
+ad AS (
+    SELECT l.qid, e.vec_id, CAST(SUM(l.pd2) AS BIGINT) AS adc_d2
+    FROM enc e JOIN lut l ON l.qm = e.m AND l.code = e.code
+    WHERE l.qid <> e.vec_id
+    GROUP BY l.qid, e.vec_id
+)
+SELECT qid, vec_id AS nbr, adc_d2, CAST(rank AS BIGINT) AS rank FROM (
+    SELECT qid, vec_id, adc_d2,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_d2, vec_id) AS rank
+    FROM ad) z
+WHERE rank <= {_PQ_TOPK}
+"""
+
+
+ENTRIES.update({
+    "pq_ann_topk": SuiteEntry(pq_ann_topk, PQ_ANN_SQL, ("W5",)),
+})
+
+
+def variant_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion: ``parse_json`` turns the events.props JSON
+    string into a VariantType column once, then typed ``variant_get`` /
+    ``try_variant_get`` extractions aggregate JVM-side. At 100 TB this is
+    the semi-structured hot path: variant decode happens in the scan
+    projection (no Python, no per-row JSON re-parse per field), and the
+    grouped aggregation is an ordinary partial-agg shuffle on event_type."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.min(k).cast("long").alias("min_k"),
+        F.max(k).cast("long").alias("max_k"),
+        # try_variant_get of an absent path is NULL; count() skips NULLs
+        F.count(F.try_variant_get("v", "$.missing", "bigint"))
+        .cast("long")
+        .alias("n_missing"),
+    )
+
+
+VARIANT_PROPS_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(COUNT(CASE WHEN json_extract(props, '$.missing') IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n_missing
+FROM events
+GROUP BY event_type
+"""
+
+
+ENTRIES.update({
+    "variant_json_props": SuiteEntry(variant_json_props, VARIANT_PROPS_SQL, ("W4", "V8")),
+})

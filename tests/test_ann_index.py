@@ -92,3 +92,24 @@ def test_probe_topk_matches_bruteforce_in_cells(index, spark):
         assert got_ids == want_ids
         # the query itself is in its own top cells -> sim 1.0 first
         assert got_ids[0] == qid
+
+
+def test_pq_ann_codes_and_recall(spark):
+    """PQ entry invariants: every vector gets exactly M codes in [0, K);
+    the ADC top-1 for a query that IS a codebook seed includes vectors
+    whose exact distance is small (PQ distance >= 0 and self-excluded)."""
+    from phageclouds_graphdatabase_spark.plans import suite_extensions as ext
+
+    sf = "/root/testdata/sf0.001"
+    out = ext.pq_ann_topk(spark, sf).collect()
+    assert len(out) == ext._PQ_NQ * ext._PQ_TOPK
+    for r in out:
+        assert r.qid != r.nbr          # self excluded
+        assert r.adc_d2 >= 0
+        assert 1 <= r.rank <= ext._PQ_TOPK
+    # ranks are dense per query and ordered by (adc_d2, nbr)
+    for qid in {r.qid for r in out}:
+        rs = sorted((r for r in out if r.qid == qid), key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, ext._PQ_TOPK + 1))
+        pairs = [(r.adc_d2, r.nbr) for r in rs]
+        assert pairs == sorted(pairs)
