@@ -2081,10 +2081,42 @@ class CypherEngine:
         "ltrim": F.ltrim, "rtrim": F.rtrim, "reverse": F.reverse,
         "size": F.size, "head": lambda c: F.element_at(c, 1),
         "last": lambda c: F.element_at(c, -1), "abs": F.abs,
-        "floor": F.floor, "ceil": F.ceil, "round": F.round,
+        # Neo4j math functions return FLOAT, even for integer input
+        "floor": lambda c: F.floor(c).cast("double"),
+        "ceil": lambda c: F.ceil(c).cast("double"),
+        "round": lambda c: F.round(c.cast("double")),  # HALF_UP, as Neo4j
+        "sqrt": lambda c: F.sqrt(c.cast("double")),
+        "exp": lambda c: F.exp(c.cast("double")),
+        "log": lambda c: F.log(c.cast("double")),       # natural log
+        "log10": lambda c: F.log10(c.cast("double")),
+        "sin": lambda c: F.sin(c.cast("double")),
+        "cos": lambda c: F.cos(c.cast("double")),
+        "tan": lambda c: F.tan(c.cast("double")),
+        "asin": lambda c: F.asin(c.cast("double")),
+        "acos": lambda c: F.acos(c.cast("double")),
+        "atan": lambda c: F.atan(c.cast("double")),
+        "cot": lambda c: F.lit(1.0) / F.tan(c.cast("double")),
+        "degrees": lambda c: F.degrees(c.cast("double")),
+        "radians": lambda c: F.radians(c.cast("double")),
+        "haversin": lambda c: (F.lit(1.0) - F.cos(c.cast("double"))) / F.lit(2.0),
+        "sign": lambda c: F.signum(c).cast("long"),  # Neo4j sign() -> INTEGER
         "tostring": lambda c: c.cast("string"),
         "tointeger": lambda c: c.cast("long"),
         "tofloat": lambda c: c.cast("double"),
+        # Neo4j toBoolean: 'true'/'false' (case-insensitive) else NULL
+        "toboolean": lambda c: F.when(
+            F.lower(c.cast("string")) == "true", F.lit(True)
+        ).when(F.lower(c.cast("string")) == "false", F.lit(False)),
+    }
+
+    # zero-argument functions (Neo4j); rand()/timestamp() are
+    # nondeterministic by design — don't use them in oracle entries
+    _ZERO_ARG_FUNCS = {
+        "e": lambda: F.lit(2.718281828459045),
+        "pi": lambda: F.lit(3.141592653589793),
+        "rand": F.rand,
+        "randomuuid": lambda: F.expr("uuid()"),
+        "timestamp": lambda: F.unix_millis(F.current_timestamp()),
     }
 
     def _map_proj_col(self, frame: _Frame, e: A.MapProj, params, env):
@@ -2222,6 +2254,32 @@ class CypherEngine:
                 self._col(frame, e.args[1], params, env),
                 self._col(frame, e.args[2], params, env),
             )
+        if e.name == "atan2":
+            if len(e.args) != 2:
+                raise CypherCompileError("atan2() takes (y, x)")
+            return F.atan2(
+                self._col(frame, e.args[0], params, env).cast("double"),
+                self._col(frame, e.args[1], params, env).cast("double"),
+            )
+        if e.name == "round" and len(e.args) == 2:
+            # Neo4j 5 round(value, precision)
+            return F.round(
+                self._col(frame, e.args[0], params, env).cast("double"),
+                self._scalar(e.args[1], params),
+            )
+        if e.name == "isempty":
+            if len(e.args) != 1:
+                raise CypherCompileError("isEmpty() takes one argument")
+            c = self._col(frame, e.args[0], params, env)
+            # strings measure by length, lists/maps by size
+            if self._is_stringy(frame, e.args[0], params, env):
+                return F.length(c) == 0
+            return F.size(c) == 0
+        zfn = self._ZERO_ARG_FUNCS.get(e.name)
+        if zfn is not None:
+            if e.args:
+                raise CypherCompileError(f"{e.name}() takes no arguments")
+            return zfn()
         fn = self._SCALAR_FUNCS.get(e.name)
         if fn is None:
             raise CypherCompileError(f"unsupported function {e.name}()")

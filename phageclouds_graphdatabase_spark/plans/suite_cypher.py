@@ -1027,6 +1027,41 @@ WHERE genome_size % 5 = 0 AND regexp_full_match(accession, 'P.*[02468]')
 """
 
 
+def cypher_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Neo4j math/scalar function surface (round 3): sign() -> INTEGER,
+    floor/ceil/round/sqrt -> FLOAT (even for integer input), toBoolean's
+    strict 'true'/'false' mapping, isEmpty on strings. Only IEEE-exact
+    functions appear here (sqrt is correctly-rounded per IEEE 754; round
+    has no representable .5 ties for x/7.0) so the cross-engine hash is
+    bit-exact; transcendentals (exp/log/trig) are libm-dependent and are
+    pinned by unit tests instead."""
+    q = """MATCH (a:PhageGenome) WHERE a.genome_size > 0
+            RETURN a.accession AS acc,
+                   sign(a.genome_size - 25) AS sgn,
+                   floor(a.genome_size / 7.0) AS fl,
+                   ceil(a.genome_size / 7.0) AS cl,
+                   round(a.genome_size / 7.0) AS rnd,
+                   sqrt(a.genome_size) AS sq,
+                   toBoolean(CASE WHEN a.genome_size % 2 = 0
+                             THEN 'true' ELSE 'nope' END) AS beven,
+                   isEmpty(a.taxonomy) AS tax_empty;"""
+    return _engine(spark, sf_dir).run(q)
+
+
+CYPHER_MATH_SQL = _CTE + """
+SELECT accession AS acc,
+       CAST(sign(genome_size - 25) AS BIGINT) AS sgn,
+       FLOOR(genome_size / 7.0) AS fl,
+       CEIL(genome_size / 7.0) AS cl,
+       ROUND(genome_size / 7.0) AS rnd,
+       SQRT(CAST(genome_size AS DOUBLE)) AS sq,
+       CASE WHEN genome_size % 2 = 0 THEN TRUE
+            ELSE CAST(NULL AS BOOLEAN) END AS beven,
+       len(taxonomy) = 0 AS tax_empty
+FROM nodes WHERE genome_size > 0
+"""
+
+
 ENTRIES = {
     "cypher_seed_expand": SuiteEntry(
         cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
@@ -1124,5 +1159,8 @@ ENTRIES = {
     ),
     "cypher_map_projection": SuiteEntry(
         cypher_map_projection, CYPHER_MAP_PROJ_SQL, ("S2", "V8", "V2")
+    ),
+    "cypher_math_functions": SuiteEntry(
+        cypher_math_functions, CYPHER_MATH_SQL, ("S2", "V8", "V4")
     ),
 }

@@ -1103,3 +1103,43 @@ class TestMapsAndOperators:
             "MATCH (a:PhageGenome) WHERE a.accession =~ '1' "
             "RETURN a.accession AS acc"
         ).count() == 0
+
+
+class TestMathFunctions:
+    """The Neo4j math/scalar function tail (round 3): trig/exp/log return
+    FLOAT, sign() returns INTEGER, toBoolean maps only 'true'/'false',
+    isEmpty dispatches on string vs list."""
+
+    def test_math_values(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "RETURN sign(-3) AS s, round(2.5) AS rd, round(2.345, 2) AS r2, "
+            "ceil(1.2) AS c, floor(1.8) AS f, sqrt(4) AS q, exp(0) AS ex, "
+            "log(e()) AS lg, log10(100) AS l10, sin(0) AS sn, "
+            "atan2(1.0, 1.0) AS at, degrees(pi()) AS dg, haversin(0) AS hv"
+        ).collect()
+        assert r.s == -1 and isinstance(r.s, int)   # sign -> INTEGER
+        assert r.rd == 3.0                          # HALF_UP, returns FLOAT
+        assert r.r2 == 2.35
+        assert (r.c, r.f, r.q, r.ex) == (2.0, 1.0, 2.0, 1.0)
+        assert r.lg == 1.0 and r.l10 == 2.0 and r.sn == 0.0
+        assert abs(r.at - 0.7853981633974483) < 1e-15
+        assert r.dg == 180.0 and r.hv == 0.0
+
+    def test_toboolean_and_isempty(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "RETURN toBoolean('TRUE') AS t, toBoolean('False') AS f, "
+            "toBoolean('x') AS n, isEmpty('') AS es, isEmpty('a') AS ns, "
+            "isEmpty([]) AS el, isEmpty([1]) AS nl"
+        ).collect()
+        assert r.t is True and r.f is False and r.n is None
+        assert r.es is True and r.ns is False
+        assert r.el is True and r.nl is False
+
+    def test_nondeterministic_funcs_run(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "RETURN rand() AS rd, timestamp() AS ts, randomUUID() AS u"
+        ).collect()
+        assert 0.0 <= r.rd < 1.0 and r.ts > 1500000000000 and len(r.u) == 36
