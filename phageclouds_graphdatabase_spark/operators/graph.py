@@ -487,6 +487,54 @@ def k_hop(
     return visited
 
 
+def multi_source_bfs_levels(
+    roots: DataFrame,
+    edges: DataFrame,
+    k: int,
+    threshold: float | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """Per-root BFS levels ``(root, id, d)`` for every root in ``roots`` —
+    the primitive under sampled centralities (harmonic/closeness): unlike
+    :func:`k_hop` (min hops from ANY seed) the visited state is keyed by
+    ``(root, id)``, so each root's frontier expands independently in the
+    same joins. d = exact hop distance root->id, 1..k (the root itself is
+    omitted).
+
+    Scale: state is O(|roots| x reach), which is why production closeness
+    SAMPLES roots — pass a bounded sample, never the full vertex set. Each
+    round shuffles only frontier-adjacent edges keyed by (root, id); rounds
+    localCheckpoint to keep lineage flat (same discipline as k_hop)."""
+    e = edges if threshold is None else edges.filter(F.col("distance") <= F.lit(threshold))
+    e = e.select("src", "dst")
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.localCheckpoint()  # re-joined every BFS round
+    visited = (
+        roots.select(F.col("id").alias("root"))
+        .distinct()
+        .select("root", F.col("root").alias("id"), F.lit(0).alias("d"))
+        .localCheckpoint()
+    )
+    frontier = visited.select("root", "id")
+    for i in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .select("root", F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, ["root", "id"], "left_anti")
+            .withColumn("d", F.lit(i))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("root", "id")
+    return visited.filter(F.col("d") > 0)
+
+
 def pagerank_scaled(
     edges: DataFrame,
     iterations: int = 2,

@@ -2517,3 +2517,72 @@ GROUP BY event_type
 ENTRIES.update({
     "variant_json_props": SuiteEntry(variant_json_props, VARIANT_PROPS_SQL, ("W4", "V8")),
 })
+
+
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality (round 3): per-root BFS levels to depth 3
+    from the ECONOMY seed sample, then per NODE the sum of 1/d over roots
+    that reach it — scaled x6 so 1/1, 1/2, 1/3 become the exact integers
+    6, 3, 2 (cross-engine bit-exactness without rationals). Sampling roots
+    is THE production closeness/harmonic shape: state stays
+    O(|sample| x reach) instead of all-pairs."""
+    lev = G.multi_source_bfs_levels(
+        graph_seeds(spark, sf_dir),
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+        k=3,
+        threshold=GRAPH_THRESHOLD,
+        directed=False,
+    )
+    return lev.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("d") == 1, 6).when(F.col("d") == 2, 3).otherwise(2)
+        )
+        .cast("long")
+        .alias("h6"),
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+    )
+
+
+GRAPH_HARMONIC_SQL = f"""
+WITH edges AS ({GRAPH_EDGES_SQL}),
+und AS (
+    SELECT src, dst FROM edges WHERE distance <= {GRAPH_THRESHOLD}
+    UNION
+    SELECT dst AS src, src AS dst FROM edges WHERE distance <= {GRAPH_THRESHOLD}
+),
+r0 AS (SELECT id AS root, id FROM ({GRAPH_SEEDS_SQL})),
+l1 AS (
+    SELECT DISTINCT r.root, u.dst AS id
+    FROM r0 r JOIN und u ON u.src = r.id
+    WHERE u.dst <> r.root
+),
+l2 AS (
+    SELECT DISTINCT l1.root, u.dst AS id
+    FROM l1 JOIN und u ON u.src = l1.id
+    WHERE u.dst <> l1.root
+      AND NOT EXISTS (SELECT 1 FROM l1 z WHERE z.root = l1.root AND z.id = u.dst)
+),
+l3 AS (
+    SELECT DISTINCT l2.root, u.dst AS id
+    FROM l2 JOIN und u ON u.src = l2.id
+    WHERE u.dst <> l2.root
+      AND NOT EXISTS (SELECT 1 FROM l1 z WHERE z.root = l2.root AND z.id = u.dst)
+      AND NOT EXISTS (SELECT 1 FROM l2 z WHERE z.root = l2.root AND z.id = u.dst)
+),
+lev AS (
+    SELECT root, id, 1 AS d FROM l1
+    UNION ALL SELECT root, id, 2 FROM l2
+    UNION ALL SELECT root, id, 3 FROM l3
+)
+SELECT id,
+       CAST(SUM(CASE d WHEN 1 THEN 6 WHEN 2 THEN 3 ELSE 2 END) AS BIGINT) AS h6,
+       CAST(COUNT(*) AS BIGINT) AS n_reached
+FROM lev GROUP BY id
+"""
+
+
+ENTRIES.update({
+    "graph_harmonic_centrality": SuiteEntry(
+        graph_harmonic_centrality, GRAPH_HARMONIC_SQL, ("W6", "A6")
+    ),
+})

@@ -263,3 +263,33 @@ def test_k_core_delta_equals_naive_on_random_graphs(spark):
             fix = sorted(map(tuple, G.k_core(edges, k).collect()))
             naive = sorted(map(tuple, G.k_core(edges, k, rounds=25).collect()))
             assert fix == naive, (trial, k)
+
+
+def test_multi_source_bfs_levels_hand_derived(spark, shares_dna):
+    # roots {C1, B3}, undirected, t=0.25, k=3.
+    # C1: A1@1; A2,A3@2 (A3 also via A1 direct — min d wins).
+    # B3: B2@1; B1@2 (B1-A3 edge 0.40 is over the threshold).
+    roots = seed_df(spark, "C1", "B3")
+    got = {
+        (r.root, r.id, r.d)
+        for r in G.multi_source_bfs_levels(
+            roots, shares_dna, k=3, threshold=0.25, directed=False
+        ).collect()
+    }
+    assert got == {
+        ("C1", "A1", 1), ("C1", "A2", 2), ("C1", "A3", 2),
+        ("B3", "B2", 1), ("B3", "B1", 2),
+    }
+
+
+def test_multi_source_bfs_roots_independent(spark, shares_dna):
+    # per-root state: A1 is root AND reached by C1 — both must appear,
+    # and A1's own row (d=0) must not
+    roots = seed_df(spark, "A1", "C1")
+    rows = G.multi_source_bfs_levels(
+        roots, shares_dna, k=1, threshold=0.25, directed=True
+    ).collect()
+    got = {(r.root, r.id, r.d) for r in rows}
+    assert ("C1", "A1", 1) in got
+    assert ("A1", "A2", 1) in got and ("A1", "A3", 1) in got
+    assert all(r.d > 0 for r in rows)

@@ -137,6 +137,83 @@ def assign_cells(corpus: DataFrame, cents: np.ndarray) -> DataFrame:
     return corpus.mapInPandas(fn, "vec_id long, cell int, vec array<float>")
 
 
+def pq_train(sample: np.ndarray, m_sub: int, n_codes: int, iters: int = 3):
+    """Per-subspace Lloyd codebooks over a (normalized) sample — M x K x sub.
+    Driver-resident by design: M*K*sub floats (KBs) broadcast into UDFs."""
+    books = []
+    for s in np.split(sample, m_sub, axis=1):
+        c = s[:n_codes].copy()
+        for _ in range(iters):
+            d = ((s[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for j in range(n_codes):
+                mem = s[a == j]
+                if len(mem):
+                    c[j] = mem.mean(0)
+        books.append(c)
+    return np.stack(books)
+
+
+def pq_encode(corpus: DataFrame, books: np.ndarray) -> DataFrame:
+    """(vec_id, codes[M]) — each normalized subvector becomes its nearest
+    codebook id. One pass over the corpus; output is M small ints per
+    vector (the 16-32x at-rest compression that makes 100-TB ANN fit)."""
+    m_sub, _, sub = books.shape
+
+    def fn(batches):
+        for pdf in batches:
+            mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            codes = np.empty((len(mat), m_sub), dtype=np.int32)
+            for m in range(m_sub):
+                s = mat[:, m * sub:(m + 1) * sub]
+                d = ((s[:, None, :] - books[m][None]) ** 2).sum(-1)
+                codes[:, m] = d.argmin(1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
+
+    return corpus.mapInPandas(fn, "vec_id long, codes array<int>")
+
+
+def pq_scan(encoded: DataFrame, queries: np.ndarray, qids: np.ndarray,
+            books: np.ndarray, k: int) -> DataFrame:
+    """Exhaustive ADC scan (the FAISS IndexPQ shape): per query an M x K
+    lookup table of exact subspace distances, approx distance = M gathers +
+    a sum. No raw vectors move; the scan reads only the code table."""
+    from pyspark.sql.window import Window
+
+    m_sub = books.shape[0]
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sub = books.shape[2]
+    luts = np.stack([
+        np.stack([
+            ((qv[m * sub:(m + 1) * sub][None, :] - books[m]) ** 2).sum(-1)
+            for m in range(m_sub)
+        ])
+        for qv in qn
+    ])  # nq x M x K
+
+    def fn(batches):
+        ar = np.arange(m_sub)
+        for pdf in batches:
+            codes = np.stack(pdf["codes"].to_numpy())  # b x M
+            vid = pdf["vec_id"].to_numpy()
+            out = []
+            for qi, qid in enumerate(qids):
+                d = luts[qi][ar[None, :], codes].sum(1)
+                out.append(pd.DataFrame(
+                    {"qid": int(qid), "vec_id": vid, "adc": d}
+                ))
+            yield pd.concat(out)
+
+    scored = encoded.mapInPandas(fn, "qid long, vec_id long, adc double")
+    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--vecs", type=int, default=2_000_000)
@@ -146,6 +223,11 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--cells", type=int, default=128)
     ap.add_argument("--nprobe", type=int, default=8)
+    ap.add_argument("--pq", action="store_true",
+                    help="also run the product-quantization tier")
+    ap.add_argument("--pq-m", type=int, default=4, help="PQ subspaces")
+    ap.add_argument("--pq-codes", type=int, default=256,
+                    help="codes per subspace codebook")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
@@ -224,6 +306,36 @@ def main() -> None:
     hits = ivf.join(truth, ["qid", "vec_id"], "left_semi").count()
     recall = hits / max(n_truth, 1)
 
+    pq_stats = {}
+    if args.pq:
+        t0 = time.time()
+        sample = np.stack(
+            corpus.filter(F.col("vec_id") < 50_000).toPandas()["vec"]
+        ).astype(np.float64)
+        sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+        books = pq_train(sample, args.pq_m, args.pq_codes)
+        pq_train_sec = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        encoded = pq_encode(corpus, books).cache()
+        encoded.count()
+        pq_encode_sec = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        pq_top = pq_scan(encoded, queries, qids, books, args.k).cache()
+        n_pq = pq_top.count()
+        pq_scan_sec = round(time.time() - t0, 2)
+        pq_hits = pq_top.join(truth, ["qid", "vec_id"], "left_semi").count()
+        pq_stats = {
+            "pq_m": args.pq_m,
+            "pq_codes": args.pq_codes,
+            "pq_train_sec": pq_train_sec,
+            "pq_encode_sec": pq_encode_sec,
+            "pq_scan_sec": pq_scan_sec,
+            "pq_recall_at_k": round(pq_hits / max(n_truth, 1), 4),
+            "n_pq_results": n_pq,
+        }
+
     print(
         json.dumps(
             {
@@ -240,6 +352,7 @@ def main() -> None:
                 "probe_sec": probe_sec,
                 "recall_at_k": round(recall, 4),
                 "n_ivf_results": n_ivf,
+                **pq_stats,
             }
         )
     )
