@@ -143,8 +143,10 @@ def pq_train(sample: np.ndarray, m_sub: int, n_codes: int, iters: int = 3):
     books = []
     for s in np.split(sample, m_sub, axis=1):
         c = s[:n_codes].copy()
+        s2 = (s ** 2).sum(1, keepdims=True)
         for _ in range(iters):
-            d = ((s[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            # |x-c|^2 = |x|^2 + |c|^2 - 2 x.c — one GEMM, not a broadcast cube
+            d = s2 + (c ** 2).sum(1)[None, :] - 2.0 * (s @ c.T)
             a = d.argmin(1)
             for j in range(n_codes):
                 mem = s[a == j]
@@ -167,7 +169,12 @@ def pq_encode(corpus: DataFrame, books: np.ndarray) -> DataFrame:
             codes = np.empty((len(mat), m_sub), dtype=np.int32)
             for m in range(m_sub):
                 s = mat[:, m * sub:(m + 1) * sub]
-                d = ((s[:, None, :] - books[m][None]) ** 2).sum(-1)
+                c = books[m]
+                d = (
+                    (s ** 2).sum(1, keepdims=True)
+                    + (c ** 2).sum(1)[None, :]
+                    - 2.0 * (s @ c.T)
+                )
                 codes[:, m] = d.argmin(1)
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": list(codes)})
 
@@ -225,9 +232,11 @@ def main() -> None:
     ap.add_argument("--nprobe", type=int, default=8)
     ap.add_argument("--pq", action="store_true",
                     help="also run the product-quantization tier")
-    ap.add_argument("--pq-m", type=int, default=4, help="PQ subspaces")
+    ap.add_argument("--pq-m", type=int, default=8, help="PQ subspaces")
     ap.add_argument("--pq-codes", type=int, default=256,
                     help="codes per subspace codebook")
+    ap.add_argument("--pq-refine", type=int, default=20,
+                    help="shortlist over-fetch factor for the exact rescore")
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
@@ -321,17 +330,41 @@ def main() -> None:
         encoded.count()
         pq_encode_sec = round(time.time() - t0, 2)
 
+        # ADC shortlist (20x over-fetch), then exact rescore on raw vectors:
+        # the production IndexPQ + refine shape — the code-table scan prunes
+        # 100k -> 200 per query, only the shortlist touches raw floats
         t0 = time.time()
-        pq_top = pq_scan(encoded, queries, qids, books, args.k).cache()
-        n_pq = pq_top.count()
+        shortlist = pq_scan(encoded, queries, qids, books, args.k * args.pq_refine).cache()
+        shortlist.count()
         pq_scan_sec = round(time.time() - t0, 2)
+        pq_hits_adc = (
+            pq_scan(encoded, queries, qids, books, args.k)
+            .join(truth, ["qid", "vec_id"], "left_semi")
+            .count()
+        )
+
+        t0 = time.time()
+        cand_pq = shortlist.join(corpus, "vec_id").select("qid", "vec_id", "vec")
+        rescored = cand_pq.mapInPandas(score, "qid long, vec_id long, sim double")
+        wq = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+        pq_top = (
+            rescored.withColumn("rk", F.row_number().over(wq))
+            .filter(F.col("rk") <= args.k)
+            .drop("rk")
+            .cache()
+        )
+        n_pq = pq_top.count()
+        pq_rescore_sec = round(time.time() - t0, 2)
         pq_hits = pq_top.join(truth, ["qid", "vec_id"], "left_semi").count()
         pq_stats = {
             "pq_m": args.pq_m,
             "pq_codes": args.pq_codes,
+            "pq_refine": args.pq_refine,
             "pq_train_sec": pq_train_sec,
             "pq_encode_sec": pq_encode_sec,
             "pq_scan_sec": pq_scan_sec,
+            "pq_rescore_sec": pq_rescore_sec,
+            "pq_adc_recall_at_k": round(pq_hits_adc / max(n_truth, 1), 4),
             "pq_recall_at_k": round(pq_hits / max(n_truth, 1), 4),
             "n_pq_results": n_pq,
         }
