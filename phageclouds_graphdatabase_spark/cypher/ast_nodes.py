@@ -242,6 +242,16 @@ class Slice(Expr):
 
 
 @dataclass(frozen=True)
+class CallProc:
+    """``CALL db.labels() [YIELD col [AS alias], ...]`` — a no-argument
+    introspection procedure (db.labels / db.relationshipTypes /
+    db.propertyKeys), answered from the GraphCatalog at compile time."""
+
+    name: str
+    yields: tuple  # ((yield_name, alias_or_None), ...)
+
+
+@dataclass(frozen=True)
 class MapLit(Expr):
     """``{key: expr, ...}`` map literal — compiles to a named struct (the
     Spark-native heterogeneous map)."""

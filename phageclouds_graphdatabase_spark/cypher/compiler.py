@@ -275,6 +275,8 @@ class CypherEngine:
                 self._fold_unwind(frame, clause, params)
             elif isinstance(clause, A.CallSub):
                 self._fold_call_subquery(frame, clause, params)
+            elif isinstance(clause, A.CallProc):
+                self._fold_call_proc(frame, clause)
             elif isinstance(clause, A.ReturnClause):
                 out = self._fold_return(frame, clause, params)
             elif isinstance(
@@ -289,6 +291,10 @@ class CypherEngine:
             else:  # pragma: no cover
                 raise CypherCompileError(f"unsupported clause {clause!r}")
         if out is None:
+            # `CALL db.labels()` standalone is a complete Neo4j query —
+            # its yielded columns ARE the result
+            if q.clauses and isinstance(q.clauses[-1], A.CallProc):
+                return frame.df
             raise CypherCompileError("query has no RETURN clause")
         return out
 
@@ -1734,6 +1740,55 @@ class CypherEngine:
             c = self._col(frame, clause.expr, params)
             frame.df = frame.df.select("*", F.explode(c).alias(clause.alias))
         frame.vars[clause.alias] = ("flat", None)
+
+    _PROC_COLUMNS = {
+        "db.labels": "label",
+        "db.relationshiptypes": "relationshipType",
+        "db.propertykeys": "propertyKey",
+    }
+
+    def _fold_call_proc(self, frame: _Frame, clause: A.CallProc) -> None:
+        """CALL db.labels()/db.relationshipTypes()/db.propertyKeys() —
+        Neo4j's schema-introspection procedures, answered from the
+        GraphCatalog. The result is driver-built metadata (a handful of
+        rows); when rows are already bound the procedure cross-joins per
+        row, matching Neo4j's per-input-row invocation of a row-independent
+        procedure."""
+        name = clause.name.lower()
+        col = self._PROC_COLUMNS.get(name)
+        if col is None:
+            raise CypherCompileError(f"unknown procedure {clause.name}()")
+        if name == "db.labels":
+            vals = sorted(self.catalog.nodes)
+        elif name == "db.relationshiptypes":
+            vals = sorted(self.catalog.rels)
+        else:
+            keys: set = set()
+            for nt in self.catalog.nodes.values():
+                keys.update(nt.df.columns)
+            for rt in self.catalog.rels.values():
+                keys.update(rt.df.columns)
+            vals = sorted(keys)
+        any_df = next(iter(self.catalog.nodes.values())).df
+        df = any_df.sparkSession.createDataFrame(
+            [(v,) for v in vals], f"{col} string"
+        )
+        outname = col
+        if clause.yields:
+            if len(clause.yields) != 1:
+                raise CypherCompileError(
+                    f"{clause.name}() yields exactly one column ({col})"
+                )
+            yname, alias = clause.yields[0]
+            if yname != col:
+                raise CypherCompileError(
+                    f"{clause.name}() yields `{col}`, not `{yname}`"
+                )
+            if alias:
+                df = df.withColumnRenamed(col, alias)
+                outname = alias
+        frame.df = df if frame.df is None else frame.df.crossJoin(df)
+        frame.vars[outname] = ("flat", None)
 
     def _col_literal_frame(self, e: A.Expr, params: dict) -> DataFrame:
         if self.spark is None:

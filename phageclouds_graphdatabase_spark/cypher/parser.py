@@ -173,10 +173,13 @@ class _Parser:
                 clauses.append(A.UnwindClause(e, self._name()))
             elif self.at("ident") and self.peek()[1].lower() == "call":
                 self.take("ident")
-                self.take("sym", "{")
-                inner = self._single_query()
-                self.take("sym", "}")
-                clauses.append(A.CallSub(inner))
+                if self.at("sym", "{"):
+                    self.take("sym", "{")
+                    inner = self._single_query()
+                    self.take("sym", "}")
+                    clauses.append(A.CallSub(inner))
+                else:
+                    clauses.append(self._call_proc())
             elif self.accept("kw", "create"):
                 clauses.append(self._create())
             elif self.accept("kw", "merge"):
@@ -662,6 +665,25 @@ class _Parser:
         raise CypherSyntaxError(
             f"expected an expression at position {pos}, found {tv!r}"
         )
+
+    def _call_proc(self) -> A.CallProc:
+        """``CALL db.labels() [YIELD col [AS alias], ...]`` — dotted
+        no-argument procedure name, optional YIELD projection."""
+        parts = [self._name()]
+        while self.accept("sym", "."):
+            parts.append(self._name())
+        self.take("sym", "(")
+        self.take("sym", ")")
+        yields: list = []
+        if self.at("ident") and self.peek()[1].lower() == "yield":
+            self.take("ident")
+            while True:
+                yname = self._name()
+                alias = self._name() if self.accept("kw", "as") else None
+                yields.append((yname, alias))
+                if not self.accept("sym", ","):
+                    break
+        return A.CallProc(".".join(parts), tuple(yields))
 
     def _map_projection(self, var: str) -> A.MapProj:
         """``n {.prop, .*, key: expr, other_var}`` — Neo4j map projection."""

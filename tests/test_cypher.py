@@ -1143,3 +1143,34 @@ class TestMathFunctions:
             "RETURN rand() AS rd, timestamp() AS ts, randomUUID() AS u"
         ).collect()
         assert 0.0 <= r.rd < 1.0 and r.ts > 1500000000000 and len(r.u) == 36
+
+
+class TestCallProcedures:
+    """CALL db.labels()/db.relationshipTypes()/db.propertyKeys() (round 3):
+    Neo4j's schema introspection, answered from the GraphCatalog."""
+
+    def test_labels_standalone(self, eng):
+        assert [r.label for r in eng.run("CALL db.labels()").collect()] == [
+            "Host", "PhageGenome",
+        ]
+
+    def test_reltypes_yield_alias_and_return(self, eng):
+        rows = eng.run(
+            "CALL db.relationshipTypes() YIELD relationshipType AS t "
+            "RETURN t ORDER BY t"
+        ).collect()
+        assert [r.t for r in rows] == ["infects", "sharesDNA"]
+
+    def test_property_keys_cover_all_tables(self, eng):
+        keys = {r.propertyKey for r in eng.run("CALL db.propertyKeys()").collect()}
+        assert {"accession", "distance", "genus", "taxonomy"} <= keys
+
+    def test_proc_feeds_aggregation(self, eng):
+        [r] = eng.run("CALL db.labels() YIELD label RETURN count(*) AS n").collect()
+        assert r.n == 2
+
+    def test_unknown_proc_and_bad_yield(self, eng):
+        with pytest.raises(CypherCompileError):
+            eng.run("CALL db.nope()")
+        with pytest.raises(CypherCompileError):
+            eng.run("CALL db.labels() YIELD wrong RETURN wrong")
