@@ -270,6 +270,16 @@ class MapProj(Expr):
 
 
 @dataclass(frozen=True)
+class FieldAc(Expr):
+    """``expr.name`` on a non-variable base — temporal accessors
+    (``date(x).year``) when the base is a date/timestamp, struct/map field
+    access otherwise."""
+
+    base: Expr
+    name: str
+
+
+@dataclass(frozen=True)
 class Regex(Expr):
     """``s =~ pattern`` — Neo4j regex match; the WHOLE string must match
     (Java String.matches semantics, not a substring search)."""

@@ -1908,16 +1908,25 @@ class CypherEngine:
             kind, _ = frame.vars[e.var]
             if kind == "flat":
                 # a projected MAP/struct value still supports m.key access
-                # (Neo4j maps); only non-struct flats reject property access
-                if frame.df is not None and isinstance(
-                    frame.df.schema[e.var].dataType, T.StructType
-                ):
-                    return F.col(e.var)[e.name]
+                # (Neo4j maps), and a projected date/timestamp supports the
+                # temporal accessors (d.year); other flats reject
+                if frame.df is not None:
+                    dt = frame.df.schema[e.var].dataType
+                    if isinstance(dt, T.StructType):
+                        return F.col(e.var)[e.name]
+                    if isinstance(
+                        dt, (T.DateType, T.TimestampType, T.TimestampNTZType)
+                    ):
+                        return self._field_access(
+                            frame, A.FieldAc(A.Var(e.var), e.name), params, env
+                        )
                 raise CypherCompileError(
                     f"{e.var} is a projected value, not an entity; "
                     f"reference it as `{e.var}`"
                 )
             return F.col(e.var)[e.name]
+        if isinstance(e, A.FieldAc):
+            return self._field_access(frame, e, params, env)
         if isinstance(e, A.Subscript):
             src = self._col(frame, e.source, params, env)
             if isinstance(e.index, A.Literal) and isinstance(e.index.value, str):
@@ -2174,6 +2183,43 @@ class CypherEngine:
         "timestamp": lambda: F.unix_millis(F.current_timestamp()),
     }
 
+    # Neo4j temporal accessor -> Spark expression (names lowercased;
+    # dayOfWeek is ISO Monday=1, unlike Spark's Sunday=1 dayofweek)
+    _TEMPORAL_FIELDS = {
+        "year": F.year,
+        "month": F.month,
+        "day": F.dayofmonth,
+        "hour": F.hour,
+        "minute": F.minute,
+        "second": F.second,
+        "millisecond": lambda c: (
+            F.unix_millis(c.cast("timestamp")) % F.lit(1000)
+        ).cast("int"),
+        "dayofweek": lambda c: (F.weekday(c) + F.lit(1)).cast("int"),
+        "ordinalday": F.dayofyear,
+        "week": F.weekofyear,
+        "quarter": F.quarter,
+        "epochseconds": lambda c: F.unix_seconds(c.cast("timestamp")),
+        "epochmillis": lambda c: F.unix_millis(c.cast("timestamp")),
+    }
+
+    def _field_access(self, frame: _Frame, e: A.FieldAc, params, env):
+        """``expr.name``: temporal accessor when the base is a
+        date/timestamp (Neo4j's d.year idiom), struct/map field otherwise
+        (nested structs, map-literal values). Probe-typed: when the base
+        type can't be probed (lambda refs), struct access is assumed."""
+        base = self._col(frame, e.base, params, env)
+        dt = self._probe_dtype(frame, base)
+        if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            fn = self._TEMPORAL_FIELDS.get(e.name.lower())
+            if fn is None:
+                raise CypherCompileError(
+                    f"unknown temporal field .{e.name} (have: "
+                    f"{', '.join(sorted(self._TEMPORAL_FIELDS))})"
+                )
+            return fn(base)
+        return base[e.name]
+
     def _map_proj_col(self, frame: _Frame, e: A.MapProj, params, env):
         """``n {.prop, .*, key: expr, var}`` — a named struct built from the
         bound entity/map struct. Pure projection work: the struct fields are
@@ -2309,6 +2355,20 @@ class CypherEngine:
                 self._col(frame, e.args[1], params, env),
                 self._col(frame, e.args[2], params, env),
             )
+        if e.name in ("date", "datetime", "localdatetime"):
+            # Neo4j temporal constructors: no-arg = now (nondeterministic
+            # by design), one string/temporal arg = parse/convert (ISO-8601,
+            # which Spark's default parser accepts, T separator included)
+            if not e.args:
+                return (
+                    F.current_date()
+                    if e.name == "date"
+                    else F.current_timestamp()
+                )
+            if len(e.args) == 1:
+                c = self._col(frame, e.args[0], params, env)
+                return F.to_date(c) if e.name == "date" else F.to_timestamp(c)
+            raise CypherCompileError(f"{e.name}() takes 0 or 1 arguments")
         if e.name == "atan2":
             if len(e.args) != 2:
                 raise CypherCompileError("atan2() takes (y, x)")

@@ -601,22 +601,29 @@ class _Parser:
         return e
 
     def _postfix(self, e: A.Expr) -> A.Expr:
-        """Subscript / slice chains: list[i], list[lo..hi], [..n], [n..]."""
-        while self.at("sym", "["):
-            self.take("sym", "[")
-            lo = None
-            if not self.at("sym", "."):
-                lo = self.expr()
-            if self.accept("sym", "."):
+        """Postfix chains: list[i], list[lo..hi], [..n], [n..], and
+        expr.field (temporal accessors like date(x).year, nested struct
+        fields). A doubled dot is never field access (slice range dots)."""
+        while True:
+            if self.at("sym", "["):
+                self.take("sym", "[")
+                lo = None
+                if not self.at("sym", "."):
+                    lo = self.expr()
+                if self.accept("sym", "."):
+                    self.take("sym", ".")
+                    hi = None if self.at("sym", "]") else self.expr()
+                    e = A.Slice(e, lo, hi)
+                else:
+                    if lo is None:
+                        raise CypherSyntaxError("empty subscript []")
+                    e = A.Subscript(e, lo)
+                self.take("sym", "]")
+            elif self.at("sym", ".") and not self.at("sym", ".", 1):
                 self.take("sym", ".")
-                hi = None if self.at("sym", "]") else self.expr()
-                e = A.Slice(e, lo, hi)
+                e = A.FieldAc(e, self._name())
             else:
-                if lo is None:
-                    raise CypherSyntaxError("empty subscript []")
-                e = A.Subscript(e, lo)
-            self.take("sym", "]")
-        return e
+                return e
 
     def _primary(self) -> A.Expr:
         tk, tv, pos, _ = self.peek()

@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from phageclouds_graphdatabase_spark.cypher import CypherEngine, phage_catalog
+from phageclouds_graphdatabase_spark.cypher import (
+    CypherEngine,
+    GraphCatalog,
+    NodeTable,
+    phage_catalog,
+)
 from phageclouds_graphdatabase_spark.plans._suite_helpers import (
     GRAPH_EDGES_SQL,
     GRAPH_THRESHOLD,
@@ -1062,6 +1067,46 @@ FROM nodes WHERE genome_size > 0
 """
 
 
+def cypher_temporal_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal surface (round 3): date()/datetime() constructors and the
+    d.year/.quarter/.month/.dayOfWeek accessors (dayOfWeek is ISO,
+    Monday=1 — Spark's weekday()+1, NOT its Sunday-based dayofweek). Runs
+    over a SECOND catalog (orders as :Order nodes) — the engine is
+    schema-agnostic, not hardwired to the phage graph."""
+    cat = GraphCatalog(
+        {"Order": NodeTable(t(spark, sf_dir, "orders"), "o_orderkey")}, {}
+    )
+    q = """MATCH (o:Order)
+            WITH o, date(o.o_orderdate) AS d
+            WHERE d >= date('1995-01-01') AND d < date('1996-01-01')
+            RETURN d.year AS yr, d.quarter AS q, d.month AS mon,
+                   count(*) AS n,
+                   sum(CASE WHEN d.dayOfWeek = 1 THEN 1 ELSE 0 END) AS n_monday
+            ORDER BY mon;"""
+    out = CypherEngine(cat).run(q)
+    return out.select(
+        F.col("yr").cast("long").alias("yr"),
+        F.col("q").cast("long").alias("q"),
+        F.col("mon").cast("long").alias("mon"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_monday").cast("long").alias("n_monday"),
+    )
+
+
+CYPHER_TEMPORAL_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+       CAST(month(o_orderdate) AS BIGINT) AS mon,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN isodow(o_orderdate) = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_monday
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
 ENTRIES = {
     "cypher_seed_expand": SuiteEntry(
         cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
@@ -1162,5 +1207,8 @@ ENTRIES = {
     ),
     "cypher_math_functions": SuiteEntry(
         cypher_math_functions, CYPHER_MATH_SQL, ("S2", "V8", "V4")
+    ),
+    "cypher_temporal_orders": SuiteEntry(
+        cypher_temporal_orders, CYPHER_TEMPORAL_SQL, ("S2", "V8", "A6")
     ),
 }

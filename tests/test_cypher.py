@@ -1174,3 +1174,50 @@ class TestCallProcedures:
             eng.run("CALL db.nope()")
         with pytest.raises(CypherCompileError):
             eng.run("CALL db.labels() YIELD wrong RETURN wrong")
+
+
+class TestTemporal:
+    """date()/datetime() constructors and temporal accessors (round 3)."""
+
+    def test_date_parse_and_fields(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "WITH date('2024-03-15') AS d "
+            "RETURN d.year AS y, d.month AS m, d.day AS dd, d.quarter AS q, "
+            "d.dayOfWeek AS dow, d.ordinalDay AS od, d.week AS w"
+        ).collect()
+        assert (r.y, r.m, r.dd, r.q) == (2024, 3, 15, 1)
+        assert r.dow == 5          # 2024-03-15 is a Friday; ISO Monday=1
+        assert r.od == 75 and r.w == 11
+
+    def test_datetime_fields_and_epoch(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "WITH datetime('1970-01-02T03:04:05') AS ts "
+            "RETURN ts.hour AS h, ts.minute AS mi, ts.second AS s, "
+            "ts.epochSeconds AS es"
+        ).collect()
+        assert (r.h, r.mi, r.s) == (3, 4, 5)
+        assert r.es == 86400 + 3 * 3600 + 4 * 60 + 5
+
+    def test_date_comparison_filters(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "RETURN date('2024-01-02') > date('2024-01-01') AS gt, "
+            "date('2024-01-01') = date('2024-01-01') AS eq"
+        ).collect()
+        assert r.gt is True and r.eq is True
+
+    def test_now_constructors_run(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "RETURN date().year AS y, datetime().year AS ty"
+        ).collect()
+        assert r.y >= 2024 and r.ty >= 2024
+
+    def test_unknown_temporal_field_rejected(self, eng):
+        with pytest.raises(CypherCompileError):
+            eng.run(
+                "MATCH (a:PhageGenome {accession:'A1'}) "
+                "RETURN date('2024-01-01').parsec AS x"
+            )
