@@ -2586,3 +2586,68 @@ ENTRIES.update({
         graph_harmonic_centrality, GRAPH_HARMONIC_SQL, ("W6", "A6")
     ),
 })
+
+
+def zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout under the driver contract (round 3): events written
+    Morton-clustered on (user_id, value-cents), read back through a 2-D box
+    predicate. The entry ASSERTS the skipping property at runtime — a
+    min/max pruner must skip at least half the files for the box — so a
+    broken layout fails the query, not just a unit test. Results are the
+    box's exact-integer aggregates (layout must never change answers)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from phageclouds_graphdatabase_spark.sources import zorder
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", cents(F.col("value")).alias("vc")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "pcgdb_zo_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    zorder.write_zordered(ev, out, "user_id", "vc", n_files=32, bits=8)
+
+    boxes = zorder.file_boxes(out, "user_id", "vc")
+    hit = zorder.files_intersecting(boxes, 40, 80, 500, 2000)
+    if len(boxes) >= 16 and len(hit) > len(boxes) // 2:
+        raise AssertionError(
+            f"z-order layout lost its skipping property: "
+            f"{len(hit)}/{len(boxes)} files intersect the box"
+        )
+
+    back = spark.read.parquet(out).filter(
+        F.col("user_id").between(40, 80) & F.col("vc").between(500, 2000)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vc").cast("long").alias("sum_vc"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.min("event_id").cast("long").alias("min_ev"),
+        F.max("event_id").cast("long").alias("max_ev"),
+    )
+
+
+ZORDER_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(vc) AS BIGINT) AS sum_vc,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(MIN(event_id) AS BIGINT) AS min_ev,
+       CAST(MAX(event_id) AS BIGINT) AS max_ev
+FROM (
+    SELECT event_id, user_id,
+           CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc
+    FROM events
+) z
+WHERE user_id BETWEEN 40 AND 80 AND vc BETWEEN 500 AND 2000
+"""
+
+
+ENTRIES.update({
+    "zorder_roundtrip": SuiteEntry(zorder_roundtrip, ZORDER_SQL, ("S7", "P3")),
+})
