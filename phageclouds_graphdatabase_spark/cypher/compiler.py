@@ -2203,6 +2203,60 @@ class CypherEngine:
         "epochmillis": lambda c: F.unix_millis(c.cast("timestamp")),
     }
 
+    _ISO_DURATION = __import__("re").compile(
+        r"^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
+        r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+    )
+
+    def _duration_col(self, e: A.Func) -> Column:
+        """``duration('P1Y2M3DT4H5M6S')`` / ``duration({days: 1, ...})`` —
+        compile-time-literal durations lowered to make_interval, so
+        ``date + duration(...)`` is plain JVM temporal arithmetic (Spark's
+        month-end clamping matches Neo4j's). Non-literal durations are
+        rejected at compile time (Neo4j stores none in this catalog)."""
+        if len(e.args) != 1:
+            raise CypherCompileError("duration() takes one argument")
+        a = e.args[0]
+        y = mo = w = d = h = mi = 0
+        s = 0.0
+        if isinstance(a, A.Literal) and isinstance(a.value, str):
+            m = self._ISO_DURATION.match(a.value)
+            if not m or a.value == "P":
+                raise CypherCompileError(
+                    f"duration(): bad ISO-8601 duration {a.value!r}"
+                )
+            g = m.groups()
+            y, mo, w, d, h, mi = (int(v or 0) for v in g[:6])
+            s = float(g[6] or 0)
+        elif isinstance(a, A.MapLit):
+            fields = {
+                "years": "y", "months": "mo", "weeks": "w", "days": "d",
+                "hours": "h", "minutes": "mi", "seconds": "s",
+            }
+            vals = dict.fromkeys("y mo w d h mi".split(), 0)
+            vals["s"] = 0.0
+            for k, v in a.items:
+                slot = fields.get(k.lower())
+                if slot is None or not (
+                    isinstance(v, A.Literal) and isinstance(v.value, (int, float))
+                ):
+                    raise CypherCompileError(
+                        f"duration() map: unknown or non-literal field {k!r}"
+                    )
+                vals[slot] = v.value
+            y, mo, w, d, h, mi, s = (
+                vals["y"], vals["mo"], vals["w"], vals["d"],
+                vals["h"], vals["mi"], float(vals["s"]),
+            )
+        else:
+            raise CypherCompileError(
+                "duration() takes an ISO-8601 string literal or a map literal"
+            )
+        return F.make_interval(
+            F.lit(int(y)), F.lit(int(mo)), F.lit(int(w)), F.lit(int(d)),
+            F.lit(int(h)), F.lit(int(mi)), F.lit(s),
+        )
+
     def _field_access(self, frame: _Frame, e: A.FieldAc, params, env):
         """``expr.name``: temporal accessor when the base is a
         date/timestamp (Neo4j's d.year idiom), struct/map field otherwise
@@ -2355,6 +2409,8 @@ class CypherEngine:
                 self._col(frame, e.args[1], params, env),
                 self._col(frame, e.args[2], params, env),
             )
+        if e.name == "duration":
+            return self._duration_col(e)
         if e.name in ("date", "datetime", "localdatetime"):
             # Neo4j temporal constructors: no-arg = now (nondeterministic
             # by design), one string/temporal arg = parse/convert (ISO-8601,

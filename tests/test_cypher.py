@@ -1221,3 +1221,29 @@ class TestTemporal:
                 "MATCH (a:PhageGenome {accession:'A1'}) "
                 "RETURN date('2024-01-01').parsec AS x"
             )
+
+
+class TestDuration:
+    """duration() literals and temporal arithmetic (round 3)."""
+
+    def test_duration_arithmetic(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "RETURN date('2024-01-31') + duration('P1M') AS pm, "
+            "date('2024-01-01') + duration({days: 7}) AS pw, "
+            "(datetime('2024-01-01T00:00:00') + duration('PT2H30M')).minute AS mi, "
+            "date('2024-01-02') - duration('P1D') AS md"
+        ).collect()
+        import datetime as dt
+        assert r.pm == dt.date(2024, 2, 29)   # month-end clamp, as Neo4j
+        assert r.pw == dt.date(2024, 1, 8)
+        assert r.mi == 30
+        assert r.md == dt.date(2024, 1, 1)
+
+    def test_duration_errors(self, eng):
+        with pytest.raises(CypherCompileError):
+            eng.run("MATCH (a:PhageGenome) RETURN duration('nope') AS x")
+        with pytest.raises(CypherCompileError):
+            eng.run("MATCH (a:PhageGenome) RETURN duration({parsecs: 1}) AS x")
+        with pytest.raises(CypherCompileError):
+            eng.run("MATCH (a:PhageGenome) RETURN duration(a.accession) AS x")
