@@ -2411,6 +2411,19 @@ class CypherEngine:
             )
         if e.name == "duration":
             return self._duration_col(e)
+        if e.name == "range":
+            # Neo4j range(start, end[, step]) is INCLUSIVE of end, exactly
+            # like F.sequence
+            if len(e.args) not in (2, 3):
+                raise CypherCompileError("range() takes (start, end[, step])")
+            return F.sequence(
+                *[self._col(frame, a, params, env).cast("long") for a in e.args]
+            )
+        if e.name == "tail":
+            if len(e.args) != 1:
+                raise CypherCompileError("tail() takes one list argument")
+            c = self._col(frame, e.args[0], params, env)
+            return F.slice(c, 2, F.greatest(F.size(c) - 1, F.lit(0)))
         if e.name in ("date", "datetime", "localdatetime"):
             # Neo4j temporal constructors: no-arg = now (nondeterministic
             # by design), one string/temporal arg = parse/convert (ISO-8601,

@@ -1247,3 +1247,22 @@ class TestDuration:
             eng.run("MATCH (a:PhageGenome) RETURN duration({parsecs: 1}) AS x")
         with pytest.raises(CypherCompileError):
             eng.run("MATCH (a:PhageGenome) RETURN duration(a.accession) AS x")
+
+
+class TestRangeTail:
+    def test_range_inclusive_and_step(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "RETURN range(0, 5) AS r, range(0, 10, 3) AS r3, "
+            "tail([1,2,3]) AS t, tail([]) AS te"
+        ).collect()
+        assert r.r == [0, 1, 2, 3, 4, 5]   # inclusive end, as Neo4j
+        assert r.r3 == [0, 3, 6, 9]
+        assert r.t == [2, 3] and r.te == []
+
+    def test_unwind_range(self, eng):
+        rs = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "UNWIND range(1, 3) AS i RETURN i ORDER BY i"
+        ).collect()
+        assert [x.i for x in rs] == [1, 2, 3]
