@@ -101,3 +101,184 @@ def probe_topk(
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF+PQ: product-quantized codes inside the cell-partitioned index
+# --------------------------------------------------------------------------
+#
+# Measured motivation (tools/ann_rehearsal.py --pq, SCALE.md "Product
+# quantization tier"): an exhaustive ADC scan ranks poorly on its own
+# (recall@10 0.159 at 2M vectors) but is an excellent SHORTLIST device when
+# followed by an exact rescore (0.94 with a 100x shortlist). Composing it
+# with the cell-partitioned layout gives the FAISS IVF-PQ shape: the ADC
+# pass scans ONLY the probed partitions and reads ONLY the codes column
+# (8 bytes/vector vs the full float vector — parquet column pruning), and
+# the raw vectors are fetched just for the shortlist rows in the rescore.
+
+
+def pq_train_np(sample, m_sub: int, n_codes: int, iters: int = 3):
+    """Per-subspace Lloyd codebooks (numpy, driver-resident by design:
+    M*K*sub floats broadcast into the UDF closures). GEMM-form distances."""
+    import numpy as np
+
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    books = []
+    for s in np.split(sample, m_sub, axis=1):
+        c = s[:n_codes].copy()
+        s2 = (s ** 2).sum(1, keepdims=True)
+        for _ in range(iters):
+            d = s2 + (c ** 2).sum(1)[None, :] - 2.0 * (s @ c.T)
+            a = d.argmin(1)
+            for j in range(n_codes):
+                mem = s[a == j]
+                if len(mem):
+                    c[j] = mem.mean(0)
+        books.append(c)
+    return np.stack(books)
+
+
+def _encode_codes(assigned: DataFrame, books) -> DataFrame:
+    """(vec_id, cell, vec, codes[M]): nearest per-subspace code for each
+    normalized vector — one Arrow-batched pass, GEMM per subspace."""
+    import numpy as np
+    import pandas as pd
+
+    m_sub, _, sub = books.shape
+
+    def fn(batches):
+        for pdf in batches:
+            mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            codes = np.empty((len(mat), m_sub), dtype=np.int32)
+            for m in range(m_sub):
+                s = mat[:, m * sub:(m + 1) * sub]
+                c = books[m]
+                d = (
+                    (s ** 2).sum(1, keepdims=True)
+                    + (c ** 2).sum(1)[None, :]
+                    - 2.0 * (s @ c.T)
+                )
+                codes[:, m] = d.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": pdf["cell"],
+                    "vec": pdf["vec"],
+                    "codes": list(codes),
+                }
+            )
+
+    return assigned.mapInPandas(
+        fn, "vec_id long, cell int, vec array<float>, codes array<int>"
+    )
+
+
+def write_ivfpq_index(
+    assigned: DataFrame, path: str, books, max_files_per_cell: int = 1
+) -> None:
+    """Cell-partitioned index carrying BOTH raw vectors and PQ codes.
+    Parquet is columnar, so the ADC probe reading only (vec_id, codes)
+    costs ~8 bytes/vector of IO; the vectors in the same files serve the
+    rescore without a second dataset."""
+    enc = _encode_codes(assigned, books)
+    (
+        enc.repartition(max_files_per_cell, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def probe_ivfpq_topk(
+    spark: SparkSession,
+    path: str,
+    query_cells: list,
+    queries: list,
+    books,
+    k: int = 10,
+    refine: int = 20,
+) -> DataFrame:
+    """IVF-PQ probe: partition-pruned ADC scan over the codes column only
+    -> per-query shortlist of k*refine -> exact cosine rescore on the raw
+    vectors of just those rows -> top-k. Two passes over the probed
+    partitions, the first reading 8 bytes/vector, the second pruned to the
+    shortlist by a broadcast semi-join."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window
+
+    m_sub, _, sub = books.shape
+    qids = np.array([q for q, _ in queries], dtype=np.int64)
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for _, v in queries])
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    # per-query ADC lookup tables (nq x M x K) — KBs, closure-broadcast
+    luts = np.stack(
+        [
+            np.stack(
+                [
+                    ((qv[m * sub:(m + 1) * sub][None, :] - books[m]) ** 2).sum(-1)
+                    for m in range(m_sub)
+                ]
+            )
+            for qv in qmat
+        ]
+    )
+    cell_sets = {int(q): set(map(int, cs)) for q, cs in query_cells}
+    all_cells = sorted({c for _, cs in query_cells for c in cs})
+
+    scan = read_ivf_cells(spark, path, all_cells).select(
+        "vec_id", "cell", "codes"
+    )  # column pruning: the ADC pass never reads `vec`
+
+    def adc(batches):
+        ar = np.arange(m_sub)
+        for pdf in batches:
+            codes = np.stack(pdf["codes"].to_numpy())
+            vid = pdf["vec_id"].to_numpy()
+            cell = pdf["cell"].to_numpy()
+            for qi, qid in enumerate(qids):
+                mask = np.isin(cell, list(cell_sets[int(qid)]))
+                if not mask.any():
+                    continue
+                d = luts[qi][ar[None, :], codes[mask]].sum(1)
+                yield pd.DataFrame(
+                    {"qid": int(qid), "vec_id": vid[mask], "adc": d}
+                )
+
+    scored = scan.mapInPandas(adc, "qid long, vec_id long, adc double")
+    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    shortlist = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k * refine)
+        .select("qid", "vec_id")
+    )
+
+    # exact rescore: raw vectors only for shortlist rows (broadcast join)
+    vecs = read_ivf_cells(spark, path, all_cells).select("vec_id", "vec")
+    qv = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "qid long, qvec array<double>",
+    )
+    cand = vecs.join(F.broadcast(shortlist), "vec_id").join(
+        F.broadcast(qv), "qid"
+    )
+    dot = F.aggregate(
+        F.zip_with("vec", "qvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    rescored = cand.select(
+        "qid",
+        "vec_id",
+        (dot / (norm(F.col("vec")) * norm(F.col("qvec")))).alias("sim"),
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

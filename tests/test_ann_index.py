@@ -113,3 +113,82 @@ def test_pq_ann_codes_and_recall(spark):
         assert [r.rank for r in rs] == list(range(1, ext._PQ_TOPK + 1))
         pairs = [(r.adc_d2, r.nbr) for r in rs]
         assert pairs == sorted(pairs)
+
+
+@pytest.fixture(scope="module")
+def ivfpq_index(spark, tmp_path_factory):
+    from tools.ann_rehearsal import assign_cells, gen_vectors, train_centroids
+
+    corpus = gen_vectors(spark, 20_000, 16, 32).cache()
+    cents = train_centroids(corpus, 8, 16)
+    assigned = assign_cells(corpus, cents).cache()
+    books = ann.pq_train_np(
+        np.stack(corpus.filter(F.col("vec_id") < 5000).toPandas()["vec"]).astype(
+            float
+        ),
+        m_sub=4,
+        n_codes=32,
+    )
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    ann.write_ivfpq_index(assigned, path, books)
+    return path, assigned, cents, books
+
+
+def test_ivfpq_index_carries_codes_and_vecs(ivfpq_index, spark):
+    path, assigned, _, books = ivfpq_index
+    back = spark.read.parquet(path)
+    assert {"vec_id", "vec", "codes", "cell"} <= set(back.columns)
+    assert back.count() == assigned.count()
+    row = back.filter(F.col("vec_id") == 7).collect()[0]
+    assert len(row.codes) == 4 and all(0 <= c < 32 for c in row.codes)
+
+
+def test_ivfpq_adc_scan_prunes_vec_column(ivfpq_index, spark):
+    path, _, _, _ = ivfpq_index
+    scan = ann.read_ivf_cells(spark, path, [0, 1]).select(
+        "vec_id", "cell", "codes"
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    rs = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "codes" in rs and "vec:" not in rs, rs
+
+
+def test_ivfpq_full_refine_equals_exact_probe(ivfpq_index, spark):
+    # shortlist >= every candidate in the probed cells -> the rescore IS
+    # the exact cosine ranking -> identical to probe_topk
+    path, assigned, cents, books = ivfpq_index
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    qrows = assigned.filter(F.col("vec_id") < 3).collect()
+    query_cells, queries = [], []
+    for r in qrows:
+        qv = np.array(r.vec)
+        top2 = np.argsort(-((qv / np.linalg.norm(qv)) @ cn.T))[:2]
+        query_cells.append((r.vec_id, [int(c) for c in top2]))
+        queries.append((r.vec_id, [float(x) for x in r.vec]))
+    exact = ann.probe_topk(spark, path, query_cells, queries, k=5)
+    pq = ann.probe_ivfpq_topk(
+        spark, path, query_cells, queries, books, k=5, refine=100_000
+    )
+    want = {(r.qid, r.vec_id) for r in exact.collect()}
+    got = {(r.qid, r.vec_id) for r in pq.collect()}
+    assert got == want
+
+
+def test_ivfpq_modest_refine_recall(ivfpq_index, spark):
+    path, assigned, cents, books = ivfpq_index
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    qrows = assigned.filter(F.col("vec_id") < 5).collect()
+    query_cells, queries = [], []
+    for r in qrows:
+        qv = np.array(r.vec)
+        top2 = np.argsort(-((qv / np.linalg.norm(qv)) @ cn.T))[:2]
+        query_cells.append((r.vec_id, [int(c) for c in top2]))
+        queries.append((r.vec_id, [float(x) for x in r.vec]))
+    exact = ann.probe_topk(spark, path, query_cells, queries, k=10)
+    pq = ann.probe_ivfpq_topk(
+        spark, path, query_cells, queries, books, k=10, refine=50
+    )
+    want = {(r.qid, r.vec_id) for r in exact.collect()}
+    got = {(r.qid, r.vec_id) for r in pq.collect()}
+    overlap = len(want & got) / len(want)
+    assert overlap >= 0.6, overlap
