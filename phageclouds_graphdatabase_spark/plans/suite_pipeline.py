@@ -2428,3 +2428,36 @@ ENTRIES.update({
         events_lag_lead_delta, EVENTS_LAG_LEAD_SQL, ("W2", "V8")
     ),
 })
+
+
+def stream_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming VARIANT decode (round 3): parse_json + typed variant_get
+    inside a watermarked windowed aggregation under real Structured
+    Streaming (Trigger.AvailableNow, complete mode). Oracle = the same
+    window math in SQL over the batch table with JSON path extraction."""
+    from phageclouds_graphdatabase_spark.streaming import events as stream
+
+    s = stream.read_events_stream(spark, sf_dir)
+    rows = stream.run_available_now(
+        stream.variant_type_stats(s), output_mode="complete"
+    )
+    return spark.createDataFrame(
+        rows,
+        "window_start timestamp, event_type string, n long, sum_k long, max_k long",
+    )
+
+
+STREAM_VARIANT_SQL = """
+SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY 1, 2
+"""
+
+
+ENTRIES.update({
+    "stream_variant_stats": SuiteEntry(
+        stream_variant_stats, STREAM_VARIANT_SQL, ("W3", "W4")
+    ),
+})

@@ -734,3 +734,30 @@ def purchase_click_pairs_left(purchases: DataFrame, clicks: DataFrame) -> DataFr
         & (F.col("c_ts") <= F.col("p_ts")),
         "leftOuter",
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+
+
+def variant_type_stats(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """W3 x W4 (round 3): VARIANT decode inside a streaming aggregation —
+    parse_json turns props into a VariantType column in the stream's
+    projection, typed variant_get extractions feed a windowed grouped agg.
+    The 100-TB streaming-ingest shape for semi-structured events: decode
+    happens once per row in the scan projection (JVM-side), state is the
+    ordinary windowed partial agg."""
+    v = events.select("ts", "event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "bigint")
+    return (
+        v.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "30 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_k",
+            "max_k",
+        )
+    )
