@@ -583,6 +583,63 @@ def pagerank_scaled(
     return pr
 
 
+def personalized_pagerank_scaled(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 2,
+    scale: int = 1_000_000,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> DataFrame:
+    """Personalized PageRank (the GDS PPR surface): identical integer
+    arithmetic to :func:`pagerank_scaled`, but the restart mass lands ONLY
+    on the seed set — init score = ``scale`` on seeds / 0 elsewhere, and
+    the per-iteration base term is (1-d)*scale for seeds, 0 for the rest.
+    Same distributed shape (edges-scores join + groupBy(dst) partial sum
+    per round); the seed set joins in as a broadcast flag, so
+    personalization adds no extra shuffle."""
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seed_flag = (
+        nodes.join(
+            seeds.select(F.col("id")).distinct().withColumn("__s", F.lit(1)),
+            "id",
+            "left_outer",
+        )
+        .select("id", F.coalesce(F.col("__s"), F.lit(0)).alias("is_seed"))
+        .localCheckpoint()
+    )
+    od = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("od"))
+    base = (scale * (d_den - d_num)) // d_den
+    pr = seed_flag.select(
+        "id", (F.col("is_seed") * F.lit(scale)).cast("long").alias("pr_scaled")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr.join(od, "id"), e["src"] == F.col("id"))
+            .select(F.col("dst"), F.expr("pr_scaled div od").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            seed_flag.join(contrib, seed_flag["id"] == contrib["dst"], "left_outer")
+            .select(
+                "id",
+                (
+                    F.col("is_seed") * F.lit(base)
+                    + F.expr(f"({d_num} * coalesce(s, 0L)) div {d_den}")
+                ).cast("long").alias("pr_scaled"),
+            )
+            .localCheckpoint()
+        )
+    return pr
+
+
 def cloud_membership(
     edges: DataFrame,
     threshold: float,

@@ -2651,3 +2651,61 @@ WHERE user_id BETWEEN 40 AND 80 AND vc BETWEEN 500 AND 2000
 ENTRIES.update({
     "zorder_roundtrip": SuiteEntry(zorder_roundtrip, ZORDER_SQL, ("S7", "P3")),
 })
+
+
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration integer-scaled PERSONALIZED PageRank (round 3): restart
+    mass concentrated on the ECONOMY seed sample — the GDS PPR surface,
+    the recommendation/relevance primitive. Same exact-integer arithmetic
+    as graph_pagerank so the iterative result hash-matches the unrolled
+    SQL oracle; filtered to reached nodes (score > 0) to keep the result
+    seed-relative."""
+    pr = G.personalized_pagerank_scaled(
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+        graph_seeds(spark, sf_dir),
+        iterations=2,
+    )
+    return pr.filter(F.col("pr_scaled") > 0)
+
+
+GRAPH_PPR_SQL = f"""
+WITH e AS (
+    SELECT src, dst FROM ({GRAPH_EDGES_SQL}) WHERE distance <= {GRAPH_THRESHOLD}
+),
+n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+sd AS ({GRAPH_SEEDS_SQL}),
+nf AS (
+    SELECT n.id, CASE WHEN sd.id IS NULL THEN 0 ELSE 1 END AS is_seed
+    FROM n LEFT JOIN sd ON n.id = sd.id
+),
+od AS (SELECT src AS id, COUNT(*) AS od FROM e GROUP BY src),
+p0 AS (SELECT id, CAST(is_seed * 1000000 AS BIGINT) AS pr, is_seed FROM nf),
+c1 AS (
+    SELECT e.dst, SUM(p0.pr // od.od) AS s
+    FROM e JOIN od ON e.src = od.id JOIN p0 ON p0.id = e.src
+    GROUP BY e.dst
+),
+p1 AS (
+    SELECT nf.id, nf.is_seed,
+           CAST(nf.is_seed * 150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS pr
+    FROM nf LEFT JOIN c1 ON nf.id = c1.dst
+),
+c2 AS (
+    SELECT e.dst, SUM(p1.pr // od.od) AS s
+    FROM e JOIN od ON e.src = od.id JOIN p1 ON p1.id = e.src
+    GROUP BY e.dst
+)
+SELECT id, pr_scaled FROM (
+    SELECT nf.id,
+           CAST(nf.is_seed * 150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT)
+           AS pr_scaled
+    FROM nf LEFT JOIN c2 ON nf.id = c2.dst
+) z WHERE pr_scaled > 0
+"""
+
+
+ENTRIES.update({
+    "graph_personalized_pagerank": SuiteEntry(
+        graph_personalized_pagerank, GRAPH_PPR_SQL, ("W6",)
+    ),
+})

@@ -293,3 +293,22 @@ def test_multi_source_bfs_roots_independent(spark, shares_dna):
     assert ("C1", "A1", 1) in got
     assert ("A1", "A2", 1) in got and ("A1", "A3", 1) in got
     assert all(r.d > 0 for r in rows)
+
+
+def test_personalized_pagerank_hand_computed(spark, shares_dna):
+    # seeds {A1}; t=0.25 directed graph: A1->{A2,A3}, A2->A3, C1->A1,
+    # B1->B2, B3->B2 (B-side unreachable from A1 -> score 0)
+    seeds = seed_df(spark, "A1")
+    e = shares_dna.filter(F.col("distance") <= 0.25)
+    pr = {
+        r.id: r.pr_scaled
+        for r in G.personalized_pagerank_scaled(e, seeds, iterations=1).collect()
+    }
+    # init: A1=1e6, rest 0. od(A1)=2. iter1:
+    # A1: seed base 150000 + 0 incoming = 150000
+    # A2: 85*(1000000 div 2) div 100 = 425000
+    # A3: same single contribution from A1 (A2 had score 0) = 425000
+    assert pr["A1"] == 150_000
+    assert pr["A2"] == 425_000 and pr["A3"] == 425_000
+    # non-seeds with no reachable mass stay at exactly 0 (no base term)
+    assert pr["B2"] == 0 and pr["C1"] == 0
