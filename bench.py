@@ -74,6 +74,12 @@ HEADLINE = [
     # binned range join (J7 at scale): large x large point-in-interval as a
     # shuffle equi-join on the bin key -- tracked from its introduction round
     "range_join_clicks_in_windows",
+    # round-3 additions tracked from their introduction round: PQ ANN
+    # (code-table ADC + broadcast LUT), sampled harmonic centrality
+    # (multi-source BFS), and the temporal Cypher path over a second catalog
+    "pq_ann_topk",
+    "graph_harmonic_centrality",
+    "cypher_temporal_orders",
 ]
 
 

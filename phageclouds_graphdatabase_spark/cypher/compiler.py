@@ -2332,10 +2332,12 @@ class CypherEngine:
             return F.lit(label)
         if kind not in ("node", "edge"):
             raise CypherCompileError(f"{e.name}() takes an entity variable")
-        if e.name == "id":
+        if e.name in ("id", "elementid"):
             if kind != "node":
-                raise CypherCompileError("id() takes a node variable")
-            return F.col(var)[self.catalog.node(label).key]
+                raise CypherCompileError(f"{e.name}() takes a node variable")
+            c = F.col(var)[self.catalog.node(label).key]
+            # elementId() is Neo4j 5's STRING-typed id surface
+            return c.cast("string") if e.name == "elementid" else c
         if e.name == "properties":
             return F.col(var)
         # keys(): field names of the bound struct
@@ -2380,7 +2382,7 @@ class CypherEngine:
                 # literal separator, regex-escaped: Cypher split is literal
                 re_escape(self._lit_str(e.args[1])),
             )
-        if e.name in ("labels", "type", "id", "properties", "keys"):
+        if e.name in ("labels", "type", "id", "elementid", "properties", "keys"):
             return self._entity_func_col(frame, e)
         if e.name == "substring":
             # Cypher substring(s, start[, len]) is 0-based; Column.substr

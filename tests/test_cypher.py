@@ -1266,3 +1266,13 @@ class TestRangeTail:
             "UNWIND range(1, 3) AS i RETURN i ORDER BY i"
         ).collect()
         assert [x.i for x in rs] == [1, 2, 3]
+
+
+def test_element_id_is_string_typed(eng):
+    df = eng.run(
+        "MATCH (a:PhageGenome {accession:'A1'}) "
+        "RETURN elementId(a) AS e, id(a) AS i"
+    )
+    assert dict(df.dtypes)["e"] == "string"
+    [r] = df.collect()
+    assert r.e == "A1" and r.i == "A1"
