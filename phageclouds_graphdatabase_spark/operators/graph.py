@@ -512,14 +512,21 @@ def multi_source_bfs_levels(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     e = e.localCheckpoint()  # re-joined every BFS round
-    visited = (
+    level0 = (
         roots.select(F.col("id").alias("root"))
         .distinct()
         .select("root", F.col("root").alias("id"), F.lit(0).alias("d"))
         .localCheckpoint()
     )
-    frontier = visited.select("root", "id")
+    # only each round's NEW frontier materializes; the visited set for the
+    # anti-join is the lazy union of already-checkpointed levels (no
+    # re-materialization of old rows per round)
+    levels = [level0]
+    frontier = level0.select("root", "id")
     for i in range(1, k + 1):
+        visited = levels[0]
+        for lv in levels[1:]:
+            visited = visited.unionByName(lv)
         nxt = (
             frontier.join(e, frontier["id"] == e["src"])
             .select("root", F.col("dst").alias("id"))
@@ -530,9 +537,12 @@ def multi_source_bfs_levels(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        levels.append(nxt)
         frontier = nxt.select("root", "id")
-    return visited.filter(F.col("d") > 0)
+    out = levels[1] if len(levels) > 1 else level0.filter(F.lit(False))
+    for lv in levels[2:]:
+        out = out.unionByName(lv)
+    return out
 
 
 def pagerank_scaled(

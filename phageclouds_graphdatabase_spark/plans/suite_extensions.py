@@ -2526,8 +2526,18 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     6, 3, 2 (cross-engine bit-exactness without rationals). Sampling roots
     is THE production closeness/harmonic shape: state stays
     O(|sample| x reach) instead of all-pairs."""
+    # deterministic 1/64 subsample of the seed set: |roots| is the state
+    # knob of sampled centrality (state = O(|roots| x reach)), and it must
+    # not grow linearly with SF — the modulo picks the same logical sample
+    # in both engines at any scale
+    roots = (
+        t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_partkey") % 64 == 1))
+        .select(F.concat(F.lit("P"), F.col("p_partkey")).alias("id"))
+        .distinct()
+    )
     lev = G.multi_source_bfs_levels(
-        graph_seeds(spark, sf_dir),
+        roots,
         graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
         k=3,
         threshold=GRAPH_THRESHOLD,
@@ -2550,7 +2560,9 @@ und AS (
     UNION
     SELECT dst AS src, src AS dst FROM edges WHERE distance <= {GRAPH_THRESHOLD}
 ),
-r0 AS (SELECT id AS root, id FROM ({GRAPH_SEEDS_SQL})),
+r0 AS (SELECT id AS root, id FROM (
+    SELECT DISTINCT 'P' || p_partkey AS id FROM part
+    WHERE p_type = 'ECONOMY' AND p_partkey % 64 = 1)),
 l1 AS (
     SELECT DISTINCT r.root, u.dst AS id
     FROM r0 r JOIN und u ON u.src = r.id

@@ -151,6 +151,15 @@ def main() -> None:
         help="skip the batch ladder (taxon/degrees/components/paths) and "
         "probe ONLY the directed-SCC operator at this tier",
     )
+    ap.add_argument(
+        "--centrality-only",
+        action="store_true",
+        help="probe ONLY the round-3 centrality ops at this tier: "
+        "multi-source BFS levels (sampled roots, k=3 -> harmonic "
+        "centrality agg) and 2-iteration personalized PageRank",
+    )
+    ap.add_argument("--roots", type=int, default=100,
+                    help="sampled root count for --centrality-only")
     args = ap.parse_args()
 
     work = args.work_dir
@@ -198,6 +207,46 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     from pyspark.sql import functions as F
+
+    if args.centrality_only:
+        fe = edges.filter(F.col("distance") <= 0.15).select("src", "dst")
+        roots = (
+            nodes.select(F.col("accession").alias("id"))
+            .orderBy(F.xxhash64("id"))
+            .limit(args.roots)
+            .localCheckpoint()
+        )
+        t0 = time.time()
+        lev = G.multi_source_bfs_levels(roots, fe, k=3, directed=False)
+        harm = lev.groupBy("id").agg(
+            F.sum(
+                F.when(F.col("d") == 1, 6).when(F.col("d") == 2, 3).otherwise(2)
+            ).alias("h6")
+        )
+        n_harm = harm.count()
+        timings["harmonic_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        ppr = G.personalized_pagerank_scaled(fe, roots, iterations=2)
+        n_ppr = ppr.filter(F.col("pr_scaled") > 0).count()
+        timings["ppr_sec"] = round(time.time() - t0, 2)
+        print(
+            json.dumps(
+                {
+                    "n_nodes": args.nodes,
+                    "n_edges": n_edges,
+                    "roots": args.roots,
+                    "skew": args.skew,
+                    "gen_sec": round(t_gen, 2),
+                    "ingest_sec": round(t_ingest, 2),
+                    "n_harmonic_nodes": n_harm,
+                    "n_ppr_reached": n_ppr,
+                    **timings,
+                }
+            )
+        )
+        if not args.keep:
+            shutil.rmtree(work, ignore_errors=True)
+        return
 
     if args.scc_only:
         fe = edges.filter(F.col("distance") <= 0.15)
