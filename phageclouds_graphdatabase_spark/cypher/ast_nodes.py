@@ -242,6 +242,19 @@ class Slice(Expr):
 
 
 @dataclass(frozen=True)
+class LoadCsv:
+    """``LOAD CSV [WITH HEADERS] FROM <url> AS row [FIELDTERMINATOR s]`` —
+    Neo4j's ingest clause. With headers, ``row`` binds a struct of STRING
+    columns (row.col, then toInteger()/toFloat() casts — the Neo4j idiom);
+    without, a list accessed as row[i]."""
+
+    url: Expr
+    var: str
+    headers: bool
+    sep: "Expr | None"
+
+
+@dataclass(frozen=True)
 class CallProc:
     """``CALL db.labels() [YIELD col [AS alias], ...]`` — a no-argument
     introspection procedure (db.labels / db.relationshipTypes /

@@ -277,6 +277,8 @@ class CypherEngine:
                 self._fold_call_subquery(frame, clause, params)
             elif isinstance(clause, A.CallProc):
                 self._fold_call_proc(frame, clause)
+            elif isinstance(clause, A.LoadCsv):
+                self._fold_load_csv(frame, clause, params)
             elif isinstance(clause, A.ReturnClause):
                 out = self._fold_return(frame, clause, params)
             elif isinstance(
@@ -1789,6 +1791,41 @@ class CypherEngine:
                 outname = alias
         frame.df = df if frame.df is None else frame.df.crossJoin(df)
         frame.vars[outname] = ("flat", None)
+
+    def _fold_load_csv(self, frame: _Frame, clause: A.LoadCsv, params: dict) -> None:
+        """LOAD CSV: one spark.read.csv scan, all columns STRING (Neo4j
+        hands strings; toInteger()/toFloat() casts are the user's job —
+        preserving that contract keeps ingest scripts portable). With
+        headers the row binds as a struct (row.col); without, as a list
+        (row[i]). Distributed shape: the CSV scan parallelizes by file
+        split like any Spark source — nothing driver-side."""
+        def _pyval(e):
+            if isinstance(e, A.Literal):
+                return e.value
+            if isinstance(e, A.Param):
+                return params.get(e.name)
+            raise CypherCompileError("LOAD CSV takes literal/param values")
+
+        url = _pyval(clause.url)
+        if not isinstance(url, str):
+            raise CypherCompileError("LOAD CSV FROM needs a string url")
+        path = url[len("file://"):] if url.startswith("file://") else url
+        sep = "," if clause.sep is None else str(_pyval(clause.sep))
+        spark = self.spark
+        if spark is None and self.catalog.nodes:
+            spark = next(iter(self.catalog.nodes.values())).df.sparkSession
+        if spark is None:
+            raise CypherCompileError("LOAD CSV needs CypherEngine(spark=...)")
+        df = spark.read.csv(
+            path, header=clause.headers, sep=sep, inferSchema=False
+        )
+        if clause.headers:
+            bound = F.struct(*[F.col(c) for c in df.columns])
+        else:
+            bound = F.array(*[F.col(c) for c in df.columns])
+        src = df.select(bound.alias(clause.var))
+        frame.df = src if frame.df is None else frame.df.crossJoin(src)
+        frame.vars[clause.var] = ("flat", None)
 
     def _col_literal_frame(self, e: A.Expr, params: dict) -> DataFrame:
         if self.spark is None:

@@ -171,6 +171,8 @@ class _Parser:
                 e = self.expr()
                 self.take("kw", "as")
                 clauses.append(A.UnwindClause(e, self._name()))
+            elif self.at("ident") and self.peek()[1].lower() == "load":
+                clauses.append(self._load_csv())
             elif self.at("ident") and self.peek()[1].lower() == "call":
                 self.take("ident")
                 if self.at("sym", "{"):
@@ -672,6 +674,28 @@ class _Parser:
         raise CypherSyntaxError(
             f"expected an expression at position {pos}, found {tv!r}"
         )
+
+    def _load_csv(self) -> A.LoadCsv:
+        """``LOAD CSV [WITH HEADERS] FROM expr AS var [FIELDTERMINATOR e]``."""
+        self.take("ident")  # load
+        if self._name().lower() != "csv":
+            raise CypherSyntaxError("expected CSV after LOAD")
+        headers = False
+        if self.at("kw", "with"):
+            self.take("kw", "with")
+            if self._name().lower() != "headers":
+                raise CypherSyntaxError("expected HEADERS after WITH")
+            headers = True
+        if self._name().lower() != "from":
+            raise CypherSyntaxError("expected FROM in LOAD CSV")
+        url = self.expr()
+        self.take("kw", "as")
+        var = self._name()
+        sep = None
+        if self.at("ident") and self.peek()[1].lower() == "fieldterminator":
+            self.take("ident")
+            sep = self.expr()
+        return A.LoadCsv(url, var, headers, sep)
 
     def _call_proc(self) -> A.CallProc:
         """``CALL db.labels() [YIELD col [AS alias], ...]`` — dotted

@@ -112,6 +112,8 @@ def apply_write_returning(
             eng._fold_with(frame, clause, params)
         elif isinstance(clause, A.UnwindClause):
             eng._fold_unwind(frame, clause, params)
+        elif isinstance(clause, A.LoadCsv):
+            eng._fold_load_csv(frame, clause, params)
         elif _apply_update_clause(eng, frame, clause, params):
             wrote = True
         elif isinstance(clause, A.ReturnClause):

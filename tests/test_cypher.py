@@ -1276,3 +1276,46 @@ def test_element_id_is_string_typed(eng):
     assert dict(df.dtypes)["e"] == "string"
     [r] = df.collect()
     assert r.e == "A1" and r.i == "A1"
+
+
+class TestLoadCsv:
+    """LOAD CSV (round 3): Neo4j's ingest clause — strings in, the user
+    casts (toInteger), headers bind a struct, headerless binds a list."""
+
+    @pytest.fixture()
+    def csv_path(self, tmp_path):
+        p = tmp_path / "in.csv"
+        p.write_text("acc,size\nX1,100\nX2,250\n")
+        return str(p)
+
+    def test_headers_struct_access_and_cast(self, eng, csv_path):
+        rows = eng.run(
+            f"LOAD CSV WITH HEADERS FROM 'file://{csv_path}' AS row "
+            "RETURN row.acc AS a, toInteger(row.size) AS s ORDER BY a"
+        ).collect()
+        assert [(r.a, r.s) for r in rows] == [("X1", 100), ("X2", 250)]
+
+    def test_headerless_list_access(self, eng, csv_path):
+        rows = eng.run(
+            f"LOAD CSV FROM '{csv_path}' AS row RETURN row[1] AS c ORDER BY c"
+        ).collect()
+        # no header handling: the header line is an ordinary row
+        assert [r.c for r in rows] == ["100", "250", "size"]
+
+    def test_fieldterminator(self, eng, tmp_path):
+        p = tmp_path / "semi.csv"
+        p.write_text("a;b\n1;2\n")
+        [r] = eng.run(
+            f"LOAD CSV WITH HEADERS FROM '{p}' AS row FIELDTERMINATOR ';' "
+            "RETURN row.b AS b"
+        ).collect()
+        assert r.b == "2"
+
+    def test_ingest_create_nodes(self, eng, csv_path):
+        cat = eng.apply(
+            f"LOAD CSV WITH HEADERS FROM '{csv_path}' AS row "
+            "CREATE (n:PhageGenome {accession: row.acc, "
+            "genome_size: toInteger(row.size)})"
+        )
+        accs = {r.accession for r in cat.node("PhageGenome").df.collect()}
+        assert {"X1", "X2"} <= accs
