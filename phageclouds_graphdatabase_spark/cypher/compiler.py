@@ -2240,6 +2240,70 @@ class CypherEngine:
         "epochmillis": lambda c: F.unix_millis(c.cast("timestamp")),
     }
 
+    def _apoc_col(self, frame: _Frame, e: A.Func, params, env):
+        """APOC-lite: the most-used apoc.coll.* / apoc.text.* helpers a
+        Neo4j migration hits, as direct built-in-function mappings (JVM
+        expressions, no UDFs). apoc.coll.indexOf keeps APOC's 0-based /
+        -1-absent contract; apoc.text.replace/split are regex-based as in
+        APOC (Cypher's own replace()/split() stay literal)."""
+        args = [self._col(frame, a, params, env) for a in e.args]
+
+        def need(n):
+            if len(args) != n:
+                raise CypherCompileError(f"{e.name}() takes {n} argument(s)")
+
+        name = e.name
+        if name == "apoc.coll.sort":
+            need(1)
+            return F.array_sort(args[0])
+        if name == "apoc.coll.toset":
+            need(1)
+            return F.array_distinct(args[0])
+        if name == "apoc.coll.flatten":
+            need(1)
+            return F.flatten(args[0])
+        if name == "apoc.coll.contains":
+            need(2)
+            return F.array_contains(args[0], args[1])
+        if name == "apoc.coll.indexof":
+            need(2)
+            return (F.array_position(args[0], args[1]) - F.lit(1)).cast("int")
+        if name == "apoc.coll.sum":
+            need(1)
+            return F.aggregate(
+                args[0],
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double"),
+            )
+        if name == "apoc.coll.max":
+            need(1)
+            return F.array_max(args[0])
+        if name == "apoc.coll.min":
+            need(1)
+            return F.array_min(args[0])
+        if name == "apoc.coll.reverse":
+            need(1)
+            return F.reverse(args[0])
+        if name == "apoc.text.join":
+            need(2)
+            return F.array_join(args[0], self._lit_str(e.args[1]))
+        if name == "apoc.text.clean":
+            need(1)
+            return F.regexp_replace(F.lower(args[0]), "[^a-z0-9]", "")
+        if name == "apoc.text.replace":
+            need(3)
+            return F.regexp_replace(args[0], args[1], args[2])
+        if name == "apoc.text.split":
+            need(2)
+            return F.split(args[0], self._lit_str(e.args[1]))
+        if name == "apoc.text.capitalize":
+            need(1)
+            s = args[0]
+            return F.concat(
+                F.upper(F.substring(s, 1, 1)), F.substr(s, F.lit(2), F.length(s))
+            )
+        raise CypherCompileError(f"unsupported procedure/function {e.name}()")
+
     _ISO_DURATION = __import__("re").compile(
         r"^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
         r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
@@ -2448,6 +2512,8 @@ class CypherEngine:
                 self._col(frame, e.args[1], params, env),
                 self._col(frame, e.args[2], params, env),
             )
+        if e.name.startswith("apoc."):
+            return self._apoc_col(frame, e, params, env)
         if e.name == "duration":
             return self._duration_col(e)
         if e.name == "range":

@@ -623,7 +623,24 @@ class _Parser:
                 self.take("sym", "]")
             elif self.at("sym", ".") and not self.at("sym", ".", 1):
                 self.take("sym", ".")
-                e = A.FieldAc(e, self._name())
+                name = self._name()
+                if self.at("sym", "("):
+                    # dotted function call (apoc.coll.sort(...)): fold the
+                    # FieldAc chain back into the qualified name
+                    parts = [name]
+                    base = e
+                    while isinstance(base, A.FieldAc):
+                        parts.append(base.name)
+                        base = base.base
+                    if isinstance(base, A.Prop):
+                        parts.extend([base.name, base.var])
+                        base = None
+                    elif isinstance(base, A.Var):
+                        parts.append(base.name)
+                        base = None
+                    if base is None:
+                        return self._func(".".join(reversed(parts)).lower())
+                e = A.FieldAc(e, name)
             else:
                 return e
 

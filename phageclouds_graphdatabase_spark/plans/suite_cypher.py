@@ -1107,6 +1107,44 @@ GROUP BY 1, 2, 3
 """
 
 
+def cypher_apoc_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APOC-lite surface (round 3): the apoc.coll.* / apoc.text.* helpers
+    a Neo4j migration leans on, mapped 1:1 to built-in JVM functions (no
+    UDFs). apoc.text.split is regex-based and apoc.coll.indexOf keeps
+    APOC's 0-based / -1-absent contract, both pinned by the oracle."""
+    q = """MATCH (a:PhageGenome) WHERE a.source = 'SUPPLIER'
+            WITH a, apoc.text.split(a.taxonomy, '[ #]') AS words
+            RETURN a.accession AS acc,
+                   apoc.text.join(apoc.coll.sort(words), '|') AS sorted_words,
+                   size(apoc.coll.toSet(words)) AS n_distinct,
+                   apoc.text.clean(a.taxonomy) AS cleaned,
+                   apoc.coll.indexOf(apoc.coll.sort(words),
+                                     apoc.coll.max(words)) AS max_ix;"""
+    out = _engine(spark, sf_dir).run(q)
+    return out.select(
+        "acc", "sorted_words",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "cleaned",
+        F.col("max_ix").cast("long").alias("max_ix"),
+    )
+
+
+CYPHER_APOC_SQL = _CTE + """
+, w AS (
+    SELECT accession AS acc, taxonomy,
+           string_split_regex(taxonomy, '[ #]') AS words
+    FROM nodes WHERE source = 'SUPPLIER'
+)
+SELECT acc,
+       array_to_string(list_sort(words), '|') AS sorted_words,
+       CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+       regexp_replace(lower(taxonomy), '[^a-z0-9]', '', 'g') AS cleaned,
+       CAST(list_position(list_sort(words), list_max(words)) - 1 AS BIGINT)
+           AS max_ix
+FROM w
+"""
+
+
 ENTRIES = {
     "cypher_seed_expand": SuiteEntry(
         cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
@@ -1210,5 +1248,8 @@ ENTRIES = {
     ),
     "cypher_temporal_orders": SuiteEntry(
         cypher_temporal_orders, CYPHER_TEMPORAL_SQL, ("S2", "V8", "A6")
+    ),
+    "cypher_apoc_lite": SuiteEntry(
+        cypher_apoc_lite, CYPHER_APOC_SQL, ("S2", "V8")
     ),
 }

@@ -1319,3 +1319,37 @@ class TestLoadCsv:
         )
         accs = {r.accession for r in cat.node("PhageGenome").df.collect()}
         assert {"X1", "X2"} <= accs
+
+
+class TestApocLite:
+    """apoc.coll.* / apoc.text.* helpers (round 3) as built-in mappings."""
+
+    def test_coll_functions(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "RETURN apoc.coll.sort([3,1,2]) AS s, apoc.coll.toSet([1,1,2]) AS t, "
+            "apoc.coll.flatten([[1,2],[3]]) AS f, apoc.coll.contains([1,2], 2) AS c, "
+            "apoc.coll.indexOf([5,6,7], 6) AS ix, apoc.coll.indexOf([5], 9) AS ixm, "
+            "apoc.coll.sum([1,2,3]) AS sm, apoc.coll.max([1,9,2]) AS mx, "
+            "apoc.coll.reverse([1,2,3]) AS rv"
+        ).collect()
+        assert r.s == [1, 2, 3] and r.t == [1, 2] and r.f == [1, 2, 3]
+        assert r.c is True
+        assert r.ix == 1 and r.ixm == -1   # APOC: 0-based, -1 when absent
+        assert r.sm == 6.0 and r.mx == 9 and r.rv == [3, 2, 1]
+
+    def test_text_functions(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "RETURN apoc.text.join(['a','b'], '-') AS j, "
+            "apoc.text.clean('He l-LO!') AS cl, "
+            "apoc.text.replace('aXbXc', 'X+', '.') AS rp, "
+            "apoc.text.split('a1b2c', '[0-9]') AS sp, "
+            "apoc.text.capitalize('hello') AS cap"
+        ).collect()
+        assert r.j == "a-b" and r.cl == "hello" and r.rp == "a.b.c"
+        assert r.sp == ["a", "b", "c"] and r.cap == "Hello"
+
+    def test_unknown_apoc_rejected(self, eng):
+        with pytest.raises(CypherCompileError):
+            eng.run("MATCH (a:PhageGenome) RETURN apoc.agg.median([1]) AS x")
