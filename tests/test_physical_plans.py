@@ -240,3 +240,43 @@ def test_quality_classifier_has_partial_aggregation(spark, sf_dir):
     plan = explain_str(df)
     assert "partial" in plan.lower(), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cypher_map_projection_prunes_scan(spark, sf_dir, tmp_path):
+    # n {.accession, kb: ...} must reach the parquet scan as a pruned
+    # ReadSchema: only the projected properties (+ key), never taxonomy
+    from phageclouds_graphdatabase_spark.cypher import CypherEngine, phage_catalog
+    from phageclouds_graphdatabase_spark.plans import suite_cypher as sc
+
+    p = str(tmp_path / "nodes")
+    sc._nodes(spark, sf_dir).write.mode("overwrite").parquet(p)
+    nodes = spark.read.parquet(p)
+    edges = spark.createDataFrame([], "src string, dst string, distance double")
+    eng = CypherEngine(phage_catalog(nodes, edges))
+    df = eng.run(
+        "MATCH (n:PhageGenome) "
+        "RETURN n {.accession, kb: n.genome_size / 1000} AS m"
+    )
+    plan = full_explain(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "accession" in read_schema and "genome_size" in read_schema
+    assert "taxonomy" not in read_schema and "source" not in read_schema, read_schema
+
+
+def test_cypher_subscript_stays_jvm_side(spark, sf_dir, tmp_path):
+    # list slicing / subscripts compile to F.get/F.slice — no Python
+    # evaluation nodes in the plan
+    from phageclouds_graphdatabase_spark.cypher import CypherEngine, phage_catalog
+    from phageclouds_graphdatabase_spark.plans import suite_cypher as sc
+
+    p = str(tmp_path / "nodes2")
+    sc._nodes(spark, sf_dir).write.mode("overwrite").parquet(p)
+    nodes = spark.read.parquet(p)
+    edges = spark.createDataFrame([], "src string, dst string, distance double")
+    eng = CypherEngine(phage_catalog(nodes, edges))
+    df = eng.run(
+        "MATCH (n:PhageGenome) WITH collect(n.accession) AS xs "
+        "RETURN xs[0] AS first, xs[1..3] AS mid"
+    )
+    plan = explain_str(df)
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
