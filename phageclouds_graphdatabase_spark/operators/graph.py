@@ -650,6 +650,87 @@ def personalized_pagerank_scaled(
     return pr
 
 
+def fastrp_embeddings(
+    edges: DataFrame,
+    dims: int = 8,
+    iters: int = 2,
+    weights: tuple = (1, 2),
+    scale: int = 1000,
+    directed: bool = False,
+) -> DataFrame:
+    """FastRP-shaped node embeddings (the GDS fastRP surface) in EXACT
+    integer arithmetic: random-projection init is an md5-derived value per
+    (node, dim) in [-scale, scale] (cross-engine-identical — the same
+    trick as deterministic_walks), each iteration replaces a node's vector
+    with the integer MEAN of its neighbors' (sum div degree), and the
+    final embedding is the weighted sum of the iteration layers. Floats
+    would break the oracle (reduction order); integers make a node
+    embedding hash-checkable, while keeping FastRP's structure (very
+    sparse projection + degree-normalized propagation + layer mixing).
+
+    Distributed shape: one (edges x dims)-row join + a groupBy(id, dim)
+    partial sum per iteration — the same plan as integer PageRank, d times
+    the rows. Returns (id, emb array<long>[dims])."""
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.localCheckpoint()
+    nodes = e.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    nd = nodes.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(dims - 1))).alias("dim")
+    )
+    hexint = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.col("id"), F.col("dim"))), 1, 6),
+        16,
+        10,
+    ).cast("long")
+    v = nd.select(
+        "id", "dim", (hexint % F.lit(2 * scale + 1) - F.lit(scale)).alias("val")
+    ).localCheckpoint()
+    layers = []
+    for _ in range(iters):
+        s = (
+            e.join(v, e["dst"] == v["id"])
+            .groupBy(e["src"].alias("nid"), "dim")
+            .agg(F.sum("val").alias("s"))
+        )
+        v = (
+            nd.join(
+                s, (nd["id"] == s["nid"]) & (nd["dim"] == s["dim"]), "left_outer"
+            )
+            .join(deg, "id", "left_outer")
+            .select(
+                nd["id"],
+                nd["dim"],
+                # integer `div` truncates toward zero — DuckDB's integer //
+                # does the SAME (verified: -7 // 2 = -3), so truncation is
+                # the cross-engine contract even for negative sums
+                F.expr("coalesce(s, 0L) div coalesce(deg, 1L)").alias("val"),
+            )
+            .localCheckpoint()
+        )
+        layers.append(v)
+    mixed = None
+    for w, lv in zip(weights, layers):
+        part = lv.select("id", "dim", (F.lit(int(w)) * F.col("val")).alias("p"))
+        mixed = part if mixed is None else mixed.unionByName(part)
+    emb = (
+        mixed.groupBy("id", "dim")
+        .agg(F.sum("p").alias("val"))
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                lambda x: x["val"],
+            ).alias("emb")
+        )
+    )
+    return emb
+
+
 def cloud_membership(
     edges: DataFrame,
     threshold: float,

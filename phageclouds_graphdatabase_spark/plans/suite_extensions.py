@@ -2721,3 +2721,68 @@ ENTRIES.update({
         graph_personalized_pagerank, GRAPH_PPR_SQL, ("W6",)
     ),
 })
+
+
+def graph_fastrp_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastRP-shaped node embeddings (round 3): md5-derived integer random
+    projections, two degree-normalized propagation layers, weighted layer
+    mix — ALL exact-integer (floor division matches the oracle's //), so a
+    node-embedding table is value-hashable cross-engine. The GDS fastRP
+    surface re-expressed as the same join+partial-agg plan as integer
+    PageRank, x dims rows."""
+    emb = G.fastrp_embeddings(
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD), dims=8, iters=2,
+        weights=(1, 2),
+    )
+    return emb.select("id", arr_str("emb").alias("emb"))
+
+
+GRAPH_FASTRP_SQL = f"""
+WITH und AS (
+    SELECT src, dst FROM ({GRAPH_EDGES_SQL}) WHERE distance <= {GRAPH_THRESHOLD}
+    UNION ALL
+    SELECT dst, src FROM ({GRAPH_EDGES_SQL}) WHERE distance <= {GRAPH_THRESHOLD}
+),
+n AS (SELECT DISTINCT src AS id FROM und),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY src),
+nd AS (SELECT n.id, d.dim FROM n, (SELECT unnest(range(0, 8)) AS dim) d),
+v0 AS (
+    SELECT id, dim,
+           (('0x' || substr(md5(id || '|' || dim), 1, 6))::BIGINT % 2001)
+           - 1000 AS val
+    FROM nd
+),
+s1 AS (
+    SELECT u.src AS id, v.dim, SUM(v.val) AS s
+    FROM und u JOIN v0 v ON v.id = u.dst GROUP BY u.src, v.dim
+),
+v1 AS (
+    SELECT nd.id, nd.dim,
+           COALESCE(s1.s, 0) // COALESCE(deg.deg, 1) AS val
+    FROM nd LEFT JOIN s1 ON s1.id = nd.id AND s1.dim = nd.dim
+    LEFT JOIN deg ON deg.id = nd.id
+),
+s2 AS (
+    SELECT u.src AS id, v.dim, SUM(v.val) AS s
+    FROM und u JOIN v1 v ON v.id = u.dst GROUP BY u.src, v.dim
+),
+v2 AS (
+    SELECT nd.id, nd.dim,
+           COALESCE(s2.s, 0) // COALESCE(deg.deg, 1) AS val
+    FROM nd LEFT JOIN s2 ON s2.id = nd.id AND s2.dim = nd.dim
+    LEFT JOIN deg ON deg.id = nd.id
+),
+m AS (
+    SELECT v1.id, v1.dim, 1 * v1.val + 2 * v2.val AS val
+    FROM v1 JOIN v2 ON v2.id = v1.id AND v2.dim = v1.dim
+)
+SELECT id, array_to_string(list(val ORDER BY dim), '->') AS emb
+FROM m GROUP BY id
+"""
+
+
+ENTRIES.update({
+    "graph_fastrp_embeddings": SuiteEntry(
+        graph_fastrp_embeddings, GRAPH_FASTRP_SQL, ("W6", "W5")
+    ),
+})

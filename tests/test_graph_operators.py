@@ -312,3 +312,15 @@ def test_personalized_pagerank_hand_computed(spark, shares_dna):
     assert pr["A2"] == 425_000 and pr["A3"] == 425_000
     # non-seeds with no reachable mass stay at exactly 0 (no base term)
     assert pr["B2"] == 0 and pr["C1"] == 0
+
+
+def test_fastrp_embeddings_shape_and_determinism(spark, shares_dna):
+    e = shares_dna.filter(F.col("distance") <= 0.25)
+    emb1 = {r.id: r.emb for r in G.fastrp_embeddings(e, dims=4, iters=2).collect()}
+    emb2 = {r.id: r.emb for r in G.fastrp_embeddings(e, dims=4, iters=2).collect()}
+    assert emb1 == emb2                       # bit-identical across runs
+    assert all(len(v) == 4 for v in emb1.values())
+    # neighbors of the same structure must differ (hash init is per-node)
+    assert emb1["A1"] != emb1["A2"]
+    # every reachable node is embedded (ids appearing in the edge set)
+    assert {"A1", "A2", "A3", "B1", "B2", "B3"} <= set(emb1)
