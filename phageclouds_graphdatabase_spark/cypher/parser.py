@@ -677,7 +677,7 @@ class _Parser:
             if self.at("sym", ".") and not self.at("sym", ".", 1):
                 self.take("sym", ".")
                 return A.Prop(name, self._name())
-            if name.lower() in ("exists", "count") and self.at("sym", "{"):
+            if name.lower() in ("exists", "count", "collect") and self.at("sym", "{"):
                 return self._block_subquery(name.lower())
             if self.at("sym", "{"):
                 return self._map_projection(name)
@@ -756,16 +756,24 @@ class _Parser:
         return A.MapProj(var, tuple(items))
 
     def _block_subquery(self, kind: str):
-        """Neo4j 5 block subqueries: ``EXISTS { [MATCH] pattern [WHERE e] }``
-        and ``COUNT { [MATCH] pattern [WHERE e] }``. One pattern chain; the
-        optional inner WHERE scopes to the block."""
+        """Neo4j 5 block subqueries: ``EXISTS { [MATCH] pattern [WHERE e] }``,
+        ``COUNT { ... }``, and ``COLLECT { ... RETURN expr }`` (whose
+        semantics are exactly a pattern comprehension — it parses into the
+        same AST node). One pattern chain; the optional inner WHERE scopes
+        to the block."""
         self.take("sym", "{")
         self.accept("kw", "match")
         pat = self._pattern()
         where = None
         if self.accept("kw", "where"):
             where = self.expr()
+        proj = None
+        if kind == "collect":
+            self.take("kw", "return")
+            proj = self.expr()
         self.take("sym", "}")
+        if kind == "collect":
+            return A.PatternComp(pat, where, proj)
         return (
             A.ExistsSub(pat, where) if kind == "exists"
             else A.CountSub(pat, where)

@@ -1353,3 +1353,29 @@ class TestApocLite:
     def test_unknown_apoc_rejected(self, eng):
         with pytest.raises(CypherCompileError):
             eng.run("MATCH (a:PhageGenome) RETURN apoc.agg.median([1]) AS x")
+
+
+class TestCollectSubquery:
+    """COLLECT { MATCH ... RETURN expr } (Neo4j 5.6) — parses into the
+    pattern-comprehension node (identical semantics, incl. the documented
+    sorted-ascending deviation)."""
+
+    def test_collect_subquery(self, eng):
+        rows = eng.run(
+            "MATCH (a:PhageGenome {source:'NCBI'}) "
+            "RETURN a.accession AS acc, "
+            "COLLECT { MATCH (a)-[r:sharesDNA]->(b:PhageGenome) "
+            "WHERE r.distance <= 0.25 RETURN b.accession } AS nbrs "
+            "ORDER BY acc"
+        ).collect()
+        got = {r.acc: r.nbrs for r in rows}
+        assert got["A1"] == ["A2", "A3"]
+        assert got["E1"] == []          # empty list, not NULL
+
+    def test_collect_fn_still_aggregates(self, eng):
+        # collect( stays the aggregate; only collect { is the subquery
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {source:'NCBI'}) "
+            "RETURN size(collect(a.accession)) AS n"
+        ).collect()
+        assert r.n == 6
