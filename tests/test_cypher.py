@@ -1376,6 +1376,6 @@ class TestCollectSubquery:
         # collect( stays the aggregate; only collect { is the subquery
         [r] = eng.run(
             "MATCH (a:PhageGenome {source:'NCBI'}) "
-            "RETURN size(collect(a.accession)) AS n"
+            "WITH collect(a.accession) AS xs RETURN size(xs) AS n"
         ).collect()
         assert r.n == 6
