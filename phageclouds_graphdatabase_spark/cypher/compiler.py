@@ -1684,6 +1684,11 @@ class CypherEngine:
     def _project(
         self, frame: _Frame, items: tuple, distinct: bool, params: dict
     ) -> DataFrame:
+        if any(
+            not _is_aggregate(i.expr) and _contains_aggregate(i.expr)
+            for i in items
+        ):
+            return self._project_mixed_aggs(frame, items, distinct, params)
         names, cols, aggs = [], [], []
         for i, item in enumerate(items):
             name = item.alias or _default_name(item)
@@ -1708,6 +1713,101 @@ class CypherEngine:
             out = out.select(*[F.col(f"`{n}`") for n in names])
         else:
             out = frame.df.select(*cols)
+        return out.distinct() if distinct else out
+
+    def _project_mixed_aggs(
+        self, frame: _Frame, items: tuple, distinct: bool, params: dict
+    ) -> DataFrame:
+        """Items whose expressions CONTAIN aggregates without BEING one —
+        ``size(collect(x))``, ``count(*) * 2``, ``n.x + count(*)``. Neo4j
+        semantics: every aggregate subtree evaluates in the grouped step
+        under a hidden name, every variable-rooted subtree OUTSIDE an
+        aggregate is an implicit grouping key, and the enclosing expression
+        evaluates over the aggregated row. One groupBy, one post-projection
+        — no second shuffle."""
+        import dataclasses as _dc
+
+        agg_slots: list = []   # (node, hidden_name)
+        key_slots: list = []   # (node, hidden_name)
+
+        def slot(slots, node, prefix):
+            for n, nm in slots:
+                if n == node:
+                    return nm
+            nm = f"__{prefix}{len(slots)}"
+            slots.append((node, nm))
+            return nm
+
+        def rewrite(e):
+            if not hasattr(e, "__dataclass_fields__"):
+                return e
+            if _is_aggregate(e):
+                return A.Var(slot(agg_slots, e, "agg"))
+            if isinstance(e, (A.Var, A.Prop)):
+                return A.Var(slot(key_slots, e, "key"))
+            kw = {}
+            for f in _dc.fields(e):
+                v = getattr(e, f.name)
+                if isinstance(v, tuple):
+                    kw[f.name] = tuple(
+                        rewrite(x) if hasattr(x, "__dataclass_fields__") else x
+                        for x in v
+                    )
+                elif hasattr(v, "__dataclass_fields__"):
+                    kw[f.name] = rewrite(v)
+                else:
+                    kw[f.name] = v
+            return type(e)(**kw)
+
+        names, kinds = [], []  # kinds: ('plain',) | ('agg',) | ('mixed', ast)
+        for item in items:
+            name = item.alias or _default_name(item)
+            names.append(name)
+            if _is_aggregate(item.expr):
+                kinds.append(("agg", item.expr))
+            elif _contains_aggregate(item.expr):
+                kinds.append(("mixed", rewrite(item.expr)))
+            else:
+                kinds.append(("plain", item.expr))
+
+        plain_cols = [
+            self._col(frame, k[1], params).alias(n)
+            for n, k in zip(names, kinds)
+            if k[0] == "plain"
+        ]
+        hidden_keys = [
+            self._col(frame, node, params).alias(nm) for node, nm in key_slots
+        ]
+        agg_cols = [
+            self._agg_col(frame, k[1], params).alias(n)
+            for n, k in zip(names, kinds)
+            if k[0] == "agg"
+        ] + [self._agg_col(frame, node, params).alias(nm) for node, nm in agg_slots]
+        group_cols = plain_cols + hidden_keys
+        out = (
+            frame.df.groupBy(*group_cols).agg(*agg_cols)
+            if group_cols
+            else frame.df.agg(*agg_cols)
+        )
+        post = _Frame(
+            df=out,
+            vars={
+                nm: ("flat", None)
+                for nm in (
+                    [n for n, k in zip(names, kinds) if k[0] != "mixed"]
+                    + [nm for _, nm in key_slots]
+                    + [nm for _, nm in agg_slots]
+                )
+            },
+            used=None,
+        )
+        final = [
+            self._col(post, k[1], params).alias(n)
+            if k[0] == "mixed"
+            else F.col(f"`{n}`")
+            for n, k in zip(names, kinds)
+        ]
+        out = out.select(*final)
         return out.distinct() if distinct else out
 
     def _fold_with(self, frame: _Frame, clause: A.WithClause, params: dict) -> None:
@@ -2791,6 +2891,21 @@ def _is_aggregate(e: A.Expr) -> bool:
         "collect", "count", "sum", "min", "max", "avg",
         "percentilecont", "percentiledisc", "stdev", "stdevp",
     )
+
+
+def _contains_aggregate(e) -> bool:
+    """True when an aggregate Func appears ANYWHERE in the expression tree
+    (size(collect(x)), count(*) * 2, ...)."""
+    if _is_aggregate(e):
+        return True
+    if isinstance(e, (list, tuple)):
+        return any(_contains_aggregate(x) for x in e)
+    if hasattr(e, "__dataclass_fields__"):
+        return any(
+            _contains_aggregate(getattr(e, f))
+            for f in e.__dataclass_fields__
+        )
+    return False
 
 
 def _default_name(item: A.Item) -> str:

@@ -1145,6 +1145,36 @@ FROM w
 """
 
 
+def cypher_mixed_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expressions AROUND aggregates (round 3): size(collect(x)),
+    count(*) arithmetic, agg/agg division — Neo4j evaluates the enclosing
+    expression over the aggregated row, with variable-rooted subtrees
+    outside aggregates as implicit grouping keys. Compiles to ONE groupBy
+    + one post-projection, no second shuffle."""
+    q = """MATCH (a:PhageGenome)
+            RETURN a.source AS src,
+                   size(collect(a.accession)) AS n_collected,
+                   count(*) * 2 AS n2,
+                   sum(a.genome_size) / count(*) AS mean_sz;"""
+    out = _engine(spark, sf_dir).run(q)
+    return out.select(
+        "src",
+        F.col("n_collected").cast("long").alias("n_collected"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("mean_sz").cast("double").alias("mean_sz"),
+    )
+
+
+CYPHER_MIXED_AGG_SQL = _CTE + """
+SELECT source AS src,
+       CAST(COUNT(accession) AS BIGINT) AS n_collected,
+       CAST(COUNT(*) * 2 AS BIGINT) AS n2,
+       CAST(CAST(SUM(genome_size) AS BIGINT) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mean_sz
+FROM nodes GROUP BY source
+"""
+
+
 ENTRIES = {
     "cypher_seed_expand": SuiteEntry(
         cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
@@ -1251,5 +1281,8 @@ ENTRIES = {
     ),
     "cypher_apoc_lite": SuiteEntry(
         cypher_apoc_lite, CYPHER_APOC_SQL, ("S2", "V8")
+    ),
+    "cypher_mixed_aggregates": SuiteEntry(
+        cypher_mixed_aggregates, CYPHER_MIXED_AGG_SQL, ("S2", "A6", "A1")
     ),
 }

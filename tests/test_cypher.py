@@ -1379,3 +1379,40 @@ class TestCollectSubquery:
             "WITH collect(a.accession) AS xs RETURN size(xs) AS n"
         ).collect()
         assert r.n == 6
+
+
+class TestMixedAggregates:
+    """Expressions AROUND aggregates (round 3): size(collect(x)),
+    count(*) * 2, and Neo4j's implicit-grouping-key rule for
+    variable-rooted subtrees outside the aggregate."""
+
+    def test_size_of_collect(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {source:'NCBI'}) "
+            "RETURN size(collect(a.accession)) AS n"
+        ).collect()
+        assert r.n == 6
+
+    def test_arith_around_count_groups_by_plain_item(self, eng):
+        rows = eng.run(
+            "MATCH (a:PhageGenome) RETURN a.source AS s, count(*) * 2 AS n2 "
+            "ORDER BY s"
+        ).collect()
+        got = {r.s: r.n2 for r in rows}
+        assert got["NCBI"] == 12
+
+    def test_implicit_grouping_key(self, eng):
+        # a.genome_size outside the aggregate is an implicit grouping key
+        rows = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "RETURN a.genome_size + count(*) AS g"
+        ).collect()
+        assert [r.g for r in rows] == [168001]
+
+    def test_agg_over_agg_arithmetic(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {source:'NCBI'}) "
+            "RETURN sum(a.genome_size) / count(*) AS mean_sz"
+        ).collect()
+        # = sum(NCBI genome sizes) / 6 over the FIXTURES.md graph
+        assert r.mean_sz == 137417.0
