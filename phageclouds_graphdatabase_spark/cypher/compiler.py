@@ -1969,8 +1969,14 @@ class CypherEngine:
         for i, (e, desc) in enumerate(clause.order_by):
             if isinstance(e, A.Var) and e.name in names:
                 c = F.col(f"`{e.name}`")
+            elif e in [x.expr for x in items]:
+                # ORDER BY <same expression as a returned item> — Neo4j's
+                # `ORDER BY count(*)` idiom: sort on that item's column
+                c = F.col(f"`{names[[x.expr for x in items].index(e)]}`")
             else:
-                if clause.distinct or any(_is_aggregate(x.expr) for x in items):
+                if clause.distinct or any(
+                    _contains_aggregate(x.expr) for x in items
+                ):
                     raise CypherCompileError(
                         "ORDER BY under DISTINCT/aggregation must reference "
                         "returned columns"
@@ -2664,6 +2670,14 @@ class CypherEngine:
             if self._is_stringy(frame, e.args[0], params, env):
                 return F.length(c) == 0
             return F.size(c) == 0
+        if e.name == "size":
+            if len(e.args) != 1:
+                raise CypherCompileError("size() takes one argument")
+            c = self._col(frame, e.args[0], params, env)
+            # Neo4j size() measures strings too (character count)
+            if self._is_stringy(frame, e.args[0], params, env):
+                return F.length(c)
+            return F.size(c)
         zfn = self._ZERO_ARG_FUNCS.get(e.name)
         if zfn is not None:
             if e.args:

@@ -1416,3 +1416,21 @@ class TestMixedAggregates:
         ).collect()
         # = sum(NCBI genome sizes) / 6 over the FIXTURES.md graph
         assert r.mean_sz == 137417.0
+
+
+class TestOrderByAggAndSizeString:
+    def test_order_by_aggregate_matches_item(self, eng):
+        rows = eng.run(
+            "MATCH (a:PhageGenome) RETURN a.source AS s, count(*) AS n "
+            "ORDER BY count(*) DESC, s"
+        ).collect()
+        ns = [r.n for r in rows]
+        assert ns == sorted(ns, reverse=True)
+
+    def test_size_on_string_counts_chars(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "RETURN size('hello') AS ls, size([1,2]) AS la, "
+            "size(a.accession) AS sa"
+        ).collect()
+        assert (r.ls, r.la, r.sa) == (5, 2, 2)
