@@ -2618,6 +2618,49 @@ class CypherEngine:
                 self._col(frame, e.args[1], params, env),
                 self._col(frame, e.args[2], params, env),
             )
+        if e.name == "point":
+            # point({x, y}) cartesian / point({latitude, longitude})
+            # geographic -> a typed struct; consumed by point.distance
+            if len(e.args) != 1 or not isinstance(e.args[0], A.MapLit):
+                raise CypherCompileError("point() takes a map literal")
+            fields = {k.lower(): v for k, v in e.args[0].items}
+            if {"x", "y"} <= set(fields):
+                return F.struct(
+                    self._col(frame, fields["x"], params, env)
+                    .cast("double").alias("x"),
+                    self._col(frame, fields["y"], params, env)
+                    .cast("double").alias("y"),
+                    F.lit("cartesian").alias("crs"),
+                )
+            if {"latitude", "longitude"} <= set(fields):
+                return F.struct(
+                    self._col(frame, fields["longitude"], params, env)
+                    .cast("double").alias("x"),
+                    self._col(frame, fields["latitude"], params, env)
+                    .cast("double").alias("y"),
+                    F.lit("wgs-84").alias("crs"),
+                )
+            raise CypherCompileError(
+                "point() needs {x, y} or {latitude, longitude}"
+            )
+        if e.name == "point.distance":
+            # cartesian: euclidean; wgs-84: haversine meters (mean earth
+            # radius 6371008.8 m — documented approximation of Neo4j's
+            # ellipsoidal calculation, within ~0.3%)
+            if len(e.args) != 2:
+                raise CypherCompileError("point.distance() takes two points")
+            p1 = self._col(frame, e.args[0], params, env)
+            p2 = self._col(frame, e.args[1], params, env)
+            dx, dy = p1["x"] - p2["x"], p1["y"] - p2["y"]
+            eucl = F.sqrt(dx * dx + dy * dy)
+            rad = lambda c: F.radians(c)  # noqa: E731
+            a = (
+                F.pow(F.sin(rad(p1["y"] - p2["y"]) / 2), 2)
+                + F.cos(rad(p1["y"])) * F.cos(rad(p2["y"]))
+                * F.pow(F.sin(rad(p1["x"] - p2["x"]) / 2), 2)
+            )
+            hav = F.lit(2.0 * 6371008.8) * F.asin(F.sqrt(a))
+            return F.when(p1["crs"] == "cartesian", eucl).otherwise(hav)
         if e.name.startswith("apoc."):
             return self._apoc_col(frame, e, params, env)
         if e.name == "duration":

@@ -621,6 +621,18 @@ class _Parser:
                         raise CypherSyntaxError("empty subscript []")
                     e = A.Subscript(e, lo)
                 self.take("sym", "]")
+            elif self.at("sym", "(") and isinstance(e, (A.Prop, A.FieldAc)):
+                # two-part dotted call (point.distance(...)): _primary folded
+                # the qualifier into a Prop before the '(' was visible
+                parts = []
+                base = e
+                while isinstance(base, A.FieldAc):
+                    parts.append(base.name)
+                    base = base.base
+                if isinstance(base, A.Prop):
+                    parts.extend([base.name, base.var])
+                    return self._func(".".join(reversed(parts)).lower())
+                return e
             elif self.at("sym", ".") and not self.at("sym", ".", 1):
                 self.take("sym", ".")
                 name = self._name()

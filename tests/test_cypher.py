@@ -1434,3 +1434,34 @@ class TestOrderByAggAndSizeString:
             "size(a.accession) AS sa"
         ).collect()
         assert (r.ls, r.la, r.sa) == (5, 2, 2)
+
+
+class TestPoints:
+    """point() / point.distance() (round 3): cartesian euclidean exact,
+    wgs-84 haversine meters (documented mean-radius approximation). Trig
+    is libm-dependent, so spatial stays unit-tested rather than
+    oracle-checked."""
+
+    def test_cartesian_distance_exact(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "RETURN point.distance(point({x: 0, y: 0}), point({x: 3, y: 4})) AS d"
+        ).collect()
+        assert r.d == 5.0
+
+    def test_geographic_distance_approx(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "RETURN point.distance(point({latitude: 52.52, longitude: 13.405}), "
+            "point({latitude: 48.8566, longitude: 2.3522})) AS d"
+        ).collect()
+        assert abs(r.d - 878_000) < 4_000   # Berlin-Paris great circle
+
+    def test_point_fields_and_errors(self, eng):
+        [r] = eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'}) "
+            "WITH point({x: 1, y: 2}) AS p RETURN p.x AS x, p.crs AS crs"
+        ).collect()
+        assert r.x == 1.0 and r.crs == "cartesian"
+        with pytest.raises(CypherCompileError):
+            eng.run("MATCH (a:PhageGenome) RETURN point({lat: 1}) AS p")
