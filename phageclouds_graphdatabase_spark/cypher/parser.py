@@ -179,6 +179,27 @@ class _Parser:
                     self.take("sym", "{")
                     inner = self._single_query()
                     self.take("sym", "}")
+                    # `IN [CONCURRENT] TRANSACTIONS [OF n ROWS]` — accepted
+                    # and ignored: Spark writes are atomic per action, so
+                    # batched intermediate commits have no observable effect
+                    # on a successful run (documented deviation: Neo4j keeps
+                    # completed batches on failure; this engine keeps none)
+                    if self.at("kw", "in"):
+                        self.take("kw", "in")
+                        w = self._name().lower()
+                        if w == "concurrent":
+                            w = self._name().lower()
+                        if w != "transactions":
+                            raise CypherSyntaxError(
+                                "expected TRANSACTIONS after CALL { } IN"
+                            )
+                        if self.at("ident") and self.peek()[1].lower() == "of":
+                            self.take("ident")
+                            self.take("number")
+                            if self._name().lower() != "rows":
+                                raise CypherSyntaxError(
+                                    "expected ROWS after OF <n>"
+                                )
                     clauses.append(A.CallSub(inner))
                 else:
                     clauses.append(self._call_proc())

@@ -1465,3 +1465,14 @@ class TestPoints:
         assert r.x == 1.0 and r.crs == "cartesian"
         with pytest.raises(CypherCompileError):
             eng.run("MATCH (a:PhageGenome) RETURN point({lat: 1}) AS p")
+
+
+def test_call_in_transactions_parses_and_runs(eng):
+    # batched-commit syntax is accepted; semantics are a single atomic
+    # action in Spark (documented deviation on failure behavior)
+    rows = eng.run(
+        "MATCH (n:PhageGenome {source:'NCBI'}) "
+        "CALL { WITH n RETURN n.accession AS acc } IN TRANSACTIONS OF 2 ROWS "
+        "RETURN acc ORDER BY acc LIMIT 2"
+    ).collect()
+    assert [r.acc for r in rows] == ["A1", "A2"]
