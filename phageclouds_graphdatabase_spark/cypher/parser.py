@@ -487,6 +487,20 @@ class _Parser:
         else:
             self.take("sym", "-")
             direction = "both"
+        # GQL quantifiers (Neo4j 5 QPP short form): -[:T]->{m,n} / {n} / +
+        # map onto the same var-length machinery as [:T*m..n]
+        if var_length is None:
+            if self.at("sym", "{") and self.at("number", k=1):
+                self.take("sym", "{")
+                lo = int(self.take("number"))
+                hi = lo
+                if self.accept("sym", ","):
+                    hi = int(self.take("number")) if self.at("number") else 8
+                self.take("sym", "}")
+                var_length = (lo, hi)
+            elif self.at("sym", "+"):
+                self.take("sym", "+")
+                var_length = (1, 8)  # same unbounded cap as [*]
         return A.EdgePat(var, reltype, props, direction, var_length)
 
     def _props(self) -> tuple:

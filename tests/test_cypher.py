@@ -1476,3 +1476,37 @@ def test_call_in_transactions_parses_and_runs(eng):
         "RETURN acc ORDER BY acc LIMIT 2"
     ).collect()
     assert [r.acc for r in rows] == ["A1", "A2"]
+
+
+class TestGqlQuantifiers:
+    """GQL/Neo4j-5 quantified relationships: -[:T]->{m,n} / {n} / + map
+    onto the same var-length machinery as [:T*m..n]."""
+
+    def test_brace_range(self, eng):
+        rows = eng.run(
+            "MATCH (a:PhageGenome {accession:'C1'})-[:sharesDNA]->{1,2}"
+            "(b:PhageGenome) RETURN b.accession AS t ORDER BY t"
+        ).collect()
+        # C1->A1 (1 hop), A1->{A2,A3} (2 hops)
+        assert [r.t for r in rows] == ["A1", "A2", "A3"]
+
+    def test_exact_count_and_plus(self, eng):
+        two = eng.run(
+            "MATCH (a:PhageGenome {accession:'C1'})-[:sharesDNA]->{2}"
+            "(b:PhageGenome) RETURN b.accession AS t ORDER BY t"
+        ).collect()
+        assert [r.t for r in two] == ["A2", "A3"]
+        plus = eng.run(
+            "MATCH (a:PhageGenome {accession:'C1'})-[:sharesDNA]->+"
+            "(b:PhageGenome) RETURN b.accession AS t ORDER BY t"
+        ).collect()
+        # no threshold: + walks the whole out-reachable set incl. B-side
+        assert [r.t for r in plus] == ["A1", "A2", "A3", "B1", "B2"]
+
+    def test_still_parses_node_props_after_edge(self, eng):
+        # `{` after the closing node paren is props, not a quantifier
+        rows = eng.run(
+            "MATCH (a:PhageGenome)-[:sharesDNA]->(b:PhageGenome "
+            "{accession:'A2'}) RETURN a.accession AS s ORDER BY s"
+        ).collect()
+        assert [r.s for r in rows] == ["A1"]
