@@ -2713,6 +2713,23 @@ class CypherEngine:
             if self._is_stringy(frame, e.args[0], params, env):
                 return F.length(c) == 0
             return F.size(c) == 0
+        if e.name in (
+            "tointeger", "tofloat", "tointegerornull", "tofloatornull",
+        ):
+            if len(e.args) != 1:
+                raise CypherCompileError(f"{e.name}() takes one argument")
+            c = self._col(frame, e.args[0], params, env)
+            want_int = "integer" in e.name
+            if self._is_stringy(frame, e.args[0], params, env):
+                # Neo4j: unparseable strings yield NULL (ANSI cast would
+                # throw); toInteger('3.7') parses as a double then truncates
+                d = c.try_cast("double")
+                # try_cast the long step too: 'NaN' parses to a double NaN,
+                # which an ANSI cast to long would throw on
+                return d.try_cast("long") if want_int else d
+            # numeric input: exact cast (no double round-trip — a bigint
+            # through double would lose precision past 2^53)
+            return c.cast("long" if want_int else "double")
         if e.name == "size":
             if len(e.args) != 1:
                 raise CypherCompileError("size() takes one argument")

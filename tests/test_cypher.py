@@ -1510,3 +1510,17 @@ class TestGqlQuantifiers:
             "{accession:'A2'}) RETURN a.accession AS s ORDER BY s"
         ).collect()
         assert [r.s for r in rows] == ["A1"]
+
+
+def test_tointeger_tofloat_null_on_bad_strings(eng):
+    # Neo4j: unparseable strings -> NULL (not an ANSI cast error);
+    # toInteger('3.7') parses then truncates; numeric inputs cast exactly
+    [r] = eng.run(
+        "MATCH (a:PhageGenome {accession:'A1'}) "
+        "RETURN toInteger('abc') AS bad, toInteger('42') AS ok, "
+        "toInteger('3.7') AS tr, toFloat('x') AS fbad, toFloat('2.5') AS fok, "
+        "toInteger(a.genome_size) AS exact, toIntegerOrNull('z') AS orn"
+    ).collect()
+    assert r.bad is None and r.ok == 42 and r.tr == 3
+    assert r.fbad is None and r.fok == 2.5
+    assert r.exact == 168000 and r.orn is None
