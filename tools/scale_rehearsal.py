@@ -229,6 +229,11 @@ def main() -> None:
         ppr = G.personalized_pagerank_scaled(fe, roots, iterations=2)
         n_ppr = ppr.filter(F.col("pr_scaled") > 0).count()
         timings["ppr_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        emb = G.fastrp_embeddings(fe, dims=8, iters=2)
+        n_emb = emb.count()
+        timings["fastrp_sec"] = round(time.time() - t0, 2)
+        timings["n_embedded"] = n_emb
         print(
             json.dumps(
                 {

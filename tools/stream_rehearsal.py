@@ -78,7 +78,12 @@ def gen_events(spark, n: int, users: int, events_per_min: int) -> DataFrame:
         (F.pmod(F.xxhash64("id", F.lit("v")), F.lit(10000)).cast("double") / 100.0).alias(
             "value"
         ),
-        F.lit("{}").alias("props"),
+        # real JSON payload so the VARIANT path decodes actual structure
+        F.concat(
+            F.lit('{"k": '),
+            F.pmod(F.xxhash64("id", F.lit("k")), F.lit(100)).cast("string"),
+            F.lit("}"),
+        ).alias("props"),
     )
 
 
@@ -191,6 +196,25 @@ def main() -> None:
             .count()
         )
         assert rows == want, f"tumbling parity: {rows} != {want}"
+
+        # -- VARIANT decode inside a windowed agg -----------------------------
+        dt, rows = _timed(
+            "variant_window_agg", n,
+            lambda: run_counting(
+                stream.variant_type_stats(_read(spark, src, fpt))
+            ),
+        )
+        out["variant_sec"], out["variant_rows"] = dt, rows
+        want = (
+            e.groupBy(F.window("ts", "30 minutes").alias("win"), "event_type")
+            .count()
+            .filter(
+                F.col("win.end")
+                <= F.lit(mx) - F.expr("INTERVAL 10 MINUTES")
+            )
+            .count()
+        )
+        assert rows == want, f"variant parity: {rows} != {want}"
 
         # -- watermark dedup -------------------------------------------------
         dt, rows = _timed(
