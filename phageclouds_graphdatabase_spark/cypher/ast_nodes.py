@@ -265,6 +265,15 @@ class CallProc:
 
 
 @dataclass(frozen=True)
+class Xor(Expr):
+    """``a XOR b`` — three-valued boolean exclusive-or (NULL-propagating,
+    as Neo4j)."""
+
+    left: Expr
+    right: Expr
+
+
+@dataclass(frozen=True)
 class MapLit(Expr):
     """``{key: expr, ...}`` map literal — compiles to a named struct (the
     Spark-native heterogeneous map)."""

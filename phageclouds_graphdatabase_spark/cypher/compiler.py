@@ -2143,6 +2143,11 @@ class CypherEngine:
             return self._col(frame, e.left, params, env) | self._col(
                 frame, e.right, params, env
             )
+        if isinstance(e, A.Xor):
+            # three-valued XOR: boolean != propagates NULL, as Neo4j
+            return self._col(frame, e.left, params, env) != self._col(
+                frame, e.right, params, env
+            )
         if isinstance(e, A.Cmp):
             l = self._col(frame, e.left, params, env)
             r = self._col(frame, e.right, params, env)
@@ -2545,6 +2550,15 @@ class CypherEngine:
             c = F.col(var)[self.catalog.node(label).key]
             # elementId() is Neo4j 5's STRING-typed id surface
             return c.cast("string") if e.name == "elementid" else c
+        if e.name in ("startnode", "endnode"):
+            # returns the endpoint node's KEY (the id() convention of this
+            # engine — Neo4j returns the node entity; documented deviation)
+            if kind != "edge":
+                raise CypherCompileError(
+                    f"{e.name}() takes a relationship variable"
+                )
+            rt = self.catalog.rel(label)
+            return F.col(var)[rt.src_col if e.name == "startnode" else rt.dst_col]
         if e.name == "properties":
             return F.col(var)
         # keys(): field names of the bound struct
@@ -2589,7 +2603,8 @@ class CypherEngine:
                 # literal separator, regex-escaped: Cypher split is literal
                 re_escape(self._lit_str(e.args[1])),
             )
-        if e.name in ("labels", "type", "id", "elementid", "properties", "keys"):
+        if e.name in ("labels", "type", "id", "elementid", "startnode",
+                      "endnode", "properties", "keys"):
             return self._entity_func_col(frame, e)
         if e.name == "substring":
             # Cypher substring(s, start[, len]) is 0-based; Column.substr

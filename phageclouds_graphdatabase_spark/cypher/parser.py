@@ -49,7 +49,7 @@ _KEYWORDS = {
     "false", "order", "by", "asc", "ascending", "desc", "descending",
     "skip", "limit", "unwind", "case", "when", "then", "else", "end",
     "create", "merge", "set", "delete", "detach", "on", "union", "remove",
-    "foreach",
+    "foreach", "xor",
 }
 
 _TOKEN_RE = re.compile(
@@ -550,9 +550,16 @@ class _Parser:
         return self._or()
 
     def _or(self) -> A.Expr:
-        e = self._and()
+        e = self._xor()
         while self.accept("kw", "or"):
-            e = A.Or(e, self._and())
+            e = A.Or(e, self._xor())
+        return e
+
+    def _xor(self) -> A.Expr:
+        # Neo4j precedence: OR < XOR < AND
+        e = self._and()
+        while self.accept("kw", "xor"):
+            e = A.Xor(e, self._and())
         return e
 
     def _and(self) -> A.Expr:

@@ -1524,3 +1524,20 @@ def test_tointeger_tofloat_null_on_bad_strings(eng):
     assert r.bad is None and r.ok == 42 and r.tr == 3
     assert r.fbad is None and r.fok == 2.5
     assert r.exact == 168000 and r.orn is None
+
+
+def test_xor_three_valued(eng):
+    [r] = eng.run(
+        "MATCH (a:PhageGenome {accession:'A1'}) "
+        "RETURN (true XOR false) AS t, (true XOR true) AS f, "
+        "(true XOR null) AS n"
+    ).collect()
+    assert r.t is True and r.f is False and r.n is None
+
+
+def test_start_end_node_keys(eng):
+    rows = eng.run(
+        "MATCH (a:PhageGenome {accession:'A1'})-[r:sharesDNA]->(b:PhageGenome) "
+        "RETURN startNode(r) AS s, endNode(r) AS e ORDER BY e"
+    ).collect()
+    assert [(x.s, x.e) for x in rows] == [("A1", "A2"), ("A1", "A3")]
