@@ -265,6 +265,15 @@ class CallProc:
 
 
 @dataclass(frozen=True)
+class LabelPred(Expr):
+    """``n:Label`` in expression position — true iff the bound variable's
+    label is Label (single-label catalog: a compile-time constant)."""
+
+    var: str
+    label: str
+
+
+@dataclass(frozen=True)
 class Xor(Expr):
     """``a XOR b`` — three-valued boolean exclusive-or (NULL-propagating,
     as Neo4j)."""

@@ -1999,7 +1999,16 @@ class CypherEngine:
         self, frame: _Frame, clause: A.ReturnClause, params: dict
     ) -> DataFrame:
         if frame.df is None:
-            raise CypherCompileError("RETURN without a preceding MATCH/WITH")
+            # bare `RETURN <expr>` — Neo4j evaluates over one implicit row
+            if self.spark is not None:
+                frame.df = self.spark.range(1).select()
+            elif self.catalog.nodes:
+                any_df = next(iter(self.catalog.nodes.values())).df
+                frame.df = any_df.sparkSession.range(1).select()
+            else:
+                raise CypherCompileError(
+                    "RETURN without a preceding MATCH/WITH"
+                )
         clause = _dc_replace(
             clause, items=self._expand_star(frame, clause.items)
         )
@@ -2143,6 +2152,17 @@ class CypherEngine:
             return self._col(frame, e.left, params, env) | self._col(
                 frame, e.right, params, env
             )
+        if isinstance(e, A.LabelPred):
+            if not frame.has(e.var):
+                raise CypherCompileError(f"unbound variable {e.var}")
+            kind, label = frame.vars[e.var]
+            if kind not in ("node", "edge"):
+                raise CypherCompileError(
+                    f"{e.var} is not an entity; `{e.var}:{e.label}` needs "
+                    "a pattern variable"
+                )
+            # single-label catalog: the predicate is a compile-time constant
+            return F.lit(label == e.label)
         if isinstance(e, A.Xor):
             # three-valued XOR: boolean != propagates NULL, as Neo4j
             return self._col(frame, e.left, params, env) != self._col(

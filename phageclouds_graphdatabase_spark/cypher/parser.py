@@ -575,6 +575,10 @@ class _Parser:
 
     def _cmp(self) -> A.Expr:
         e = self._add()
+        # label predicate `n:Label` (only on a bare variable)
+        if isinstance(e, A.Var) and self.at("sym", ":"):
+            self.take("sym", ":")
+            return A.LabelPred(e.name, self._name())
         tk, tv, _, _ = self.peek()
         if tk == "sym" and tv == "=~":
             self.i += 1

@@ -1541,3 +1541,15 @@ def test_start_end_node_keys(eng):
         "RETURN startNode(r) AS s, endNode(r) AS e ORDER BY e"
     ).collect()
     assert [(x.s, x.e) for x in rows] == [("A1", "A2"), ("A1", "A3")]
+
+
+def test_label_predicate_and_bare_return(eng):
+    # n:Label in expression position (single-label catalog: compile-time)
+    rows = eng.run(
+        "MATCH (n:PhageGenome {accession:'A1'}) "
+        "RETURN n:PhageGenome AS isp, n:Host AS ish"
+    ).collect()
+    assert rows[0].isp is True and rows[0].ish is False
+    # bare RETURN evaluates over one implicit row
+    [r] = eng.run("RETURN 1 + 2 AS x, toUpper('hi') AS s").collect()
+    assert r.x == 3 and r.s == "HI"
