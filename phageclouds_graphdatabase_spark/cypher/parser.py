@@ -677,7 +677,8 @@ class _Parser:
                     base = base.base
                 if isinstance(base, A.Prop):
                     parts.extend([base.name, base.var])
-                    return self._func(".".join(reversed(parts)).lower())
+                    e = self._func(".".join(reversed(parts)).lower())
+                    continue  # keep folding postfix ([i], .field, ...)
                 return e
             elif self.at("sym", ".") and not self.at("sym", ".", 1):
                 self.take("sym", ".")
@@ -697,7 +698,8 @@ class _Parser:
                         parts.append(base.name)
                         base = None
                     if base is None:
-                        return self._func(".".join(reversed(parts)).lower())
+                        e = self._func(".".join(reversed(parts)).lower())
+                        continue  # keep folding postfix
                 e = A.FieldAc(e, name)
             else:
                 return e

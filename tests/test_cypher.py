@@ -1553,3 +1553,14 @@ def test_label_predicate_and_bare_return(eng):
     # bare RETURN evaluates over one implicit row
     [r] = eng.run("RETURN 1 + 2 AS x, toUpper('hi') AS s").collect()
     assert r.x == 3 and r.s == "HI"
+
+
+def test_postfix_after_dotted_calls_and_aggregates(eng):
+    # subscript chains keep folding after a dotted call and around
+    # aggregates (the mixed-aggregate projection path)
+    [r] = eng.run(
+        "MATCH (n:PhageGenome {source:'NCBI'}) "
+        "RETURN apoc.coll.sort(collect(n.accession))[0] AS first, "
+        "size(collect(n.accession)[0..2]) AS head_n"
+    ).collect()
+    assert r.first == "A1" and r.head_n == 2
