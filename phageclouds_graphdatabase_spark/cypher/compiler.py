@@ -2597,6 +2597,15 @@ class CypherEngine:
             )
         if e.name == "coalesce":
             return F.coalesce(*[self._col(frame, a, params, env) for a in e.args])
+        if e.name == "exists" and len(e.args) == 1:
+            # legacy Neo4j 3/4 forms: exists(n.prop) — property existence
+            # (modern: `n.prop IS NOT NULL`) — and exists((n)-[:T]->())
+            # — the parenthesized pattern form (modern: EXISTS { })
+            if isinstance(e.args[0], A.PatternPred):
+                return self._col(
+                    frame, A.ExistsSub(e.args[0].pattern, None), params, env
+                )
+            return self._col(frame, e.args[0], params, env).isNotNull()
         if e.name in ("nodes", "relationships", "length"):
             # path accessors (Neo4j: nodes(p) node list, relationships(p)
             # relationship list, length(p) hop count). Here nodes(p) yields

@@ -1564,3 +1564,18 @@ def test_postfix_after_dotted_calls_and_aggregates(eng):
         "size(collect(n.accession)[0..2]) AS head_n"
     ).collect()
     assert r.first == "A1" and r.head_n == 2
+
+
+def test_legacy_exists_forms(eng):
+    # Neo4j 3/4 exists(n.prop) and exists((n)-[:T]->()) forms
+    rows = eng.run(
+        "MATCH (n:PhageGenome) WHERE exists(n.genome_size) "
+        "RETURN count(*) AS c"
+    ).collect()
+    assert rows[0].c == 12
+    rows = eng.run(
+        "MATCH (n:PhageGenome) "
+        "WHERE exists((n)-[:infects]->(:Host)) "
+        "RETURN n.accession AS a ORDER BY a"
+    ).collect()
+    assert len(rows) >= 1
