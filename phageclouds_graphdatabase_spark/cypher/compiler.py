@@ -2549,6 +2549,19 @@ class CypherEngine:
                 f"{e.name}() takes a bound pattern variable"
             )
         var = e.args[0].name
+        if (
+            e.name in ("keys", "properties")
+            and frame.has(var)
+            and frame.vars[var][0] == "flat"
+            and frame.df is not None
+            and isinstance(frame.df.schema[var].dataType, T.StructType)
+        ):
+            # keys()/properties() over a projected MAP value (map literals
+            # and map projections bind as structs)
+            if e.name == "properties":
+                return F.col(var)
+            dt = frame.df.schema[var].dataType
+            return F.array(*[F.lit(f.name) for f in dt.fields])
         if not frame.has(var):
             raise CypherCompileError(f"unbound variable {var}")
         kind, label = frame.vars[var]

@@ -1579,3 +1579,11 @@ def test_legacy_exists_forms(eng):
         "RETURN n.accession AS a ORDER BY a"
     ).collect()
     assert len(rows) >= 1
+
+
+def test_keys_properties_on_map_values(eng):
+    [r] = eng.run(
+        "MATCH (a:PhageGenome {accession:'A1'}) "
+        "WITH {x: 1, y: 'v'} AS m RETURN keys(m) AS k, properties(m).x AS px"
+    ).collect()
+    assert r.k == ["x", "y"] and r.px == 1
