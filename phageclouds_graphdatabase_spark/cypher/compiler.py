@@ -1811,6 +1811,9 @@ class CypherEngine:
         return out.distinct() if distinct else out
 
     def _fold_with(self, frame: _Frame, clause: A.WithClause, params: dict) -> None:
+        if frame.df is None:
+            # leading `WITH 5 AS n ...` — one implicit row, as Neo4j
+            frame.df = self._session().range(1).select()
         clause = _dc_replace(
             clause, items=self._expand_star(frame, clause.items)
         )
@@ -1927,12 +1930,20 @@ class CypherEngine:
         frame.df = src if frame.df is None else frame.df.crossJoin(src)
         frame.vars[clause.var] = ("flat", None)
 
+    def _session(self) -> SparkSession:
+        """The engine's session: the explicit one, else any catalog
+        table's (every catalog has at least one node table)."""
+        if self.spark is not None:
+            return self.spark
+        if self.catalog.nodes:
+            return next(iter(self.catalog.nodes.values())).df.sparkSession
+        raise CypherCompileError(
+            "a leading UNWIND/WITH/RETURN needs CypherEngine(spark=...) "
+            "or a non-empty catalog"
+        )
+
     def _col_literal_frame(self, e: A.Expr, params: dict) -> DataFrame:
-        if self.spark is None:
-            raise CypherCompileError(
-                "UNWIND as the first clause needs CypherEngine(spark=...)"
-            )
-        one = self.spark.range(1)
+        one = self._session().range(1)
         return one.select(
             self._col(_Frame(df=one, used={}), e, params).alias("__lst")
         )
@@ -2000,15 +2011,7 @@ class CypherEngine:
     ) -> DataFrame:
         if frame.df is None:
             # bare `RETURN <expr>` — Neo4j evaluates over one implicit row
-            if self.spark is not None:
-                frame.df = self.spark.range(1).select()
-            elif self.catalog.nodes:
-                any_df = next(iter(self.catalog.nodes.values())).df
-                frame.df = any_df.sparkSession.range(1).select()
-            else:
-                raise CypherCompileError(
-                    "RETURN without a preceding MATCH/WITH"
-                )
+            frame.df = self._session().range(1).select()
         clause = _dc_replace(
             clause, items=self._expand_star(frame, clause.items)
         )

@@ -1587,3 +1587,16 @@ def test_keys_properties_on_map_values(eng):
         "WITH {x: 1, y: 'v'} AS m RETURN keys(m) AS k, properties(m).x AS px"
     ).collect()
     assert r.k == ["x", "y"] and r.px == 1
+
+
+def test_leading_unwind_and_with_without_explicit_spark(eng):
+    # a leading UNWIND / WITH seeds one implicit row from the catalog's
+    # session — no CypherEngine(spark=...) needed
+    rows = eng.run(
+        "UNWIND [1,2] AS x UNWIND [10,20] AS y RETURN x * y AS p ORDER BY p"
+    ).collect()
+    assert [r.p for r in rows] == [10, 20, 20, 40]
+    [r] = eng.run(
+        "WITH 5 AS n RETURN [x IN range(1, n) WHERE x % 2 = 0] AS evens"
+    ).collect()
+    assert r.evens == [2, 4]
