@@ -1175,6 +1175,58 @@ FROM nodes GROUP BY source
 """
 
 
+def cypher_load_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOAD CSV under the driver contract (round 3): the nation table is
+    exported to CSV, re-ingested through the Cypher clause (all columns
+    STRING — the user casts, exactly Neo4j's contract), and aggregated.
+    The oracle computes the same numbers from the original parquet, so a
+    lossy export/ingest (quoting, separators, header handling) breaks the
+    hash."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    nation = t(spark, sf_dir, "nation")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "pcgdb_csv_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    nation.select("n_nationkey", "n_name", "n_regionkey").coalesce(
+        1
+    ).write.option("header", True).csv(out)
+    eng = CypherEngine(
+        phage_catalog(
+            _nodes(spark, sf_dir), graph_edges(spark, sf_dir),
+            _infects(spark, sf_dir),
+        )
+    )
+    q = """LOAD CSV WITH HEADERS FROM '{}' AS row
+            WITH toInteger(row.n_regionkey) AS region,
+                 toInteger(row.n_nationkey) AS key, row.n_name AS name
+            RETURN region, count(*) AS n, sum(key) AS sum_keys,
+                   apoc.text.join(apoc.coll.sort(collect(name)), '|') AS names
+            ORDER BY region;""".format(out)
+    res = eng.run(q)
+    return res.select(
+        F.col("region").cast("long").alias("region"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_keys").cast("long").alias("sum_keys"),
+        "names",
+    )
+
+
+CYPHER_LOAD_CSV_SQL = """
+SELECT CAST(n_regionkey AS BIGINT) AS region,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys,
+       array_to_string(list_sort(list(n_name)), '|') AS names
+FROM nation GROUP BY n_regionkey
+"""
+
+
 ENTRIES = {
     "cypher_seed_expand": SuiteEntry(
         cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
@@ -1284,5 +1336,8 @@ ENTRIES = {
     ),
     "cypher_mixed_aggregates": SuiteEntry(
         cypher_mixed_aggregates, CYPHER_MIXED_AGG_SQL, ("S2", "A6", "A1")
+    ),
+    "cypher_load_csv": SuiteEntry(
+        cypher_load_csv, CYPHER_LOAD_CSV_SQL, ("S2", "S4", "V8")
     ),
 }
