@@ -265,6 +265,15 @@ class CallProc:
 
 
 @dataclass(frozen=True)
+class SetLabel:
+    """``SET n:Label`` — add the matched nodes to Label's table (shared
+    columns carried, the rest NULL; idempotent by key)."""
+
+    var: str
+    label: str
+
+
+@dataclass(frozen=True)
 class LabelPred(Expr):
     """``n:Label`` in expression position — true iff the bound variable's
     label is Label (single-label catalog: a compile-time constant)."""

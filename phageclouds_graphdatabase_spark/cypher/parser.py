@@ -299,7 +299,10 @@ class _Parser:
         items = []
         while True:
             var = self._name()
-            if self.accept("sym", "."):
+            if self.at("sym", ":"):
+                self.take("sym", ":")
+                items.append((A.SetLabel(var, self._name()), None))
+            elif self.accept("sym", "."):
                 prop = self._name()
                 self.take("sym", "=")
                 items.append((A.Prop(var, prop), self.expr()))

@@ -668,6 +668,46 @@ def _apply_set(
     if frame.df is None:
         raise CypherCompileError("SET needs a preceding MATCH")
     cat = eng.catalog
+    # SET n:Label items first: matched rows enter Label's table (shared
+    # columns carried, the rest NULL; idempotent by key — Neo4j label adds
+    # are). The source node must carry the target table's key column.
+    plain_items = []
+    for p, v in clause.items:
+        if isinstance(p, A.SetLabel):
+            if not frame.has(p.var):
+                raise CypherCompileError(f"unbound variable {p.var}")
+            kind, src_label = frame.vars[p.var]
+            if kind != "node":
+                raise CypherCompileError(
+                    f"SET {p.var}:{p.label}: {p.var} is not a node variable"
+                )
+            if src_label == p.label:
+                continue  # already that label — no-op
+            tgt = cat.node(p.label)
+            src_cols = set(cat.node(src_label).df.columns)
+            if tgt.key not in src_cols:
+                raise CypherCompileError(
+                    f"SET {p.var}:{p.label}: :{src_label} has no "
+                    f"`{tgt.key}` column (the :{p.label} key)"
+                )
+            incoming = frame.df.select(
+                *[
+                    (F.col(p.var)[c] if c in src_cols else F.lit(None))
+                    .cast(tgt.df.schema[c].dataType)
+                    .alias(c)
+                    for c in tgt.df.columns
+                ]
+            ).dropDuplicates([tgt.key])
+            new_rows = incoming.join(
+                tgt.df.select(tgt.key), tgt.key, "left_anti"
+            )
+            cat = _swap_node(cat, p.label, tgt.df.unionByName(new_rows))
+            eng.catalog = cat
+        else:
+            plain_items.append((p, v))
+    if not plain_items:
+        return cat
+    clause = A.SetClause(tuple(plain_items))
     # group items per target variable: one update join per entity
     by_var: dict[str, list] = {}
     for p, v in _expand_set_items(eng, frame, clause.items, params):

@@ -655,3 +655,49 @@ class TestMapSet:
             "RETURN a.accession AS acc, a.genus AS g"
         ).collect()
         assert [(r.acc, r.g) for r in rows] == [("A2", "Ret")]
+
+
+class TestSetLabel:
+    """SET n:Label (round 3): matched rows enter Label's table — shared
+    columns carried, others NULL, idempotent by key. The source must carry
+    the target's key column (one-table-per-label catalogs are typed,
+    unlike Neo4j's schema-free labels — compile error otherwise)."""
+
+    def test_set_label_unions_into_target(self, spark):
+        from phageclouds_graphdatabase_spark.cypher import (
+            CypherEngine, phage_catalog,
+        )
+        nodes = spark.createDataFrame(
+            [("A1", "NCBI", 1, "x", "G1")],
+            "accession string, source string, genome_size long, "
+            "taxonomy string, genus string",
+        )
+        edges = spark.createDataFrame([], "src string, dst string, distance double")
+        inf = spark.createDataFrame([("A1", "H0")], "src string, host_genus string")
+        eng = CypherEngine(phage_catalog(nodes, edges, inf))
+        cat = eng.apply("MATCH (n:PhageGenome {accession:'A1'}) SET n:Host")
+        assert sorted(r.genus for r in cat.node("Host").df.collect()) == ["G1", "H0"]
+        # idempotent: applying again adds nothing
+        cat2 = CypherEngine(cat).apply(
+            "MATCH (n:PhageGenome {accession:'A1'}) SET n:Host"
+        )
+        assert cat2.node("Host").df.count() == 2
+
+    def test_set_label_requires_target_key(self, spark):
+        from phageclouds_graphdatabase_spark.cypher import (
+            CypherEngine, phage_catalog,
+        )
+        from phageclouds_graphdatabase_spark.cypher.compiler import (
+            CypherCompileError,
+        )
+        import pytest as _pytest
+        # nodes WITHOUT a genus column: no way to key into :Host
+        nodes = spark.createDataFrame(
+            [("A1", "NCBI", 1, "x")],
+            "accession string, source string, genome_size long, taxonomy string",
+        )
+        edges = spark.createDataFrame([], "src string, dst string, distance double")
+        inf = spark.createDataFrame([("A1", "H0")], "src string, host_genus string")
+        eng = CypherEngine(phage_catalog(nodes, edges, inf))
+        with _pytest.raises(CypherCompileError):
+            eng.apply("MATCH (n:PhageGenome {accession:'A1'}) SET n:Host")
