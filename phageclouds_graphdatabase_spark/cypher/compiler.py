@@ -58,16 +58,92 @@ class RelTable:
     dst_label: str
 
 
+_ANY = "__any"  # reserved label: the union of every catalog label (MATCH (n))
+
+
+def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Widest common type for same-named properties across labels."""
+    if a == b:
+        return a
+    numeric = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    if isinstance(a, numeric) and isinstance(b, numeric):
+        frac = (T.FloatType, T.DoubleType, T.DecimalType)
+        if isinstance(a, frac) or isinstance(b, frac):
+            return T.DoubleType()
+        return T.LongType()
+    return T.StringType()
+
+
 @dataclass(frozen=True)
 class GraphCatalog:
     nodes: dict
     rels: dict
 
     def node(self, label: str) -> NodeTable:
+        if label == _ANY:
+            return self.any_node()
         try:
             return self.nodes[label]
         except KeyError:
             raise CypherCompileError(f"unknown node label :{label}") from None
+
+    def any_node(self) -> NodeTable:
+        """Union-of-all-labels table backing unlabeled ``MATCH (n)``.
+
+        One row per node across every label, schemas harmonized by property
+        NAME (missing properties NULL, conflicting types widened) — Neo4j
+        nodes are heterogeneous property maps, so by-name alignment is the
+        faithful relational encoding. Two metadata columns ride along:
+
+        - ``__label``: the node's label (labels(n) reads it at runtime)
+        - ``__key``: ``<label>|<key>`` — collision-free composite identity
+          (keys are only unique per label). id(n)/elementId(n) return this
+          composite for any-label bindings (documented deviation: Neo4j ids
+          are opaque integers that don't survive an export anyway).
+
+        At scale this is a zero-shuffle union of the per-label Parquet
+        scans; label equality in downstream join conditions folds into the
+        composite-key prefix, so Catalyst prunes non-matching label arms via
+        the ``__label`` literal. Cached per catalog instance via
+        object.__setattr__ so copy-on-write catalogs (cypher/writes.py)
+        never inherit a stale union.
+        """
+        cached = getattr(self, "_any_cache", None)
+        if cached is not None:
+            return cached
+        merged: dict = {}
+        for nt in self.nodes.values():
+            for f in nt.df.schema.fields:
+                merged[f.name] = (
+                    _widen(merged[f.name], f.dataType)
+                    if f.name in merged
+                    else f.dataType
+                )
+        parts = []
+        for label, nt in self.nodes.items():
+            have = {f.name: f.dataType for f in nt.df.schema.fields}
+            cols = [
+                F.lit(label).alias("__label"),
+                F.concat(
+                    F.lit(label + "|"), F.col(nt.key).cast("string")
+                ).alias("__key"),
+            ]
+            for name, dt in merged.items():
+                if name in have:
+                    c = F.col(name).cast(dt) if have[name] != dt else F.col(name)
+                else:
+                    c = F.lit(None).cast(dt)
+                cols.append(c.alias(name))
+            parts.append(nt.df.select(cols))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        out = NodeTable(df, "__key")
+        object.__setattr__(self, "_any_cache", out)
+        return out
 
     def rel(self, reltype: str) -> RelTable:
         try:
@@ -451,9 +527,13 @@ class CypherEngine:
         var = pat.var or frame.fresh("n")
         label = pat.label
         if label is None:
-            raise CypherCompileError(
-                f"node ({pat.var or ''}) needs a label on first use"
-            )
+            # unlabeled MATCH (n): bind the union of every catalog label.
+            # __label must survive struct pruning — labels(n) and runtime
+            # n:Label predicates read it (the composite __key arrives via
+            # the key argument of _struct_of below).
+            label = _ANY
+            if frame.used is not None and frame.used.get(var) is not _ALL:
+                frame.used.setdefault(var, set()).add("__label")
         nt = self.catalog.node(label)
         df = nt.df
         for name, val in pat.props:
@@ -503,7 +583,8 @@ class CypherEngine:
             ).withColumnRenamed("__swap", rel.dst_col)
             edf = rel.df.unionByName(flipped.select(rel.df.columns))
             near, far, far_label = rel.src_col, rel.dst_col, rel.dst_label
-        if anchor_label != (rel.src_label if near == rel.src_col else rel.dst_label):
+        near_label = rel.src_label if near == rel.src_col else rel.dst_label
+        if anchor_label not in (near_label, _ANY):
             raise CypherCompileError(
                 f"cannot follow :{edge.reltype} from a :{anchor_label} node"
             )
@@ -535,8 +616,17 @@ class CypherEngine:
             F.col(near).alias(nearc),
             F.col(far).alias(farc),
         )
-        akey = F.col(anchor)[self.catalog.node(anchor_label).key]
-        joined = frame.df.join(eside, akey == F.col(nearc), how)
+        if anchor_label == _ANY:
+            # any-label anchors join on the composite identity; the label
+            # restriction rides IN the join condition (not a pre-filter) so
+            # an OPTIONAL MATCH keeps other-label rows as NULL extensions
+            cond = F.col(anchor)["__key"] == F.concat(
+                F.lit(near_label + "|"), F.col(nearc).cast("string")
+            )
+        else:
+            akey = F.col(anchor)[self.catalog.node(anchor_label).key]
+            cond = akey == F.col(nearc)
+        joined = frame.df.join(eside, cond, how)
 
         if skip_far_join:
             frame.df = joined.drop(nearc, farc)
@@ -546,8 +636,14 @@ class CypherEngine:
 
         if node.var is not None and frame.has(node.var):
             # closing a cycle onto an already-bound node
-            tkey = F.col(node.var)[self.catalog.node(far_label).key]
-            frame.df = joined.filter(F.col(farc) == tkey).drop(nearc, farc)
+            if frame.vars[node.var][1] == _ANY:
+                close = F.col(node.var)["__key"] == F.concat(
+                    F.lit(far_label + "|"), F.col(farc).cast("string")
+                )
+            else:
+                tkey = F.col(node.var)[self.catalog.node(far_label).key]
+                close = F.col(farc) == tkey
+            frame.df = joined.filter(close).drop(nearc, farc)
             frame.vars[evar] = ("edge", edge.reltype)
             return node.var
 
@@ -564,6 +660,17 @@ class CypherEngine:
         frame.vars[evar] = ("edge", edge.reltype)
         frame.vars[nvar] = ("node", nlabel)
         return nvar
+
+    def _reject_any_anchor(self, frame: _Frame, anchor: str, what: str) -> None:
+        """Iterative expansions key their frontiers on raw per-label node
+        keys; a union-of-labels anchor has no single key domain. Neo4j
+        allows it, but every reference query labels its expansion anchors
+        -- fail with an actionable message instead of joining wrong."""
+        if frame.vars[anchor][1] == _ANY:
+            raise CypherCompileError(
+                f"{what} from an unlabeled node is not supported; "
+                "label the anchor node"
+            )
 
     def _join_var_length(
         self,
@@ -633,6 +740,7 @@ class CypherEngine:
         step = edf.select(
             F.col(near).alias("__va"), F.col(far).alias("__vb")
         ).localCheckpoint()
+        self._reject_any_anchor(frame, anchor, "var-length expansion")
         anchor_key = F.col(anchor)[self.catalog.node(
             frame.vars[anchor][1]).key]
         seeds = frame.df.select(anchor_key.alias("__vs")).distinct()
@@ -753,6 +861,7 @@ class CypherEngine:
         # round (cypher_path_enumeration 21 s -> ~8 s at sf0.01)
         step = step.localCheckpoint()
 
+        self._reject_any_anchor(frame, anchor, "path expansion")
         nt_anchor = self.catalog.node(frame.vars[anchor][1])
         anchor_key = F.col(anchor)[nt_anchor.key]
         seeds = frame.df.select(anchor_key.alias("__pa")).distinct()
@@ -877,6 +986,7 @@ class CypherEngine:
             raise CypherCompileError(f"{path_var} is already bound")
         first = pat.nodes[0]
         anchor = self._anchor_node(frame, first, params)
+        self._reject_any_anchor(frame, anchor, "path expansion")
         nt_anchor = self.catalog.node(frame.vars[anchor][1])
         anchor_key = F.col(anchor)[nt_anchor.key]
 
@@ -1149,6 +1259,7 @@ class CypherEngine:
             )
         step = step.localCheckpoint()  # see _join_var_length_paths note
 
+        self._reject_any_anchor(frame, anchor, "path expansion")
         nt_anchor = self.catalog.node(frame.vars[anchor][1])
         anchor_key = F.col(anchor)[nt_anchor.key]
         sd = frame.df.select(anchor_key.alias("__pa")).distinct()
@@ -2164,6 +2275,9 @@ class CypherEngine:
                     f"{e.var} is not an entity; `{e.var}:{e.label}` needs "
                     "a pattern variable"
                 )
+            if kind == "node" and label == _ANY:
+                # union binding: label membership is a runtime column test
+                return F.col(e.var)["__label"] == F.lit(e.label)
             # single-label catalog: the predicate is a compile-time constant
             return F.lit(label == e.label)
         if isinstance(e, A.Xor):
@@ -2571,6 +2685,9 @@ class CypherEngine:
         if e.name == "labels":
             if kind != "node":
                 raise CypherCompileError("labels() takes a node variable")
+            if label == _ANY:
+                # union binding: the label is a runtime column
+                return F.array(F.col(var)["__label"])
             return F.array(F.lit(label))
         if e.name == "type":
             if kind != "edge":
@@ -2596,11 +2713,31 @@ class CypherEngine:
             rt = self.catalog.rel(label)
             return F.col(var)[rt.src_col if e.name == "startnode" else rt.dst_col]
         if e.name == "properties":
+            if kind == "node" and label == _ANY:
+                # strip the union binding's metadata columns; NULL-valued
+                # placeholder properties stay (documented deviation: a
+                # struct's shape can't vary per row)
+                if frame.df is None:
+                    raise CypherCompileError("properties() needs a bound frame")
+                dt = frame.df.schema[var].dataType
+                keep = [f.name for f in dt.fields if not f.name.startswith("__")]
+                return F.struct(*[F.col(var)[k].alias(k) for k in keep])
             return F.col(var)
         # keys(): field names of the bound struct
         if frame.df is None:
             raise CypherCompileError("keys() needs a bound frame")
         dt = frame.df.schema[var].dataType
+        if kind == "node" and label == _ANY:
+            # union binding: report only the properties this node actually
+            # HAS (missing ones are NULL placeholders) — the Neo4j contract,
+            # where a null-set property does not exist
+            names = [f.name for f in dt.fields if not f.name.startswith("__")]
+            return F.filter(
+                F.array(*[
+                    F.when(F.col(var)[n].isNotNull(), F.lit(n)) for n in names
+                ]),
+                lambda x: x.isNotNull(),
+            )
         return F.array(*[F.lit(f.name) for f in dt.fields])
 
     def _func_col(self, frame: _Frame, e: A.Func, params: dict, env: dict):

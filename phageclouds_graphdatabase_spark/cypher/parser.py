@@ -435,8 +435,16 @@ class _Parser:
             self.take("sym", "(")
         nodes = [self._node_pat()]
         edges = []
-        while self.at("sym", "-") or self.at("sym", "<-"):
-            edges.append(self._edge_pat())
+        while (
+            self.at("sym", "-")
+            or self.at("sym", "<-")
+            or (self.at("sym", "(") and self.at("sym", "(", 1))
+        ):
+            if self.at("sym", "(") and self.at("sym", "(", 1):
+                # GQL QPP group form: (a)(()-[:T]->()){m,n}(b)
+                edges.append(self._qpp_group())
+            else:
+                edges.append(self._edge_pat())
             nodes.append(self._node_pat())
         if shortest is not None:
             self.take("sym", ")")
@@ -445,6 +453,61 @@ class _Parser:
                     "shortestPath takes a single (a)-[...]-(b) hop pattern"
                 )
         return A.PathPat(tuple(nodes), tuple(edges), path_var, shortest)
+
+    def _qpp_group(self) -> A.EdgePat:
+        """GQL quantified path-pattern GROUP form — ``(()-[:T]->()){m,n}``,
+        ``(...)+`` — lowered onto the same var-length machinery as the
+        short form ``-[:T]->{m,n}`` (distinct-pairs semantics, documented
+        deviation). Restrictions (each rejected with its reason): a single
+        relationship per group; anonymous, unconstrained inner nodes (Neo4j
+        list-binds inner variables per iteration — unsupported); no nested
+        quantifiers; ``*`` rejected because zero-hop iterations are not
+        expressible in the iterative expansion (use ``{1,n}`` or ``+``)."""
+        self.take("sym", "(")
+        nodes = [self._node_pat()]
+        edges = []
+        while self.at("sym", "-") or self.at("sym", "<-"):
+            edges.append(self._edge_pat())
+            nodes.append(self._node_pat())
+        self.take("sym", ")")
+        if self.accept("sym", "+"):
+            lo, hi = 1, 8
+        elif self.at("sym", "*"):
+            raise CypherSyntaxError(
+                "zero-hop group quantifier * is not supported; use + or {1,n}"
+            )
+        elif self.at("sym", "{"):
+            self.take("sym", "{")
+            lo = int(self.take("number"))
+            hi = lo
+            if self.accept("sym", ","):
+                hi = int(self.take("number")) if self.at("number") else 8
+            self.take("sym", "}")
+        else:
+            raise CypherSyntaxError(
+                "quantified group needs a {m[,n]} or + quantifier"
+            )
+        if len(edges) != 1:
+            raise CypherSyntaxError(
+                "quantified groups support a single relationship pattern"
+            )
+        for np in nodes:
+            if np.var is not None or np.label is not None or np.props:
+                raise CypherSyntaxError(
+                    "nodes inside a quantified group must be anonymous "
+                    "bare () — inner variables would be list-bound per "
+                    "iteration (unsupported); labels are implied by the "
+                    "relationship type"
+                )
+        e = edges[0]
+        if e.var is not None:
+            raise CypherSyntaxError(
+                "relationship variables inside a quantified group are not "
+                "supported"
+            )
+        if e.var_length is not None:
+            raise CypherSyntaxError("nested quantifiers are not supported")
+        return A.EdgePat(None, e.reltype, e.props, e.direction, (lo, hi))
 
     def _node_pat(self) -> A.NodePat:
         self.take("sym", "(")

@@ -59,6 +59,7 @@ from pyspark.sql import functions as F
 
 from phageclouds_graphdatabase_spark.cypher import ast_nodes as A
 from phageclouds_graphdatabase_spark.cypher.compiler import (
+    _ANY,
     CypherCompileError,
     CypherEngine,
     GraphCatalog,
@@ -66,6 +67,16 @@ from phageclouds_graphdatabase_spark.cypher.compiler import (
     RelTable,
     _Frame,
 )
+
+
+def _no_any_write(label: str, what: str) -> None:
+    """Write clauses update ONE label's table; a union-of-labels binding
+    (unlabeled MATCH (n)) has no single target table."""
+    if label == _ANY:
+        raise CypherCompileError(
+            f"{what} through an unlabeled (union) node binding is not "
+            "supported; label the MATCH pattern"
+        )
 from phageclouds_graphdatabase_spark.cypher.parser import parse
 
 
@@ -644,6 +655,7 @@ def _expand_set_items(
         if p.mode == "replace":
             kind, label = frame.vars[p.var]
             if kind == "node":
+                _no_any_write(label, "SET")
                 nt = eng.catalog.node(label)
                 cols, keys = nt.df.columns, {nt.key}
             elif kind == "edge":
@@ -681,6 +693,7 @@ def _apply_set(
                 raise CypherCompileError(
                     f"SET {p.var}:{p.label}: {p.var} is not a node variable"
                 )
+            _no_any_write(src_label, "SET :Label")
             if src_label == p.label:
                 continue  # already that label — no-op
             tgt = cat.node(p.label)
@@ -717,6 +730,7 @@ def _apply_set(
             raise CypherCompileError(f"unbound variable {var}")
         kind, label = frame.vars[var]
         if kind == "node":
+            _no_any_write(label, "SET")
             nt = cat.node(label)
             tgt, keys = nt.df, [nt.key]
             key_exprs = [F.col(var)[nt.key]]
@@ -837,6 +851,7 @@ def _apply_delete(
         if not frame.has(var):
             raise CypherCompileError(f"unbound variable {var}")
         kind, label = frame.vars[var]
+        _no_any_write(label, "DELETE")
         if kind == "edge":
             rel = cat.rel(label)
             pairs = frame.df.select(

@@ -1227,6 +1227,77 @@ FROM nation GROUP BY n_regionkey
 """
 
 
+def cypher_match_any_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlabeled ``MATCH (n)`` — the union-over-all-labels binding (closes
+    the last round-3 Cypher surface gap). Exercises the whole any-label
+    path: the harmonized union bind, three-valued NULL property access
+    across labels (Host rows have no genome_size), a runtime ``n:Host``
+    label predicate, OPTIONAL MATCH expansion from an any-label anchor
+    (the label restriction rides in the left join's condition so Host rows
+    null-extend), and runtime ``labels(n)``."""
+    q = """MATCH (n) WHERE n.genome_size >= 25 OR n:Host
+           OPTIONAL MATCH (n)-[:infects]->(h:Host)
+           RETURN labels(n)[0] AS label, count(*) AS n_rows,
+                  count(h.genus) AS n_hosts, count(n.taxonomy) AS with_tax
+           ORDER BY label;"""
+    df = _engine(spark, sf_dir).run(q)
+    return df.select(
+        "label",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_hosts").cast("long").alias("n_hosts"),
+        F.col("with_tax").cast("long").alias("with_tax"),
+    )
+
+
+CYPHER_MATCH_ANY_SQL = _CTE + """
+, hosts AS (SELECT DISTINCT host_genus FROM infects),
+anyn AS (
+    SELECT 'PhageGenome' AS label, accession, taxonomy, genome_size
+    FROM nodes
+    UNION ALL
+    SELECT 'Host', NULL, NULL, NULL FROM hosts
+)
+SELECT a.label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(i.host_genus) AS BIGINT) AS n_hosts,
+       CAST(COUNT(a.taxonomy) AS BIGINT) AS with_tax
+FROM anyn a
+LEFT JOIN infects i ON a.label = 'PhageGenome' AND a.accession = i.src
+WHERE a.genome_size >= 25 OR a.label = 'Host'
+GROUP BY a.label
+ORDER BY label
+"""
+
+
+def cypher_point_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian point()/point.distance() under the value oracle. The
+    engine computes sqrt(dx*dx + dy*dy) over doubles — subtraction,
+    multiplication, addition and sqrt are all IEEE-754 correctly-rounded
+    in both JVM Spark and DuckDB, so writing the SAME operation order in
+    the oracle SQL makes the doubles bit-identical (the wgs-84 haversine
+    path stays unit-test-only: libm trig is not correctly rounded)."""
+    q = """MATCH (a:PhageGenome)-[r:sharesDNA]->(b:PhageGenome)
+           WHERE r.distance <= {}
+           RETURN a.accession AS src, b.accession AS dst,
+                  point.distance(point({{x: a.genome_size, y: 0}}),
+                                 point({{x: b.genome_size,
+                                         y: r.distance * 1000}})) AS dist;
+        """.format(GRAPH_THRESHOLD)
+    return _engine(spark, sf_dir).run(q)
+
+
+CYPHER_POINT_DIST_SQL = _CTE + f"""
+SELECT e.src AS src, e.dst AS dst,
+       sqrt((CAST(na.genome_size AS DOUBLE) - CAST(nb.genome_size AS DOUBLE))
+            * (CAST(na.genome_size AS DOUBLE) - CAST(nb.genome_size AS DOUBLE))
+            + (0.0 - e.distance * 1000) * (0.0 - e.distance * 1000)) AS dist
+FROM edges e
+JOIN nodes na ON e.src = na.accession
+JOIN nodes nb ON e.dst = nb.accession
+WHERE e.distance <= {GRAPH_THRESHOLD}
+"""
+
+
 ENTRIES = {
     "cypher_seed_expand": SuiteEntry(
         cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
@@ -1339,5 +1410,11 @@ ENTRIES = {
     ),
     "cypher_load_csv": SuiteEntry(
         cypher_load_csv, CYPHER_LOAD_CSV_SQL, ("S2", "S4", "V8")
+    ),
+    "cypher_match_any_node": SuiteEntry(
+        cypher_match_any_node, CYPHER_MATCH_ANY_SQL, ("S2", "J4", "A6")
+    ),
+    "cypher_point_distance": SuiteEntry(
+        cypher_point_distance, CYPHER_POINT_DIST_SQL, ("S2", "V8", "V4")
     ),
 }

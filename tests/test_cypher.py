@@ -305,9 +305,13 @@ class TestErrors:
         with pytest.raises(CypherCompileError, match="unbound variable"):
             eng.run("MATCH (a:PhageGenome) RETURN z.accession AS x")
 
-    def test_label_needed_on_first_use(self, eng):
-        with pytest.raises(CypherCompileError, match="label"):
-            eng.run("MATCH (a) RETURN a.accession AS x")
+    def test_unlabeled_match_binds_union(self, eng):
+        # was an error before round 3; MATCH (a) now binds every label —
+        # PhageGenome rows carry accession, Host rows read NULL
+        got = eng.run(
+            "MATCH (a) RETURN count(a.accession) AS c"
+        ).collect()
+        assert got[0].c == 12
 
 
 # --------------------------------------------------------------------------
@@ -1511,6 +1515,48 @@ class TestGqlQuantifiers:
         ).collect()
         assert [r.s for r in rows] == ["A1"]
 
+    def test_group_form_matches_short_form(self, eng):
+        # the GROUP form (()-[:T]->()){m,n} lowers to the same plan as the
+        # short form -[:T]->{m,n}
+        grp = rows(eng.run(
+            "MATCH (a:PhageGenome)(()-[:sharesDNA]->()){1,2}(b:PhageGenome)"
+            " RETURN a.accession AS s, b.accession AS t"
+        ))
+        short = rows(eng.run(
+            "MATCH (a:PhageGenome)-[:sharesDNA]->{1,2}(b:PhageGenome)"
+            " RETURN a.accession AS s, b.accession AS t"
+        ))
+        assert grp == short and len(grp) > 0
+
+    def test_group_form_plus_and_exact(self, eng):
+        plus = eng.run(
+            "MATCH (a:PhageGenome {accession:'C1'})(()-[:sharesDNA]->())+"
+            "(b:PhageGenome) RETURN b.accession AS t ORDER BY t"
+        ).collect()
+        assert [r.t for r in plus] == ["A1", "A2", "A3", "B1", "B2"]
+        two = eng.run(
+            "MATCH (a:PhageGenome {accession:'C1'})(()-[:sharesDNA]->()){2}"
+            "(b:PhageGenome) RETURN b.accession AS t ORDER BY t"
+        ).collect()
+        assert [r.t for r in two] == ["A2", "A3"]
+
+    @pytest.mark.parametrize("bad,msg", [
+        ("MATCH (a:PhageGenome)(()-[:sharesDNA]->())*(b:PhageGenome) "
+         "RETURN a.accession AS x", "zero-hop"),
+        ("MATCH (a:PhageGenome)((x)-[:sharesDNA]->()){1,2}(b:PhageGenome) "
+         "RETURN a.accession AS x", "anonymous"),
+        ("MATCH (a:PhageGenome)(()-[:sharesDNA]->()-[:sharesDNA]->())"
+         "{1,2}(b:PhageGenome) RETURN a.accession AS x",
+         "single relationship"),
+        ("MATCH (a:PhageGenome)(()-[r:sharesDNA]->()){1,2}(b:PhageGenome) "
+         "RETURN a.accession AS x", "relationship variables"),
+        ("MATCH (a:PhageGenome)(()-[:sharesDNA*1..2]->()){1,2}"
+         "(b:PhageGenome) RETURN a.accession AS x", "nested"),
+    ])
+    def test_group_form_rejections(self, eng, bad, msg):
+        with pytest.raises(CypherSyntaxError, match=msg):
+            eng.run(bad)
+
 
 def test_tointeger_tofloat_null_on_bad_strings(eng):
     # Neo4j: unparseable strings -> NULL (not an ANSI cast error);
@@ -1600,3 +1646,102 @@ def test_leading_unwind_and_with_without_explicit_spark(eng):
         "WITH 5 AS n RETURN [x IN range(1, n) WHERE x % 2 = 0] AS evens"
     ).collect()
     assert r.evens == [2, 4]
+
+
+# --------------------------------------------------------------------------
+# Unlabeled MATCH (n) — the union-over-all-labels binding
+# --------------------------------------------------------------------------
+
+
+class TestUnlabeledMatch:
+    """``MATCH (n)`` binds the union of every catalog label: one zero-shuffle
+    unionByName of the per-label scans, with runtime ``labels(n)`` and a
+    collision-free composite id. Expectations hand-derived from the conftest
+    fixture (12 PhageGenome + 4 Host = distinct infects genera)."""
+
+    def test_count_by_label(self, eng):
+        got = rows(eng.run(
+            "MATCH (n) RETURN labels(n)[0] AS label, count(*) AS n "
+            "ORDER BY label"
+        ))
+        assert got == [("Host", 4), ("PhageGenome", 12)]
+
+    def test_property_access_null_for_other_labels(self, eng):
+        # taxonomy exists only on PhageGenome; Host rows read NULL
+        got = rows(eng.run(
+            "MATCH (n) RETURN labels(n)[0] AS label, "
+            "count(n.taxonomy) AS with_tax, count(n.genus) AS with_genus "
+            "ORDER BY label"
+        ))
+        # Host.genus is the Host key (4 non-null); 6 phages carry a genus
+        assert got == [("Host", 0, 4), ("PhageGenome", 12, 6)]
+
+    def test_runtime_label_predicate(self, eng):
+        got = rows(eng.run(
+            "MATCH (n) WHERE n:Host RETURN count(*) AS c"
+        ))
+        assert got == [(4,)]
+        got = rows(eng.run(
+            "MATCH (n) WHERE n.genome_size >= 150000 OR n:Host "
+            "RETURN labels(n)[0] AS label, count(*) AS c ORDER BY label"
+        ))
+        # A1 168k, A2 171k, D1 152k, D2 158k pass the size filter
+        assert got == [("Host", 4), ("PhageGenome", 4)]
+
+    def test_expansion_from_any_node(self, eng):
+        # inner expansion restricts to the edge's src label implicitly
+        got = rows(eng.run(
+            "MATCH (n) MATCH (n)-[r:sharesDNA]->(b:PhageGenome) "
+            "RETURN count(*) AS c"
+        ))
+        assert got == [(9,)]
+
+    def test_optional_expansion_keeps_other_labels_null(self, eng):
+        got = rows(eng.run(
+            "MATCH (n) OPTIONAL MATCH (n)-[:infects]->(h:Host) "
+            "RETURN labels(n)[0] AS label, count(*) AS n_rows, "
+            "count(h.genus) AS n_hosts ORDER BY label"
+        ))
+        # B2 infects two hosts -> 12 phages + 1 extra row; 6 infect edges
+        assert got == [("Host", 4, 0), ("PhageGenome", 13, 6)]
+
+    def test_id_is_composite_and_keys_drop_nulls(self, eng):
+        got = rows(eng.run(
+            "MATCH (n) WHERE n:Host "
+            "RETURN id(n) AS nid, keys(n) AS ks ORDER BY nid LIMIT 1"
+        ))
+        assert got == [("Host|Bacillus", ["genus"])]
+        # a phage without genus: keys() drops the NULL placeholder
+        got = rows(eng.run(
+            "MATCH (n) WHERE n.accession = 'A3' RETURN keys(n) AS ks"
+        ))
+        # field order follows the union schema (Neo4j leaves it unspecified)
+        assert got == [(["accession", "source", "taxonomy", "genome_size"],)]
+
+    def test_properties_strips_metadata(self, eng):
+        [r] = eng.run(
+            "MATCH (n) WHERE n.accession = 'A1' RETURN properties(n) AS p"
+        ).collect()
+        assert "__label" not in r.p.asDict() and r.p.accession == "A1"
+
+    def test_labels_function_runtime(self, eng):
+        got = sorted(
+            r.ls
+            for r in eng.run(
+                "MATCH (n) RETURN DISTINCT labels(n) AS ls"
+            ).collect()
+        )
+        assert got == [["Host"], ["PhageGenome"]]
+
+    def test_var_length_from_any_rejected(self, eng):
+        with pytest.raises(CypherCompileError, match="unlabeled"):
+            eng.run(
+                "MATCH (n) MATCH (n)-[:sharesDNA*1..2]->(b:PhageGenome) "
+                "RETURN count(*) AS c"
+            )
+
+    def test_writes_through_any_rejected(self, eng):
+        with pytest.raises(CypherCompileError, match="unlabeled"):
+            eng.run("MATCH (n) SET n.x = 1")
+        with pytest.raises(CypherCompileError, match="unlabeled"):
+            eng.run("MATCH (n) DETACH DELETE n")
