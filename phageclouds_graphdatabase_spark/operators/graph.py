@@ -861,6 +861,126 @@ def _k_core_delta(und: DataFrame, k: int, reliable: bool) -> DataFrame:
     return deg.filter(F.col("degree") >= k)
 
 
+def _triangle_support(live: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical (a < b) edge set.
+
+    Triangles are enumerated ONCE each by orienting every edge up the
+    (degree, id) total order before the wedge self-join — the arboricity
+    bound that caps per-node join fan-out by out-degree under the order,
+    O(m^1.5) work overall instead of the max-degree² blow-up on hubs
+    (the same scheme as the triangle-count suite entry,
+    plans/suite_pipeline.py graph_triangle_counts). Each triangle's three
+    corner pairs are re-canonicalized and counted; edges in no triangle
+    get support 0 via the left join in the caller."""
+    deg = (
+        live.select(F.col("a").alias("n"))
+        .unionByName(live.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    lead_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        live.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.when(lead_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lead_a, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lead_a, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    wedge_lt = (F.col("e1.dv") < F.col("e2.dv")) | (
+        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    tri = (
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_lt)
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+            "left_semi",
+        )
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+    corner = lambda p, q: tri.select(  # noqa: E731
+        F.least(p, q).alias("a"), F.greatest(p, q).alias("b")
+    )
+    pairs = (
+        corner(F.col("x"), F.col("y"))
+        .unionAll(corner(F.col("x"), F.col("z")))
+        .unionAll(corner(F.col("y"), F.col("z")))
+    )
+    return pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Edges of the k-truss: the maximal subgraph where every edge closes
+    >= k-2 triangles within the subgraph — the standard cohesive-subgraph
+    refinement of k-core (every k-truss is inside the (k-1)-core, but
+    trussness also prunes locally tree-like hubs that survive coring).
+    Peeling: compute per-edge triangle support, drop edges under k-2,
+    repeat — removal cascades because a dropped edge destroys its
+    triangles.
+
+    ``rounds=None`` runs to the fixpoint (stop when a peel removes
+    nothing); a fixed ``rounds`` runs exactly that many peels — the
+    deterministic form the DuckDB oracle mirrors round-for-round, equal to
+    the fixpoint whenever peeling converges within the budget. Returns the
+    surviving canonical (a, b) edges with the support measured in the
+    final round.
+
+    Scale: the triangle enumeration per round is the degree-oriented
+    O(m^1.5) join of _triangle_support — the only edge-cardinality
+    shuffle; after round 1 the removed set is small, so the keep-filter is
+    a cheap support left join. Per-round checkpoints cut the re-execution
+    lineage exactly like k_core's peel."""
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3 (k-2 >= 1 triangles)")
+    live = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    i = 0
+    prev_n = None
+    while True:
+        sup = _triangle_support(live)
+        kept = (
+            live.join(sup, ["a", "b"], "left")
+            .select(
+                "a", "b", F.coalesce(F.col("support"), F.lit(0)).alias("support")
+            )
+            .filter(F.col("support") >= k - 2)
+        )
+        i += 1
+        if rounds is not None:
+            if i >= rounds:
+                return kept
+            live = _ckpt(kept.select("a", "b"), reliable_checkpoint)
+            continue
+        kept = _ckpt(kept, reliable_checkpoint)
+        n = kept.count()
+        if prev_n is not None and n == prev_n:
+            return kept
+        prev_n = n
+        live = kept.select("a", "b")
+
+
 def var_length_paths(
     seeds: DataFrame,
     edges: DataFrame,

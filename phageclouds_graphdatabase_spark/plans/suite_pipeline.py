@@ -972,6 +972,81 @@ GROUP BY n
 """
 
 
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss peeling (operators/graph.py k_truss) on the same-brand
+    adjacent-size part graph — a sparse clustered graph where truss
+    peeling actually cascades (the co-supplier graph is complete at small
+    SF, so every edge trivially survives). Exactly TWO peel rounds, the
+    deterministic form the unrolled oracle mirrors round-for-round (at
+    sf0.01 two rounds IS the fixpoint: 4,718 -> 4,123 -> 4,095 edges).
+
+    Scale: the brand equi-join keys the edge build (size band is a
+    residual predicate — at 100 TB the build becomes a (brand,
+    size-bucket) equi-join exactly like the binned range join of
+    operators/rangejoin.py); each peel's triangle enumeration is the
+    degree-oriented O(m^1.5) join shared with graph_triangle_counts."""
+    from phageclouds_graphdatabase_spark.operators import graph as graph_ops
+
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    x, y = p.alias("x"), p.alias("y")
+    e = x.join(
+        y,
+        (F.col("x.p_brand") == F.col("y.p_brand"))
+        & (F.abs(F.col("x.p_size") - F.col("y.p_size")) <= 1)
+        & (F.col("x.p_partkey") < F.col("y.p_partkey")),
+    ).select(
+        F.col("x.p_partkey").alias("src"), F.col("y.p_partkey").alias("dst")
+    )
+    out = graph_ops.k_truss(e, k=4, rounds=2)
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("support").cast("long").alias("support"),
+    )
+
+
+GRAPH_KTRUSS_SQL = """
+WITH e0 AS (
+    SELECT x.p_partkey AS a, y.p_partkey AS b
+    FROM part x JOIN part y
+      ON x.p_brand = y.p_brand AND abs(x.p_size - y.p_size) <= 1
+     AND x.p_partkey < y.p_partkey
+),
+tri0 AS (
+    SELECT e1.a AS a, e1.b AS b, e2.b AS c
+    FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b
+    JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+sup0 AS (
+    SELECT ed.a, ed.b, COALESCE(t.s, 0) AS s FROM e0 ed LEFT JOIN (
+        SELECT a, b, COUNT(*) AS s FROM (
+            SELECT a, b FROM tri0
+            UNION ALL SELECT a, c FROM tri0
+            UNION ALL SELECT b, c FROM tri0
+        ) GROUP BY a, b
+    ) t ON ed.a = t.a AND ed.b = t.b
+),
+e1x AS (SELECT a, b FROM sup0 WHERE s >= 2),
+tri1 AS (
+    SELECT e1.a AS a, e1.b AS b, e2.b AS c
+    FROM e1x e1 JOIN e1x e2 ON e2.a = e1.b
+    JOIN e1x e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+sup1 AS (
+    SELECT ed.a, ed.b, COALESCE(t.s, 0) AS s FROM e1x ed LEFT JOIN (
+        SELECT a, b, COUNT(*) AS s FROM (
+            SELECT a, b FROM tri1
+            UNION ALL SELECT a, c FROM tri1
+            UNION ALL SELECT b, c FROM tri1
+        ) GROUP BY a, b
+    ) t ON ed.a = t.a AND ed.b = t.b
+)
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(s AS BIGINT) AS support
+FROM sup1 WHERE s >= 2
+"""
+
+
 # --------------------------------------------------------------------------
 # GROUPING SETS (A6 completion beyond rollup/cube): independent grouping
 # dimensions in one pass.
@@ -1525,6 +1600,9 @@ ENTRIES: dict[str, SuiteEntry] = {
     "graph_wedge_counts": SuiteEntry(graph_wedge_counts, GRAPH_WEDGES_SQL, ("J1", "A6")),
     "graph_triangle_counts": SuiteEntry(
         graph_triangle_counts, GRAPH_TRIANGLES_SQL, ("J1", "W6")
+    ),
+    "graph_ktruss": SuiteEntry(
+        graph_ktruss, GRAPH_KTRUSS_SQL, ("J1", "W6")
     ),
     "graph_node_similarity": SuiteEntry(
         graph_node_similarity, GRAPH_NODE_SIM_SQL, ("J1", "W6", "W5")

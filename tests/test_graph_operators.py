@@ -324,3 +324,87 @@ def test_fastrp_embeddings_shape_and_determinism(spark, shares_dna):
     assert emb1["A1"] != emb1["A2"]
     # every reachable node is embedded (ids appearing in the edge set)
     assert {"A1", "A2", "A3", "B1", "B2", "B3"} <= set(emb1)
+
+
+# --------------------------------------------------------------------------
+# k-truss (operators/graph.py k_truss): triangle-support peeling
+# --------------------------------------------------------------------------
+
+
+def _truss_rows(df):
+    return sorted((r.a, r.b, r.support) for r in df.collect())
+
+
+def test_k_truss_cascade_two_triangles(spark):
+    # two triangles sharing edge (2,3): that edge has support 2, the other
+    # four support 1. k=4 removes the four in round 1, which destroys both
+    # triangles, so (2,3) drops to support 0 and is removed in round 2 —
+    # the cascade the fixpoint loop must follow.
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src int, dst int"
+    )
+    # rounds=1 stops after the first peel: only (2,3) survives, support 2
+    assert _truss_rows(G.k_truss(e, 4, rounds=1)) == [(2, 3, 2)]
+    # round 2 (and the fixpoint) remove it
+    assert G.k_truss(e, 4, rounds=2).count() == 0
+    assert G.k_truss(e, 4).count() == 0
+    # k=3 keeps everything (every edge closes >= 1 triangle)
+    assert len(_truss_rows(G.k_truss(e, 3))) == 5
+
+
+def test_k_truss_k5_on_k5_clique(spark):
+    # K5: every edge closes exactly 3 triangles -> the whole clique is a
+    # 5-truss; k=6 (support >= 4) empties it
+    from itertools import combinations
+
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    e = spark.createDataFrame(
+        list(combinations(range(5), 2)), "src int, dst int"
+    )
+    got = _truss_rows(G.k_truss(e, 5))
+    assert len(got) == 10 and all(s == 3 for _, _, s in got)
+    assert G.k_truss(e, 6).count() == 0
+
+
+def test_k_truss_canonicalizes_and_dedups_input(spark):
+    # reversed duplicates and self-loops in the input collapse to one
+    # canonical edge each before peeling
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (1, 1)],
+        "src int, dst int",
+    )
+    assert _truss_rows(G.k_truss(e, 3)) == [(1, 2, 1), (1, 3, 1), (2, 3, 1)]
+
+
+def test_k_truss_rejects_k_below_3(spark):
+    import pytest
+
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    e = spark.createDataFrame([(1, 2)], "src int, dst int")
+    with pytest.raises(ValueError, match="k >= 3"):
+        G.k_truss(e, 2)
+
+
+def test_k_truss_inside_k_minus_1_core(spark):
+    # containment property: every edge of the k-truss joins two nodes of
+    # the (k-1)-core — checked on a random graph
+    import random
+
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    rng = random.Random(7)
+    edges = list({
+        tuple(sorted(rng.sample(range(30), 2))) for _ in range(120)
+    })
+    e = spark.createDataFrame(edges, "src int, dst int")
+    truss_nodes = set()
+    for r in G.k_truss(e, 4).collect():
+        truss_nodes.update((r.a, r.b))
+    core_nodes = {r.id for r in G.k_core(e, 3).collect()}
+    assert truss_nodes <= core_nodes
