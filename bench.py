@@ -80,6 +80,9 @@ HEADLINE = [
     "pq_ann_topk",
     "graph_harmonic_centrality",
     "cypher_temporal_orders",
+    # round-3 late additions: triangle-support peeling (two rounds of the
+    # degree-oriented O(m^1.5) enumeration)
+    "graph_ktruss",
 ]
 
 

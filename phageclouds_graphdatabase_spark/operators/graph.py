@@ -894,18 +894,32 @@ def _triangle_support(live: DataFrame) -> DataFrame:
     wedge_lt = (F.col("e1.dv") < F.col("e2.dv")) | (
         (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
     )
-    tri = (
-        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_lt)
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
-            "left_semi",
-        )
-        .select(
-            F.col("e1.u").alias("x"),
-            F.col("e1.v").alias("y"),
-            F.col("e2.v").alias("z"),
-        )
+    wedges = e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_lt).select(
+        F.col("e1.u").alias("x"),
+        F.col("e1.v").alias("y"),
+        F.col("e2.v").alias("z"),
+    )
+    # Closing semi-join, SORT-FREE: the wedge stream is O(sum outdeg²) rows
+    # — orders of magnitude larger than the edge set on dense graphs — and
+    # Catalyst's default sort-merge semi-join SORTS it (observed at the
+    # 2M-skew rehearsal tier: ~2B wedges from the 264k near-clique
+    # spill-sorted local disk to death, SPILL_OUT_OF_MEMORY/No space left).
+    # Two phases instead, the dedup family's prefilter+verify shape:
+    #   1. map-side semi-join against the BROADCAST 64-bit hash set of
+    #      oriented edges (8 B/edge — even 100M edges broadcast under a
+    #      GB), so wedges stream through unshuffled and unsorted and only
+    #      ~#triangles rows (plus rare hash collisions) survive;
+    #   2. the exact semi-join on that tiny survivor set — correctness
+    #      never rests on the hash.
+    closing = F.xxhash64(F.col("y"), F.col("z"))
+    edge_hashes = oriented.select(F.xxhash64("u", "v").alias("__h"))
+    candidates = wedges.join(
+        F.broadcast(edge_hashes), closing == F.col("__h"), "left_semi"
+    )
+    tri = candidates.join(
+        e3,
+        (F.col("e3.u") == F.col("y")) & (F.col("e3.v") == F.col("z")),
+        "left_semi",
     )
     corner = lambda p, q: tri.select(  # noqa: E731
         F.least(p, q).alias("a"), F.greatest(p, q).alias("b")
@@ -948,14 +962,15 @@ def k_truss(
     lineage exactly like k_core's peel."""
     if k < 3:
         raise ValueError("k-truss needs k >= 3 (k-2 >= 1 triangles)")
-    live = (
+    live = _ckpt(
         edges.select(
             F.least(F.col("src"), F.col("dst")).alias("a"),
             F.greatest(F.col("src"), F.col("dst")).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+        .distinct(),
+        reliable_checkpoint,
+    )  # materialized once: every round self-joins it three times
     i = 0
     prev_n = None
     while True:

@@ -408,3 +408,38 @@ def test_k_truss_inside_k_minus_1_core(spark):
         truss_nodes.update((r.a, r.b))
     core_nodes = {r.id for r in G.k_core(e, 3).collect()}
     assert truss_nodes <= core_nodes
+
+
+def test_k_truss_matches_bruteforce_peel(spark):
+    # differential: the distributed peel equals a driver-side reference
+    # implementation (set-based peeling) on random graphs
+    import random
+
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    def brute_truss(edge_set, k):
+        live = set(edge_set)
+        while True:
+            sup = {e: 0 for e in live}
+            nodes = {n for e in live for n in e}
+            adj = {n: set() for n in nodes}
+            for a, b in live:
+                adj[a].add(b)
+                adj[b].add(a)
+            for a, b in live:
+                sup[(a, b)] = len(adj[a] & adj[b])
+            nxt = {e for e in live if sup[e] >= k - 2}
+            if nxt == live:
+                return {(a, b, sup[(a, b)]) for a, b in live}
+            live = nxt
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        edges = list({
+            tuple(sorted(rng.sample(range(24), 2))) for _ in range(90)
+        })
+        e = spark.createDataFrame(edges, "src int, dst int")
+        for k in (3, 4, 5):
+            got = set(_truss_rows(G.k_truss(e, k)))
+            want = brute_truss(edges, k)
+            assert got == want, (seed, k)

@@ -280,3 +280,44 @@ def test_cypher_subscript_stays_jvm_side(spark, sf_dir, tmp_path):
     )
     plan = explain_str(df)
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_any_node_union_prunes_both_scan_arms(spark, sf_dir, tmp_path):
+    # unlabeled MATCH (n): column pruning must reach the parquet scan of
+    # EVERY arm of the union-over-labels — the PhageGenome arm reads only
+    # the referenced property, the Host arm only its key source column
+    from phageclouds_graphdatabase_spark.cypher import CypherEngine, phage_catalog
+    from phageclouds_graphdatabase_spark.plans import suite_cypher as sc
+
+    np_, ip_ = str(tmp_path / "nodes"), str(tmp_path / "infects")
+    sc._nodes(spark, sf_dir).write.mode("overwrite").parquet(np_)
+    sc._infects(spark, sf_dir).write.mode("overwrite").parquet(ip_)
+    eng = CypherEngine(phage_catalog(
+        spark.read.parquet(np_),
+        spark.createDataFrame([], "src string, dst string, distance double"),
+        spark.read.parquet(ip_),
+    ))
+    df = eng.run("MATCH (n) RETURN labels(n)[0] AS label, count(n.genus) AS g")
+    plan = explain_str(df)
+    schemas = [l.strip() for l in plan.splitlines() if "ReadSchema" in l]
+    assert any("genus" in s and "taxonomy" not in s and "accession" not in s
+               for s in schemas), schemas
+    assert any("host_genus" in s and "src" not in s for s in schemas), schemas
+
+
+def test_ktruss_closing_join_is_broadcast_prefiltered(spark):
+    # the triangle-closing semi-join must NOT sort-merge the wedge stream
+    # (observed disk death at the 2M-skew tier): phase 1 is a map-side
+    # BroadcastHashJoin LeftSemi against the 64-bit edge-hash set, phase 2
+    # the exact semi-join on the tiny survivor set
+    from phageclouds_graphdatabase_spark.operators.graph import (
+        _triangle_support,
+    )
+
+    live = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "a int, b int"
+    )
+    plan = explain_str(_triangle_support(live))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # the broadcast prefilter rides on the xxhash64 of the closing pair
+    assert "xxhash64" in plan, plan

@@ -160,6 +160,17 @@ def main() -> None:
     )
     ap.add_argument("--roots", type=int, default=100,
                     help="sampled root count for --centrality-only")
+    ap.add_argument(
+        "--truss-only",
+        action="store_true",
+        help="probe ONLY k-truss peeling (k=4) on the thresholded graph "
+        "at this tier — the near-clique clusters give it real triangle "
+        "density",
+    )
+    ap.add_argument(
+        "--truss-rounds", type=int, default=None,
+        help="peel-round budget for --truss-only (default: fixpoint)",
+    )
     args = ap.parse_args()
 
     work = args.work_dir
@@ -245,6 +256,29 @@ def main() -> None:
                     "ingest_sec": round(t_ingest, 2),
                     "n_harmonic_nodes": n_harm,
                     "n_ppr_reached": n_ppr,
+                    **timings,
+                }
+            )
+        )
+        if not args.keep:
+            shutil.rmtree(work, ignore_errors=True)
+        return
+
+    if args.truss_only:
+        fe = edges.filter(F.col("distance") <= 0.15).select("src", "dst")
+        t0 = time.time()
+        truss = G.k_truss(fe, 4, rounds=args.truss_rounds)
+        n_truss = truss.count()
+        timings["ktruss_sec"] = round(time.time() - t0, 2)
+        print(
+            json.dumps(
+                {
+                    "n_nodes": args.nodes,
+                    "n_edges": n_edges,
+                    "skew": args.skew,
+                    "gen_sec": round(t_gen, 2),
+                    "ingest_sec": round(t_ingest, 2),
+                    "n_truss_edges": n_truss,
                     **timings,
                 }
             )
