@@ -861,17 +861,17 @@ def _k_core_delta(und: DataFrame, k: int, reliable: bool) -> DataFrame:
     return deg.filter(F.col("degree") >= k)
 
 
-def _triangle_support(live: DataFrame) -> DataFrame:
-    """Per-edge triangle support over a canonical (a < b) edge set.
-
-    Triangles are enumerated ONCE each by orienting every edge up the
-    (degree, id) total order before the wedge self-join — the arboricity
-    bound that caps per-node join fan-out by out-degree under the order,
-    O(m^1.5) work overall instead of the max-degree² blow-up on hubs
-    (the same scheme as the triangle-count suite entry,
-    plans/suite_pipeline.py graph_triangle_counts). Each triangle's three
-    corner pairs are re-canonicalized and counted; edges in no triangle
-    get support 0 via the left join in the caller."""
+def _orient_edges(live: DataFrame) -> DataFrame:
+    """Orient a canonical (a < b) edge set up the (degree, id) total order
+    -> (u, v, dv). The orientation caps per-node wedge fan-out by
+    out-degree under the order — the arboricity bound, O(m^1.5) work
+    overall instead of the max-degree² blow-up on hubs (same scheme as the
+    triangle-count suite entry, plans/suite_pipeline.py
+    graph_triangle_counts). Computed ONCE per k_truss call: any fixed
+    total order enumerates each triangle exactly once, so peeling rounds
+    reuse the original orientation instead of re-aggregating degrees —
+    stale degrees only loosen the fan-out bound, never correctness (and
+    peeling only shrinks degrees, so the original order stays close)."""
     deg = (
         live.select(F.col("a").alias("n"))
         .unionByName(live.select(F.col("b").alias("n")))
@@ -881,7 +881,7 @@ def _triangle_support(live: DataFrame) -> DataFrame:
     lead_a = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = (
+    return (
         live.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
         .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
         .select(
@@ -890,6 +890,17 @@ def _triangle_support(live: DataFrame) -> DataFrame:
             F.when(lead_a, F.col("db")).otherwise(F.col("da")).alias("dv"),
         )
     )
+
+
+def _triangle_support(oriented: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a degree-oriented (u, v, dv) edge
+    set (_orient_edges). Returns (u, v, support); edges in no triangle are
+    absent (the caller left-joins and fills 0).
+
+    A triangle found at wedge apex x with far corners y, z has edges
+    (x,y), (x,z), (y,z) — all three already IN oriented coordinates ((x,y)
+    and (x,z) by construction, (y,z) because the closing match is against
+    the oriented set), so support aggregates without re-canonicalizing."""
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     wedge_lt = (F.col("e1.dv") < F.col("e2.dv")) | (
         (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
@@ -921,15 +932,12 @@ def _triangle_support(live: DataFrame) -> DataFrame:
         (F.col("e3.u") == F.col("y")) & (F.col("e3.v") == F.col("z")),
         "left_semi",
     )
-    corner = lambda p, q: tri.select(  # noqa: E731
-        F.least(p, q).alias("a"), F.greatest(p, q).alias("b")
-    )
     pairs = (
-        corner(F.col("x"), F.col("y"))
-        .unionAll(corner(F.col("x"), F.col("z")))
-        .unionAll(corner(F.col("y"), F.col("z")))
+        tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
+        .unionAll(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
+        .unionAll(tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
     )
-    return pairs.groupBy("a", "b").agg(
+    return pairs.groupBy("u", "v").agg(
         F.count(F.lit(1)).cast("long").alias("support")
     )
 
@@ -955,45 +963,54 @@ def k_truss(
     surviving canonical (a, b) edges with the support measured in the
     final round.
 
-    Scale: the triangle enumeration per round is the degree-oriented
-    O(m^1.5) join of _triangle_support — the only edge-cardinality
-    shuffle; after round 1 the removed set is small, so the keep-filter is
-    a cheap support left join. Per-round checkpoints cut the re-execution
-    lineage exactly like k_core's peel."""
+    Scale: degrees and orientation are computed ONCE (_orient_edges — any
+    fixed total order stays correct across peels); each round is then one
+    wedge join + the sort-free two-phase closing join + one support
+    aggregation, all in oriented coordinates. Per-round checkpoints cut
+    the re-execution lineage exactly like k_core's peel."""
     if k < 3:
         raise ValueError("k-truss needs k >= 3 (k-2 >= 1 triangles)")
-    live = _ckpt(
+    canonical = (
         edges.select(
             F.least(F.col("src"), F.col("dst")).alias("a"),
             F.greatest(F.col("src"), F.col("dst")).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct(),
-        reliable_checkpoint,
-    )  # materialized once: every round self-joins it three times
+        .distinct()
+    )
+    # materialized once: every round self-joins the live set three times
+    live = _ckpt(_orient_edges(canonical), reliable_checkpoint)
+    out_cols = [
+        F.least(F.col("u"), F.col("v")).alias("a"),
+        F.greatest(F.col("u"), F.col("v")).alias("b"),
+        F.col("support"),
+    ]
     i = 0
     prev_n = None
     while True:
         sup = _triangle_support(live)
         kept = (
-            live.join(sup, ["a", "b"], "left")
+            live.join(sup, ["u", "v"], "left")
             .select(
-                "a", "b", F.coalesce(F.col("support"), F.lit(0)).alias("support")
+                "u",
+                "v",
+                "dv",
+                F.coalesce(F.col("support"), F.lit(0)).alias("support"),
             )
             .filter(F.col("support") >= k - 2)
         )
         i += 1
         if rounds is not None:
             if i >= rounds:
-                return kept
-            live = _ckpt(kept.select("a", "b"), reliable_checkpoint)
+                return kept.select(*out_cols)
+            live = _ckpt(kept.select("u", "v", "dv"), reliable_checkpoint)
             continue
         kept = _ckpt(kept, reliable_checkpoint)
         n = kept.count()
         if prev_n is not None and n == prev_n:
-            return kept
+            return kept.select(*out_cols)
         prev_n = n
-        live = kept.select("a", "b")
+        live = kept.select("u", "v", "dv")
 
 
 def var_length_paths(

@@ -311,13 +311,14 @@ def test_ktruss_closing_join_is_broadcast_prefiltered(spark):
     # BroadcastHashJoin LeftSemi against the 64-bit edge-hash set, phase 2
     # the exact semi-join on the tiny survivor set
     from phageclouds_graphdatabase_spark.operators.graph import (
+        _orient_edges,
         _triangle_support,
     )
 
     live = spark.createDataFrame(
         [(1, 2), (1, 3), (2, 3)], "a int, b int"
     )
-    plan = explain_str(_triangle_support(live))
+    plan = explain_str(_triangle_support(_orient_edges(live)))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     # the broadcast prefilter rides on the xxhash64 of the closing pair
     assert "xxhash64" in plan, plan
