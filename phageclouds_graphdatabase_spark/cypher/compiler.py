@@ -22,6 +22,8 @@ Clause → plan shape:
 
 from __future__ import annotations
 
+import re as _re
+
 from contextlib import contextmanager
 from dataclasses import dataclass, field, replace as _dc_replace
 
@@ -32,6 +34,9 @@ from pyspark.sql.window import Window
 
 from phageclouds_graphdatabase_spark.cypher import ast_nodes as A
 from phageclouds_graphdatabase_spark.cypher.parser import parse
+
+
+_EXPLAIN_RE = _re.compile(r"^\s*(explain|profile)\b\s*", _re.IGNORECASE)
 
 
 class CypherCompileError(ValueError):
@@ -274,6 +279,16 @@ class CypherEngine:
         self._lambda_types: dict = {}
 
     def run(self, query: str, params: dict | None = None) -> DataFrame:
+        m = _EXPLAIN_RE.match(query)
+        if m:
+            # Neo4j's EXPLAIN (plan without executing) / PROFILE (execute,
+            # then the plan that actually ran). EXPLAIN returns Catalyst's
+            # formatted plan — scans with PushedFilters/ReadSchema,
+            # join strategies, codegen spans — one line per row; PROFILE
+            # forces execution and returns the final (AQE-re-planned)
+            # physical plan with a leading `rows: N` line.
+            df = self.run(query[m.end():], params)
+            return self._explain_df(df, profile=m.group(1).lower() == "profile")
         ast = parse(query)
         if isinstance(ast, A.UnionQuery):
             return self._compile_union(ast, params or {})
@@ -297,6 +312,24 @@ class CypherEngine:
                 )
             return df
         return self.compile(ast, params or {})
+
+    def _explain_df(self, df: DataFrame, profile: bool) -> DataFrame:
+        spark = df.sparkSession
+        if profile:
+            # drive THIS queryExecution's physical plan (df.count() would
+            # plan and run a separate aggregation query, leaving the AQE
+            # plan here unfinalized)
+            qe = df._jdf.queryExecution()
+            n = qe.executedPlan().execute().count()
+            lines = [f"rows: {n}"] + qe.executedPlan().toString().splitlines()
+        else:
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            lines = plan.splitlines()
+        return spark.createDataFrame(
+            list(enumerate(lines)), "line int, plan string"
+        )
 
     def _compile_union(self, uq: A.UnionQuery, params: dict) -> DataFrame:
         """UNION [ALL]: compile each part, require identical column names

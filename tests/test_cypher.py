@@ -1745,3 +1745,35 @@ class TestUnlabeledMatch:
             eng.run("MATCH (n) SET n.x = 1")
         with pytest.raises(CypherCompileError, match="unlabeled"):
             eng.run("MATCH (n) DETACH DELETE n")
+
+
+class TestExplainProfile:
+    """EXPLAIN / PROFILE prefixes — Neo4j's plan-inspection surface, mapped
+    to Catalyst: EXPLAIN returns the formatted physical plan (scans with
+    PushedFilters/ReadSchema, join strategies) one line per row without
+    executing; PROFILE drives this queryExecution's plan to completion and
+    returns the FINAL AQE plan plus a leading `rows: N` line."""
+
+    def test_explain_returns_plan_rows(self, eng):
+        df = eng.run(
+            "EXPLAIN MATCH (a:PhageGenome)-[r:sharesDNA]->(b:PhageGenome) "
+            "WHERE r.distance <= 0.25 RETURN a.accession AS s"
+        )
+        assert df.columns == ["line", "plan"]
+        text = "\n".join(r.plan for r in df.collect())
+        assert "== Physical Plan ==" in text and "Join" in text
+
+    def test_profile_executes_and_reports_rows(self, eng):
+        rows_ = eng.run(
+            "PROFILE MATCH (a:PhageGenome)-[r:sharesDNA]->(b:PhageGenome) "
+            "RETURN a.accession AS s"
+        ).collect()
+        assert rows_[0].plan == "rows: 9"
+        assert any("isFinalPlan=true" in r.plan for r in rows_)
+
+    def test_explain_case_insensitive_and_union(self, eng):
+        text = "\n".join(r.plan for r in eng.run(
+            "explain MATCH (a:PhageGenome) RETURN a.accession AS x "
+            "UNION MATCH (h:Host) RETURN h.genus AS x"
+        ).collect())
+        assert "Union" in text or "union" in text
