@@ -566,7 +566,11 @@ class CypherEngine:
             # the key argument of _struct_of below).
             label = _ANY
             if frame.used is not None and frame.used.get(var) is not _ALL:
-                frame.used.setdefault(var, set()).add("__label")
+                u = frame.used.setdefault(var, set())
+                u.add("__label")
+                # every label's key property: iterative expansions seed
+                # from the harmonized raw-key column (_anchor_expand_key)
+                u.update(nt.key for nt in self.catalog.nodes.values())
         nt = self.catalog.node(label)
         df = nt.df
         for name, val in pat.props:
@@ -695,15 +699,36 @@ class CypherEngine:
         return nvar
 
     def _reject_any_anchor(self, frame: _Frame, anchor: str, what: str) -> None:
-        """Iterative expansions key their frontiers on raw per-label node
-        keys; a union-of-labels anchor has no single key domain. Neo4j
-        allows it, but every reference query labels its expansion anchors
-        -- fail with an actionable message instead of joining wrong."""
+        """Multi-edge chain expansions thread a per-position label through
+        the whole pattern; a union-of-labels anchor would need that
+        threading end-to-end — fail with an actionable message instead of
+        joining wrong. (Single-segment var-length/shortest paths RESOLVE
+        any-label anchors instead, via _anchor_expand_key.)"""
         if frame.vars[anchor][1] == _ANY:
             raise CypherCompileError(
                 f"{what} from an unlabeled node is not supported; "
                 "label the anchor node"
             )
+
+    def _anchor_expand_key(
+        self, frame: _Frame, anchor: str, near_label: str
+    ) -> Column:
+        """Key expression seeding an iterative expansion from ``anchor``.
+        Single-label anchors use their key property directly. An any-label
+        (union) anchor is first restricted to the relationship's near-side
+        label — a plain filter: expansions match inner semantics, and
+        inside OPTIONAL MATCH the restriction lands on the sub-frame, so
+        the outer left join still null-extends other-label rows — then
+        seeds from the harmonized key column of that label (the union
+        schema carries every label's key property by name;
+        _anchor_node marks them all used for any-label binds)."""
+        label = frame.vars[anchor][1]
+        if label == _ANY:
+            frame.df = frame.df.filter(
+                F.col(anchor)["__label"] == F.lit(near_label)
+            )
+            label = near_label
+        return F.col(anchor)[self.catalog.node(label).key]
 
     def _join_var_length(
         self,
@@ -773,9 +798,8 @@ class CypherEngine:
         step = edf.select(
             F.col(near).alias("__va"), F.col(far).alias("__vb")
         ).localCheckpoint()
-        self._reject_any_anchor(frame, anchor, "var-length expansion")
-        anchor_key = F.col(anchor)[self.catalog.node(
-            frame.vars[anchor][1]).key]
+        near_label = rel.src_label if near == rel.src_col else rel.dst_label
+        anchor_key = self._anchor_expand_key(frame, anchor, near_label)
         seeds = frame.df.select(anchor_key.alias("__vs")).distinct()
         frontier = (
             seeds.join(step, F.col("__vs") == F.col("__va"))
@@ -894,9 +918,7 @@ class CypherEngine:
         # round (cypher_path_enumeration 21 s -> ~8 s at sf0.01)
         step = step.localCheckpoint()
 
-        self._reject_any_anchor(frame, anchor, "path expansion")
-        nt_anchor = self.catalog.node(frame.vars[anchor][1])
-        anchor_key = F.col(anchor)[nt_anchor.key]
+        anchor_key = self._anchor_expand_key(frame, anchor, rel.src_label)
         seeds = frame.df.select(anchor_key.alias("__pa")).distinct()
         first_sel = [
             F.array("__pa", "__pn").alias("__nodes"),
@@ -1019,7 +1041,7 @@ class CypherEngine:
             raise CypherCompileError(f"{path_var} is already bound")
         first = pat.nodes[0]
         anchor = self._anchor_node(frame, first, params)
-        self._reject_any_anchor(frame, anchor, "path expansion")
+        self._reject_any_anchor(frame, anchor, "multi-edge chain expansion")
         nt_anchor = self.catalog.node(frame.vars[anchor][1])
         anchor_key = F.col(anchor)[nt_anchor.key]
 
@@ -1292,9 +1314,7 @@ class CypherEngine:
             )
         step = step.localCheckpoint()  # see _join_var_length_paths note
 
-        self._reject_any_anchor(frame, anchor, "path expansion")
-        nt_anchor = self.catalog.node(frame.vars[anchor][1])
-        anchor_key = F.col(anchor)[nt_anchor.key]
+        anchor_key = self._anchor_expand_key(frame, anchor, rel.src_label)
         sd = frame.df.select(anchor_key.alias("__pa")).distinct()
         visited = sd.select(
             F.col("__pa"), F.col("__pa").alias("__pv")

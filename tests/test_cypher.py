@@ -1733,11 +1733,46 @@ class TestUnlabeledMatch:
         )
         assert got == [["Host"], ["PhageGenome"]]
 
-    def test_var_length_from_any_rejected(self, eng):
+    def test_var_length_from_any_equals_labeled(self, eng):
+        # single-segment var-length/shortest expansion RESOLVES any-label
+        # anchors (label filter + harmonized key seed) instead of rejecting
+        any_ = rows(eng.run(
+            "MATCH (n) MATCH (n)-[:sharesDNA*1..2]->(b:PhageGenome) "
+            "RETURN n.accession AS s, b.accession AS t"
+        ))
+        lab = rows(eng.run(
+            "MATCH (n:PhageGenome) MATCH (n)-[:sharesDNA*1..2]->"
+            "(b:PhageGenome) RETURN n.accession AS s, b.accession AS t"
+        ))
+        assert any_ == lab and len(any_) > 0
+
+    def test_shortest_path_from_any_equals_labeled(self, eng):
+        any_ = rows(eng.run(
+            "MATCH (n) MATCH p = shortestPath((n)-[:sharesDNA*..3]-"
+            "(b:PhageGenome {accession:'A2'})) "
+            "RETURN n.accession AS s, length(p) AS l"
+        ))
+        lab = rows(eng.run(
+            "MATCH (n:PhageGenome) MATCH p = shortestPath((n)-"
+            "[:sharesDNA*..3]-(b:PhageGenome {accession:'A2'})) "
+            "RETURN n.accession AS s, length(p) AS l"
+        ))
+        assert any_ == lab and len(any_) > 0
+
+    def test_optional_var_length_from_any_null_extends(self, eng):
+        got = rows(eng.run(
+            "MATCH (n) OPTIONAL MATCH (n)-[:sharesDNA*1..2]->"
+            "(b:PhageGenome) RETURN labels(n)[0] AS lab, count(*) AS c, "
+            "count(b.accession) AS hits ORDER BY lab"
+        ))
+        assert got == [("Host", 4, 0), ("PhageGenome", 18, 14)]
+
+    def test_multi_edge_chain_from_any_rejected(self, eng):
         with pytest.raises(CypherCompileError, match="unlabeled"):
             eng.run(
-                "MATCH (n) MATCH (n)-[:sharesDNA*1..2]->(b:PhageGenome) "
-                "RETURN count(*) AS c"
+                "MATCH (n) MATCH p = (n)-[:sharesDNA*1..2]->"
+                "(m:PhageGenome)-[:sharesDNA]->(b:PhageGenome) "
+                "RETURN length(p) AS l"
             )
 
     def test_writes_through_any_rejected(self, eng):
