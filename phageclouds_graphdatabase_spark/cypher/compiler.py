@@ -64,6 +64,7 @@ class RelTable:
 
 
 _ANY = "__any"  # reserved label: the union of every catalog label (MATCH (n))
+_ANYREL = "__anyrel"  # reserved reltype: untyped pattern -[r]-> (any type)
 
 
 def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
@@ -565,12 +566,7 @@ class CypherEngine:
             # n:Label predicates read it (the composite __key arrives via
             # the key argument of _struct_of below).
             label = _ANY
-            if frame.used is not None and frame.used.get(var) is not _ALL:
-                u = frame.used.setdefault(var, set())
-                u.add("__label")
-                # every label's key property: iterative expansions seed
-                # from the harmonized raw-key column (_anchor_expand_key)
-                u.update(nt.key for nt in self.catalog.nodes.values())
+            self._mark_any_used(frame, var)
         nt = self.catalog.node(label)
         df = nt.df
         for name, val in pat.props:
@@ -595,7 +591,13 @@ class CypherEngine:
     ) -> str:
         """Join anchor -[edge]-> node into frame.df; returns the new anchor."""
         if edge.reltype is None:
-            raise CypherCompileError("relationship patterns need a type")
+            if edge.var_length is not None:
+                raise CypherCompileError(
+                    "var-length patterns need a relationship type"
+                )
+            return self._join_step_anyrel(
+                frame, anchor, edge, node, params, how
+            )
         rel = self.catalog.rel(edge.reltype)
         _, anchor_label = frame.vars[anchor]
 
@@ -696,6 +698,193 @@ class CypherEngine:
         ).drop(nearc, farc)
         frame.vars[evar] = ("edge", edge.reltype)
         frame.vars[nvar] = ("node", nlabel)
+        return nvar
+
+    def _mark_any_used(self, frame: _Frame, var: str) -> None:
+        """Keep the union binding's metadata through struct pruning:
+        __label (labels(n), runtime n:Label) and every label's key
+        property (iterative expansions seed from the harmonized raw-key
+        column, _anchor_expand_key). The composite __key arrives via the
+        key argument of _struct_of."""
+        if frame.used is not None and frame.used.get(var) is not _ALL:
+            u = frame.used.setdefault(var, set())
+            u.add("__label")
+            u.update(nt.key for nt in self.catalog.nodes.values())
+
+    def _join_step_anyrel(
+        self,
+        frame: _Frame,
+        anchor: str,
+        edge: A.EdgePat,
+        node: A.NodePat,
+        params: dict,
+        how: str,
+    ) -> str:
+        """Untyped relationship pattern ``(a)-[r]->(b)`` — the union over
+        every relationship TYPE, the edge-side twin of unlabeled MATCH (n).
+
+        One arm per (type, orientation) compatible with the pattern: 'out'
+        anchors each type at src, 'in' at dst, 'both' takes both
+        orientations of every type (Neo4j's either-direction semantics,
+        cross-label types included). Arms are pruned at COMPILE time by the
+        anchor's label, the far node's label, and the edge property filters
+        (a property a type doesn't carry can never match — Neo4j's missing
+        property IS null). Each arm contributes a harmonized edge struct
+        (by-name property alignment, widened types, plus a runtime __type
+        that type(r) reads) and composite 'label|key' far keys, so the far
+        endpoint binds through the same union-of-labels machinery as
+        unlabeled nodes. At scale each arm is an independently pushed-down
+        scan; the union is zero-shuffle and the per-arm label literal lets
+        Catalyst prune arms against far-label constraints."""
+        kind, anchor_label = frame.vars[anchor]
+
+        # candidate (type, edf, near, far, near_label, far_label) arms
+        arms = []
+        for rtype, rel in self.catalog.rels.items():
+            ors = []
+            if edge.direction in ("out", "both"):
+                ors.append((rel.src_col, rel.dst_col, rel.src_label, rel.dst_label))
+            if edge.direction in ("in", "both"):
+                ors.append((rel.dst_col, rel.src_col, rel.dst_label, rel.src_label))
+            for near, far, nl, fl in ors:
+                if anchor_label != _ANY and nl != anchor_label:
+                    continue
+                if node.label is not None and fl != node.label:
+                    continue
+                if any(name not in rel.df.columns for name, _ in edge.props):
+                    continue
+                arms.append((rtype, rel.df, near, far, nl, fl))
+
+        # harmonized edge-property schema across the surviving arms
+        merged: dict = {}
+        for _, edf, *_ in arms:
+            for f in edf.schema.fields:
+                merged[f.name] = (
+                    _widen(merged[f.name], f.dataType)
+                    if f.name in merged
+                    else f.dataType
+                )
+        evar = edge.var or frame.fresh("e")
+        # prune the harmonized struct to the referenced properties
+        # (__type always rides: type(r) reads it)
+        want = None
+        if frame.used is not None:
+            u = frame.used.get(evar)
+            if u is not _ALL:
+                want = set(u or ())
+        keep = [n for n in merged if want is None or n in want] or list(merged)
+
+        nearc, farc = frame.fresh("k"), frame.fresh("k")
+        spark = frame.df.sparkSession
+        parts = []
+        for rtype, edf, near, far, nl, fl in arms:
+            for name, val in edge.props:
+                edf = edf.filter(F.col(name) == self._scalar(val, params))
+            have = {f.name: f.dataType for f in edf.schema.fields}
+            fields = [F.lit(rtype).alias("__type")]
+            for name in keep:
+                if name in have:
+                    c = F.col(name)
+                    if have[name] != merged[name]:
+                        c = c.cast(merged[name])
+                else:
+                    c = F.lit(None).cast(merged[name])
+                fields.append(c.alias(name))
+            near_key = (
+                F.concat(F.lit(nl + "|"), F.col(near).cast("string"))
+                if anchor_label == _ANY
+                else F.col(near)
+            )
+            parts.append(
+                edf.select(
+                    F.struct(*fields).alias(evar),
+                    near_key.alias(nearc),
+                    F.concat(
+                        F.lit(fl + "|"), F.col(far).cast("string")
+                    ).alias(farc),
+                )
+            )
+        if parts:
+            eside = parts[0]
+            for pt in parts[1:]:
+                eside = eside.unionByName(pt)
+        else:
+            # no type connects these labels: Neo4j semantics is an EMPTY
+            # match (inner) / all-NULL extension (optional), not an error
+            eside = spark.createDataFrame(
+                [],
+                T.StructType([
+                    T.StructField(
+                        evar,
+                        T.StructType([T.StructField("__type", T.StringType())]),
+                    ),
+                    T.StructField(nearc, T.StringType()),
+                    T.StructField(farc, T.StringType()),
+                ]),
+            )
+
+        if anchor_label == _ANY:
+            cond = F.col(anchor)["__key"] == F.col(nearc)
+        else:
+            akey = F.col(anchor)[self.catalog.node(anchor_label).key]
+            cond = (
+                akey == F.col(nearc)
+                if parts
+                else akey.cast("string") == F.col(nearc)
+            )
+        joined = frame.df.join(eside, cond, how)
+        frame.vars[evar] = ("edge", _ANYREL)
+
+        if node.var is None and node.label is None and not node.props:
+            # anonymous unconstrained far endpoint: property-graph
+            # integrity (edges never dangle) makes the far join a no-op
+            frame.df = joined.drop(nearc, farc)
+            return anchor
+
+        if node.var is not None and frame.has(node.var):
+            # closing a cycle onto an already-bound node
+            tlabel = frame.vars[node.var][1]
+            if tlabel == _ANY:
+                close = F.col(node.var)["__key"] == F.col(farc)
+            else:
+                tkey = self.catalog.node(tlabel).key
+                close = (
+                    F.concat(
+                        F.lit(tlabel + "|"),
+                        F.col(node.var)[tkey].cast("string"),
+                    )
+                    == F.col(farc)
+                )
+            frame.df = joined.filter(close).drop(nearc, farc)
+            return node.var
+
+        nvar = node.var or frame.fresh("n")
+        if node.label is not None:
+            nt = self.catalog.node(node.label)
+            ndf = nt.df
+            for name, val in node.props:
+                ndf = ndf.filter(F.col(name) == self._scalar(val, params))
+            nside = ndf.select(_struct_of(ndf, nvar, nt.key, frame))
+            nkey = F.concat(
+                F.lit(node.label + "|"),
+                F.col(nvar)[nt.key].cast("string"),
+            )
+            frame.df = joined.join(nside, F.col(farc) == nkey, how).drop(
+                nearc, farc
+            )
+            frame.vars[nvar] = ("node", node.label)
+            return nvar
+        # mixed far labels: bind through the union-of-labels table
+        self._mark_any_used(frame, nvar)
+        nt = self.catalog.node(_ANY)
+        ndf = nt.df
+        for name, val in node.props:
+            ndf = ndf.filter(F.col(name) == self._scalar(val, params))
+        nside = ndf.select(_struct_of(ndf, nvar, nt.key, frame))
+        frame.df = joined.join(
+            nside, F.col(farc) == F.col(nvar)["__key"], how
+        ).drop(nearc, farc)
+        frame.vars[nvar] = ("node", _ANY)
         return nvar
 
     def _reject_any_anchor(self, frame: _Frame, anchor: str, what: str) -> None:
@@ -2331,6 +2520,8 @@ class CypherEngine:
             if kind == "node" and label == _ANY:
                 # union binding: label membership is a runtime column test
                 return F.col(e.var)["__label"] == F.lit(e.label)
+            if kind == "edge" and label == _ANYREL:
+                return F.col(e.var)["__type"] == F.lit(e.label)
             # single-label catalog: the predicate is a compile-time constant
             return F.lit(label == e.label)
         if isinstance(e, A.Xor):
@@ -2747,6 +2938,9 @@ class CypherEngine:
                 raise CypherCompileError(
                     "type() takes a relationship variable"
                 )
+            if label == _ANYREL:
+                # untyped-pattern binding: the type is a runtime column
+                return F.col(var)["__type"]
             return F.lit(label)
         if kind not in ("node", "edge"):
             raise CypherCompileError(f"{e.name}() takes an entity variable")
@@ -2763,9 +2957,20 @@ class CypherEngine:
                 raise CypherCompileError(
                     f"{e.name}() takes a relationship variable"
                 )
+            if label == _ANYREL:
+                raise CypherCompileError(
+                    f"{e.name}() needs a typed relationship pattern "
+                    "(endpoint columns differ per type)"
+                )
             rt = self.catalog.rel(label)
             return F.col(var)[rt.src_col if e.name == "startnode" else rt.dst_col]
         if e.name == "properties":
+            if kind == "edge" and label == _ANYREL:
+                if frame.df is None:
+                    raise CypherCompileError("properties() needs a bound frame")
+                dt = frame.df.schema[var].dataType
+                keep = [f.name for f in dt.fields if not f.name.startswith("__")]
+                return F.struct(*[F.col(var)[k].alias(k) for k in keep])
             if kind == "node" and label == _ANY:
                 # strip the union binding's metadata columns; NULL-valued
                 # placeholder properties stay (documented deviation: a
@@ -2780,10 +2985,10 @@ class CypherEngine:
         if frame.df is None:
             raise CypherCompileError("keys() needs a bound frame")
         dt = frame.df.schema[var].dataType
-        if kind == "node" and label == _ANY:
-            # union binding: report only the properties this node actually
-            # HAS (missing ones are NULL placeholders) — the Neo4j contract,
-            # where a null-set property does not exist
+        if label in (_ANY, _ANYREL):
+            # union binding: report only the properties this entity
+            # actually HAS (missing ones are NULL placeholders) — the Neo4j
+            # contract, where a null-set property does not exist
             names = [f.name for f in dt.fields if not f.name.startswith("__")]
             return F.filter(
                 F.array(*[

@@ -1298,6 +1298,37 @@ WHERE e.distance <= {GRAPH_THRESHOLD}
 """
 
 
+def cypher_untyped_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Untyped relationship pattern ``(p)-[r]->(x)`` — the union over
+    every relationship type with runtime ``type(r)``/``labels(x)``, the
+    classic Neo4j schema-exploration query. Exercises arm harmonization
+    (infects carries no distance property → NULL placeholders counted by
+    the oracle as absent) and the mixed-far-label union-node binding."""
+    q = """MATCH (p:PhageGenome)-[r]->(x)
+           RETURN type(r) AS rtype, labels(x)[0] AS far_label,
+                  count(*) AS n, count(r.distance) AS with_dist
+           ORDER BY rtype;"""
+    df = _engine(spark, sf_dir).run(q)
+    return df.select(
+        "rtype", "far_label",
+        F.col("n").cast("long").alias("n"),
+        F.col("with_dist").cast("long").alias("with_dist"),
+    )
+
+
+CYPHER_UNTYPED_RELS_SQL = _CTE + """
+, unioned AS (
+    SELECT 'sharesDNA' AS rtype, 'PhageGenome' AS far_label, distance
+    FROM edges
+    UNION ALL
+    SELECT 'infects', 'Host', NULL FROM infects
+)
+SELECT rtype, far_label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(distance) AS BIGINT) AS with_dist
+FROM unioned GROUP BY rtype, far_label ORDER BY rtype
+"""
+
+
 ENTRIES = {
     "cypher_seed_expand": SuiteEntry(
         cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
@@ -1416,5 +1447,9 @@ ENTRIES = {
     ),
     "cypher_point_distance": SuiteEntry(
         cypher_point_distance, CYPHER_POINT_DIST_SQL, ("S2", "V8", "V4")
+    ),
+    "cypher_untyped_relationships": SuiteEntry(
+        cypher_untyped_relationships, CYPHER_UNTYPED_RELS_SQL,
+        ("S2", "J1", "A6")
     ),
 }

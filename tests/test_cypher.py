@@ -1812,3 +1812,69 @@ class TestExplainProfile:
             "UNION MATCH (h:Host) RETURN h.genus AS x"
         ).collect())
         assert "Union" in text or "union" in text
+
+
+class TestUntypedRelationships:
+    """``(a)-[r]->(b)`` without a type — the union over every relationship
+    type (edge-side twin of unlabeled MATCH). type(r) and r:TYPE resolve at
+    runtime from __type; arms are compile-time pruned by anchor/far labels;
+    mixed far labels bind through the union-of-labels node machinery."""
+
+    def test_exploration_by_type_and_far_label(self, eng):
+        got = rows(eng.run(
+            "MATCH (p:PhageGenome)-[r]->(x) RETURN type(r) AS t, "
+            "labels(x)[0] AS far, count(*) AS n, "
+            "count(r.distance) AS wd ORDER BY t"
+        ))
+        # infects carries no distance property -> NULL placeholders
+        assert got == [("infects", "Host", 6, 0),
+                       ("sharesDNA", "PhageGenome", 9, 9)]
+
+    def test_both_directions_union_all_types(self, eng):
+        got = rows(eng.run(
+            "MATCH (p:PhageGenome {accession:'A1'})-[r]-(x) "
+            "RETURN type(r) AS t, count(*) AS n ORDER BY t"
+        ))
+        # A1: out sharesDNA to A2,A3 + in from C1; one infects edge
+        assert got == [("infects", 1), ("sharesDNA", 3)]
+
+    def test_far_label_prunes_arms(self, eng):
+        assert rows(eng.run(
+            "MATCH (p:PhageGenome)-[r]->(h:Host) RETURN count(*) AS n"
+        )) == [(6,)]
+
+    def test_where_on_missing_property_drops_arm_rows(self, eng):
+        # r.distance is NULL on infects rows (three-valued WHERE)
+        assert rows(eng.run(
+            "MATCH (p:PhageGenome)-[r]->(x) WHERE r.distance <= 0.15 "
+            "RETURN count(*) AS n"
+        )) == [(6,)]
+
+    def test_runtime_type_predicate_and_keys(self, eng):
+        got = rows(eng.run(
+            "MATCH (p:PhageGenome {accession:'A1'})-[r]->(x) "
+            "WHERE r:sharesDNA RETURN keys(r) AS ks, r.distance AS d "
+            "ORDER BY d"
+        ))
+        assert got == [(["src", "dst", "distance"], 0.1),
+                       (["src", "dst", "distance"], 0.2)]
+
+    def test_no_compatible_type_is_empty_not_error(self, eng):
+        # no relationship type starts at Host: Neo4j returns no rows
+        assert rows(eng.run(
+            "MATCH (h:Host)-[r]->(x) RETURN count(*) AS n"
+        )) == [(0,)]
+
+    def test_optional_untyped_null_extends(self, eng):
+        got = rows(eng.run(
+            "MATCH (n) OPTIONAL MATCH (n)-[r]->(m) "
+            "RETURN labels(n)[0] AS l, count(*) AS c, count(r) AS hits "
+            "ORDER BY l"
+        ))
+        assert got == [("Host", 4, 0), ("PhageGenome", 18, 15)]
+
+    def test_startnode_rejected_on_untyped(self, eng):
+        with pytest.raises(CypherCompileError, match="typed relationship"):
+            eng.run(
+                "MATCH (p:PhageGenome)-[r]->(x) RETURN startNode(r) AS s"
+            )
