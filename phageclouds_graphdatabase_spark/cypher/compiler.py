@@ -2200,53 +2200,112 @@ class CypherEngine:
         frame.vars[clause.alias] = ("flat", None)
 
     _PROC_COLUMNS = {
-        "db.labels": "label",
-        "db.relationshiptypes": "relationshipType",
-        "db.propertykeys": "propertyKey",
+        "db.labels": ("label",),
+        "db.relationshiptypes": ("relationshipType",),
+        "db.propertykeys": ("propertyKey",),
+        "db.schema.nodetypeproperties": (
+            "nodeType", "nodeLabels", "propertyName", "propertyTypes",
+            "mandatory",
+        ),
+        "db.schema.reltypeproperties": (
+            "relType", "propertyName", "propertyTypes", "mandatory",
+        ),
     }
 
-    def _fold_call_proc(self, frame: _Frame, clause: A.CallProc) -> None:
-        """CALL db.labels()/db.relationshipTypes()/db.propertyKeys() —
-        Neo4j's schema-introspection procedures, answered from the
-        GraphCatalog. The result is driver-built metadata (a handful of
-        rows); when rows are already bound the procedure cross-joins per
-        row, matching Neo4j's per-input-row invocation of a row-independent
-        procedure."""
-        name = clause.name.lower()
-        col = self._PROC_COLUMNS.get(name)
-        if col is None:
-            raise CypherCompileError(f"unknown procedure {clause.name}()")
+    @staticmethod
+    def _neo_type(dt: T.DataType) -> str:
+        """Spark type -> the Neo4j type-name vocabulary
+        db.schema.*TypeProperties yields."""
+        if isinstance(dt, T.ArrayType):
+            return CypherEngine._neo_type(dt.elementType) + "Array"
+        return {
+            T.StringType: "String",
+            T.LongType: "Long", T.IntegerType: "Long",
+            T.ShortType: "Long", T.ByteType: "Long",
+            T.DoubleType: "Double", T.FloatType: "Double",
+            T.BooleanType: "Boolean",
+            T.DateType: "Date",
+            T.TimestampType: "DateTime",
+        }.get(type(dt), dt.simpleString())
+
+    def _proc_rows(self, name: str):
+        """(rows, schema) for a db.* procedure, answered from the catalog
+        — a handful of driver-built metadata rows, no data scan.
+        `mandatory` is schema-derived (the label's key property or a
+        non-nullable column), not the per-entity scan Neo4j performs."""
         if name == "db.labels":
-            vals = sorted(self.catalog.nodes)
-        elif name == "db.relationshiptypes":
-            vals = sorted(self.catalog.rels)
-        else:
+            return [(v,) for v in sorted(self.catalog.nodes)], "label string"
+        if name == "db.relationshiptypes":
+            return (
+                [(v,) for v in sorted(self.catalog.rels)],
+                "relationshipType string",
+            )
+        if name == "db.propertykeys":
             keys: set = set()
             for nt in self.catalog.nodes.values():
                 keys.update(nt.df.columns)
             for rt in self.catalog.rels.values():
                 keys.update(rt.df.columns)
-            vals = sorted(keys)
-        any_df = next(iter(self.catalog.nodes.values())).df
-        df = any_df.sparkSession.createDataFrame(
-            [(v,) for v in vals], f"{col} string"
+            return [(v,) for v in sorted(keys)], "propertyKey string"
+        if name == "db.schema.nodetypeproperties":
+            rows = []
+            for label, nt in sorted(self.catalog.nodes.items()):
+                for f in nt.df.schema.fields:
+                    rows.append((
+                        f":`{label}`", [label], f.name,
+                        [self._neo_type(f.dataType)],
+                        f.name == nt.key or not f.nullable,
+                    ))
+            return rows, (
+                "nodeType string, nodeLabels array<string>, "
+                "propertyName string, propertyTypes array<string>, "
+                "mandatory boolean"
+            )
+        # db.schema.reltypeproperties
+        rows = []
+        for rtype, rt in sorted(self.catalog.rels.items()):
+            for f in rt.df.schema.fields:
+                rows.append((
+                    f":`{rtype}`", f.name, [self._neo_type(f.dataType)],
+                    f.name in (rt.src_col, rt.dst_col) or not f.nullable,
+                ))
+        return rows, (
+            "relType string, propertyName string, "
+            "propertyTypes array<string>, mandatory boolean"
         )
-        outname = col
+
+    def _fold_call_proc(self, frame: _Frame, clause: A.CallProc) -> None:
+        """CALL db.labels()/db.relationshipTypes()/db.propertyKeys()/
+        db.schema.nodeTypeProperties()/db.schema.relTypeProperties() —
+        Neo4j's schema-introspection procedures, answered from the
+        GraphCatalog. The result is driver-built metadata (a handful of
+        rows); when rows are already bound the procedure cross-joins per
+        row, matching Neo4j's per-input-row invocation of a row-independent
+        procedure. YIELD picks a subset of the procedure's columns, with
+        optional aliases."""
+        name = clause.name.lower()
+        cols = self._PROC_COLUMNS.get(name)
+        if cols is None:
+            raise CypherCompileError(f"unknown procedure {clause.name}()")
+        rows, schema = self._proc_rows(name)
+        any_df = next(iter(self.catalog.nodes.values())).df
+        df = any_df.sparkSession.createDataFrame(rows, schema)
         if clause.yields:
-            if len(clause.yields) != 1:
-                raise CypherCompileError(
-                    f"{clause.name}() yields exactly one column ({col})"
-                )
-            yname, alias = clause.yields[0]
-            if yname != col:
-                raise CypherCompileError(
-                    f"{clause.name}() yields `{col}`, not `{yname}`"
-                )
-            if alias:
-                df = df.withColumnRenamed(col, alias)
-                outname = alias
+            sel, outnames = [], []
+            for yname, alias in clause.yields:
+                if yname not in cols:
+                    raise CypherCompileError(
+                        f"{clause.name}() yields {', '.join(cols)}; "
+                        f"`{yname}` is not one of them"
+                    )
+                sel.append(F.col(yname).alias(alias or yname))
+                outnames.append(alias or yname)
+            df = df.select(*sel)
+        else:
+            outnames = list(cols)
         frame.df = df if frame.df is None else frame.df.crossJoin(df)
-        frame.vars[outname] = ("flat", None)
+        for n in outnames:
+            frame.vars[n] = ("flat", None)
 
     def _fold_load_csv(self, frame: _Frame, clause: A.LoadCsv, params: dict) -> None:
         """LOAD CSV: one spark.read.csv scan, all columns STRING (Neo4j

@@ -1878,3 +1878,36 @@ class TestUntypedRelationships:
             eng.run(
                 "MATCH (p:PhageGenome)-[r]->(x) RETURN startNode(r) AS s"
             )
+
+
+class TestSchemaProcedures:
+    """db.schema.nodeTypeProperties()/relTypeProperties() — catalog-derived
+    schema introspection with multi-column YIELD subsets. `mandatory` is
+    schema-derived (key property or non-nullable column), documented
+    deviation from Neo4j's per-entity scan."""
+
+    def test_node_type_properties(self, eng):
+        got = rows(eng.run(
+            "CALL db.schema.nodeTypeProperties() "
+            "YIELD nodeType, propertyName, propertyTypes, mandatory "
+            "RETURN nodeType, propertyName, propertyTypes[0] AS t, "
+            "mandatory ORDER BY nodeType, propertyName"
+        ))
+        assert (":`Host`", "genus", "String", True) in got
+        assert (":`PhageGenome`", "genome_size", "Long", False) in got
+        assert (":`PhageGenome`", "accession", "String", True) in got
+
+    def test_rel_type_properties_yield_subset_and_alias(self, eng):
+        got = rows(eng.run(
+            "CALL db.schema.relTypeProperties() "
+            "YIELD relType AS rt, propertyName "
+            "RETURN rt, propertyName ORDER BY rt, propertyName"
+        ))
+        assert (":`infects`", "host_genus") in got
+        assert (":`sharesDNA`", "distance") in got
+
+    def test_unknown_yield_column_rejected(self, eng):
+        with pytest.raises(CypherCompileError, match="not one of them"):
+            eng.run(
+                "CALL db.schema.nodeTypeProperties() YIELD nope RETURN nope"
+            )
