@@ -1857,10 +1857,93 @@ SELECT * FROM (
 """
 
 
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE with the trained merges — the tokenizer's apply side
+    (bpe_merge_train is the learn side): train the top merge rule of each
+    of two rounds on the corpus, re-encode every word through both rules
+    in rank order (the same fold lambda, so training and encoding are one
+    code path), and return the top-20 post-merge symbol vocabulary by
+    corpus frequency. At 100 TB the rules are a broadcast scalar frame and
+    the encode is a per-row fold — embarrassingly parallel, no shuffle
+    beyond the final vocabulary aggregation."""
+    docs = t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wf"))
+    )
+    s0 = wf.select(
+        "wf",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("syms"),
+    )
+
+    def _apply_rule(syms_df: DataFrame, rule: DataFrame) -> DataFrame:
+        return syms_df.crossJoin(F.broadcast(rule)).select(
+            "wf",
+            F.split(
+                F.expr(
+                    "aggregate(slice(syms, 2, size(syms) - 1),"
+                    f" element_at(syms, 1), (acc, x) -> {_BPE_FOLD_SPARK})"
+                ),
+                " ",
+            ).alias("syms"),
+        )
+
+    def _top_rule(pairs: DataFrame) -> DataFrame:
+        return pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).select(
+            F.col("l").alias("ml"), F.col("r").alias("mr")
+        )
+
+    s1 = _apply_rule(s0, _top_rule(_bpe_pairs(s0))).localCheckpoint()
+    s2 = _apply_rule(s1, _top_rule(_bpe_pairs(s1)))
+    return (
+        s2.select("wf", F.explode("syms").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("wf").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), "sym")
+        .limit(20)
+    )
+
+
+BPE_ENCODE_SQL = f"""
+WITH wf AS ({_BPE_WF_SQL}),
+s0 AS (
+    SELECT wf,
+           list_transform(generate_series(1, length(word)),
+                          i -> substring(word, i, 1)) AS syms
+    FROM wf
+),
+p1 AS ({_BPE_PAIRS_SQL.format(src='s0')}),
+m1 AS (SELECT l AS ml, r AS mr FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+s1 AS (
+    SELECT wf,
+           string_split(list_reduce(syms,
+               (acc, x) -> {_BPE_FOLD_DUCK}), ' ') AS syms
+    FROM s0 CROSS JOIN m1
+),
+p2 AS ({_BPE_PAIRS_SQL.format(src='s1')}),
+m2 AS (SELECT l AS ml, r AS mr FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+s2 AS (
+    SELECT wf,
+           string_split(list_reduce(syms,
+               (acc, x) -> {_BPE_FOLD_DUCK}), ' ') AS syms
+    FROM s1 CROSS JOIN m2
+)
+SELECT sym, CAST(SUM(wf) AS BIGINT) AS freq
+FROM (SELECT wf, u.sym FROM s2, UNNEST(syms) AS u(sym))
+GROUP BY sym ORDER BY freq DESC, sym LIMIT 20
+"""
+
+
 ENTRIES.update(
     {
         "bpe_merge_train": SuiteEntry(
             bpe_merge_train, BPE_SQL, ("W5", "V8", "A6")
+        ),
+        "bpe_encode_tokens": SuiteEntry(
+            bpe_encode_tokens, BPE_ENCODE_SQL, ("W5", "V8", "A6")
         ),
     }
 )
