@@ -60,6 +60,7 @@ from pyspark.sql import functions as F
 from phageclouds_graphdatabase_spark.cypher import ast_nodes as A
 from phageclouds_graphdatabase_spark.cypher.compiler import (
     _ANY,
+    _ANYREL,
     CypherCompileError,
     CypherEngine,
     GraphCatalog,
@@ -70,12 +71,17 @@ from phageclouds_graphdatabase_spark.cypher.compiler import (
 
 
 def _no_any_write(label: str, what: str) -> None:
-    """Write clauses update ONE label's table; a union-of-labels binding
-    (unlabeled MATCH (n)) has no single target table."""
+    """Write clauses update ONE label's / type's table; a union binding
+    (unlabeled MATCH (n) or untyped -[r]->) has no single target table."""
     if label == _ANY:
         raise CypherCompileError(
             f"{what} through an unlabeled (union) node binding is not "
             "supported; label the MATCH pattern"
+        )
+    if label == _ANYREL:
+        raise CypherCompileError(
+            f"{what} through an untyped relationship binding is not "
+            "supported; give the pattern a relationship type"
         )
 from phageclouds_graphdatabase_spark.cypher.parser import parse
 
@@ -654,8 +660,8 @@ def _expand_set_items(
         out.extend((A.Prop(p.var, n), e) for n, e in pairs)
         if p.mode == "replace":
             kind, label = frame.vars[p.var]
+            _no_any_write(label, "SET")
             if kind == "node":
-                _no_any_write(label, "SET")
                 nt = eng.catalog.node(label)
                 cols, keys = nt.df.columns, {nt.key}
             elif kind == "edge":
@@ -729,8 +735,8 @@ def _apply_set(
         if not frame.has(var):
             raise CypherCompileError(f"unbound variable {var}")
         kind, label = frame.vars[var]
+        _no_any_write(label, "SET")
         if kind == "node":
-            _no_any_write(label, "SET")
             nt = cat.node(label)
             tgt, keys = nt.df, [nt.key]
             key_exprs = [F.col(var)[nt.key]]
