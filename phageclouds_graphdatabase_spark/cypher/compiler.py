@@ -592,8 +592,8 @@ class CypherEngine:
         """Join anchor -[edge]-> node into frame.df; returns the new anchor."""
         if edge.reltype is None:
             if edge.var_length is not None:
-                raise CypherCompileError(
-                    "var-length patterns need a relationship type"
+                return self._join_var_length_untyped(
+                    frame, anchor, edge, node, params, how
                 )
             return self._join_step_anyrel(
                 frame, anchor, edge, node, params, how
@@ -1025,6 +1025,123 @@ class CypherEngine:
             nside, F.col("__vb") == F.col(nvar)[nt.key], how
         ).drop("__va", "__vb")
         frame.vars[nvar] = ("node", nlabel)
+        return nvar
+
+    def _join_var_length_untyped(
+        self,
+        frame: _Frame,
+        anchor: str,
+        edge: A.EdgePat,
+        node: A.NodePat,
+        params: dict,
+        how: str,
+    ) -> str:
+        """Untyped var-length ``(a)-[*lo..hi]->(b)``: the distinct-pairs
+        expansion over the union of EVERY relationship type, in composite
+        'label|key' coordinates so hops cross label domains (a phage can
+        reach a host via infects on hop 2). Same frontier loop and
+        deviation (one row per distinct pair) as the typed form; the far
+        endpoint binds through the union-of-labels machinery unless the
+        pattern names its label. Relationship property filters prune arms
+        whose type lacks the property (missing property IS null)."""
+        if edge.var is not None:
+            raise CypherCompileError(
+                "relationship variables on var-length patterns are not "
+                "supported (use an explicit chain to bind each hop)"
+            )
+        lo, hi = edge.var_length
+        if lo < 1:
+            raise CypherCompileError("var-length minimum must be >= 1")
+        if hi < lo or hi > 10:
+            raise CypherCompileError("var-length maximum must be in [min, 10]")
+        arms = []
+        for _, rel in self.catalog.rels.items():
+            ors = []
+            if edge.direction in ("out", "both"):
+                ors.append((rel.src_col, rel.dst_col, rel.src_label, rel.dst_label))
+            if edge.direction in ("in", "both"):
+                ors.append((rel.dst_col, rel.src_col, rel.dst_label, rel.src_label))
+            for nc, fc, nl, fl in ors:
+                if any(name not in rel.df.columns for name, _ in edge.props):
+                    continue
+                edf = rel.df
+                for name, val in edge.props:
+                    edf = edf.filter(F.col(name) == self._scalar(val, params))
+                arms.append(edf.select(
+                    F.concat(
+                        F.lit(nl + "|"), F.col(nc).cast("string")
+                    ).alias("__va"),
+                    F.concat(
+                        F.lit(fl + "|"), F.col(fc).cast("string")
+                    ).alias("__vb"),
+                ))
+        spark = frame.df.sparkSession
+        if arms:
+            step = arms[0]
+            for a in arms[1:]:
+                step = step.unionByName(a)
+            step = step.localCheckpoint()
+        else:
+            step = spark.createDataFrame([], "__va string, __vb string")
+
+        kind, albl = frame.vars[anchor]
+        if albl == _ANY:
+            anchor_key = F.col(anchor)["__key"]
+        else:
+            anchor_key = F.concat(
+                F.lit(albl + "|"),
+                F.col(anchor)[self.catalog.node(albl).key].cast("string"),
+            )
+        seeds = frame.df.select(anchor_key.alias("__vs")).distinct()
+        frontier = (
+            seeds.join(step, F.col("__vs") == F.col("__va"))
+            .select(F.col("__vs").alias("__va"), "__vb")
+            .distinct()
+        )
+        reached = frontier if lo <= 1 else None
+        for hop in range(2, hi + 1):
+            nxt = step.select(
+                F.col("__va").alias("__vb2"), F.col("__vb").alias("__vc")
+            )
+            frontier = (
+                frontier.join(nxt, F.col("__vb") == F.col("__vb2"))
+                .select("__va", F.col("__vc").alias("__vb"))
+                .distinct()
+            )
+            if hop >= lo:
+                reached = (
+                    frontier if reached is None
+                    else reached.unionByName(frontier).distinct()
+                )
+        reached = reached.filter(F.col("__va") != F.col("__vb"))
+        joined = frame.df.join(reached, anchor_key == F.col("__va"), how)
+
+        nvar = node.var or frame.fresh("n")
+        if node.label is not None:
+            nt = self.catalog.node(node.label)
+            ndf = nt.df
+            for name, val in node.props:
+                ndf = ndf.filter(F.col(name) == self._scalar(val, params))
+            nside = ndf.select(_struct_of(ndf, nvar, nt.key, frame))
+            nkey = F.concat(
+                F.lit(node.label + "|"),
+                F.col(nvar)[nt.key].cast("string"),
+            )
+            frame.df = joined.join(nside, F.col("__vb") == nkey, how).drop(
+                "__va", "__vb"
+            )
+            frame.vars[nvar] = ("node", node.label)
+            return nvar
+        self._mark_any_used(frame, nvar)
+        nt = self.catalog.node(_ANY)
+        ndf = nt.df
+        for name, val in node.props:
+            ndf = ndf.filter(F.col(name) == self._scalar(val, params))
+        nside = ndf.select(_struct_of(ndf, nvar, nt.key, frame))
+        frame.df = joined.join(
+            nside, F.col("__vb") == F.col(nvar)["__key"], how
+        ).drop("__va", "__vb")
+        frame.vars[nvar] = ("node", _ANY)
         return nvar
 
     def _join_var_length_paths(

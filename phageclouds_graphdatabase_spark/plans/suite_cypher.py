@@ -1329,6 +1329,42 @@ FROM unioned GROUP BY rtype, far_label ORDER BY rtype
 """
 
 
+def cypher_untyped_varlength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Untyped var-length ``-[*1..2]->`` — frontier expansion over the
+    union of BOTH relationship types in composite 'label|key' coordinates,
+    so a 2-hop walk crosses from the sharesDNA domain into infects→Host.
+    Distinct-pairs semantics (the documented var-length deviation),
+    grouped by the far endpoint's runtime label."""
+    q = """MATCH (a:PhageGenome)-[*1..2]->(x)
+           WHERE a.accession IN {}
+           RETURN labels(x)[0] AS far_label, count(*) AS n
+           ORDER BY far_label;""".format(_IN_LIST)
+    df = _engine(spark, sf_dir).run(q)
+    return df.select("far_label", F.col("n").cast("long").alias("n"))
+
+
+CYPHER_UNTYPED_VARLEN_SQL = _CTE + f"""
+, step AS (
+    SELECT 'PhageGenome|' || src AS va, 'PhageGenome|' || dst AS vb
+    FROM edges
+    UNION ALL
+    SELECT 'PhageGenome|' || src, 'Host|' || host_genus FROM infects
+),
+seeds AS (
+    SELECT DISTINCT 'PhageGenome|' || accession AS s FROM nodes
+    WHERE accession IN {_IN_SQL}
+),
+h1 AS (SELECT DISTINCT s AS va, vb FROM seeds JOIN step ON s = step.va),
+h2 AS (SELECT DISTINCT h1.va, st.vb FROM h1 JOIN step st ON h1.vb = st.va),
+reach AS (
+    SELECT * FROM (SELECT * FROM h1 UNION SELECT * FROM h2)
+    WHERE va <> vb
+)
+SELECT split_part(vb, '|', 1) AS far_label, CAST(COUNT(*) AS BIGINT) AS n
+FROM reach GROUP BY far_label ORDER BY far_label
+"""
+
+
 ENTRIES = {
     "cypher_seed_expand": SuiteEntry(
         cypher_seed_expand, CYPHER_SEED_EXPAND_SQL, ("S2", "J1", "P2", "P3")
@@ -1451,5 +1487,9 @@ ENTRIES = {
     "cypher_untyped_relationships": SuiteEntry(
         cypher_untyped_relationships, CYPHER_UNTYPED_RELS_SQL,
         ("S2", "J1", "A6")
+    ),
+    "cypher_untyped_varlength": SuiteEntry(
+        cypher_untyped_varlength, CYPHER_UNTYPED_VARLEN_SQL,
+        ("S2", "W6", "A6")
     ),
 }

@@ -1911,3 +1911,53 @@ class TestSchemaProcedures:
             eng.run(
                 "CALL db.schema.nodeTypeProperties() YIELD nope RETURN nope"
             )
+
+
+class TestUntypedVarLength:
+    """``-[*lo..hi]->`` without a type: distinct-pairs frontier expansion
+    over the union of every relationship type, in composite 'label|key'
+    coordinates so hops cross label domains."""
+
+    def test_crosses_label_domains(self, eng):
+        got = rows(eng.run(
+            "MATCH (a:PhageGenome {accession:'A1'})-[*1..2]->(x) "
+            "RETURN labels(x)[0] AS l, id(x) AS i ORDER BY i"
+        ))
+        # hop 1: A2, A3 (sharesDNA), Escherichia (infects);
+        # hop 2: A3 via A2 (dedup), B1 via A3, Escherichia via A2 (dedup)
+        assert got == [
+            ("Host", "Host|Escherichia"),
+            ("PhageGenome", "PhageGenome|A2"),
+            ("PhageGenome", "PhageGenome|A3"),
+            ("PhageGenome", "PhageGenome|B1"),
+        ]
+
+    def test_equals_typed_when_far_label_restricts(self, eng):
+        # infects paths dead-end at Host, so restricting the far endpoint
+        # to :PhageGenome reduces the untyped walk to the sharesDNA walk
+        un = rows(eng.run(
+            "MATCH (a:PhageGenome)-[*1..2]->(b:PhageGenome) "
+            "RETURN a.accession AS s, b.accession AS t"
+        ))
+        ty = rows(eng.run(
+            "MATCH (a:PhageGenome)-[:sharesDNA*1..2]->(b:PhageGenome) "
+            "RETURN a.accession AS s, b.accession AS t"
+        ))
+        assert un == ty and len(un) > 0
+
+    def test_both_direction_unions_all_types(self, eng):
+        got = rows(eng.run(
+            "MATCH (a:PhageGenome {accession:'B2'})-[*1..1]-(x) "
+            "RETURN labels(x)[0] AS l, count(*) AS n ORDER BY l"
+        ))
+        # in-edges from B1 and B3; infects Cellulophaga and Salmonella
+        assert got == [("Host", 2), ("PhageGenome", 2)]
+
+    def test_from_any_label_anchor(self, eng):
+        got = rows(eng.run(
+            "MATCH (n) MATCH (n)-[*1..1]->(x) "
+            "RETURN labels(n)[0] AS nl, labels(x)[0] AS xl, count(*) AS c "
+            "ORDER BY nl, xl"
+        ))
+        assert got == [("PhageGenome", "Host", 6),
+                       ("PhageGenome", "PhageGenome", 9)]
