@@ -133,6 +133,80 @@ def generate(
     )
 
 
+def generate_big(out_dir: str, n_nodes: int, avg_degree: int, seed: int = 42) -> None:
+    """Low-memory generator for the 150M+ tiers: the standard generate()
+    materializes every node STRING three times over in numpy/Python
+    (observed OOM-kill at 200M: ~130 GB RSS building 800M accession
+    strings), so the big tier writes INTEGER node ids + dictionary-encoded
+    categoricals in chunks, and main() derives the same-shape string keys
+    in SPARK (format_string is distributed and memory-safe). Same RNG
+    draws and edge topology as generate(); only the materialization
+    differs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    src_codes = rng.choice(
+        len(SOURCES), n_nodes, p=[0.75, 0.05, 0.08, 0.07, 0.05]
+    ).astype(np.int8)
+    tax_codes = rng.integers(0, len(TAXA), n_nodes).astype(np.int8)
+    genome_size = rng.integers(12_000, 372_000, n_nodes).astype(np.int32)
+    node_tbl = pa.table({
+        "id": pa.array(np.arange(n_nodes, dtype=np.int64)),
+        "source": pa.DictionaryArray.from_arrays(
+            pa.array(src_codes), pa.array(SOURCES)
+        ),
+        "taxon": pa.DictionaryArray.from_arrays(
+            pa.array(tax_codes), pa.array(TAXA)
+        ),
+        "genome_size": pa.array(genome_size),
+    })
+    pq.write_table(node_tbl, os.path.join(out_dir, "nodes_raw.parquet"))
+    del src_codes, tax_codes, genome_size, node_tbl
+
+    n_clusters = max(n_nodes // 200, 1)
+    cluster = (rng.zipf(1.5, n_nodes) % n_clusters).astype(np.int64)
+    n_edges = n_nodes * avg_degree // 2
+    intra = int(n_edges * 0.8)
+    order = np.argsort(cluster, kind="stable")
+    del cluster
+    i1 = rng.integers(0, n_nodes, intra)
+    off = rng.integers(1, 50, intra)
+    j1 = np.minimum(i1 + off, n_nodes - 1)
+    src = np.concatenate([order[i1], rng.integers(0, n_nodes, n_edges - intra)])
+    del i1, off
+    dst = np.concatenate([order[j1], rng.integers(0, n_nodes, n_edges - intra)])
+    del j1, order
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    del keep
+    lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+    del src, dst
+    pair = lo * np.int64(n_nodes) + hi
+    _, first = np.unique(pair, return_index=True)
+    del pair
+    lo, hi = lo[first], hi[first]
+    del first
+    distance = np.round(rng.beta(2, 5, len(lo)) * 0.5, 6)
+    writer = pq.ParquetWriter(
+        os.path.join(out_dir, "edges_raw.parquet"),
+        pa.schema([
+            ("src", pa.int64()), ("dst", pa.int64()),
+            ("distance", pa.float64()),
+        ]),
+    )
+    step = 100_000_000
+    for i in range(0, len(lo), step):
+        writer.write_table(pa.table({
+            "src": lo[i:i + step],
+            "dst": hi[i:i + step],
+            "distance": distance[i:i + step],
+        }))
+    writer.close()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=640_000)
@@ -171,12 +245,24 @@ def main() -> None:
         "--truss-rounds", type=int, default=None,
         help="peel-round budget for --truss-only (default: fixpoint)",
     )
+    ap.add_argument(
+        "--components-only",
+        action="store_true",
+        help="probe ONLY degrees + connected components at this tier "
+        "(the 200M+ ladder: the full batch ladder's paths/SCC stages "
+        "would dominate the wall-clock)",
+    )
     args = ap.parse_args()
 
     work = args.work_dir
     shutil.rmtree(work, ignore_errors=True)
     t0 = time.time()
-    generate(work, args.nodes, args.avg_degree, skew=args.skew)
+    if args.nodes >= 150_000_000:
+        if args.skew:
+            raise SystemExit("--skew is not supported at the 150M+ tier")
+        generate_big(work, args.nodes, args.avg_degree)
+    else:
+        generate(work, args.nodes, args.avg_degree, skew=args.skew)
     t_gen = time.time() - t0
 
     # Size the session to the graph, the way a cluster submit would:
@@ -200,20 +286,51 @@ def main() -> None:
     spark = get_spark(
         "scale-rehearsal",
         shuffle_partitions=max(32, args.nodes // 100_000),
+        # 200M-tier disk bound: reliable per-round checkpoints accumulate
+        # ~5 GB each; let the ContextCleaner delete checkpoints whose RDD
+        # reference is gone (off by default)
+        extra_conf={"spark.cleaner.referenceTracking.cleanCheckpoints": "true"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
     # ingest into the at-rest layout (distance-sorted edge Parquet)
+    from pyspark.sql import functions as _F
+
     t0 = time.time()
     edges_raw = spark.read.parquet(os.path.join(work, "edges_raw.parquet"))
-    sinks.write_edges_at_rest(edges_raw, os.path.join(work, "edges"), num_files=32)
     nodes_raw = spark.read.parquet(os.path.join(work, "nodes_raw.parquet"))
+    if "id" in nodes_raw.columns:
+        # big-tier integer layout: derive the string keys in Spark
+        nodes_raw = nodes_raw.select(
+            _F.format_string("ACC%09d", "id").alias("accession"),
+            _F.col("source").cast("string").alias("source"),
+            _F.concat(
+                _F.lit("Viruses;Duplodnaviria;"), _F.col("taxon")
+            ).alias("taxonomy"),
+            _F.col("genome_size").cast("long").alias("genome_size"),
+            _F.col("taxon").cast("string").alias("genus"),
+        )
+        edges_raw = edges_raw.select(
+            _F.format_string("ACC%09d", "src").alias("src"),
+            _F.format_string("ACC%09d", "dst").alias("dst"),
+            "distance",
+        )
+    sinks.write_edges_at_rest(edges_raw, os.path.join(work, "edges"), num_files=32)
     nodes_raw.write.mode("overwrite").parquet(os.path.join(work, "nodes"))
     t_ingest = time.time() - t0
 
     nodes = spark.read.parquet(os.path.join(work, "nodes"))
     edges = spark.read.parquet(os.path.join(work, "edges"))
     n_edges = edges.count()
+    if args.components_only:
+        # the raw pre-ingest copies are dead weight from here on — at the
+        # 200M tier they are ~20 GB the checkpoints need
+        for raw in ("edges_raw.parquet", "nodes_raw.parquet"):
+            rp = os.path.join(work, raw)
+            if os.path.isdir(rp):
+                shutil.rmtree(rp, ignore_errors=True)
+            elif os.path.exists(rp):
+                os.remove(rp)
 
     timings: dict[str, float] = {}
 
@@ -332,6 +449,23 @@ def main() -> None:
     comp = G.cloud_membership(edges, 0.15, checkpoint_dir=ckpt)
     n_clouds = comp.select("component").distinct().count()
     timings["components_sec"] = round(time.time() - t0, 2)
+
+    if args.components_only:
+        print(
+            json.dumps(
+                {
+                    "n_nodes": args.nodes,
+                    "n_edges": n_edges,
+                    "skew": args.skew,
+                    "gen_sec": round(t_gen, 2),
+                    "ingest_sec": round(t_ingest, 2),
+                    **timings,
+                }
+            )
+        )
+        if not args.keep:
+            shutil.rmtree(work, ignore_errors=True)
+        return
 
     # Incremental component maintenance: fold a 1% edge batch into the
     # 99% membership and compare against the full recompute time above --
