@@ -596,7 +596,7 @@ class CypherEngine:
                     frame, anchor, edge, node, params, how
                 )
             return self._join_step_anyrel(
-                frame, anchor, edge, node, params, how
+                frame, anchor, edge, node, params, how, is_last=is_last
             )
         rel = self.catalog.rel(edge.reltype)
         _, anchor_label = frame.vars[anchor]
@@ -719,6 +719,7 @@ class CypherEngine:
         node: A.NodePat,
         params: dict,
         how: str,
+        is_last: bool = True,
     ) -> str:
         """Untyped relationship pattern ``(a)-[r]->(b)`` — the union over
         every relationship TYPE, the edge-side twin of unlabeled MATCH (n).
@@ -835,9 +836,11 @@ class CypherEngine:
         joined = frame.df.join(eside, cond, how)
         frame.vars[evar] = ("edge", _ANYREL)
 
-        if node.var is None and node.label is None and not node.props:
-            # anonymous unconstrained far endpoint: property-graph
-            # integrity (edges never dangle) makes the far join a no-op
+        if is_last and node.var is None and node.label is None and not node.props:
+            # anonymous unconstrained far endpoint AT THE END of the chain:
+            # property-graph integrity (edges never dangle) makes the far
+            # join a no-op. Mid-chain the far endpoint MUST bind (below) so
+            # the next hop anchors at the midpoint, not back at `anchor`.
             frame.df = joined.drop(nearc, farc)
             return anchor
 
@@ -3359,8 +3362,10 @@ class CypherEngine:
                 # which an ANSI cast to long would throw on
                 return d.try_cast("long") if want_int else d
             # numeric input: exact cast (no double round-trip — a bigint
-            # through double would lose precision past 2^53)
-            return c.cast("long" if want_int else "double")
+            # through double would lose precision past 2^53). try_cast,
+            # not cast: Neo4j returns NULL for NaN / out-of-long-range
+            # doubles where an ANSI cast throws (round-3 ADVICE)
+            return c.try_cast("long" if want_int else "double")
         if e.name == "size":
             if len(e.args) != 1:
                 raise CypherCompileError("size() takes one argument")

@@ -830,9 +830,10 @@ def _apply_remove(
                 f"REMOVE {var}:{label}: {var} is not a node variable"
             )
         if bound_label != label:
-            raise CypherCompileError(
-                f"{var} is a :{bound_label} node, not :{label}"
-            )
+            # Neo4j: REMOVE of a label the entity does not carry is a
+            # silent no-op (round-3 ADVICE) — portable scripts defensively
+            # REMOVE labels; don't fail them, skip the table update
+            continue
         nt = eng.catalog.node(label)
         keys = frame.df.select(F.col(var)[nt.key].alias("__k")).distinct()
         new_nodes = nt.df.join(

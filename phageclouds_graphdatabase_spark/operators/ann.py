@@ -26,18 +26,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _repartition_cells(df: DataFrame, max_files_per_cell: int) -> DataFrame:
+    """Co-locate each cell's rows into ≤ ``max_files_per_cell`` shuffle
+    partitions before a ``partitionBy("cell")`` write.
+
+    Hashing by cell alone would pin every cell to exactly ONE partition
+    (one file per cell forever, and a mega-cell can't split — round-3
+    ADVICE); hashing by (cell, salt) with a deterministic per-row salt in
+    [0, max_files_per_cell) lets a large cell fan out to up to that many
+    files while small cells still collapse to few. The salt is derived
+    from vec_id (not rand()) so reruns produce identical layouts."""
+    if max_files_per_cell <= 1:
+        return df.repartition("cell")
+    salt = F.pmod(F.xxhash64("vec_id"), F.lit(max_files_per_cell))
+    return df.repartition(F.col("cell"), salt)
+
+
 def write_ivf_index(
     assigned: DataFrame, path: str, max_files_per_cell: int = 1
 ) -> None:
     """Persist a (vec_id, cell, vec) corpus partitioned by cell.
 
-    ``repartition(cell)`` first: without it every input partition writes a
-    file into every cell directory (files = partitions × cells, the
-    classic small-files explosion); with it each cell's rows co-locate and
-    each cell directory holds ``max_files_per_cell`` files. At the 100-TB
-    tier raise ``max_files_per_cell`` so single files stay ~128-512 MB."""
+    Repartition by (cell, salt) first: without it every input partition
+    writes a file into every cell directory (files = partitions × cells,
+    the classic small-files explosion); with it each cell's rows co-locate
+    across at most ``max_files_per_cell`` files. At the 100-TB tier raise
+    ``max_files_per_cell`` so single files stay ~128-512 MB."""
     (
-        assigned.repartition(max_files_per_cell, "cell")
+        _repartition_cells(assigned, max_files_per_cell)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
@@ -183,7 +199,7 @@ def write_ivfpq_index(
     rescore without a second dataset."""
     enc = _encode_codes(assigned, books)
     (
-        enc.repartition(max_files_per_cell, "cell")
+        _repartition_cells(enc, max_files_per_cell)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)

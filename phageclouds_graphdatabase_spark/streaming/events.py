@@ -96,6 +96,35 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+_INTERVAL_UNIT_MS = {
+    "millisecond": 1,
+    "second": 1_000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def _interval_ms(interval: str) -> int:
+    """Parse a Spark-style interval string ('30 seconds', '5 minutes')
+    to milliseconds. Round-3 ADVICE: the old parser multiplied the
+    leading integer by 60_000 regardless of unit, so gap='30 seconds'
+    silently armed timers 30 minutes out."""
+    parts = interval.strip().split()
+    if len(parts) != 2:
+        raise ValueError(
+            f"interval {interval!r}: expected '<n> <unit>' "
+            "(e.g. '30 seconds', '5 minutes')"
+        )
+    unit = parts[1].lower().rstrip("s")
+    if unit not in _INTERVAL_UNIT_MS:
+        raise ValueError(
+            f"interval {interval!r}: unknown unit {parts[1]!r} "
+            f"(one of {sorted(_INTERVAL_UNIT_MS)})"
+        )
+    return int(parts[0]) * _INTERVAL_UNIT_MS[unit]
+
+
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """W3 tumbling windows + watermark: late rows beyond the watermark are
     dropped; state for closed windows is evicted."""
@@ -498,7 +527,7 @@ def session_flush_event_timer_tws(
         StatefulProcessorHandle,
     )
 
-    gap_ms = 5 * 60_000 if gap == "5 minutes" else int(gap.split()[0]) * 60_000
+    gap_ms = _interval_ms(gap)
 
     class SessionFlush(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

@@ -1572,6 +1572,18 @@ def test_tointeger_tofloat_null_on_bad_strings(eng):
     assert r.exact == 168000 and r.orn is None
 
 
+def test_tointeger_numeric_nan_overflow_null(eng):
+    # round-3 ADVICE: the numeric branch must try_cast too — toInteger of
+    # a double NaN or a value past long range returns NULL in Neo4j where
+    # an ANSI cast throws
+    [r] = eng.run(
+        "MATCH (a:PhageGenome {accession:'A1'}) "
+        "RETURN toInteger(sqrt(-1.0)) AS nan, toInteger(1.0e300) AS big, "
+        "toInteger(2.9) AS tr"
+    ).collect()
+    assert r.nan is None and r.big is None and r.tr == 2
+
+
 def test_xor_three_valued(eng):
     [r] = eng.run(
         "MATCH (a:PhageGenome {accession:'A1'}) "
@@ -1872,6 +1884,37 @@ class TestUntypedRelationships:
             "ORDER BY l"
         ))
         assert got == [("Host", 4, 0), ("PhageGenome", 18, 15)]
+
+    def test_anonymous_midpoint_advances_chain(self, eng):
+        # regression (round-3 ADVICE, compiler.py _join_step_anyrel): a
+        # mid-chain anonymous () must BIND the far endpoint so the next hop
+        # anchors at the midpoint — the no-far-join shortcut is only valid
+        # when the anonymous node ends the chain
+        anon = rows(eng.run(
+            "MATCH (a:PhageGenome)-[]->()-[]->(b:PhageGenome) "
+            "RETURN a.accession AS s, b.accession AS t ORDER BY s, t"
+        ))
+        named = rows(eng.run(
+            "MATCH (a:PhageGenome)-[]->(m)-[]->(b:PhageGenome) "
+            "RETURN a.accession AS s, b.accession AS t ORDER BY s, t"
+        ))
+        assert anon == named and len(anon) > 0
+        # and the 2-hop pairs are NOT the 1-hop pairs re-anchored at `a`
+        one_hop = rows(eng.run(
+            "MATCH (a:PhageGenome)-[]->(b:PhageGenome) "
+            "RETURN a.accession AS s, b.accession AS t ORDER BY s, t"
+        ))
+        assert anon != one_hop
+
+    def test_anonymous_trailing_node_still_skips_far_join(self, eng):
+        # the end-of-chain shortcut keeps its cardinality semantics
+        short = rows(eng.run(
+            "MATCH (p:PhageGenome)-[r]->() RETURN count(*) AS n"
+        ))
+        full = rows(eng.run(
+            "MATCH (p:PhageGenome)-[r]->(x) RETURN count(*) AS n"
+        ))
+        assert short == full == [(15,)]
 
     def test_startnode_rejected_on_untyped(self, eng):
         with pytest.raises(CypherCompileError, match="typed relationship"):

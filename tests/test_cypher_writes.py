@@ -398,6 +398,16 @@ class TestRemove:
         # unlike DELETE, incident edges are kept
         assert cat.rel("sharesDNA").df.where("src = 'D1'").count() == 1
 
+    def test_remove_mismatched_label_is_noop(self, eng):
+        # Neo4j: removing a label the entity does not carry is a silent
+        # no-op (round-3 ADVICE) — defensive REMOVEs must not fail
+        cat = eng.apply(
+            "MATCH (a:PhageGenome {accession:'D1'}) REMOVE a:Host"
+        )
+        assert node_row(cat, "D1") is not None
+        assert cat.node("PhageGenome").df.count() == 12
+        assert cat.node("Host").df.count() == 4
+
     def test_remove_unknown_property_rejected(self, eng):
         with pytest.raises(CypherCompileError, match="schema"):
             eng.apply("MATCH (a:PhageGenome) REMOVE a.nope")

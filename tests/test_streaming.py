@@ -22,6 +22,20 @@ def events_stream(spark, sf_dir):
     return stream.read_events_stream(spark, sf_dir)
 
 
+def test_interval_ms_parses_units():
+    # round-3 ADVICE: gap="30 seconds" used to arm timers 30 MINUTES out
+    # (leading int * 60_000 regardless of unit)
+    assert stream._interval_ms("30 seconds") == 30_000
+    assert stream._interval_ms("5 minutes") == 300_000
+    assert stream._interval_ms("1 hour") == 3_600_000
+    assert stream._interval_ms("250 milliseconds") == 250
+    assert stream._interval_ms("2 days") == 172_800_000
+    with pytest.raises(ValueError, match="unknown unit"):
+        stream._interval_ms("3 fortnights")
+    with pytest.raises(ValueError, match="expected"):
+        stream._interval_ms("5")
+
+
 def test_stream_is_streaming(events_stream):
     assert events_stream.isStreaming
 
