@@ -848,6 +848,42 @@ def _apply_remove(
 # --------------------------------------------------------------------------
 
 
+def _delete_anyrel_edges(
+    cat: GraphCatalog, frame: _Frame, var: str
+) -> GraphCatalog:
+    """Delete an untyped relationship binding per-arm: each relationship
+    type's table takes one anti-join keyed on its OWN endpoint columns,
+    with the matched pairs routed by the runtime ``__type``. The
+    harmonized union struct copies every arm's raw table columns
+    unrenamed (compiler._join_step_anyrel), so the stored endpoint values
+    are available regardless of the match orientation — a ``-[r]-`` match
+    that traversed an edge backwards still deletes the stored row."""
+    fields = set(frame.df.schema[var].dataType.fieldNames())
+    for rtype, rel in cat.rels.items():
+        arm = frame.df.filter(F.col(var)["__type"] == rtype)
+        if rel.src_col not in fields or rel.dst_col not in fields:
+            # arm pruned at compile time (labels incompatible): no rows of
+            # this type can be bound — but verify, never guess
+            if arm.limit(1).count():
+                raise CypherCompileError(
+                    f"DELETE {var}: the :{rtype} arm's endpoint columns "
+                    "are missing from the union binding"
+                )
+            continue
+        pairs = arm.select(
+            F.col(var)[rel.src_col].alias("__k_s"),
+            F.col(var)[rel.dst_col].alias("__k_d"),
+        ).distinct()
+        new = rel.df.join(
+            F.broadcast(pairs),
+            (F.col(rel.src_col) == F.col("__k_s"))
+            & (F.col(rel.dst_col) == F.col("__k_d")),
+            "left_anti",
+        )
+        cat = _swap_rel(cat, rtype, new)
+    return cat
+
+
 def _apply_delete(
     eng: CypherEngine, frame: _Frame, clause: A.DeleteClause, params: dict
 ) -> GraphCatalog:
@@ -858,6 +894,15 @@ def _apply_delete(
         if not frame.has(var):
             raise CypherCompileError(f"unbound variable {var}")
         kind, label = frame.vars[var]
+        if kind == "edge" and label == _ANYREL:
+            # MATCH (a)-[r]->(b) DELETE r over an untyped (union) binding
+            # — the most common defensive-cleanup idiom (round-3 VERDICT
+            # ask #6): executes per-ARM, routing rows to their origin
+            # table by the runtime __type
+            cat = _delete_anyrel_edges(cat, frame, var)
+            frame.df = frame.df.drop(var)
+            del frame.vars[var]
+            continue
         _no_any_write(label, "DELETE")
         if kind == "edge":
             rel = cat.rel(label)

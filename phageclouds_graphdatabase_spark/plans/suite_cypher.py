@@ -856,6 +856,34 @@ WHERE NOT (source = 'SUPPLIER'
 """
 
 
+def cypher_delete_untyped_rels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write surface: MATCH (a)-[r]->(x) DELETE r through an UNTYPED
+    relationship binding (round-4) — the defensive-cleanup idiom. The
+    union binding's rows route to their origin table by the runtime
+    __type, so ONE statement shrinks both sharesDNA and infects
+    (cypher/writes.py _delete_anyrel_edges, one anti-join per arm).
+    Returns both post-delete edge tables tagged by type."""
+    q = """MATCH (a:PhageGenome {genus:'Brand#21'})-[r]->(x) DELETE r;"""
+    cat = _engine_sp(spark, sf_dir).apply(q)
+    shares = cat.rel("sharesDNA").df.select(
+        F.lit("sharesDNA").alias("rel"), "src", "dst"
+    )
+    infects = cat.rel("infects").df.select(
+        F.lit("infects").alias("rel"), "src", F.col("host_genus").alias("dst")
+    )
+    return shares.unionByName(infects)
+
+
+CYPHER_DELETE_UNTYPED_SQL = _CTE + """
+, del AS (SELECT accession FROM nodes WHERE genus = 'Brand#21')
+SELECT 'sharesDNA' AS rel, src, dst FROM edges
+WHERE src NOT IN (SELECT accession FROM del)
+UNION ALL
+SELECT 'infects' AS rel, src, host_genus AS dst FROM infects
+WHERE src NOT IN (SELECT accession FROM del)
+"""
+
+
 _FOREACH_KEYS = ["P5", "P6", "Y1", "Y2", "Y3"]
 
 
@@ -1444,6 +1472,9 @@ ENTRIES = {
     ),
     "cypher_delete_nodes": SuiteEntry(
         cypher_delete_nodes, CYPHER_DELETE_NODES_SQL, ("S2", "P8", "J7")
+    ),
+    "cypher_delete_untyped_rels": SuiteEntry(
+        cypher_delete_untyped_rels, CYPHER_DELETE_UNTYPED_SQL, ("S2", "J7")
     ),
     "cypher_foreach_ingest": SuiteEntry(
         cypher_foreach_ingest, CYPHER_FOREACH_SQL, ("S2", "J7", "A4")

@@ -381,6 +381,26 @@ def test_k_truss_canonicalizes_and_dedups_input(spark):
     assert _truss_rows(G.k_truss(e, 3)) == [(1, 2, 1), (1, 3, 1), (2, 3, 1)]
 
 
+def test_k_truss_shuffle_hash_fallback_identical(spark):
+    # forcing the above-cap branch (hash_broadcast_cap_edges=1) must give
+    # bit-identical results to the broadcast-prefilter branch, through the
+    # full fixpoint cascade
+    from itertools import combinations
+
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    cascade = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src int, dst int"
+    )
+    k5 = spark.createDataFrame(
+        list(combinations(range(5), 2)), "src int, dst int"
+    )
+    for e, k in [(cascade, 3), (cascade, 4), (k5, 5)]:
+        want = _truss_rows(G.k_truss(e, k))
+        got = _truss_rows(G.k_truss(e, k, hash_broadcast_cap_edges=1))
+        assert got == want
+
+
 def test_k_truss_rejects_k_below_3(spark):
     import pytest
 

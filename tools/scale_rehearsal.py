@@ -246,6 +246,12 @@ def main() -> None:
         help="peel-round budget for --truss-only (default: fixpoint)",
     )
     ap.add_argument(
+        "--truss-hash-cap", type=int, default=None,
+        help="override k-truss's hash_broadcast_cap_edges (pass 1 to "
+        "force the above-cap shuffle-hash closing join at this tier and "
+        "measure the fallback branch end-to-end)",
+    )
+    ap.add_argument(
         "--components-only",
         action="store_true",
         help="probe ONLY degrees + connected components at this tier "
@@ -384,7 +390,10 @@ def main() -> None:
     if args.truss_only:
         fe = edges.filter(F.col("distance") <= 0.15).select("src", "dst")
         t0 = time.time()
-        truss = G.k_truss(fe, 4, rounds=args.truss_rounds)
+        tkw = {}
+        if args.truss_hash_cap is not None:
+            tkw["hash_broadcast_cap_edges"] = args.truss_hash_cap
+        truss = G.k_truss(fe, 4, rounds=args.truss_rounds, **tkw)
         n_truss = truss.count()
         timings["ktruss_sec"] = round(time.time() - t0, 2)
         print(
@@ -396,6 +405,7 @@ def main() -> None:
                     "gen_sec": round(t_gen, 2),
                     "ingest_sec": round(t_ingest, 2),
                     "n_truss_edges": n_truss,
+                    "truss_hash_cap": args.truss_hash_cap,
                     **timings,
                 }
             )
