@@ -252,6 +252,12 @@ def main() -> None:
         "measure the fallback branch end-to-end)",
     )
     ap.add_argument(
+        "--truss-reliable", action="store_true",
+        help="run k-truss with RELIABLE per-round checkpoints (the "
+        "cluster configuration: survives executor loss) instead of "
+        "localCheckpoint",
+    )
+    ap.add_argument(
         "--components-only",
         action="store_true",
         help="probe ONLY degrees + connected components at this tier "
@@ -393,6 +399,9 @@ def main() -> None:
         tkw = {}
         if args.truss_hash_cap is not None:
             tkw["hash_broadcast_cap_edges"] = args.truss_hash_cap
+        if args.truss_reliable:
+            spark.sparkContext.setCheckpointDir(work + "/truss_ckpt")
+            tkw["reliable_checkpoint"] = True
         truss = G.k_truss(fe, 4, rounds=args.truss_rounds, **tkw)
         n_truss = truss.count()
         timings["ktruss_sec"] = round(time.time() - t0, 2)
