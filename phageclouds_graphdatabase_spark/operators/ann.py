@@ -35,11 +35,19 @@ def _repartition_cells(df: DataFrame, max_files_per_cell: int) -> DataFrame:
     ADVICE); hashing by (cell, salt) with a deterministic per-row salt in
     [0, max_files_per_cell) lets a large cell fan out to up to that many
     files while small cells still collapse to few. The salt is derived
-    from vec_id (not rand()) so reruns produce identical layouts."""
+    from vec_id (not rand()) so reruns produce identical layouts. The
+    partition count is EXPLICIT (cells × files): a bare column-repartition
+    is an AQE-coalescible exchange, and on a small batch AQE merges the
+    whole shuffle into one partition — one file per cell again; an
+    explicit count is REPARTITION_BY_NUM, which AQE leaves alone. The
+    one distinct-count job is once per index build."""
     if max_files_per_cell <= 1:
         return df.repartition("cell")
+    n_cells = df.select("cell").distinct().count()
     salt = F.pmod(F.xxhash64("vec_id"), F.lit(max_files_per_cell))
-    return df.repartition(F.col("cell"), salt)
+    return df.repartition(
+        max(1, n_cells) * max_files_per_cell, F.col("cell"), salt
+    )
 
 
 def write_ivf_index(

@@ -39,6 +39,35 @@ def test_index_layout_one_file_per_cell(index, spark):
     assert spark.read.parquet(path).count() == assigned.count()
 
 
+def test_index_layout_salted_multi_file_cells(index, spark, tmp_path):
+    # round-3 ADVICE: hashing by cell alone pinned every cell to ONE file;
+    # max_files_per_cell > 1 now salts deterministically on vec_id so a
+    # large cell fans out (up to the cap) — the 100-TB knob for keeping
+    # single files at ~128-512 MB
+    import glob
+    import os
+
+    _, assigned, _ = index
+    path = str(tmp_path / "salted")
+    ann.write_ivf_index(assigned, path, max_files_per_cell=4)
+    sizes = []
+    for c in (r.cell for r in assigned.select("cell").distinct().collect()):
+        files = glob.glob(os.path.join(path, f"cell={c}", "*.parquet"))
+        assert 1 <= len(files) <= 4, (c, files)
+        sizes.append(len(files))
+    # with ~625 rows/cell the xxhash64 salt hits all 4 buckets
+    assert max(sizes) == 4
+    assert spark.read.parquet(path).count() == assigned.count()
+    # deterministic layout: a rerun produces the same file fan-out
+    path2 = str(tmp_path / "salted2")
+    ann.write_ivf_index(assigned, path2, max_files_per_cell=4)
+    n2 = sorted(
+        len(glob.glob(os.path.join(path2, d, "*.parquet")))
+        for d in os.listdir(path2) if d.startswith("cell=")
+    )
+    assert n2 == sorted(sizes)
+
+
 def test_probe_scan_is_partition_pruned(index, spark):
     path, assigned, _ = index
     probed = ann.read_ivf_cells(spark, path, [1, 3])
