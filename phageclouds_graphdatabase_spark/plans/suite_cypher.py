@@ -884,6 +884,32 @@ WHERE src NOT IN (SELECT accession FROM del)
 """
 
 
+def cypher_untyped_anon_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Untyped 2-hop chain THROUGH an anonymous midpoint (round 4) — the
+    regression surface of the r3-ADVICE is_last fix
+    (cypher/compiler.py _join_step_anyrel): a mid-chain ``()`` must BIND
+    through the union-of-labels table so the second hop anchors at the
+    midpoint, not back at ``a``. Both relationship arms contribute
+    midpoints — suppliers via sharesDNA, hosts via infects — and the
+    result keeps per-path multiplicity (one row per shared midpoint)."""
+    q = """MATCH (a:PhageGenome {accession:'P1'})-[]->()<-[]-(b:PhageGenome)
+           WHERE b.accession <> 'P1'
+           RETURN b.accession AS partner"""
+    return _engine_sp(spark, sf_dir).run(q)
+
+
+CYPHER_ANON_MID_SQL = _CTE + """
+, mid AS (
+  SELECT src AS p, 'P|' || dst AS m FROM edges
+  UNION ALL
+  SELECT src, 'H|' || host_genus FROM infects
+)
+SELECT m2.p AS partner
+FROM mid m1 JOIN mid m2 ON m1.m = m2.m
+WHERE m1.p = 'P1' AND m2.p <> 'P1'
+"""
+
+
 _FOREACH_KEYS = ["P5", "P6", "Y1", "Y2", "Y3"]
 
 
@@ -1475,6 +1501,9 @@ ENTRIES = {
     ),
     "cypher_delete_untyped_rels": SuiteEntry(
         cypher_delete_untyped_rels, CYPHER_DELETE_UNTYPED_SQL, ("S2", "J7")
+    ),
+    "cypher_untyped_anon_midpoint": SuiteEntry(
+        cypher_untyped_anon_midpoint, CYPHER_ANON_MID_SQL, ("S2", "J2", "J1")
     ),
     "cypher_foreach_ingest": SuiteEntry(
         cypher_foreach_ingest, CYPHER_FOREACH_SQL, ("S2", "J7", "A4")
