@@ -650,6 +650,55 @@ def personalized_pagerank_scaled(
     return pr
 
 
+def katz_centrality_scaled(
+    edges: DataFrame,
+    iterations: int = 2,
+    scale: int = 1_000_000,
+    alpha_num: int = 1,
+    alpha_den: int = 8,
+) -> DataFrame:
+    """Fixed-iteration Katz centrality in INTEGER arithmetic (W6 — the
+    GDS alpha-centrality family, the directed complement of
+    pagerank_scaled): ``x_{t+1}(i) = scale + (alpha_num *
+    sum_{j->i} x_t(j)) div alpha_den`` with ``x_0 = scale``. Unlike
+    PageRank the in-neighbor contribution is NOT out-degree-normalized —
+    Katz rewards raw in-neighbourhood mass (attenuated walks of every
+    length). Integer multiply-then-div makes the fixed-iteration result
+    exact and order-independent, hence bit-identical against an unrolled
+    SQL oracle — the property that makes an iterative analytics op
+    oracle-checkable at all. Distributed shape: per iteration one
+    edges⋈scores equi-join + one groupBy(dst) sum, both
+    shuffle-partitioned by key; scores localCheckpoint per round.
+    Returns (id, katz_scaled); sources with no in-edges hold ``scale``."""
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    x = nodes.withColumn("katz_scaled", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(x, e["src"] == F.col("id"))
+            .select(F.col("dst"), F.col("katz_scaled").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        x = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left_outer")
+            .select(
+                "id",
+                (
+                    F.lit(scale)
+                    + F.expr(f"({alpha_num} * coalesce(s, 0L)) div {alpha_den}")
+                ).cast("long").alias("katz_scaled"),
+            )
+            .localCheckpoint()
+        )
+    return x
+
+
 def fastrp_embeddings(
     edges: DataFrame,
     dims: int = 8,
@@ -1012,8 +1061,11 @@ def k_truss(
     # materialized once: every round self-joins the live set three times
     live = _ckpt(_orient_edges(canonical), reliable_checkpoint)
     # the count is ~free on the just-materialized checkpoint and gates the
-    # closing-join strategy every round (broadcast prefilter vs
-    # shuffle-hash — see _triangle_support)
+    # closing-join strategy (broadcast prefilter vs shuffle-hash — see
+    # _triangle_support). Peeling only REMOVES edges, so once m is at or
+    # under the cap every later round is too — re-count per round only
+    # while above the cap (to switch back to broadcast when the peel
+    # shrinks past it)
     m = live.count()
     out_cols = [
         F.least(F.col("u"), F.col("v")).alias("a"),
@@ -1039,7 +1091,8 @@ def k_truss(
             if i >= rounds:
                 return kept.select(*out_cols)
             live = _ckpt(kept.select("u", "v", "dv"), reliable_checkpoint)
-            m = live.count()
+            if m > hash_broadcast_cap_edges:
+                m = live.count()
             continue
         kept = _ckpt(kept, reliable_checkpoint)
         n = kept.count()

@@ -693,6 +693,38 @@ FROM n LEFT JOIN c2 ON n.id = c2.dst
 """
 
 
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration integer-scaled Katz centrality over the thresholded
+    derived graph (W6, the GDS alpha-centrality family — round 4). The
+    directed complement of graph_pagerank: in-neighbor mass attenuated by
+    alpha = 1/8 per hop WITHOUT out-degree normalization. Integer
+    arithmetic keeps the fixed-iteration result order-independent, hence
+    hash-exact against the unrolled SQL oracle."""
+    return G.katz_centrality_scaled(
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD), iterations=2
+    )
+
+
+GRAPH_KATZ_SQL = f"""
+WITH e AS (
+    SELECT src, dst FROM ({GRAPH_EDGES_SQL}) WHERE distance <= {GRAPH_THRESHOLD}
+),
+n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+c1 AS (SELECT dst, SUM(CAST(1000000 AS BIGINT)) AS s FROM e GROUP BY dst),
+x1 AS (
+    SELECT n.id, CAST(1000000 + (1 * COALESCE(c1.s, 0)) // 8 AS BIGINT) AS k
+    FROM n LEFT JOIN c1 ON n.id = c1.dst
+),
+c2 AS (
+    SELECT e.dst, SUM(x1.k) AS s
+    FROM e JOIN x1 ON x1.id = e.src GROUP BY e.dst
+)
+SELECT n.id,
+       CAST(1000000 + (1 * COALESCE(c2.s, 0)) // 8 AS BIGINT) AS katz_scaled
+FROM n LEFT JOIN c2 ON n.id = c2.dst
+"""
+
+
 def graph_degrees_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node degrees over the induced subgraph (cloud analytics)."""
     return G.degrees(graph_induced_edges(spark, sf_dir)).select(
@@ -1955,6 +1987,9 @@ ENTRIES: dict[str, SuiteEntry] = {
         motif_co_suppliers, MOTIF_CO_SUPPLIERS_SQL, ("J1", "W6")
     ),
     "graph_pagerank": SuiteEntry(graph_pagerank, GRAPH_PAGERANK_SQL, ("W6", "A6")),
+    "graph_katz_centrality": SuiteEntry(
+        graph_katz_centrality, GRAPH_KATZ_SQL, ("W6", "A6")
+    ),
     "graph_degrees": SuiteEntry(graph_degrees_q, GRAPH_DEGREES_SQL, ("A6", "J7")),
     "graph_optional_host": SuiteEntry(graph_optional_host, GRAPH_OPTIONAL_SQL, ("J4", "J5", "A4")),
     "graph_components": SuiteEntry(graph_components_q, GRAPH_COMPONENTS_SQL, ("W6",)),

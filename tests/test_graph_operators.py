@@ -295,6 +295,28 @@ def test_multi_source_bfs_roots_independent(spark, shares_dna):
     assert all(r.d > 0 for r in rows)
 
 
+def test_katz_centrality_hand_computed(spark, shares_dna):
+    """2-iteration integer Katz on the t<=0.25 fixture graph (scale 1e6,
+    alpha = 1/8), every value hand-derived: x_{t+1} = 1e6 +
+    (sum of in-neighbor x_t) div 8, no degree normalization."""
+    got = {
+        r.id: r.katz_scaled
+        for r in G.katz_centrality_scaled(
+            shares_dna.filter(F.col("distance") <= 0.25), iterations=2
+        ).collect()
+    }
+    assert got == {
+        "A2": 1_140_625,  # in {A1}: A1's iter-1 1,125,000 // 8
+        "A3": 1_281_250,  # in {A1, A2}: 2,250,000 // 8
+        "B2": 1_250_000,  # in {B1, B3}: both still 1e6
+        "A1": 1_125_000,  # in {C1}
+        "D2": 1_125_000,
+        "F2": 1_125_000,
+        "B1": 1_000_000, "B3": 1_000_000, "C1": 1_000_000,
+        "D1": 1_000_000, "F1": 1_000_000,
+    }
+
+
 def test_personalized_pagerank_hand_computed(spark, shares_dna):
     # seeds {A1}; t=0.25 directed graph: A1->{A2,A3}, A2->A3, C1->A1,
     # B1->B2, B3->B2 (B-side unreachable from A1 -> score 0)
