@@ -545,6 +545,129 @@ def multi_source_bfs_levels(
     return out
 
 
+def bfs_sigma(
+    roots: DataFrame,
+    edges: DataFrame,
+    k: int,
+    threshold: float | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """Per-root BFS levels WITH shortest-path counts ``(root, id, d,
+    sigma)`` — the sigma-carrying sibling of
+    :func:`multi_source_bfs_levels` and the forward phase of
+    betweenness-family centralities (Brandes): sigma(root, v) = the number
+    of distinct shortest root→v paths, accumulated level-synchronously
+    (sigma of a new frontier node = sum of sigma over its previous-level
+    in-neighbors — exact integers, so the result is order-independent).
+    d runs 1..k (the root's own d=0/sigma=1 row is omitted).
+
+    Scale: identical shape to multi_source_bfs_levels — state
+    O(|roots| × reach), per round one frontier⋈edges join + one
+    groupBy(root, id) sum + one anti-join against the lazily-unioned
+    visited levels; sample the roots, never pass the full vertex set."""
+    e = edges if threshold is None else edges.filter(
+        F.col("distance") <= F.lit(threshold)
+    )
+    e = e.select("src", "dst")
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.localCheckpoint()
+    level0 = (
+        roots.select(F.col("id").alias("root"))
+        .distinct()
+        .select(
+            "root",
+            F.col("root").alias("id"),
+            F.lit(0).alias("d"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        .localCheckpoint()
+    )
+    levels = [level0]
+    frontier = level0.select("root", "id", "sigma")
+    for i in range(1, k + 1):
+        visited = levels[0].select("root", "id")
+        for lv in levels[1:]:
+            visited = visited.unionByName(lv.select("root", "id"))
+        nxt = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .groupBy("root", F.col("dst").alias("nid"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumnRenamed("nid", "id")
+            .join(visited, ["root", "id"], "left_anti")
+            .select("root", "id", F.lit(i).alias("d"), "sigma")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        frontier = nxt.select("root", "id", "sigma")
+    out = levels[1] if len(levels) > 1 else level0.filter(F.lit(False))
+    for lv in levels[2:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def stress_centrality_sampled(
+    edges: DataFrame,
+    roots: DataFrame,
+    max_depth: int = 3,
+    threshold: float | None = None,
+    directed: bool = False,
+) -> DataFrame:
+    """Sampled hop-bounded STRESS centrality (Shimbel): for each node v,
+    the number of shortest s→t paths passing through v, summed over
+    sampled root pairs (s < t) within ``max_depth`` of each other — the
+    integer-EXACT member of the betweenness family (betweenness divides
+    each term by sigma_st, a rational; stress keeps the raw count, so the
+    fixed-sample result is bit-identical against a SQL oracle, the same
+    trade harmonic centrality makes vs closeness).
+
+    sigma_st(v) = sigma(s→v) · sigma(v→t), counted when
+    d(s,v) + d(v,t) = d(s,t) (the standard Brandes pair-dependency
+    numerator); undirected graphs read sigma(v→t) from the BFS rooted at
+    t. One sigma-BFS from the sample (state O(|roots| × reach)), then a
+    three-way join keyed by v — no all-pairs stage anywhere."""
+    sig = bfs_sigma(
+        roots, edges, max_depth, threshold=threshold, directed=directed
+    ).localCheckpoint()
+    rset = roots.select(F.col("id").alias("t")).distinct()
+    pairs = (
+        sig.join(rset, sig["id"] == rset["t"], "left_semi")
+        .filter(F.col("root") < F.col("id"))
+        .select(
+            F.col("root").alias("s"),
+            F.col("id").alias("t"),
+            F.col("d").alias("dst_d"),
+        )
+    )
+    a = sig.select(
+        F.col("root").alias("s"),
+        F.col("id").alias("v"),
+        F.col("d").alias("da"),
+        F.col("sigma").alias("sa"),
+    )
+    b = sig.select(
+        F.col("root").alias("t"),
+        F.col("id").alias("v"),
+        F.col("d").alias("db"),
+        F.col("sigma").alias("sb"),
+    )
+    return (
+        pairs.join(a, "s")
+        .join(b, ["t", "v"])
+        .filter(
+            (F.col("da") + F.col("db") == F.col("dst_d"))
+            & (F.col("v") != F.col("s"))
+            & (F.col("v") != F.col("t"))
+        )
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.sum(F.col("sa") * F.col("sb")).cast("long").alias("stress"))
+    )
+
+
 def pagerank_scaled(
     edges: DataFrame,
     iterations: int = 2,

@@ -2554,6 +2554,81 @@ ENTRIES.update({
 })
 
 
+def graph_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled hop-bounded STRESS centrality (round 4 — the
+    betweenness-family member that stays integer-EXACT): per node, the
+    number of shortest s→t paths through it over sampled root pairs
+    within depth 3, sigma_st(v) = sigma(s→v)·sigma(v→t) counted when
+    d(s,v)+d(v,t)=d(s,t) (the Brandes pair-dependency numerator;
+    betweenness divides by sigma_st — a rational — so stress is the form
+    an unrolled SQL oracle can hash bit-exactly, the same trade harmonic
+    makes vs closeness). One sigma-carrying multi-source BFS
+    (operators/graph.py bfs_sigma, state O(|roots| × reach)) + a
+    three-way join keyed by the midpoint — no all-pairs stage."""
+    roots = (
+        t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_partkey") % 32 == 1))
+        .select(F.concat(F.lit("P"), F.col("p_partkey")).alias("id"))
+        .distinct()
+    )
+    return G.stress_centrality_sampled(
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+        roots,
+        max_depth=3,
+        threshold=GRAPH_THRESHOLD,
+        directed=False,
+    )
+
+
+GRAPH_STRESS_SQL = f"""
+WITH edges AS ({GRAPH_EDGES_SQL}),
+und AS (
+    SELECT src, dst FROM edges WHERE distance <= {GRAPH_THRESHOLD}
+    UNION
+    SELECT dst AS src, src AS dst FROM edges WHERE distance <= {GRAPH_THRESHOLD}
+),
+r AS (SELECT DISTINCT 'P' || p_partkey AS id FROM part
+      WHERE p_type = 'ECONOMY' AND p_partkey % 32 = 1),
+s0 AS (SELECT id AS root, id, CAST(1 AS BIGINT) AS sig FROM r),
+s1 AS (
+    SELECT s0.root, u.dst AS id, CAST(SUM(s0.sig) AS BIGINT) AS sig
+    FROM s0 JOIN und u ON u.src = s0.id
+    WHERE u.dst <> s0.root
+    GROUP BY s0.root, u.dst
+),
+s2 AS (
+    SELECT s1.root, u.dst AS id, CAST(SUM(s1.sig) AS BIGINT) AS sig
+    FROM s1 JOIN und u ON u.src = s1.id
+    WHERE u.dst <> s1.root
+      AND NOT EXISTS (SELECT 1 FROM s1 z WHERE z.root = s1.root AND z.id = u.dst)
+    GROUP BY s1.root, u.dst
+),
+s3 AS (
+    SELECT s2.root, u.dst AS id, CAST(SUM(s2.sig) AS BIGINT) AS sig
+    FROM s2 JOIN und u ON u.src = s2.id
+    WHERE u.dst <> s2.root
+      AND NOT EXISTS (SELECT 1 FROM s1 z WHERE z.root = s2.root AND z.id = u.dst)
+      AND NOT EXISTS (SELECT 1 FROM s2 z WHERE z.root = s2.root AND z.id = u.dst)
+    GROUP BY s2.root, u.dst
+),
+sig AS (
+    SELECT root, id, 1 AS d, sig FROM s1
+    UNION ALL SELECT root, id, 2, sig FROM s2
+    UNION ALL SELECT root, id, 3, sig FROM s3
+),
+pd AS (
+    SELECT root AS s, id AS t, d AS dst_d FROM sig
+    WHERE id IN (SELECT id FROM r) AND root < id
+)
+SELECT a.id, CAST(SUM(a.sig * b.sig) AS BIGINT) AS stress
+FROM pd
+JOIN sig a ON a.root = pd.s
+JOIN sig b ON b.root = pd.t AND b.id = a.id
+WHERE a.d + b.d = pd.dst_d AND a.id <> pd.s AND a.id <> pd.t
+GROUP BY a.id
+"""
+
+
 def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled harmonic centrality (round 3): per-root BFS levels to depth 3
     from the ECONOMY seed sample, then per NODE the sum of 1/d over roots
@@ -2629,6 +2704,9 @@ FROM lev GROUP BY id
 
 
 ENTRIES.update({
+    "graph_stress_centrality": SuiteEntry(
+        graph_stress_centrality, GRAPH_STRESS_SQL, ("W6", "A6")
+    ),
     "graph_harmonic_centrality": SuiteEntry(
         graph_harmonic_centrality, GRAPH_HARMONIC_SQL, ("W6", "A6")
     ),

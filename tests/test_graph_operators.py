@@ -295,6 +295,95 @@ def test_multi_source_bfs_roots_independent(spark, shares_dna):
     assert all(r.d > 0 for r in rows)
 
 
+def test_bfs_sigma_counts_shortest_paths(spark):
+    # diamond A-B-D / A-C-D: two shortest A->D paths (sigma 2), one to
+    # each midpoint; path extension A-B-D-E gives sigma(E)=2 at d=3
+    e = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "D"), ("C", "D"), ("D", "E")],
+        "src string, dst string",
+    )
+    roots = spark.createDataFrame([("A",)], "id string")
+    got = {
+        (r.root, r.id): (r.d, r.sigma)
+        for r in G.bfs_sigma(roots, e, 3, directed=False).collect()
+    }
+    assert got == {
+        ("A", "B"): (1, 1),
+        ("A", "C"): (1, 1),
+        ("A", "D"): (2, 2),
+        ("A", "E"): (3, 2),
+    }
+
+
+def test_stress_centrality_hand_computed(spark):
+    # diamond + tail: pairs within the {A, D, E} sample —
+    #   (A,D) d=2 via B and C: stress(B) += 1, stress(C) += 1
+    #   (A,E) d=3 via B,C (1 path each) and D (2 paths): B+1, C+1, D+2
+    #   (D,E) d=1: no interior node
+    e = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "D"), ("C", "D"), ("D", "E")],
+        "src string, dst string",
+    )
+    roots = spark.createDataFrame([("A",), ("D",), ("E",)], "id string")
+    got = {
+        r.id: r.stress
+        for r in G.stress_centrality_sampled(e, roots, max_depth=3).collect()
+    }
+    assert got == {"B": 2, "C": 2, "D": 2}
+
+
+def test_stress_matches_bruteforce(spark):
+    # differential vs a driver-side all-shortest-paths count on a random
+    # graph, pairs restricted to the sample and the hop bound
+    import random
+    from collections import deque
+
+    rng = random.Random(7)
+    n = 18
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(40)})
+    adj: dict = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+
+    def bfs(s):
+        d, sig = {s: 0}, {s: 1}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj.get(u, ()):
+                if w not in d:
+                    d[w] = d[u] + 1
+                    sig[w] = 0
+                    q.append(w)
+                if d[w] == d[u] + 1:
+                    sig[w] += sig[u]
+        return d, sig
+
+    sample = [0, 3, 6, 9, 12]
+    info = {s: bfs(s) for s in sample}
+    want: dict = {}
+    for i, s in enumerate(sample):
+        for t in sample[i + 1:]:
+            ds, ss = info[s]
+            dt, st = info[t]
+            if t not in ds or ds[t] > 3:
+                continue
+            for v in ds:
+                if v in (s, t) or v not in dt:
+                    continue
+                if ds[v] + dt[v] == ds[t] and 1 <= ds[v] <= 3 and dt[v] <= 3:
+                    want[v] = want.get(v, 0) + ss[v] * st[v]
+
+    e = spark.createDataFrame(edges, "src int, dst int")
+    roots = spark.createDataFrame([(s,) for s in sample], "id int")
+    got = {
+        r.id: r.stress
+        for r in G.stress_centrality_sampled(e, roots, max_depth=3).collect()
+    }
+    assert got == want
+
+
 def test_katz_centrality_hand_computed(spark, shares_dna):
     """2-iteration integer Katz on the t<=0.25 fixture graph (scale 1e6,
     alpha = 1/8), every value hand-derived: x_{t+1} = 1e6 +
