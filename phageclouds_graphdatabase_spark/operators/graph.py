@@ -668,6 +668,67 @@ def stress_centrality_sampled(
     )
 
 
+def betweenness_centrality_scaled(
+    edges: DataFrame,
+    roots: DataFrame,
+    max_depth: int = 3,
+    scale: int = 1_000_000,
+    threshold: float | None = None,
+    directed: bool = False,
+) -> DataFrame:
+    """Sampled hop-bounded BETWEENNESS centrality in fixed-point integer
+    arithmetic: per node v, ``sum over sampled pairs (s < t) of
+    (sigma(s→v) · sigma(v→t) · scale) div sigma(s→t)`` when
+    d(s,v)+d(v,t)=d(s,t) — the Brandes pair dependency with the rational
+    division floored PER TERM at ``scale`` precision, which makes the sum
+    exact integers (order-independent, hash-stable against a SQL oracle;
+    the floor-per-term deviation from true betweenness is < #pairs/scale,
+    documented the same way harmonic's ×6 scaling is). Same machinery as
+    :func:`stress_centrality_sampled`: one sigma-carrying BFS + a
+    three-way join keyed by the midpoint."""
+    sig = bfs_sigma(
+        roots, edges, max_depth, threshold=threshold, directed=directed
+    ).localCheckpoint()
+    rset = roots.select(F.col("id").alias("t")).distinct()
+    pairs = (
+        sig.join(rset, sig["id"] == rset["t"], "left_semi")
+        .filter(F.col("root") < F.col("id"))
+        .select(
+            F.col("root").alias("s"),
+            F.col("id").alias("t"),
+            F.col("d").alias("dst_d"),
+            F.col("sigma").alias("sigma_st"),
+        )
+    )
+    a = sig.select(
+        F.col("root").alias("s"),
+        F.col("id").alias("v"),
+        F.col("d").alias("da"),
+        F.col("sigma").alias("sa"),
+    )
+    b = sig.select(
+        F.col("root").alias("t"),
+        F.col("id").alias("v"),
+        F.col("d").alias("db"),
+        F.col("sigma").alias("sb"),
+    )
+    return (
+        pairs.join(a, "s")
+        .join(b, ["t", "v"])
+        .filter(
+            (F.col("da") + F.col("db") == F.col("dst_d"))
+            & (F.col("v") != F.col("s"))
+            & (F.col("v") != F.col("t"))
+        )
+        .groupBy(F.col("v").alias("id"))
+        .agg(
+            F.sum(
+                F.expr(f"(sa * sb * {scale}L) div sigma_st")
+            ).cast("long").alias("bc_scaled")
+        )
+    )
+
+
 def pagerank_scaled(
     edges: DataFrame,
     iterations: int = 2,

@@ -2629,6 +2629,46 @@ GROUP BY a.id
 """
 
 
+def graph_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled hop-bounded BETWEENNESS (round 4) in fixed-point integers:
+    each pair's Brandes dependency sigma(s→v)·sigma(v→t)/sigma(s→t) is
+    floored PER TERM at 1e-6 precision ((sa·sb·1e6) div sigma_st), so the
+    sum is exact integers and hash-stable against the unrolled SQL oracle
+    (error vs true betweenness < #pairs/1e6 — the documented fixed-point
+    trade). Shares the sigma-BFS + midpoint join with
+    graph_stress_centrality."""
+    roots = (
+        t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_partkey") % 32 == 1))
+        .select(F.concat(F.lit("P"), F.col("p_partkey")).alias("id"))
+        .distinct()
+    )
+    return G.betweenness_centrality_scaled(
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+        roots,
+        max_depth=3,
+        scale=1_000_000,
+        threshold=GRAPH_THRESHOLD,
+        directed=False,
+    )
+
+
+_STRESS_CTE_BODY = GRAPH_STRESS_SQL.split("pd AS")[0]
+
+GRAPH_BETWEENNESS_SQL = _STRESS_CTE_BODY + """pd AS (
+    SELECT root AS s, id AS t, d AS dst_d, sig AS sig_st FROM sig
+    WHERE id IN (SELECT id FROM r) AND root < id
+)
+SELECT a.id,
+       CAST(SUM((a.sig * b.sig * 1000000) // pd.sig_st) AS BIGINT) AS bc_scaled
+FROM pd
+JOIN sig a ON a.root = pd.s
+JOIN sig b ON b.root = pd.t AND b.id = a.id
+WHERE a.d + b.d = pd.dst_d AND a.id <> pd.s AND a.id <> pd.t
+GROUP BY a.id
+"""
+
+
 def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled harmonic centrality (round 3): per-root BFS levels to depth 3
     from the ECONOMY seed sample, then per NODE the sum of 1/d over roots
@@ -2706,6 +2746,9 @@ FROM lev GROUP BY id
 ENTRIES.update({
     "graph_stress_centrality": SuiteEntry(
         graph_stress_centrality, GRAPH_STRESS_SQL, ("W6", "A6")
+    ),
+    "graph_betweenness_centrality": SuiteEntry(
+        graph_betweenness_centrality, GRAPH_BETWEENNESS_SQL, ("W6", "A6")
     ),
     "graph_harmonic_centrality": SuiteEntry(
         graph_harmonic_centrality, GRAPH_HARMONIC_SQL, ("W6", "A6")

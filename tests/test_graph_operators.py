@@ -384,6 +384,81 @@ def test_stress_matches_bruteforce(spark):
     assert got == want
 
 
+def test_betweenness_scaled_hand_computed(spark):
+    # diamond + tail, sample {A, D, E}, scale 1e6:
+    #   (A,D) d=2 sigma_st=2: B and C each (1*1*1e6) div 2 = 500_000
+    #   (A,E) d=3 sigma_st=2: B,C each 500_000; D (2*1*1e6) div 2 = 1e6
+    #   (D,E) d=1: no interior
+    e = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "D"), ("C", "D"), ("D", "E")],
+        "src string, dst string",
+    )
+    roots = spark.createDataFrame([("A",), ("D",), ("E",)], "id string")
+    got = {
+        r.id: r.bc_scaled
+        for r in G.betweenness_centrality_scaled(
+            e, roots, max_depth=3
+        ).collect()
+    }
+    assert got == {"B": 1_000_000, "C": 1_000_000, "D": 1_000_000}
+
+
+def test_betweenness_scaled_matches_bruteforce(spark):
+    # differential vs driver-side Brandes with the same floor-per-term
+    # fixed-point rule, sampled pairs, hop bound 3
+    import random
+    from collections import deque
+
+    rng = random.Random(13)
+    n = 16
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(36)})
+    adj: dict = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+
+    def bfs(s):
+        d, sig = {s: 0}, {s: 1}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj.get(u, ()):
+                if w not in d:
+                    d[w] = d[u] + 1
+                    sig[w] = 0
+                    q.append(w)
+                if d[w] == d[u] + 1:
+                    sig[w] += sig[u]
+        return d, sig
+
+    sample = [0, 2, 5, 8, 11]
+    info = {s: bfs(s) for s in sample}
+    want: dict = {}
+    for i, s in enumerate(sample):
+        for t in sample[i + 1:]:
+            ds, ss = info[s]
+            dt, st = info[t]
+            if t not in ds or ds[t] > 3:
+                continue
+            for v in ds:
+                if v in (s, t) or v not in dt:
+                    continue
+                if ds[v] + dt[v] == ds[t] and 1 <= ds[v] <= 3 and dt[v] <= 3:
+                    want[v] = want.get(v, 0) + (
+                        ss[v] * st[v] * 1_000_000
+                    ) // ss[t]
+
+    e = spark.createDataFrame(edges, "src int, dst int")
+    roots = spark.createDataFrame([(s,) for s in sample], "id int")
+    got = {
+        r.id: r.bc_scaled
+        for r in G.betweenness_centrality_scaled(
+            e, roots, max_depth=3
+        ).collect()
+    }
+    assert got == want
+
+
 def test_katz_centrality_hand_computed(spark, shares_dna):
     """2-iteration integer Katz on the t<=0.25 fixture graph (scale 1e6,
     alpha = 1/8), every value hand-derived: x_{t+1} = 1e6 +
