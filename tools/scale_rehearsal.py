@@ -374,6 +374,31 @@ def main() -> None:
         n_emb = emb.count()
         timings["fastrp_sec"] = round(time.time() - t0, 2)
         timings["n_embedded"] = n_emb
+        t0 = time.time()
+        katz = G.katz_centrality_scaled(fe, iterations=2)
+        timings["n_katz"] = katz.count()
+        timings["katz_sec"] = round(time.time() - t0, 2)
+        # betweenness roots must be mutually REACHABLE within the hop
+        # bound to exercise the pair/midpoint joins (uniform random roots
+        # in a sparse graph are never <=3 hops apart): sample the
+        # neighborhood of the highest-degree hub
+        hub = (
+            fe.groupBy("src")
+            .count()
+            .orderBy(F.desc("count"), "src")
+            .limit(1)
+            .select("src")
+        )
+        broots = (
+            fe.join(hub, "src")
+            .select(F.col("dst").alias("id"))
+            .limit(args.roots)
+            .localCheckpoint()
+        )
+        t0 = time.time()
+        bc = G.betweenness_centrality_scaled(fe, broots, max_depth=3)
+        timings["n_betweenness"] = bc.count()
+        timings["betweenness_sec"] = round(time.time() - t0, 2)
         print(
             json.dumps(
                 {
