@@ -256,12 +256,15 @@ class LoadCsv:
 
 @dataclass(frozen=True)
 class CallProc:
-    """``CALL db.labels() [YIELD col [AS alias], ...]`` — a no-argument
-    introspection procedure (db.labels / db.relationshipTypes /
-    db.propertyKeys), answered from the GraphCatalog at compile time."""
+    """``CALL db.labels() [YIELD col [AS alias], ...]`` — an
+    introspection procedure (db.*, answered from the GraphCatalog at
+    compile time) or a graph-algorithm stream procedure
+    (``CALL gds.pageRank.stream('sharesDNA', {maxIterations: 2})``,
+    compiled to the corresponding operators/graph.py plan)."""
 
     name: str
     yields: tuple  # ((yield_name, alias_or_None), ...)
+    args: tuple = ()  # (Expr, ...) — literal/param arguments
 
 
 @dataclass(frozen=True)

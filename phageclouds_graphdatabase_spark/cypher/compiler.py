@@ -386,7 +386,7 @@ class CypherEngine:
             elif isinstance(clause, A.CallSub):
                 self._fold_call_subquery(frame, clause, params)
             elif isinstance(clause, A.CallProc):
-                self._fold_call_proc(frame, clause)
+                self._fold_call_proc(frame, clause, params)
             elif isinstance(clause, A.LoadCsv):
                 self._fold_load_csv(frame, clause, params)
             elif isinstance(clause, A.ReturnClause):
@@ -2394,22 +2394,117 @@ class CypherEngine:
             "propertyTypes array<string>, mandatory boolean"
         )
 
-    def _fold_call_proc(self, frame: _Frame, clause: A.CallProc) -> None:
+    # GDS-style stream procedures -> operators/graph.py plans. Scores are
+    # the engine's integer-scaled forms (the deterministic variants the
+    # oracle suite checks); nodeId is the node KEY (the id() convention).
+    _GDS_PROCS = {
+        "gds.pagerank.stream": ("nodeId", "score"),
+        "gds.katz.stream": ("nodeId", "score"),
+        "gds.degree.stream": ("nodeId", "score"),
+        "gds.wcc.stream": ("nodeId", "componentId"),
+    }
+
+    def _gds_edges(self, reltype: str | None):
+        """Resolve the edge projection for a gds.* call: the named
+        relationship type's table as (src, dst) strings, or the only type
+        when the catalog has exactly one."""
+        if reltype is None:
+            if len(self.catalog.rels) != 1:
+                raise CypherCompileError(
+                    "this graph has multiple relationship types; name one: "
+                    "CALL gds.<algo>.stream('<relationshipType>')"
+                )
+            reltype = next(iter(self.catalog.rels))
+        rel = self.catalog.rel(reltype)
+        return rel.df.select(
+            F.col(rel.src_col).cast("string").alias("src"),
+            F.col(rel.dst_col).cast("string").alias("dst"),
+        )
+
+    def _fold_gds_proc(self, clause: A.CallProc, params: dict):
+        """``CALL gds.pageRank.stream('sharesDNA', {maxIterations: 2})``
+        and friends — the Neo4j Graph Data Science stream-procedure
+        surface, compiled to the SAME operators the DataFrame API exposes
+        (operators/graph.py). Unlike the db.* metadata procs the result
+        is a DISTRIBUTED plan, not driver rows. Arguments: an optional
+        relationshipType string (required when the catalog has several)
+        and an optional config map ({maxIterations: n} where the
+        algorithm iterates)."""
+        from phageclouds_graphdatabase_spark.operators import graph as _G
+
+        name = clause.name.lower()
+        cols = self._GDS_PROCS[name]
+
+        def _pyval(e):
+            if isinstance(e, A.Literal):
+                return e.value
+            if isinstance(e, A.Param):
+                return params.get(e.name)
+            raise CypherCompileError(
+                "gds procedures take literal or $param arguments"
+            )
+
+        reltype, config = None, {}
+        for a in clause.args:
+            if isinstance(a, A.MapLit):
+                config = {k: _pyval(v) for k, v in a.items}
+            else:
+                v = _pyval(a)
+                if not isinstance(v, str):
+                    raise CypherCompileError(
+                        "the relationshipType argument must be a string"
+                    )
+                reltype = v
+        e = self._gds_edges(reltype)
+        iters = int(config.get("maxIterations", 2))
+        if name == "gds.pagerank.stream":
+            df = _G.pagerank_scaled(e, iterations=iters).select(
+                F.col("id").alias("nodeId"),
+                F.col("pr_scaled").alias("score"),
+            )
+        elif name == "gds.katz.stream":
+            df = _G.katz_centrality_scaled(e, iterations=iters).select(
+                F.col("id").alias("nodeId"),
+                F.col("katz_scaled").alias("score"),
+            )
+        elif name == "gds.degree.stream":
+            df = _G.degrees(e).select(
+                F.col("id").alias("nodeId"),
+                F.col("degree").cast("long").alias("score"),
+            )
+        else:  # gds.wcc.stream
+            df = _G.connected_components(e).select(
+                F.col("id").alias("nodeId"),
+                F.col("component").alias("componentId"),
+            )
+        return df, cols
+
+    def _fold_call_proc(
+        self, frame: _Frame, clause: A.CallProc, params: dict | None = None
+    ) -> None:
         """CALL db.labels()/db.relationshipTypes()/db.propertyKeys()/
         db.schema.nodeTypeProperties()/db.schema.relTypeProperties() —
         Neo4j's schema-introspection procedures, answered from the
-        GraphCatalog. The result is driver-built metadata (a handful of
+        GraphCatalog — plus the gds.*.stream algorithm procedures
+        (_fold_gds_proc). Metadata results are driver-built (a handful of
         rows); when rows are already bound the procedure cross-joins per
         row, matching Neo4j's per-input-row invocation of a row-independent
         procedure. YIELD picks a subset of the procedure's columns, with
         optional aliases."""
         name = clause.name.lower()
-        cols = self._PROC_COLUMNS.get(name)
-        if cols is None:
-            raise CypherCompileError(f"unknown procedure {clause.name}()")
-        rows, schema = self._proc_rows(name)
-        any_df = next(iter(self.catalog.nodes.values())).df
-        df = any_df.sparkSession.createDataFrame(rows, schema)
+        if name in self._GDS_PROCS:
+            df, cols = self._fold_gds_proc(clause, params or {})
+        else:
+            cols = self._PROC_COLUMNS.get(name)
+            if cols is None:
+                raise CypherCompileError(f"unknown procedure {clause.name}()")
+            if clause.args:
+                raise CypherCompileError(
+                    f"{clause.name}() takes no arguments"
+                )
+            rows, schema = self._proc_rows(name)
+            any_df = next(iter(self.catalog.nodes.values())).df
+            df = any_df.sparkSession.createDataFrame(rows, schema)
         if clause.yields:
             sel, outnames = [], []
             for yname, alias in clause.yields:

@@ -841,12 +841,20 @@ class _Parser:
         return A.LoadCsv(url, var, headers, sep)
 
     def _call_proc(self) -> A.CallProc:
-        """``CALL db.labels() [YIELD col [AS alias], ...]`` — dotted
-        no-argument procedure name, optional YIELD projection."""
+        """``CALL db.labels() [YIELD col [AS alias], ...]`` /
+        ``CALL gds.pageRank.stream('sharesDNA', {maxIterations: 2})`` —
+        dotted procedure name, optional literal arguments, optional YIELD
+        projection."""
         parts = [self._name()]
         while self.accept("sym", "."):
             parts.append(self._name())
         self.take("sym", "(")
+        args: list = []
+        if not self.at("sym", ")"):
+            while True:
+                args.append(self.expr())
+                if not self.accept("sym", ","):
+                    break
         self.take("sym", ")")
         yields: list = []
         if self.at("ident") and self.peek()[1].lower() == "yield":
@@ -857,7 +865,7 @@ class _Parser:
                 yields.append((yname, alias))
                 if not self.accept("sym", ","):
                     break
-        return A.CallProc(".".join(parts), tuple(yields))
+        return A.CallProc(".".join(parts), tuple(yields), tuple(args))
 
     def _map_projection(self, var: str) -> A.MapProj:
         """``n {.prop, .*, key: expr, other_var}`` — Neo4j map projection."""

@@ -884,6 +884,39 @@ WHERE src NOT IN (SELECT accession FROM del)
 """
 
 
+def cypher_gds_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL gds.pageRank.stream (round 4) — the Neo4j GDS stream-procedure
+    surface through the Cypher frontend, compiled to the same
+    integer-scaled power iteration as graph_pagerank
+    (operators/graph.py pagerank_scaled) over the FULL (unthresholded)
+    sharesDNA projection; YIELD aliases flow into the trailing RETURN."""
+    q = ("CALL gds.pageRank.stream('sharesDNA', {maxIterations: 2}) "
+         "YIELD nodeId AS id, score AS pr_scaled RETURN id, pr_scaled")
+    return _engine_sp(spark, sf_dir).run(q)
+
+
+CYPHER_GDS_PAGERANK_SQL = f"""
+WITH e AS (SELECT src, dst FROM ({GRAPH_EDGES_SQL})),
+n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+od AS (SELECT src AS id, COUNT(*) AS od FROM e GROUP BY src),
+c1 AS (
+    SELECT e.dst, SUM(1000000 // od.od) AS s
+    FROM e JOIN od ON e.src = od.id GROUP BY e.dst
+),
+p1 AS (
+    SELECT n.id, CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS pr
+    FROM n LEFT JOIN c1 ON n.id = c1.dst
+),
+c2 AS (
+    SELECT e.dst, SUM(p1.pr // od.od) AS s
+    FROM e JOIN od ON e.src = od.id JOIN p1 ON p1.id = e.src
+    GROUP BY e.dst
+)
+SELECT n.id, CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS pr_scaled
+FROM n LEFT JOIN c2 ON n.id = c2.dst
+"""
+
+
 def cypher_untyped_anon_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Untyped 2-hop chain THROUGH an anonymous midpoint (round 4) — the
     regression surface of the r3-ADVICE is_last fix
@@ -1504,6 +1537,9 @@ ENTRIES = {
     ),
     "cypher_untyped_anon_midpoint": SuiteEntry(
         cypher_untyped_anon_midpoint, CYPHER_ANON_MID_SQL, ("S2", "J2", "J1")
+    ),
+    "cypher_gds_pagerank": SuiteEntry(
+        cypher_gds_pagerank, CYPHER_GDS_PAGERANK_SQL, ("S2", "W6")
     ),
     "cypher_foreach_ingest": SuiteEntry(
         cypher_foreach_ingest, CYPHER_FOREACH_SQL, ("S2", "J7", "A4")

@@ -1923,6 +1923,60 @@ class TestUntypedRelationships:
             )
 
 
+class TestGdsProcedures:
+    """CALL gds.*.stream — the Neo4j GDS stream-procedure surface,
+    compiled to the SAME operators/graph.py plans the DataFrame API
+    exposes. Scores are the engine's deterministic integer-scaled forms;
+    nodeId is the node key (the id() convention)."""
+
+    def test_degree_stream(self, eng):
+        got = rows(eng.run(
+            "CALL gds.degree.stream('sharesDNA') YIELD nodeId, score "
+            "RETURN nodeId, score ORDER BY score DESC, nodeId LIMIT 3"
+        ))
+        assert got == [("A1", 3), ("A2", 2), ("A3", 3)]
+
+    def test_wcc_stream_matches_components(self, eng):
+        got = rows(eng.run(
+            "CALL gds.wcc.stream('sharesDNA') YIELD nodeId, componentId "
+            "RETURN componentId, count(*) AS n ORDER BY n DESC, componentId"
+        ))
+        # full (unthresholded) sharesDNA graph: A*/B*/C1 merge via A3->B1
+        assert got == [("A1", 7), ("D1", 2), ("F1", 2)]
+
+    def test_katz_stream_hand_values(self, eng):
+        got = rows(eng.run(
+            "CALL gds.katz.stream('sharesDNA', {maxIterations: 2}) "
+            "YIELD nodeId AS id, score RETURN id, score "
+            "ORDER BY score DESC, id LIMIT 2"
+        ))
+        # A3 in-edges {A1, A2}: 1e6 + (1,125,000+1,125,000)//8
+        assert got == [("A3", 1_281_250), ("B2", 1_265_625)]
+
+    def test_yield_flows_into_clauses(self, eng):
+        got = rows(eng.run(
+            "CALL gds.pageRank.stream('sharesDNA') YIELD nodeId, score "
+            "WITH nodeId, score WHERE score > 1000000 "
+            "RETURN nodeId, score ORDER BY nodeId"
+        ))
+        assert got == [("A3", 1_063_750), ("B1", 1_361_250),
+                       ("B2", 1_127_500)]
+
+    def test_multi_type_catalog_requires_name(self, eng):
+        with pytest.raises(CypherCompileError, match="name one"):
+            eng.run("CALL gds.degree.stream() YIELD nodeId RETURN nodeId")
+
+    def test_unknown_reltype_rejected(self, eng):
+        with pytest.raises(Exception):
+            eng.run(
+                "CALL gds.degree.stream('nope') YIELD nodeId RETURN nodeId"
+            )
+
+    def test_db_procs_take_no_arguments(self, eng):
+        with pytest.raises(CypherCompileError, match="no arguments"):
+            eng.run("CALL db.labels('x') YIELD label RETURN label")
+
+
 class TestSchemaProcedures:
     """db.schema.nodeTypeProperties()/relTypeProperties() — catalog-derived
     schema introspection with multi-column YIELD subsets. `mandatory` is
