@@ -265,6 +265,7 @@ class CallProc:
     name: str
     yields: tuple  # ((yield_name, alias_or_None), ...)
     args: tuple = ()  # (Expr, ...) — literal/param arguments
+    where: object = None  # Expr | None — ``YIELD ... WHERE pred`` filter
 
 
 @dataclass(frozen=True)

@@ -2402,6 +2402,7 @@ class CypherEngine:
         "gds.katz.stream": ("nodeId", "score"),
         "gds.degree.stream": ("nodeId", "score"),
         "gds.wcc.stream": ("nodeId", "componentId"),
+        "gds.betweenness.stream": ("nodeId", "score"),
     }
 
     def _gds_edges(self, reltype: str | None):
@@ -2472,6 +2473,27 @@ class CypherEngine:
                 F.col("id").alias("nodeId"),
                 F.col("degree").cast("long").alias("score"),
             )
+        elif name == "gds.betweenness.stream":
+            # GDS samples source nodes via samplingSize; here the sample
+            # is DETERMINISTIC (hash-ordered first n) so repeated calls —
+            # and the SQL oracle — see the same roots. maxDepth bounds
+            # the sigma-BFS (the hop-bounded semantics of
+            # betweenness_centrality_scaled).
+            n_roots = int(config.get("samplingSize", 16))
+            depth = int(config.get("maxDepth", 3))
+            roots = (
+                e.select(F.col("src").alias("id"))
+                .unionByName(e.select(F.col("dst").alias("id")))
+                .distinct()
+                .orderBy(F.xxhash64("id"), "id")
+                .limit(n_roots)
+            )
+            df = _G.betweenness_centrality_scaled(
+                e, roots, max_depth=depth
+            ).select(
+                F.col("id").alias("nodeId"),
+                F.col("bc_scaled").alias("score"),
+            )
         else:  # gds.wcc.stream
             df = _G.connected_components(e).select(
                 F.col("id").alias("nodeId"),
@@ -2521,6 +2543,11 @@ class CypherEngine:
         frame.df = df if frame.df is None else frame.df.crossJoin(df)
         for n in outnames:
             frame.vars[n] = ("flat", None)
+        if clause.where is not None:
+            # CALL ... YIELD cols WHERE pred — Neo4j filters directly on
+            # the yielded columns; compile through the ordinary WHERE path
+            # so yielded flat vars (and any outer bindings) resolve
+            self._apply_where(frame, clause.where, params or {})
 
     def _fold_load_csv(self, frame: _Frame, clause: A.LoadCsv, params: dict) -> None:
         """LOAD CSV: one spark.read.csv scan, all columns STRING (Neo4j

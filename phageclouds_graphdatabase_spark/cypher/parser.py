@@ -857,6 +857,7 @@ class _Parser:
                     break
         self.take("sym", ")")
         yields: list = []
+        where = None
         if self.at("ident") and self.peek()[1].lower() == "yield":
             self.take("ident")
             while True:
@@ -865,7 +866,10 @@ class _Parser:
                 yields.append((yname, alias))
                 if not self.accept("sym", ","):
                     break
-        return A.CallProc(".".join(parts), tuple(yields), tuple(args))
+            # Neo4j allows a WHERE directly on the yielded columns
+            if self.accept("kw", "where"):
+                where = self.expr()
+        return A.CallProc(".".join(parts), tuple(yields), tuple(args), where)
 
     def _map_projection(self, var: str) -> A.MapProj:
         """``n {.prop, .*, key: expr, other_var}`` — Neo4j map projection."""

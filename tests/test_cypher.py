@@ -1962,6 +1962,38 @@ class TestGdsProcedures:
         assert got == [("A3", 1_063_750), ("B1", 1_361_250),
                        ("B2", 1_127_500)]
 
+    def test_yield_where_filters_directly(self, eng):
+        # Neo4j allows WHERE straight after YIELD
+        got = rows(eng.run(
+            "CALL gds.pageRank.stream('sharesDNA') YIELD nodeId, score "
+            "WHERE score > 1000000 RETURN nodeId, score ORDER BY nodeId"
+        ))
+        assert got == [("A3", 1_063_750), ("B1", 1_361_250),
+                       ("B2", 1_127_500)]
+
+    def test_betweenness_stream_matches_operator(self, eng, shares_dna):
+        from phageclouds_graphdatabase_spark.operators import graph as G
+
+        got = rows(eng.run(
+            "CALL gds.betweenness.stream('sharesDNA', {samplingSize: 20}) "
+            "YIELD nodeId, score RETURN nodeId, score"
+        ))
+        # samplingSize 20 > 11 endpoints: the sample is every node, so the
+        # proc must equal the operator called with all endpoints as roots
+        e = shares_dna.select("src", "dst")
+        roots = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        want = sorted(
+            (r.id, r.bc_scaled)
+            for r in G.betweenness_centrality_scaled(
+                e, roots, max_depth=3
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+
     def test_multi_type_catalog_requires_name(self, eng):
         with pytest.raises(CypherCompileError, match="name one"):
             eng.run("CALL gds.degree.stream() YIELD nodeId RETURN nodeId")
