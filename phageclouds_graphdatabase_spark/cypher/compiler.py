@@ -2403,6 +2403,7 @@ class CypherEngine:
         "gds.degree.stream": ("nodeId", "score"),
         "gds.wcc.stream": ("nodeId", "componentId"),
         "gds.betweenness.stream": ("nodeId", "score"),
+        "gds.stress.stream": ("nodeId", "score"),
     }
 
     def _gds_edges(self, reltype: str | None):
@@ -2473,12 +2474,11 @@ class CypherEngine:
                 F.col("id").alias("nodeId"),
                 F.col("degree").cast("long").alias("score"),
             )
-        elif name == "gds.betweenness.stream":
+        elif name in ("gds.betweenness.stream", "gds.stress.stream"):
             # GDS samples source nodes via samplingSize; here the sample
             # is DETERMINISTIC (hash-ordered first n) so repeated calls —
             # and the SQL oracle — see the same roots. maxDepth bounds
-            # the sigma-BFS (the hop-bounded semantics of
-            # betweenness_centrality_scaled).
+            # the sigma-BFS (the hop-bounded semantics of the operators).
             n_roots = int(config.get("samplingSize", 16))
             depth = int(config.get("maxDepth", 3))
             roots = (
@@ -2488,12 +2488,20 @@ class CypherEngine:
                 .orderBy(F.xxhash64("id"), "id")
                 .limit(n_roots)
             )
-            df = _G.betweenness_centrality_scaled(
-                e, roots, max_depth=depth
-            ).select(
-                F.col("id").alias("nodeId"),
-                F.col("bc_scaled").alias("score"),
-            )
+            if name == "gds.betweenness.stream":
+                df = _G.betweenness_centrality_scaled(
+                    e, roots, max_depth=depth
+                ).select(
+                    F.col("id").alias("nodeId"),
+                    F.col("bc_scaled").alias("score"),
+                )
+            else:
+                df = _G.stress_centrality_sampled(
+                    e, roots, max_depth=depth
+                ).select(
+                    F.col("id").alias("nodeId"),
+                    F.col("stress").alias("score"),
+                )
         else:  # gds.wcc.stream
             df = _G.connected_components(e).select(
                 F.col("id").alias("nodeId"),

@@ -1994,6 +1994,14 @@ class TestGdsProcedures:
         )
         assert got == want and len(got) > 0
 
+    def test_stress_stream_positive_counts(self, eng):
+        got = rows(eng.run(
+            "CALL gds.stress.stream('sharesDNA', {samplingSize: 20}) "
+            "YIELD nodeId, score WHERE score > 0 RETURN nodeId, score"
+        ))
+        # shortest-path COUNTS: every scored node is a real interior node
+        assert len(got) > 0 and all(s >= 1 for _, s in got)
+
     def test_multi_type_catalog_requires_name(self, eng):
         with pytest.raises(CypherCompileError, match="name one"):
             eng.run("CALL gds.degree.stream() YIELD nodeId RETURN nodeId")
