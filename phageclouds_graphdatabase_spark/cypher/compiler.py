@@ -2399,6 +2399,12 @@ class CypherEngine:
     # oracle suite checks); nodeId is the node KEY (the id() convention).
     _GDS_PROCS = {
         "gds.pagerank.stream": ("nodeId", "score"),
+        # Neo4j shipped Katz as gds.alpha.katz (later superseded by
+        # gds.eigenvector/gds.articleRank); register the portable alpha
+        # name so migrating GDS scripts hit it, and keep the short
+        # gds.katz.stream as this engine's alias (divergence noted in
+        # COVERAGE.md — ADVICE r4).
+        "gds.alpha.katz.stream": ("nodeId", "score"),
         "gds.katz.stream": ("nodeId", "score"),
         "gds.degree.stream": ("nodeId", "score"),
         "gds.wcc.stream": ("nodeId", "componentId"),
@@ -2464,7 +2470,7 @@ class CypherEngine:
                 F.col("id").alias("nodeId"),
                 F.col("pr_scaled").alias("score"),
             )
-        elif name == "gds.katz.stream":
+        elif name in ("gds.katz.stream", "gds.alpha.katz.stream"):
             df = _G.katz_centrality_scaled(e, iterations=iters).select(
                 F.col("id").alias("nodeId"),
                 F.col("katz_scaled").alias("score"),

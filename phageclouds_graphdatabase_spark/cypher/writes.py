@@ -857,7 +857,15 @@ def _delete_anyrel_edges(
     harmonized union struct copies every arm's raw table columns
     unrenamed (compiler._join_step_anyrel), so the stored endpoint values
     are available regardless of the match orientation — a ``-[r]-`` match
-    that traversed an edge backwards still deletes the stored row."""
+    that traversed an edge backwards still deletes the stored row.
+
+    The anti-join keys on the FULL stored row (_edge_delete_keys), not
+    just (src, dst): parallel edges sharing endpoints but differing in
+    any property are NOT swept up with the bound ones (ADVICE r4 — Neo4j
+    deletes only the bound relationships). Remaining documented
+    deviation: rows whose entire value tuple is identical are
+    indistinguishable and collapse together — the same dropDuplicates
+    stance every write path here takes."""
     fields = set(frame.df.schema[var].dataType.fieldNames())
     for rtype, rel in cat.rels.items():
         arm = frame.df.filter(F.col(var)["__type"] == rtype)
@@ -870,18 +878,27 @@ def _delete_anyrel_edges(
                     "are missing from the union binding"
                 )
             continue
-        pairs = arm.select(
-            F.col(var)[rel.src_col].alias("__k_s"),
-            F.col(var)[rel.dst_col].alias("__k_d"),
-        ).distinct()
-        new = rel.df.join(
-            F.broadcast(pairs),
-            (F.col(rel.src_col) == F.col("__k_s"))
-            & (F.col(rel.dst_col) == F.col("__k_d")),
-            "left_anti",
+        cat = _swap_rel(
+            cat, rtype, _anti_join_bound_rows(rel.df, arm, var, fields)
         )
-        cat = _swap_rel(cat, rtype, new)
     return cat
+
+
+def _anti_join_bound_rows(rel_df, arm, var: str, fields: set):
+    """Remove from ``rel_df`` exactly the rows bound in ``arm``'s ``var``
+    struct: a broadcast anti-join keyed NULL-SAFELY on every rel-table
+    column the binding carries (the struct copies stored columns
+    unrenamed). Full-row keying is what spares unmatched parallel edges;
+    eqNullSafe is what keeps NULL-propertied rows deletable (a plain ``=``
+    never matches NULL = NULL, silently orphaning them)."""
+    keys = [c for c in rel_df.columns if c in fields]
+    bound = arm.select(
+        *[F.col(var)[c].alias(f"__k_{c}") for c in keys]
+    ).distinct()
+    cond = F.lit(True)
+    for c in keys:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+    return rel_df.join(F.broadcast(bound), cond, "left_anti")
 
 
 def _apply_delete(
@@ -905,18 +922,16 @@ def _apply_delete(
             continue
         _no_any_write(label, "DELETE")
         if kind == "edge":
+            # full-row anti-join (see _anti_join_bound_rows): only the
+            # BOUND relationships are deleted — unmatched parallel edges
+            # sharing the same endpoints survive (ADVICE r4)
             rel = cat.rel(label)
-            pairs = frame.df.select(
-                F.col(var)[rel.src_col].alias("__k_s"),
-                F.col(var)[rel.dst_col].alias("__k_d"),
-            ).distinct()
-            new = rel.df.join(
-                F.broadcast(pairs),
-                (F.col(rel.src_col) == F.col("__k_s"))
-                & (F.col(rel.dst_col) == F.col("__k_d")),
-                "left_anti",
+            fields = set(frame.df.schema[var].dataType.fieldNames())
+            cat = _swap_rel(
+                cat,
+                label,
+                _anti_join_bound_rows(rel.df, frame.df, var, fields),
             )
-            cat = _swap_rel(cat, label, new)
             # deleted variables are no longer bound (RETURN of one errors,
             # matching Neo4j's EntityNotFound on deleted-entity access)
             frame.df = frame.df.drop(var)

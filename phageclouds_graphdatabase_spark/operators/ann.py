@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _repartition_cells(df: DataFrame, max_files_per_cell: int) -> DataFrame:
+def _repartition_cells(
+    df: DataFrame,
+    max_files_per_cell: int,
+    n_cells: int | None = None,
+    max_partitions: int = 32_768,
+) -> DataFrame:
     """Co-locate each cell's rows into ≤ ``max_files_per_cell`` shuffle
     partitions before a ``partitionBy("cell")`` write.
 
@@ -40,18 +45,28 @@ def _repartition_cells(df: DataFrame, max_files_per_cell: int) -> DataFrame:
     is an AQE-coalescible exchange, and on a small batch AQE merges the
     whole shuffle into one partition — one file per cell again; an
     explicit count is REPARTITION_BY_NUM, which AQE leaves alone. The
-    one distinct-count job is once per index build."""
+    one distinct-count job is once per index build (pass ``n_cells`` to
+    skip it when the quantizer size is already known). The count is
+    CAPPED at ``max_partitions`` (default 32k): at a realistic large
+    nlist (65k cells × 8 files ≈ 500k partitions) an uncapped exchange
+    stalls the scheduler (ADVICE r4); past the cap, hash(cell, salt)
+    still spreads cells across distinct partitions and partitionBy at
+    write time keeps directories per-cell, so only file fan-in per task
+    grows, not correctness."""
     if max_files_per_cell <= 1:
         return df.repartition("cell")
-    n_cells = df.select("cell").distinct().count()
+    if n_cells is None:
+        n_cells = df.select("cell").distinct().count()
     salt = F.pmod(F.xxhash64("vec_id"), F.lit(max_files_per_cell))
-    return df.repartition(
-        max(1, n_cells) * max_files_per_cell, F.col("cell"), salt
-    )
+    n_parts = min(max(1, n_cells) * max_files_per_cell, max_partitions)
+    return df.repartition(n_parts, F.col("cell"), salt)
 
 
 def write_ivf_index(
-    assigned: DataFrame, path: str, max_files_per_cell: int = 1
+    assigned: DataFrame,
+    path: str,
+    max_files_per_cell: int = 1,
+    n_cells: int | None = None,
 ) -> None:
     """Persist a (vec_id, cell, vec) corpus partitioned by cell.
 
@@ -61,7 +76,7 @@ def write_ivf_index(
     across at most ``max_files_per_cell`` files. At the 100-TB tier raise
     ``max_files_per_cell`` so single files stay ~128-512 MB."""
     (
-        _repartition_cells(assigned, max_files_per_cell)
+        _repartition_cells(assigned, max_files_per_cell, n_cells=n_cells)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
@@ -199,7 +214,11 @@ def _encode_codes(assigned: DataFrame, books) -> DataFrame:
 
 
 def write_ivfpq_index(
-    assigned: DataFrame, path: str, books, max_files_per_cell: int = 1
+    assigned: DataFrame,
+    path: str,
+    books,
+    max_files_per_cell: int = 1,
+    n_cells: int | None = None,
 ) -> None:
     """Cell-partitioned index carrying BOTH raw vectors and PQ codes.
     Parquet is columnar, so the ADC probe reading only (vec_id, codes)
@@ -207,7 +226,7 @@ def write_ivfpq_index(
     rescore without a second dataset."""
     enc = _encode_codes(assigned, books)
     (
-        _repartition_cells(enc, max_files_per_cell)
+        _repartition_cells(enc, max_files_per_cell, n_cells=n_cells)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)

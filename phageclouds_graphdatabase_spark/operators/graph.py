@@ -629,7 +629,18 @@ def stress_centrality_sampled(
     d(s,v) + d(v,t) = d(s,t) (the standard Brandes pair-dependency
     numerator); undirected graphs read sigma(v→t) from the BFS rooted at
     t. One sigma-BFS from the sample (state O(|roots| × reach)), then a
-    three-way join keyed by v — no all-pairs stage anywhere."""
+    three-way join keyed by v — no all-pairs stage anywhere.
+
+    UNDIRECTED ONLY: the v→t leg reads sigma from the forward BFS rooted
+    at t (valid only when sigma(t→v) = sigma(v→t)) and pairs are halved
+    by root < id; a directed variant needs a second sigma-BFS over
+    reversed edges plus ordered pairs, which nothing here needs yet —
+    fail fast rather than return silently wrong counts (ADVICE r4)."""
+    if directed:
+        raise NotImplementedError(
+            "stress_centrality_sampled is undirected-only: the t-side "
+            "sigma leg would need a reversed-edge BFS and ordered pairs"
+        )
     sig = bfs_sigma(
         roots, edges, max_depth, threshold=threshold, directed=directed
     ).localCheckpoint()
@@ -685,7 +696,14 @@ def betweenness_centrality_scaled(
     the floor-per-term deviation from true betweenness is < #pairs/scale,
     documented the same way harmonic's ×6 scaling is). Same machinery as
     :func:`stress_centrality_sampled`: one sigma-carrying BFS + a
-    three-way join keyed by the midpoint."""
+    three-way join keyed by the midpoint — and the same UNDIRECTED-ONLY
+    contract (the t-side leg reuses the forward BFS; directed would need
+    a reversed-edge BFS + ordered pairs — fail fast, ADVICE r4)."""
+    if directed:
+        raise NotImplementedError(
+            "betweenness_centrality_scaled is undirected-only: the t-side "
+            "sigma leg would need a reversed-edge BFS and ordered pairs"
+        )
     sig = bfs_sigma(
         roots, edges, max_depth, threshold=threshold, directed=directed
     ).localCheckpoint()

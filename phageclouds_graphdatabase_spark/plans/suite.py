@@ -25,75 +25,68 @@ _ALL: dict[str, SuiteEntry] = {
 }
 
 # The driver checks the FIRST 50 dict entries each round (observed across
-# rounds 1-3). Rounds 1-3 cumulatively confirmed 145 of the 200 suite
-# entries; round 4 rotates in 50 of the 55 never-driver-checked entries
-# (VERDICT r3 ask #1), leading with cypher_load_csv (S4, the only §2 row
-# with zero driver confirmation) and the heavy round-3 machinery (k-truss,
-# harmonic/PPR/fastRP, PQ-ANN + the partition-pruned IVF probe, the new
-# cypher_* wave, the stream_* and media *_stats_real tails). The 5
-# deferred entries — corr_chars_tokens, median_order_value,
-# events_rolling_10min, split_train_val_test, shuffle_order_global (all
-# low-risk single-shuffle relational shapes with driver-green siblings) —
-# take round 5's first slots together with any round-4 additions.
+# rounds 1-4). Round-5 window (VERDICT r4 ask #1): the 11 never-checked
+# entries (6 round-4 additions + the 5 round-4-deferred relational shapes)
+# close never-checked debt to zero, and the remaining 39 slots re-confirm
+# the stalest r1-vintage entries (in their CORRECTNESS_r01 check order) to
+# cut three rounds of code drift. 7 r1-vintage entries
+# (graph_components_incremental, graph_k_core, text_token_stats,
+# text_quality_score, lang_id_ngram, dedup_exact_docs, minhash_signatures)
+# plus any round-5 additions queue for round 6's window.
 _WINDOW = [
-    # S4: the one SURVEY §2 row never driver-confirmed
-    "cypher_load_csv",
-    # heavy round-3 graph machinery (VERDICT asks #1/#4)
-    "graph_ktruss",
-    "graph_harmonic_centrality",
-    "graph_personalized_pagerank",
-    "graph_fastrp_embeddings",
-    # ANN: the 100-TB partition-pruned probe + PQ/int8 variants
-    "ivf_partitioned_probe",
-    "pq_ann_topk",
-    "ann_int8_rescore",
-    # round-3 Cypher surface wave
-    "cypher_foreach_ingest",
-    "cypher_set_map_props",
-    "cypher_pattern_comprehension",
-    "cypher_star_projection",
-    "cypher_list_slicing",
-    "cypher_map_projection",
-    "cypher_math_functions",
-    "cypher_temporal_orders",
-    "cypher_apoc_lite",
-    "cypher_mixed_aggregates",
-    "cypher_match_any_node",
-    "cypher_point_distance",
-    "cypher_untyped_relationships",
-    "cypher_untyped_varlength",
-    # streaming tail (incl. the TWS API surface + Variant)
-    "stream_type_counts_tws",
-    "stream_event_log_tws",
-    "stream_session_flush_tws",
-    "stream_variant_stats",
-    "stream_stream_full_join",
-    "stream_stream_semi_join",
-    "stream_dedup_within_watermark",
-    "stream_join_then_window",
-    # media codec tail (real decoders, Arrow-batched mapInPandas)
-    "image_stats_real",
-    "png_stats_real",
-    "wav_stats_real",
-    "avi_frames_real",
-    "gif_stats_real",
-    "tiff_stats_real",
-    # Spark 4 Variant + z-order layout
-    "variant_json_props",
-    "zorder_roundtrip",
-    # training/pipeline tail
-    "dedup_spans_exact",
-    "pack_sequences",
-    "stratified_sample_bylang",
-    "source_mixture_budget",
-    "contamination_check",
-    "chunk_token_windows",
-    "merge_upsert_orders",
-    "heavy_hitters_countmin",
-    "kmv_distinct_estimate",
-    "weighted_sample_bylang",
-    "bpe_encode_tokens",
-    "quality_classifier_hashed",
+    # the 6 round-4 additions, never driver-checked
+    "graph_katz_centrality",
+    "graph_stress_centrality",
+    "graph_betweenness_centrality",
+    "cypher_delete_untyped_rels",
+    "cypher_untyped_anon_midpoint",
+    "cypher_gds_pagerank",
+    # the 5 round-4-deferred relational shapes, never driver-checked
+    "corr_chars_tokens",
+    "median_order_value",
+    "events_rolling_10min",
+    "split_train_val_test",
+    "shuffle_order_global",
+    # 39 stalest r1-vintage re-confirmations (CORRECTNESS_r01 order)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "filter_scan_pushdown",
+    "projection_computed",
+    "semi_join_parts",
+    "anti_join_customers",
+    "left_outer_nation_customers",
+    "full_outer_nation_presence",
+    "range_join_price_bands",
+    "grouped_agg_stats",
+    "rollup_status_priority",
+    "cube_returnflag_linestatus",
+    "pivot_flag_by_status",
+    "unpivot_lineitem_rates",
+    "dedup_last_wins_events",
+    "set_ops_nations",
+    "window_rank_suppliers",
+    "window_running_totals",
+    "topk_orders_global",
+    "scalar_string_funcs",
+    "scalar_datetime_funcs",
+    "scalar_json_funcs",
+    "case_color_segments",
+    "map_lookup_colors",
+    "arith_derivations",
+    "array_functions",
+    "graph_expand_nodes",
+    "graph_induced_edges",
+    "graph_khop_levels",
+    "graph_cheapest_paths",
+    "motif_open_wedges",
+    "pregel_pagerank",
+    "graph_label_propagation",
+    "motif_co_suppliers",
+    "graph_pagerank",
+    "graph_degrees",
+    "graph_optional_host",
+    "graph_components",
 ]
 
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate window entry"

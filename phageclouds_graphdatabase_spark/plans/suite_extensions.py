@@ -2580,7 +2580,11 @@ def graph_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-GRAPH_STRESS_SQL = f"""
+# Shared sigma-BFS CTE body (edges/roots/3 unrolled sigma levels) used by
+# BOTH the stress and betweenness oracles — a single named constant, so a
+# rewording cannot silently corrupt one of them (ADVICE r4: the old form
+# string-split GRAPH_STRESS_SQL on the literal "pd AS").
+_SIGMA_CTE_BODY = f"""
 WITH edges AS ({GRAPH_EDGES_SQL}),
 und AS (
     SELECT src, dst FROM edges WHERE distance <= {GRAPH_THRESHOLD}
@@ -2616,7 +2620,9 @@ sig AS (
     UNION ALL SELECT root, id, 2, sig FROM s2
     UNION ALL SELECT root, id, 3, sig FROM s3
 ),
-pd AS (
+"""
+
+GRAPH_STRESS_SQL = _SIGMA_CTE_BODY + """pd AS (
     SELECT root AS s, id AS t, d AS dst_d FROM sig
     WHERE id IN (SELECT id FROM r) AND root < id
 )
@@ -2653,9 +2659,7 @@ def graph_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STRESS_CTE_BODY = GRAPH_STRESS_SQL.split("pd AS")[0]
-
-GRAPH_BETWEENNESS_SQL = _STRESS_CTE_BODY + """pd AS (
+GRAPH_BETWEENNESS_SQL = _SIGMA_CTE_BODY + """pd AS (
     SELECT root AS s, id AS t, d AS dst_d, sig AS sig_st FROM sig
     WHERE id IN (SELECT id FROM r) AND root < id
 )

@@ -1953,6 +1953,18 @@ class TestGdsProcedures:
         # A3 in-edges {A1, A2}: 1e6 + (1,125,000+1,125,000)//8
         assert got == [("A3", 1_281_250), ("B2", 1_265_625)]
 
+    def test_alpha_katz_alias_matches_katz(self, eng):
+        # the portable Neo4j name is gds.alpha.katz (ADVICE r4); both
+        # spellings hit the same integer-Katz plan
+        q = (
+            "CALL {name}('sharesDNA', {{maxIterations: 2}}) "
+            "YIELD nodeId AS id, score RETURN id, score "
+            "ORDER BY score DESC, id LIMIT 2"
+        )
+        a = rows(eng.run(q.format(name="gds.alpha.katz.stream")))
+        b = rows(eng.run(q.format(name="gds.katz.stream")))
+        assert a == b == [("A3", 1_281_250), ("B2", 1_265_625)]
+
     def test_yield_flows_into_clauses(self, eng):
         got = rows(eng.run(
             "CALL gds.pageRank.stream('sharesDNA') YIELD nodeId, score "

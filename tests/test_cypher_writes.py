@@ -19,6 +19,7 @@ from phageclouds_graphdatabase_spark.cypher import (
 )
 from phageclouds_graphdatabase_spark.cypher import ast_nodes as A
 from phageclouds_graphdatabase_spark.cypher.compiler import CypherCompileError
+from phageclouds_graphdatabase_spark import schemas
 
 
 @pytest.fixture()
@@ -363,6 +364,48 @@ class TestDelete:
         ).count() == 0
         assert edf.count() == 6
         assert cat.rel("infects").df.count() == 6
+
+    def test_typed_delete_spares_parallel_edges(self, spark, phage_nodes):
+        # ADVICE r4: DELETE anti-joins on the FULL stored row, so a
+        # parallel edge sharing (src, dst) but differing in a property
+        # survives when only its twin matched the WHERE
+        edges = spark.createDataFrame(
+            [("A1", "A2", 0.01), ("A1", "A2", 0.2), ("A2", "A3", 0.01)],
+            schemas.SHARES_DNA,
+        )
+        e = CypherEngine(phage_catalog(phage_nodes, edges))
+        cat = e.apply(
+            "MATCH (a:PhageGenome)-[r:sharesDNA]->(b:PhageGenome) "
+            "WHERE r.distance <= 0.05 DELETE r"
+        )
+        left = rows(cat.rel("sharesDNA").df)
+        assert left == [("A1", "A2", 0.2)]
+
+    def test_untyped_delete_spares_parallel_edges(self, spark, phage_nodes):
+        # same contract through the anyrel (union-binding) DELETE path
+        edges = spark.createDataFrame(
+            [("A1", "A2", 0.01), ("A1", "A2", 0.2)], schemas.SHARES_DNA
+        )
+        e = CypherEngine(phage_catalog(phage_nodes, edges))
+        cat = e.apply(
+            "MATCH (a:PhageGenome {accession:'A1'})-[r]->(x) "
+            "WHERE r.distance <= 0.05 DELETE r"
+        )
+        assert rows(cat.rel("sharesDNA").df) == [("A1", "A2", 0.2)]
+
+    def test_delete_matches_null_propertied_rows(self, spark, phage_nodes):
+        # eqNullSafe keying: a NULL-propertied bound row still deletes
+        # (plain = would never match NULL = NULL and orphan it)
+        edges = spark.createDataFrame(
+            [("A1", "A2", None), ("A2", "A3", 0.2)],
+            "src string, dst string, distance double",
+        )
+        e = CypherEngine(phage_catalog(phage_nodes, edges))
+        cat = e.apply(
+            "MATCH (a:PhageGenome {accession:'A1'})-[r:sharesDNA]->(b) "
+            "DELETE r"
+        )
+        assert rows(cat.rel("sharesDNA").df) == [("A2", "A3", 0.2)]
 
     def test_untyped_edge_delete_then_return_count(self, eng):
         got = eng.run(

@@ -332,6 +332,18 @@ def test_stress_centrality_hand_computed(spark):
     assert got == {"B": 2, "C": 2, "D": 2}
 
 
+def test_stress_betweenness_directed_fail_fast(spark):
+    # ADVICE r4: the t-side sigma leg reuses the FORWARD BFS (valid only
+    # undirected) and pairs are halved by root < id — directed=True would
+    # be silently wrong, so both fail fast instead
+    e = spark.createDataFrame([("A", "B")], "src string, dst string")
+    roots = spark.createDataFrame([("A",), ("B",)], "id string")
+    with pytest.raises(NotImplementedError):
+        G.stress_centrality_sampled(e, roots, directed=True)
+    with pytest.raises(NotImplementedError):
+        G.betweenness_centrality_scaled(e, roots, directed=True)
+
+
 def test_stress_matches_bruteforce(spark):
     # differential vs a driver-side all-shortest-paths count on a random
     # graph, pairs restricted to the sample and the hop bound
