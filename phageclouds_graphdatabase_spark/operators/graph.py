@@ -610,6 +610,88 @@ def bfs_sigma(
     return out
 
 
+def sample_roots(
+    edges: DataFrame,
+    n: int,
+    max_degree_pct: float = 0.90,
+    directed: bool = False,
+) -> DataFrame:
+    """Degree-aware DETERMINISTIC root sample for the betweenness family
+    (the VERDICT-r4 scale fix, now code): reject nodes above the
+    ``max_degree_pct`` degree quantile, then take the first ``n``
+    eligible nodes by ``(xxhash64(id), id)``.
+
+    Why: sampled sigma-BFS state is O(|roots| × reach); a root placed
+    inside a dense core reaches the whole core within the hop bound, so
+    roots sampled into a near-clique inflate state toward O(roots × core)
+    — measured at 1007.8 s vs 10.6 s for the same graph size with roots
+    outside the core (SCALE.md, 2M-skew tier, 264k near-clique). Core
+    membership is cheap to detect from the degree table: clique nodes sit
+    at the top of the degree distribution, so a quantile cut excludes
+    them without ever materializing the core.
+
+    The threshold is the TIGHTER of two cuts, both exact and computed
+    from one degree HISTOGRAM (``groupBy(degree).count()`` collapses |V|
+    rows to |distinct degrees| — bounded by the max degree, KBs in
+    practice — collected for a driver-side cumulative scan;
+    ``percentile_approx`` would be one job cheaper but its summary-merge
+    order can move the cut between runs):
+
+    1. the largest degree whose cumulative node count stays within
+       ``max_degree_pct`` (excludes the top tail), and
+    2. 4 × the median degree (excludes a dense core even when it holds
+       MORE than 1 − pct of the nodes — the 2M-skew tier's clique is
+       13.2% of nodes, so a 0.90 quantile alone would leave its
+       lowest-degree slice eligible; core degrees sit an order of
+       magnitude above the median, so the median cap catches all of it
+       while a Poisson-ish uniform graph sails under 4×median).
+
+    Floored at the minimum degree so the eligible set is never empty.
+    Two narrow jobs per sample (histogram + limit), both over the degree
+    table, never the edges.
+
+    Degenerate case: if the whole graph is one near-clique all degrees
+    are equal-ish, both cuts pass everything, and the sample falls back
+    to hash-order — there is no "outside the core" to prefer; lower
+    ``max_depth`` is the remaining knob there."""
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    hist = sorted(
+        (r["degree"], r["cnt"])
+        for r in deg.groupBy("degree").agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    if not hist:
+        return deg.select("id")
+    total = sum(c for _, c in hist)
+    cut = max(1, int(total * max_degree_pct))
+    run, q_threshold = 0, hist[0][0]
+    for d, c in hist:
+        if run + c > cut and run > 0:
+            break
+        run += c
+        q_threshold = d
+    half, run2, median = (total + 1) // 2, 0, hist[-1][0]
+    for d, c in hist:
+        run2 += c
+        if run2 >= half:
+            median = d
+            break
+    threshold = max(min(q_threshold, 4 * median), hist[0][0])
+    return (
+        deg.filter(F.col("degree") <= F.lit(threshold))
+        .select("id")
+        .orderBy(F.xxhash64("id"), "id")
+        .limit(n)
+    )
+
+
 def stress_centrality_sampled(
     edges: DataFrame,
     roots: DataFrame,

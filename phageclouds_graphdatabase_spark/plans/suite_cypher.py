@@ -1589,3 +1589,185 @@ ENTRIES = {
         ("S2", "W6", "A6")
     ),
 }
+
+
+# --------------------------------------------------------------------------
+# CALL gds.*.stream round-5 surface (VERDICT r4 ask #3): each proc shares
+# its oracle with the DataFrame twin — sourceNodes pins the same root set,
+# the catalog carries the same (thresholded) projection, and zero-padded
+# string keys keep lexicographic MIN/canonical ordering equal to the
+# twins' numeric one where the twin graph is integer-keyed.
+# --------------------------------------------------------------------------
+
+from phageclouds_graphdatabase_spark.cypher import RelTable
+from phageclouds_graphdatabase_spark.plans import suite_extensions as _ext
+from phageclouds_graphdatabase_spark.plans import suite_pipeline as _pipe
+
+
+def _engine_sp_thresh(spark: SparkSession, sf_dir: str) -> CypherEngine:
+    """Same derived property graph as _engine_sp but with the sharesDNA
+    relationship THRESHOLDED (distance <= GRAPH_THRESHOLD) — the
+    projection the graph-suite DataFrame twins run on, so gds procs over
+    this catalog share those twins' oracle SQL."""
+    return CypherEngine(
+        phage_catalog(
+            _nodes(spark, sf_dir),
+            graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+            _infects(spark, sf_dir),
+        ),
+        spark,
+    )
+
+
+def cypher_gds_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL gds.closeness.harmonic.stream (round 5) — sampled harmonic
+    centrality through the Cypher frontend: sourceNodes pins the SAME
+    deterministic ECONOMY %64 root sample as graph_harmonic_centrality,
+    so the proc shares that twin's unrolled BFS oracle (minus the
+    n_reached column the proc does not emit)."""
+    seeds = [
+        r.id
+        for r in t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_partkey") % 64 == 1))
+        .select(F.concat(F.lit("P"), F.col("p_partkey")).alias("id"))
+        .distinct()
+        .collect()
+    ]
+    q = ("CALL gds.closeness.harmonic.stream('sharesDNA', "
+         "{sourceNodes: $seeds, maxDepth: 3}) "
+         "YIELD nodeId AS id, score AS h6 RETURN id, h6")
+    return _engine_sp_thresh(spark, sf_dir).run(q, params={"seeds": seeds})
+
+
+CYPHER_GDS_HARMONIC_SQL = (
+    "SELECT id, h6 FROM (" + _ext.GRAPH_HARMONIC_SQL + ") z"
+)
+
+
+def cypher_gds_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.pageRank.stream with sourceNodes (round 5) — the GDS
+    personalization convention compiled to personalized_pagerank_scaled;
+    seeds = the full ECONOMY sample graph_personalized_pagerank uses, so
+    the oracle is that twin's unrolled 2-iteration SQL verbatim."""
+    from phageclouds_graphdatabase_spark.plans._suite_helpers import (
+        graph_seeds,
+    )
+
+    seeds = [r.id for r in graph_seeds(spark, sf_dir).collect()]
+    q = ("CALL gds.pageRank.stream('sharesDNA', "
+         "{sourceNodes: $seeds, maxIterations: 2}) "
+         "YIELD nodeId AS id, score AS pr_scaled "
+         "WHERE pr_scaled > 0 RETURN id, pr_scaled")
+    return _engine_sp_thresh(spark, sf_dir).run(q, params={"seeds": seeds})
+
+
+def cypher_gds_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.fastRP.stream (round 5): integer FastRP embeddings through the
+    proc surface — embeddingDimension/maxIterations map onto the twin's
+    dims=8/iters=2, the embedding array renders through arr_str exactly
+    like graph_fastrp_embeddings, so the twin's SQL is the oracle."""
+    q = ("CALL gds.fastRP.stream('sharesDNA', "
+         "{embeddingDimension: 8, maxIterations: 2}) "
+         "YIELD nodeId AS id, embedding RETURN id, embedding")
+    out = _engine_sp_thresh(spark, sf_dir).run(q)
+    return out.select("id", arr_str("embedding").alias("emb"))
+
+
+def cypher_gds_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.scc.stream (round 5) over the same synthetic directed doc
+    graph as graph_scc. Keys are zero-padded to 9 digits BEFORE entering
+    the catalog: the proc's componentId is MIN(node key) as a string, and
+    padding makes lexicographic MIN coincide with the oracle's numeric
+    MIN; both columns cast back to long for the comparison."""
+    docs = t(spark, sf_dir, "documents")
+    m = docs.agg((F.max("doc_id") + F.lit(1)).alias("m"))
+    base = docs.select("doc_id").crossJoin(F.broadcast(m))
+    pad = lambda c: F.format_string("%09d", c)  # noqa: E731
+    e1 = base.select(
+        pad(F.col("doc_id")).alias("src"),
+        pad(F.pmod(F.col("doc_id") * F.col("doc_id") + 1, F.col("m"))).alias(
+            "dst"
+        ),
+    )
+    e2 = base.filter(F.col("doc_id") % 7 == 0).select(
+        pad(F.col("doc_id")).alias("src"),
+        pad(F.pmod(F.col("doc_id") * 17 + 3, F.col("m"))).alias("dst"),
+    )
+    cat = GraphCatalog(
+        {"Doc": NodeTable(docs.select(pad(F.col("doc_id")).alias("id")), "id")},
+        {"links": RelTable(e1.unionByName(e2), "src", "dst", "Doc", "Doc")},
+    )
+    out = CypherEngine(cat, spark).run(
+        "CALL gds.scc.stream('links') YIELD nodeId, componentId "
+        "RETURN nodeId, componentId"
+    )
+    return out.select(
+        F.col("nodeId").cast("long").alias("id"),
+        F.col("componentId").cast("long").alias("scc"),
+    )
+
+
+def cypher_gds_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.kcore.stream (round 5): the engine's k-core variant (given k,
+    fixed peel budget, in-core degree) through the proc surface — the
+    documented divergence from stock GDS's core-value decomposition;
+    config {k: 2, rounds: 3} replays graph_k_core, whose round-unrolled
+    SQL is the oracle."""
+    q = ("CALL gds.kcore.stream('sharesDNA', {k: 2, rounds: 3}) "
+         "YIELD nodeId AS id, degree RETURN id, degree")
+    return _engine_sp_thresh(spark, sf_dir).run(q)
+
+
+def cypher_gds_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.ktruss.stream (round 5) on the same-brand adjacent-size part
+    graph as graph_ktruss — zero-padded keys keep the canonical (a, b)
+    string ordering identical to the twin's numeric a < b, so its
+    2-round-unrolled SQL is the oracle after casting back to long."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    pad = lambda c: F.format_string("%09d", c)  # noqa: E731
+    x, y = p.alias("x"), p.alias("y")
+    e = x.join(
+        y,
+        (F.col("x.p_brand") == F.col("y.p_brand"))
+        & (F.abs(F.col("x.p_size") - F.col("y.p_size")) <= 1)
+        & (F.col("x.p_partkey") < F.col("y.p_partkey")),
+    ).select(
+        pad(F.col("x.p_partkey")).alias("src"),
+        pad(F.col("y.p_partkey")).alias("dst"),
+    )
+    cat = GraphCatalog(
+        {"Part": NodeTable(p.select(pad(F.col("p_partkey")).alias("id")), "id")},
+        {"similarTo": RelTable(e, "src", "dst", "Part", "Part")},
+    )
+    out = CypherEngine(cat, spark).run(
+        "CALL gds.ktruss.stream('similarTo', {k: 4, rounds: 2}) "
+        "YIELD sourceNodeId, targetNodeId, support "
+        "RETURN sourceNodeId, targetNodeId, support"
+    )
+    return out.select(
+        F.col("sourceNodeId").cast("long").alias("a"),
+        F.col("targetNodeId").cast("long").alias("b"),
+        F.col("support").cast("long").alias("support"),
+    )
+
+
+ENTRIES.update({
+    "cypher_gds_harmonic": SuiteEntry(
+        cypher_gds_harmonic, CYPHER_GDS_HARMONIC_SQL, ("S2", "W6", "A6")
+    ),
+    "cypher_gds_ppr": SuiteEntry(
+        cypher_gds_ppr, _ext.GRAPH_PPR_SQL, ("S2", "W6")
+    ),
+    "cypher_gds_fastrp": SuiteEntry(
+        cypher_gds_fastrp, _ext.GRAPH_FASTRP_SQL, ("S2", "W6", "W5")
+    ),
+    "cypher_gds_scc": SuiteEntry(
+        cypher_gds_scc, _ext.GRAPH_SCC_SQL, ("S2", "W6")
+    ),
+    "cypher_gds_kcore": SuiteEntry(
+        cypher_gds_kcore, _ext.GRAPH_K_CORE_SQL, ("S2", "W6")
+    ),
+    "cypher_gds_ktruss": SuiteEntry(
+        cypher_gds_ktruss, _pipe.GRAPH_KTRUSS_SQL, ("S2", "J1", "W6")
+    ),
+})

@@ -1986,18 +1986,22 @@ class TestGdsProcedures:
     def test_betweenness_stream_matches_operator(self, eng, shares_dna):
         from phageclouds_graphdatabase_spark.operators import graph as G
 
-        got = rows(eng.run(
-            "CALL gds.betweenness.stream('sharesDNA', {samplingSize: 20}) "
-            "YIELD nodeId, score RETURN nodeId, score"
-        ))
-        # samplingSize 20 > 11 endpoints: the sample is every node, so the
-        # proc must equal the operator called with all endpoints as roots
+        # explicit sourceNodes wins over any sampling (VERDICT r4 ask #2):
+        # with every endpoint listed, the proc must equal the operator
+        # called with all endpoints as roots
         e = shares_dna.select("src", "dst")
         roots = (
             e.select(F.col("src").alias("id"))
             .unionByName(e.select(F.col("dst").alias("id")))
             .distinct()
         )
+        ids = sorted(r.id for r in roots.collect())
+        src_list = "[" + ", ".join(f"'{i}'" for i in ids) + "]"
+        got = rows(eng.run(
+            "CALL gds.betweenness.stream('sharesDNA', "
+            f"{{sourceNodes: {src_list}}}) "
+            "YIELD nodeId, score RETURN nodeId, score"
+        ))
         want = sorted(
             (r.id, r.bc_scaled)
             for r in G.betweenness_centrality_scaled(
@@ -2005,6 +2009,106 @@ class TestGdsProcedures:
             ).collect()
         )
         assert got == want and len(got) > 0
+
+    def test_betweenness_stream_default_sampler_degree_aware(self, eng, shares_dna):
+        from phageclouds_graphdatabase_spark.operators import graph as G
+
+        # the DEFAULT sampler is sample_roots (degree-aware, deterministic):
+        # the proc with no sourceNodes must equal the operator seeded with
+        # exactly that sample
+        got = rows(eng.run(
+            "CALL gds.betweenness.stream('sharesDNA', {samplingSize: 5}) "
+            "YIELD nodeId, score RETURN nodeId, score"
+        ))
+        e = shares_dna.select("src", "dst")
+        roots = G.sample_roots(e, 5, max_degree_pct=0.90)
+        want = sorted(
+            (r.id, r.bc_scaled)
+            for r in G.betweenness_centrality_scaled(
+                e, roots, max_depth=3
+            ).collect()
+        )
+        assert got == want
+
+    def test_harmonic_stream_hand_values(self, eng):
+        # sourceNodes pins the roots; score = 6/d integer scaling. A1's
+        # depth-1 neighbours {A2, A3} score 6; depth-2 score 3.
+        got = dict(eng.run(
+            "CALL gds.closeness.harmonic.stream('sharesDNA', "
+            "{sourceNodes: ['A1'], maxDepth: 2}) "
+            "YIELD nodeId, score RETURN nodeId, score"
+        ).collect())
+        assert got["A2"] == 6 and got["A3"] == 6
+        assert all(s in (6, 3) for s in got.values())
+
+    def test_fastrp_stream_config_dims(self, eng):
+        got = eng.run(
+            "CALL gds.fastRP.stream('sharesDNA', "
+            "{embeddingDimension: 4, maxIterations: 1}) "
+            "YIELD nodeId, embedding RETURN nodeId, embedding"
+        ).collect()
+        assert len(got) > 0 and all(len(r.embedding) == 4 for r in got)
+
+    def test_scc_stream_matches_operator(self, eng, shares_dna):
+        from phageclouds_graphdatabase_spark.operators import graph as G
+
+        got = rows(eng.run(
+            "CALL gds.scc.stream('sharesDNA') "
+            "YIELD nodeId, componentId RETURN nodeId, componentId"
+        ))
+        e = shares_dna.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        )
+        want = sorted(
+            (r.id, r.scc)
+            for r in G.strongly_connected_components(e).collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_kcore_stream_k_and_rounds_config(self, eng):
+        got = rows(eng.run(
+            "CALL gds.kcore.stream('sharesDNA', {k: 2, rounds: 3}) "
+            "YIELD nodeId, degree RETURN nodeId, degree"
+        ))
+        # every surviving node keeps in-core undirected degree >= 2
+        assert len(got) > 0 and all(d >= 2 for _, d in got)
+
+    def test_ktruss_stream_k_config(self, eng):
+        got = rows(eng.run(
+            "CALL gds.ktruss.stream('sharesDNA', {k: 3, rounds: 2}) "
+            "YIELD sourceNodeId, targetNodeId, support "
+            "RETURN sourceNodeId, targetNodeId, support"
+        ))
+        # 3-truss: every surviving edge closes >= 1 triangle
+        assert all(s >= 1 for _, _, s in got)
+
+    def test_pagerank_sourcenodes_is_personalized(self, eng, shares_dna):
+        from phageclouds_graphdatabase_spark.operators import graph as G
+
+        got = rows(eng.run(
+            "CALL gds.pageRank.stream('sharesDNA', "
+            "{sourceNodes: ['A1'], maxIterations: 2}) "
+            "YIELD nodeId, score WHERE score > 0 RETURN nodeId, score"
+        ))
+        e = shares_dna.select("src", "dst")
+        seeds = eng.catalog.node("PhageGenome").df.sparkSession.createDataFrame(
+            [("A1",)], "id string"
+        )
+        want = sorted(
+            (r.id, r.pr_scaled)
+            for r in G.personalized_pagerank_scaled(e, seeds, iterations=2)
+            .filter(F.col("pr_scaled") > 0)
+            .collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_sourcenodes_must_be_list(self, eng):
+        with pytest.raises(CypherCompileError, match="sourceNodes"):
+            eng.run(
+                "CALL gds.betweenness.stream('sharesDNA', "
+                "{sourceNodes: 'A1'}) YIELD nodeId RETURN nodeId"
+            )
 
     def test_stress_stream_positive_counts(self, eng):
         got = rows(eng.run(

@@ -235,6 +235,21 @@ def main() -> None:
     ap.add_argument("--roots", type=int, default=100,
                     help="sampled root count for --centrality-only")
     ap.add_argument(
+        "--bc-only",
+        action="store_true",
+        help="probe ONLY betweenness at this tier (skips "
+        "harmonic/PPR/fastRP/Katz — for the root-placement A/B)",
+    )
+    ap.add_argument(
+        "--bc-sampler",
+        choices=("hub", "degree"),
+        default="hub",
+        help="betweenness root placement: 'hub' = the measured worst "
+        "case (neighbors of the top hub — inside the dense core under "
+        "--skew); 'degree' = operators/graph.sample_roots, the "
+        "degree-aware default the GDS procs use (VERDICT r4 ask #2)",
+    )
+    ap.add_argument(
         "--truss-only",
         action="store_true",
         help="probe ONLY k-truss peeling (k=4) on the thresholded graph "
@@ -347,6 +362,52 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     from pyspark.sql import functions as F
+
+    if args.bc_only:
+        # betweenness root-placement A/B (VERDICT r4 ask #2): 'hub' roots
+        # reproduce the measured dense-core cliff; 'degree' roots are
+        # sample_roots, the degree-aware GDS default that must close it
+        fe = edges.filter(F.col("distance") <= 0.15).select("src", "dst")
+        if args.bc_sampler == "degree":
+            t0 = time.time()
+            broots = G.sample_roots(fe, args.roots).localCheckpoint()
+            t_sample = round(time.time() - t0, 2)
+        else:
+            hub = (
+                fe.groupBy("src")
+                .count()
+                .orderBy(F.desc("count"), "src")
+                .limit(1)
+                .select("src")
+            )
+            t0 = time.time()
+            broots = (
+                fe.join(hub, "src")
+                .select(F.col("dst").alias("id"))
+                .limit(args.roots)
+                .localCheckpoint()
+            )
+            t_sample = round(time.time() - t0, 2)
+        t0 = time.time()
+        bc = G.betweenness_centrality_scaled(fe, broots, max_depth=3)
+        n_bc = bc.count()
+        print(
+            json.dumps(
+                {
+                    "n_nodes": args.nodes,
+                    "n_edges": n_edges,
+                    "roots": args.roots,
+                    "skew": args.skew,
+                    "bc_sampler": args.bc_sampler,
+                    "sample_sec": t_sample,
+                    "n_betweenness": n_bc,
+                    "betweenness_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+        if not args.keep:
+            shutil.rmtree(work, ignore_errors=True)
+        return
 
     if args.centrality_only:
         fe = edges.filter(F.col("distance") <= 0.15).select("src", "dst")
