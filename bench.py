@@ -141,6 +141,10 @@ def main() -> None:
     timings = {name: round(median(xs), 3) for name, xs in samples.items()}
 
     total = round(sum(timings.values()), 3)
+    # Repeat metadata in the artifact itself (VERDICT r4 ask #4): the
+    # per-query MIN alongside the median lets a reader separate container
+    # noise from real regression without trusting prose — a query whose
+    # median moved but whose min held is noise; a min that moved is code.
     print(
         json.dumps(
             {
@@ -149,6 +153,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "repeat": repeat,
+                "stat": "median",
+                "queries_min": {
+                    name: round(min(xs), 3) for name, xs in samples.items()
+                },
+                "total_min": round(
+                    sum(min(xs) for xs in samples.values()), 3
+                ),
             }
         )
     )

@@ -553,6 +553,25 @@ def test_fastrp_embeddings_shape_and_determinism(spark, shares_dna):
     assert {"A1", "A2", "A3", "B1", "B2", "B3"} <= set(emb1)
 
 
+def test_fastrp_packed_matches_exploded(spark, shares_dna):
+    # the round-5 packed-vector iteration must be BIT-IDENTICAL to the
+    # exploded (id, dim, val) twin it replaces (VERDICT r4 ask #5) —
+    # same md5 init, same per-slot integer sums, same truncating div —
+    # across dims/iters/weights variations and both directedness modes
+    e = shares_dna.filter(F.col("distance") <= 0.25)
+    for kw in (
+        dict(dims=4, iters=2),
+        dict(dims=3, iters=3, weights=(2, 1, 3)),
+        dict(dims=2, iters=1, weights=(5,), directed=True),
+    ):
+        packed = {r.id: r.emb for r in G.fastrp_embeddings(e, **kw).collect()}
+        exploded = {
+            r.id: r.emb
+            for r in G.fastrp_embeddings_exploded(e, **kw).collect()
+        }
+        assert packed == exploded and len(packed) > 0
+
+
 # --------------------------------------------------------------------------
 # k-truss (operators/graph.py k_truss): triangle-support peeling
 # --------------------------------------------------------------------------
