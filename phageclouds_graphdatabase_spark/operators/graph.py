@@ -1418,6 +1418,7 @@ def k_truss(
     rounds: int | None = None,
     reliable_checkpoint: bool = False,
     hash_broadcast_cap_edges: int = KTRUSS_HASH_BROADCAST_CAP_EDGES,
+    branch_log: list | None = None,
 ) -> DataFrame:
     """Edges of the k-truss: the maximal subgraph where every edge closes
     >= k-2 triangles within the subgraph — the standard cohesive-subgraph
@@ -1466,6 +1467,17 @@ def k_truss(
     i = 0
     prev_n = None
     while True:
+        if branch_log is not None:
+            # rehearsal/test hook: record which closing-join branch this
+            # round's live count selects, so a run crossing the cap shows
+            # the switch (shuffle-hash above, back to broadcast below)
+            branch_log.append({
+                "round": i + 1,
+                "live_edges": m,
+                "branch": "broadcast"
+                if m <= hash_broadcast_cap_edges
+                else "shuffle_hash",
+            })
         sup = _triangle_support(live, m, hash_broadcast_cap_edges)
         kept = (
             live.join(sup, ["u", "v"], "left")

@@ -600,6 +600,26 @@ def test_k_truss_cascade_two_triangles(spark):
     assert len(_truss_rows(G.k_truss(e, 3))) == 5
 
 
+def test_k_truss_branch_log_records_crossover(spark):
+    # with the cap forced to 1 edge, round 1 (5 live edges) takes the
+    # shuffle-hash branch and round 2 (1 survivor) switches BACK to
+    # broadcast — the gate's crossover, observable via branch_log, with
+    # output identical to the default-cap run
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], "src int, dst int"
+    )
+    blog = []
+    out = G.k_truss(e, 4, rounds=2, hash_broadcast_cap_edges=1,
+                    branch_log=blog)
+    assert out.count() == 0
+    assert [(b["round"], b["branch"]) for b in blog] == [
+        (1, "shuffle_hash"), (2, "broadcast"),
+    ]
+    assert blog[0]["live_edges"] == 5 and blog[1]["live_edges"] == 1
+
+
 def test_k_truss_k5_on_k5_clique(spark):
     # K5: every edge closes exactly 3 triangles -> the whole clique is a
     # 5-truss; k=6 (support >= 4) empties it

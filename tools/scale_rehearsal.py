@@ -488,7 +488,10 @@ def main() -> None:
         if args.truss_reliable:
             spark.sparkContext.setCheckpointDir(work + "/truss_ckpt")
             tkw["reliable_checkpoint"] = True
-        truss = G.k_truss(fe, 4, rounds=args.truss_rounds, **tkw)
+        blog: list = []
+        truss = G.k_truss(
+            fe, 4, rounds=args.truss_rounds, branch_log=blog, **tkw
+        )
         n_truss = truss.count()
         timings["ktruss_sec"] = round(time.time() - t0, 2)
         print(
@@ -501,6 +504,7 @@ def main() -> None:
                     "ingest_sec": round(t_ingest, 2),
                     "n_truss_edges": n_truss,
                     "truss_hash_cap": args.truss_hash_cap,
+                    "branch_log": blog,
                     **timings,
                 }
             )
