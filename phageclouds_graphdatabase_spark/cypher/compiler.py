@@ -2420,6 +2420,12 @@ class CypherEngine:
         "gds.scc.stream": ("nodeId", "componentId"),
         "gds.kcore.stream": ("nodeId", "degree"),
         "gds.ktruss.stream": ("sourceNodeId", "targetNodeId", "support"),
+        "gds.labelpropagation.stream": ("nodeId", "communityId"),
+        "gds.trianglecount.stream": ("nodeId", "triangleCount"),
+        "gds.localclusteringcoefficient.stream": (
+            "nodeId", "localClusteringCoefficient",
+        ),
+        "gds.nodesimilarity.stream": ("nodeId1", "nodeId2", "similarity"),
     }
 
     def _gds_edges(self, reltype: str | None):
@@ -2612,6 +2618,39 @@ class CypherEngine:
                 F.col("a").alias("sourceNodeId"),
                 F.col("b").alias("targetNodeId"),
                 F.col("support").cast("long").alias("support"),
+            )
+        elif name == "gds.labelpropagation.stream":
+            # deterministic synchronous label propagation (most-frequent
+            # neighbor label, ties to smallest — reproducible, unlike
+            # GDS/GraphFrames' async variants; documented divergence)
+            from phageclouds_graphdatabase_spark.graphframe import GraphFrame
+
+            v = (
+                e.select(F.col("src").alias("id"))
+                .unionByName(e.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+            df = GraphFrame(v, e).labelPropagation(iters).select(
+                F.col("id").alias("nodeId"),
+                F.col("label").alias("communityId"),
+            )
+        elif name == "gds.trianglecount.stream":
+            df = _G.triangle_counts(e).select(
+                F.col("id").alias("nodeId"),
+                F.col("n_triangles").alias("triangleCount"),
+            )
+        elif name == "gds.localclusteringcoefficient.stream":
+            df = _G.local_clustering_coefficient(e).select(
+                F.col("id").alias("nodeId"),
+                F.col("lcc").alias("localClusteringCoefficient"),
+            )
+        elif name == "gds.nodesimilarity.stream":
+            df = _G.node_similarity_topk(
+                e, k=int(config.get("topK", 10))
+            ).select(
+                F.col("a").alias("nodeId1"),
+                F.col("b").alias("nodeId2"),
+                F.col("jaccard").alias("similarity"),
             )
         else:  # gds.wcc.stream
             df = _G.connected_components(e).select(

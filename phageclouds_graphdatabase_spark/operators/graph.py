@@ -1344,6 +1344,176 @@ def _orient_edges(live: DataFrame) -> DataFrame:
 KTRUSS_HASH_BROADCAST_CAP_EDGES = 48_000_000
 
 
+def _enumerate_triangles(
+    oriented: DataFrame,
+    edge_count: int | None = None,
+    hash_broadcast_cap_edges: int = KTRUSS_HASH_BROADCAST_CAP_EDGES,
+) -> DataFrame:
+    """Enumerate each triangle of a degree-oriented (u, v, dv) edge set
+    exactly once as (x, y, z) corner rows — the shared core of
+    _triangle_support (per-edge support), triangle_counts (per-node
+    counts) and local_clustering_coefficient. The closing semi-join is
+    SORT-FREE and gated exactly as documented in _triangle_support:
+    broadcast-hash prefilter + exact verify at or under
+    ``hash_broadcast_cap_edges``, shuffle-hash exact semi-join above."""
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    wedge_lt = (F.col("e1.dv") < F.col("e2.dv")) | (
+        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    wedges = e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_lt).select(
+        F.col("e1.u").alias("x"),
+        F.col("e1.v").alias("y"),
+        F.col("e2.v").alias("z"),
+    )
+    exact_close = (F.col("e3.u") == F.col("y")) & (F.col("e3.v") == F.col("z"))
+    if edge_count is None or edge_count <= hash_broadcast_cap_edges:
+        closing = F.xxhash64(F.col("y"), F.col("z"))
+        edge_hashes = oriented.select(F.xxhash64("u", "v").alias("__h"))
+        candidates = wedges.join(
+            F.broadcast(edge_hashes), closing == F.col("__h"), "left_semi"
+        )
+        return candidates.join(e3, exact_close, "left_semi")
+    return wedges.join(e3.hint("shuffle_hash"), exact_close, "left_semi")
+
+
+def triangle_counts(
+    edges: DataFrame,
+    edge_count: int | None = None,
+    hash_broadcast_cap_edges: int = KTRUSS_HASH_BROADCAST_CAP_EDGES,
+) -> DataFrame:
+    """Per-node triangle counts (the GraphFrames ``triangleCount`` / GDS
+    ``triangleCount`` surface): canonicalize the input to (a < b) pairs,
+    orient up the (degree, id) total order (_orient_edges — arboricity
+    bound, O(m^1.5) wedge work), enumerate each triangle once
+    (_enumerate_triangles, gated sort-free closing join), explode the
+    three corners, count per node. Returns (id, n_triangles); nodes in no
+    triangle are absent. The oriented set is localCheckpointed — three
+    plan instances feed the wedge/closing self-joins."""
+    canonical = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    oriented = _orient_edges(canonical).localCheckpoint()
+    tri = _enumerate_triangles(oriented, edge_count, hash_broadcast_cap_edges)
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def local_clustering_coefficient(
+    edges: DataFrame,
+    edge_count: int | None = None,
+    hash_broadcast_cap_edges: int = KTRUSS_HASH_BROADCAST_CAP_EDGES,
+) -> DataFrame:
+    """Per-node local clustering coefficient (the GDS
+    ``localClusteringCoefficient`` surface): lcc = 2·triangles /
+    (deg·(deg−1)) over the canonical undirected graph, 0 for degree < 2.
+    Degrees and triangle counts share one canonicalized edge set; both
+    divisions take exact-int inputs so the doubles are correctly-rounded
+    identically cross-engine (the property the oracle checks). Returns
+    (id, degree, n_triangles, lcc)."""
+    canonical = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        canonical.select(F.col("a").alias("id"))
+        .unionByName(canonical.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_counts(
+        canonical.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        edge_count,
+        hash_broadcast_cap_edges,
+    )
+    return deg.join(tri, "id", "left_outer").select(
+        "id",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            2.0
+            * F.coalesce("n_triangles", F.lit(0)).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(0.0)
+        .alias("lcc"),
+    )
+
+
+def node_similarity_topk(edges: DataFrame, k: int = 10) -> DataFrame:
+    """Neighborhood node similarity (the GDS ``nodeSimilarity`` surface):
+    Jaccard of OUT-neighbor sets between source nodes, top-``k``
+    most-similar per node with a deterministic (jaccard desc, id)
+    tie-break. Intersections come from a partial-agg'd co-neighbor
+    self-join keyed on the shared neighbor — the only shuffle of edge
+    cardinality; degree tables are node-cardinality. Hub neighbors fan
+    out quadratically — the same skew the dedup family handles; at 100 TB
+    the production fix is the frequency-cap + exact-verify pattern of
+    operators/dedup.py jaccard_pairs_capped. Jaccard = inter/(da+db−inter)
+    from exact ints, so the doubles match the oracle bit-for-bit. Returns
+    (a, b, inter, union_sz, jaccard, rnk). The edge list is
+    localCheckpointed (it feeds both self-join sides plus the degree
+    agg)."""
+    from pyspark.sql.window import Window
+
+    e = edges.select("src", "dst").localCheckpoint()
+    inter = (
+        e.alias("x")
+        .join(e.alias("y"), "dst")
+        .filter(F.col("x.src") < F.col("y.src"))
+        .groupBy(F.col("x.src").alias("a"), F.col("y.src").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    deg = e.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    scored = (
+        inter.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            F.col("inter").cast("long").alias("inter"),
+            (F.col("da") + F.col("db") - F.col("inter")).cast("long").alias(
+                "union_sz"
+            ),
+            (
+                F.col("inter").cast("double")
+                / (F.col("da") + F.col("db") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    sym = scored.unionByName(
+        scored.select(
+            F.col("b").alias("a"),
+            F.col("a").alias("b"),
+            "inter",
+            "union_sz",
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.col("jaccard").desc(), F.col("b"))
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "a", "b", "inter", "union_sz", "jaccard",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 def _triangle_support(
     oriented: DataFrame,
     edge_count: int | None = None,
@@ -1363,15 +1533,7 @@ def _triangle_support(
     ``hash_broadcast_cap_edges`` the broadcast hash prefilter runs; above
     it, the shuffle-hash fallback. ``None`` (direct callers on small
     graphs) keeps the broadcast path."""
-    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
-    wedge_lt = (F.col("e1.dv") < F.col("e2.dv")) | (
-        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
-    )
-    wedges = e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_lt).select(
-        F.col("e1.u").alias("x"),
-        F.col("e1.v").alias("y"),
-        F.col("e2.v").alias("z"),
-    )
+    tri = _enumerate_triangles(oriented, edge_count, hash_broadcast_cap_edges)
     # Closing semi-join, SORT-FREE: the wedge stream is O(sum outdeg²) rows
     # — orders of magnitude larger than the edge set on dense graphs — and
     # Catalyst's default sort-merge semi-join SORTS it (observed at the
@@ -1392,16 +1554,6 @@ def _triangle_support(
     # (~24 B/row, spread across the cluster) but is NEVER sorted, and the
     # prefilter adds nothing without a broadcast (the stream side would
     # shuffle its full rows either way).
-    exact_close = (F.col("e3.u") == F.col("y")) & (F.col("e3.v") == F.col("z"))
-    if edge_count is None or edge_count <= hash_broadcast_cap_edges:
-        closing = F.xxhash64(F.col("y"), F.col("z"))
-        edge_hashes = oriented.select(F.xxhash64("u", "v").alias("__h"))
-        candidates = wedges.join(
-            F.broadcast(edge_hashes), closing == F.col("__h"), "left_semi"
-        )
-        tri = candidates.join(e3, exact_close, "left_semi")
-    else:
-        tri = wedges.join(e3.hint("shuffle_hash"), exact_close, "left_semi")
     pairs = (
         tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
         .unionAll(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))

@@ -1751,6 +1751,108 @@ def cypher_gds_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cypher_gds_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.labelPropagation.stream (round 5): the deterministic
+    synchronous 2-round label propagation through the proc surface,
+    sharing graph_label_propagation's round-unrolled SQL (same
+    most-frequent-label / smallest-label tie-break)."""
+    q = ("CALL gds.labelPropagation.stream('sharesDNA', "
+         "{maxIterations: 2}) "
+         "YIELD nodeId AS id, communityId AS label RETURN id, label")
+    return _engine_sp_thresh(spark, sf_dir).run(q)
+
+
+def cypher_gds_trianglecount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.triangleCount.stream (round 5) on the same supplier co-supply
+    graph as graph_triangle_counts — both route through
+    operators/graph.py triangle_counts, so the twin's canonical-3-join
+    SQL is the oracle verbatim."""
+    cat = _cosupply_catalog(spark, sf_dir)
+    out = CypherEngine(cat, spark).run(
+        "CALL gds.triangleCount.stream('coSupplies') "
+        "YIELD nodeId AS id, triangleCount AS n_triangles "
+        "RETURN id, n_triangles"
+    )
+    return out
+
+
+def cypher_gds_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.localClusteringCoefficient.stream (round 5), sharing
+    graph_clustering_coefficient's SQL projected to the two columns the
+    proc yields (lcc doubles are exact-int ratios — correctly-rounded
+    identically in both engines)."""
+    cat = _cosupply_catalog(spark, sf_dir)
+    return CypherEngine(cat, spark).run(
+        "CALL gds.localClusteringCoefficient.stream('coSupplies') "
+        "YIELD nodeId AS id, localClusteringCoefficient AS lcc "
+        "RETURN id, lcc"
+    )
+
+
+def cypher_gds_nodesim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.nodeSimilarity.stream (round 5): out-neighbor Jaccard top-k
+    through the proc surface (config {topK: 10} = the GDS default the
+    twin uses), sharing graph_node_similarity's SQL projected to the
+    (nodeId1, nodeId2, similarity) triple."""
+    q = ("CALL gds.nodeSimilarity.stream('sharesDNA', {topK: 10}) "
+         "YIELD nodeId1 AS a, nodeId2 AS b, similarity AS jaccard "
+         "RETURN a, b, jaccard")
+    return _engine_sp_thresh(spark, sf_dir).run(q)
+
+
+def _cosupply_catalog(spark: SparkSession, sf_dir: str) -> GraphCatalog:
+    """Supplier co-supply projection (S_i — S_j iff both supply a part)
+    as a one-relationship catalog — the graph the triangle-family twins
+    measure; 'S<k>' string keys compare identically in both engines (the
+    twins' SQL uses the same 'S' || l_suppkey strings)."""
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("s"),
+    ).distinct()
+    e = (
+        ps.alias("x")
+        .join(ps.alias("y"), "p")
+        .filter(F.col("x.s") < F.col("y.s"))
+        .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return GraphCatalog(
+        {"Supplier": NodeTable(nodes, "id")},
+        {"coSupplies": RelTable(e, "src", "dst", "Supplier", "Supplier")},
+    )
+
+
+CYPHER_GDS_LCC_SQL = (
+    "SELECT id, lcc FROM (" + _pipe.GRAPH_LCC_SQL + ") z"
+)
+
+CYPHER_GDS_NODESIM_SQL = (
+    "SELECT a, b, jaccard FROM (" + _pipe.GRAPH_NODE_SIM_SQL + ") z"
+)
+
+
+ENTRIES.update({
+    "cypher_gds_labelprop": SuiteEntry(
+        cypher_gds_labelprop, _ext.GRAPH_LABEL_PROP_SQL, ("S2", "W6")
+    ),
+    "cypher_gds_trianglecount": SuiteEntry(
+        cypher_gds_trianglecount, _pipe.GRAPH_TRIANGLES_SQL, ("S2", "J1", "W6")
+    ),
+    "cypher_gds_lcc": SuiteEntry(
+        cypher_gds_lcc, CYPHER_GDS_LCC_SQL, ("S2", "J1", "W6")
+    ),
+    "cypher_gds_nodesim": SuiteEntry(
+        cypher_gds_nodesim, CYPHER_GDS_NODESIM_SQL, ("S2", "W6", "W5")
+    ),
+})
+
+
 ENTRIES.update({
     "cypher_gds_harmonic": SuiteEntry(
         cypher_gds_harmonic, CYPHER_GDS_HARMONIC_SQL, ("S2", "W6", "A6")

@@ -752,43 +752,13 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
         .distinct()
     )
-    deg = (
-        e.select(F.col("a").alias("n"))
-        .unionByName(e.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    # Orient each edge up the (degree, id) total order, keeping the head's
-    # rank columns for the wedge ordering below.
-    lead_a = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = (
-        e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
-        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
-        .select(
-            F.when(lead_a, F.col("a")).otherwise(F.col("b")).alias("u"),
-            F.when(lead_a, F.col("b")).otherwise(F.col("a")).alias("v"),
-            F.when(lead_a, F.col("db")).otherwise(F.col("da")).alias("dv"),
-        )
-    ).cache()
-    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
-    wedge_lt = (F.col("e1.dv") < F.col("e2.dv")) | (
-        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
-    )
-    tri = (
-        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_lt)
-        .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
-            "left_semi",
-        )
-        .select(F.col("e1.u").alias("c1"), F.col("e1.v").alias("c2"), F.col("e2.v").alias("c3"))
-    )
-    return (
-        tri.select(F.explode(F.array("c1", "c2", "c3")).alias("id"))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    # delegates to the shared operator (round 5): same degree orientation
+    # and once-per-triangle enumeration, now with the k-truss family's
+    # gated sort-free closing join (operators/graph.py triangle_counts)
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    return G.triangle_counts(
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
 
 
@@ -808,41 +778,12 @@ def graph_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py:jaccard_pairs_capped. Jaccard = inter/(da+db-inter)
     from exact ints, so the doubles are correctly-rounded identically in
     both engines."""
-    # e feeds both sides of the co-neighbor self-join plus the degree agg
-    # (3 plan instances); cache the thresholded edge list once.
-    e = h.graph_edges(spark, sf_dir, threshold=h.GRAPH_THRESHOLD).select("src", "dst").cache()
-    inter = (
-        e.alias("x")
-        .join(e.alias("y"), "dst")
-        .filter(F.col("x.src") < F.col("y.src"))
-        .groupBy(F.col("x.src").alias("a"), F.col("y.src").alias("b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    deg = e.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("d"))
-    scored = (
-        inter.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
-        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
-        .select(
-            "a", "b",
-            F.col("inter").cast("long").alias("inter"),
-            (F.col("da") + F.col("db") - F.col("inter")).cast("long").alias("union_sz"),
-            (
-                F.col("inter").cast("double")
-                / (F.col("da") + F.col("db") - F.col("inter"))
-            ).alias("jaccard"),
-        )
-    )
-    # symmetric pairs -> per-node ranking needs both orientations
-    sym = scored.unionByName(
-        scored.select(
-            F.col("b").alias("a"), F.col("a").alias("b"), "inter", "union_sz", "jaccard"
-        )
-    )
-    w = Window.partitionBy("a").orderBy(F.col("jaccard").desc(), F.col("b"))
-    return (
-        sym.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select("a", "b", "inter", "union_sz", "jaccard", F.col("rnk").cast("long").alias("rnk"))
+    # delegates to the shared operator (round 5, the GDS nodeSimilarity
+    # surface — operators/graph.py node_similarity_topk)
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    return G.node_similarity_topk(
+        h.graph_edges(spark, sf_dir, threshold=h.GRAPH_THRESHOLD), k=10
     )
 
 
@@ -894,28 +835,12 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
         .distinct()
     )
-    deg = (
-        e.select(F.col("a").alias("id"))
-        .unionByName(e.select(F.col("b").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    )
-    tri = graph_triangle_counts(spark, sf_dir)
-    return (
-        deg.join(tri, "id", "left_outer")
-        .select(
-            "id",
-            "degree",
-            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
-            F.when(
-                F.col("degree") >= 2,
-                2.0
-                * F.coalesce("n_triangles", F.lit(0)).cast("double")
-                / (F.col("degree") * (F.col("degree") - 1)),
-            )
-            .otherwise(0.0)
-            .alias("lcc"),
-        )
+    # delegates to the shared operator (round 5 —
+    # operators/graph.py local_clustering_coefficient)
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    return G.local_clustering_coefficient(
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
 
 

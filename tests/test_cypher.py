@@ -2103,6 +2103,53 @@ class TestGdsProcedures:
         )
         assert got == want and len(got) > 0
 
+    def test_labelpropagation_stream_matches_graphframe(self, eng, shares_dna):
+        from phageclouds_graphdatabase_spark.graphframe import GraphFrame
+
+        got = rows(eng.run(
+            "CALL gds.labelPropagation.stream('sharesDNA', "
+            "{maxIterations: 2}) "
+            "YIELD nodeId, communityId RETURN nodeId, communityId"
+        ))
+        e = shares_dna.select("src", "dst")
+        v = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        want = sorted(map(tuple, GraphFrame(v, e).labelPropagation(2).collect()))
+        assert got == want and len(got) > 0
+
+    def test_trianglecount_stream_hand_values(self, eng):
+        # A1-A2-A3 form the only sharesDNA triangle among A*; every
+        # returned count is >= 1 by construction
+        got = dict(eng.run(
+            "CALL gds.triangleCount.stream('sharesDNA') "
+            "YIELD nodeId, triangleCount RETURN nodeId, triangleCount"
+        ).collect())
+        assert got.get("A1", 0) >= 1 and got.get("A2", 0) >= 1
+        assert all(c >= 1 for c in got.values())
+
+    def test_lcc_stream_bounds(self, eng):
+        got = rows(eng.run(
+            "CALL gds.localClusteringCoefficient.stream('sharesDNA') "
+            "YIELD nodeId, localClusteringCoefficient "
+            "RETURN nodeId, localClusteringCoefficient"
+        ))
+        assert len(got) > 0 and all(0.0 <= c <= 1.0 for _, c in got)
+
+    def test_nodesimilarity_stream_topk_config(self, eng):
+        got = rows(eng.run(
+            "CALL gds.nodeSimilarity.stream('sharesDNA', {topK: 1}) "
+            "YIELD nodeId1, nodeId2, similarity "
+            "RETURN nodeId1, nodeId2, similarity"
+        ))
+        # topK=1 -> at most one partner per source node
+        from collections import Counter
+        c = Counter(a for a, _, _ in got)
+        assert len(got) > 0 and max(c.values()) == 1
+        assert all(0.0 < s <= 1.0 for _, _, s in got)
+
     def test_sourcenodes_must_be_list(self, eng):
         with pytest.raises(CypherCompileError, match="sourceNodes"):
             eng.run(
