@@ -347,3 +347,24 @@ def test_ktruss_closing_join_shuffle_hash_above_broadcast_cap(spark):
     assert "SortMergeJoin LeftSemi" not in plan, plan
     # no hash prefilter in this branch: the exact join IS the filter
     assert "xxhash64" not in plan, plan
+
+
+def test_triangle_counts_inherits_gated_closing_join(spark):
+    # triangle_counts routes through the SAME _enumerate_triangles core
+    # as k-truss (round 5): broadcast xxhash64 prefilter under the cap,
+    # sort-free shuffle-hash above it — per-node counting must never
+    # reintroduce the sort-merge wedge sort
+    from phageclouds_graphdatabase_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src int, dst int"
+    )
+    under = explain_str(triangle_counts(e))
+    assert "BroadcastHashJoin" in under and "xxhash64" in under, under
+    over = explain_str(
+        triangle_counts(e, edge_count=3, hash_broadcast_cap_edges=1)
+    )
+    assert "ShuffledHashJoin" in over and "LeftSemi" in over, over
+    assert "SortMergeJoin LeftSemi" not in over, over
