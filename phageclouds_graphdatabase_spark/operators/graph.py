@@ -1514,6 +1514,95 @@ def node_similarity_topk(edges: DataFrame, k: int = 10) -> DataFrame:
     )
 
 
+def node_similarity_topk_capped(
+    edges: DataFrame, k: int = 10, freq_cap: int | None = None
+) -> DataFrame:
+    """Frequency-capped node similarity — the 100-TB shape of
+    :func:`node_similarity_topk`, the same production pattern as
+    operators/dedup.py jaccard_pairs_capped: the co-neighbor self-join's
+    cost is sum(df²) over shared-neighbor document frequencies, and one
+    hub neighbor (df = millions at web scale) makes one reducer
+    quadratic. The cap:
+
+    1. candidate generation drops shared neighbors with df > ``freq_cap``
+       (a neighbor shared by everyone carries no similarity
+       discrimination but dominates join cost), bounding any reducer's
+       work by freq_cap²;
+    2. exact VERIFICATION re-joins candidate pairs against the FULL edge
+       set, so inter/union/jaccard values are exact, never capped
+       approximations.
+
+    Recall trade (the only semantic difference): a pair whose shared
+    neighbors are ALL hot is never generated — at a sane cap that is
+    "nodes similar only through universal hubs", the pair a similarity
+    search wants to ignore. ``freq_cap=None`` delegates to the uncapped
+    single-pass operator. The hot-neighbor list is tiny (df > cap keys) →
+    broadcast anti-join; verification groups by the naturally
+    high-cardinality pair key — combiner-reduced, no skew to salt."""
+    if freq_cap is None:
+        return node_similarity_topk(edges, k)
+    from pyspark.sql.window import Window
+
+    e = edges.select("src", "dst").localCheckpoint()
+    hot = (
+        e.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > freq_cap)
+        .select("dst")
+    )
+    index = e.join(F.broadcast(hot), "dst", "left_anti")
+    cand = (
+        index.alias("x")
+        .join(index.alias("y"), "dst")
+        .filter(F.col("x.src") < F.col("y.src"))
+        .select(F.col("x.src").alias("a"), F.col("y.src").alias("b"))
+        .distinct()
+    )
+    fa = e.select(F.col("src").alias("a"), F.col("dst").alias("_na"))
+    fb = e.select(F.col("src").alias("_b"), F.col("dst").alias("_nb"))
+    inter = (
+        cand.join(fa, "a")
+        .join(fb, (F.col("b") == F.col("_b")) & (F.col("_na") == F.col("_nb")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    deg = e.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("d"))
+    scored = (
+        inter.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            F.col("inter").cast("long").alias("inter"),
+            (F.col("da") + F.col("db") - F.col("inter")).cast("long").alias(
+                "union_sz"
+            ),
+            (
+                F.col("inter").cast("double")
+                / (F.col("da") + F.col("db") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    sym = scored.unionByName(
+        scored.select(
+            F.col("b").alias("a"),
+            F.col("a").alias("b"),
+            "inter",
+            "union_sz",
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.col("jaccard").desc(), F.col("b"))
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "a", "b", "inter", "union_sz", "jaccard",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 def _triangle_support(
     oriented: DataFrame,
     edge_count: int | None = None,

@@ -816,6 +816,60 @@ WHERE rnk <= 10
 """
 
 
+def graph_node_similarity_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-capped node similarity (round 5): the 100-TB form of
+    graph_node_similarity — candidates from the hub-pruned co-neighbor
+    index (df > 150 shared neighbors dropped, bounding any reducer at
+    cap²), values from exact full-set verification (operators/graph.py
+    node_similarity_topk_capped; the jaccard_pairs_capped pattern). The
+    oracle replicates cap + verify, so the recall trade is itself
+    value-checked, not approximated."""
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    return G.node_similarity_topk_capped(
+        h.graph_edges(spark, sf_dir, threshold=h.GRAPH_THRESHOLD),
+        k=10,
+        freq_cap=150,
+    )
+
+
+GRAPH_NODE_SIM_CAPPED_SQL = f"""
+WITH e AS (
+    SELECT src, dst FROM ({h.GRAPH_EDGES_SQL}) _e WHERE distance <= {h.GRAPH_THRESHOLD}
+),
+hot AS (SELECT dst FROM e GROUP BY dst HAVING COUNT(*) > 150),
+idx AS (SELECT src, dst FROM e WHERE dst NOT IN (SELECT dst FROM hot)),
+cand AS (
+    SELECT DISTINCT x.src AS a, y.src AS b
+    FROM idx x JOIN idx y ON x.dst = y.dst AND x.src < y.src
+),
+inter AS (
+    SELECT c.a, c.b, COUNT(*) AS inter
+    FROM cand c
+    JOIN e ea ON ea.src = c.a
+    JOIN e eb ON eb.src = c.b AND eb.dst = ea.dst
+    GROUP BY c.a, c.b
+),
+deg AS (SELECT src AS n, COUNT(*) AS d FROM e GROUP BY src),
+scored AS (
+    SELECT a, b, CAST(inter AS BIGINT) AS inter,
+           CAST(da.d + db.d - inter AS BIGINT) AS union_sz,
+           CAST(inter AS DOUBLE) / (da.d + db.d - inter) AS jaccard
+    FROM inter JOIN deg da ON da.n = a JOIN deg db ON db.n = b
+),
+sym AS (
+    SELECT a, b, inter, union_sz, jaccard FROM scored
+    UNION ALL
+    SELECT b AS a, a AS b, inter, union_sz, jaccard FROM scored
+)
+SELECT a, b, inter, union_sz, jaccard, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY a
+                                   ORDER BY jaccard DESC, b) AS rnk
+      FROM sym) z
+WHERE rnk <= 10
+"""
+
+
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node local clustering coefficient (Neo4j GDS
     ``localClusteringCoefficient``): lcc = 2*triangles / (deg*(deg-1)) on
@@ -1531,6 +1585,10 @@ ENTRIES: dict[str, SuiteEntry] = {
     ),
     "graph_node_similarity": SuiteEntry(
         graph_node_similarity, GRAPH_NODE_SIM_SQL, ("J1", "W6", "W5")
+    ),
+    "graph_node_similarity_capped": SuiteEntry(
+        graph_node_similarity_capped, GRAPH_NODE_SIM_CAPPED_SQL,
+        ("J1", "W6", "W5")
     ),
     "graph_clustering_coefficient": SuiteEntry(
         graph_clustering_coefficient, GRAPH_LCC_SQL, ("J1", "W6")

@@ -553,6 +553,37 @@ def test_fastrp_embeddings_shape_and_determinism(spark, shares_dna):
     assert {"A1", "A2", "A3", "B1", "B2", "B3"} <= set(emb1)
 
 
+def test_node_similarity_capped_exact_values_and_recall_trade(spark):
+    # H is a hub neighbor (df 4 > cap 2): pairs sharing ONLY H are never
+    # generated (the documented recall trade); pairs with any cool shared
+    # neighbor survive, and their inter/jaccard come from the FULL edge
+    # set — H still counts in the verified intersection
+    e = spark.createDataFrame(
+        [("a", "H"), ("b", "H"), ("c", "H"), ("d", "H"),
+         ("a", "n1"), ("b", "n1"), ("a", "n2"), ("c", "n2")],
+        "src string, dst string",
+    )
+    got = {
+        (r.a, r.b): (r.inter, r.jaccard)
+        for r in G.node_similarity_topk_capped(e, k=10, freq_cap=2).collect()
+    }
+    # (a,b) share {H, n1}: candidate via n1, verified inter = 2 (H counts)
+    assert got[("a", "b")] == (2, 2.0 / (3 + 2 - 2))
+    # (b,c) share only H -> never generated
+    assert ("b", "c") not in got and ("c", "b") not in got
+    # (b,d)/(c,d) share only H too; d has no cool neighbor at all
+    assert not any("d" in pair for pair in got)
+
+
+def test_node_similarity_capped_none_equals_uncapped(spark, shares_dna):
+    e = shares_dna.select("src", "dst")
+    capped = sorted(
+        map(tuple, G.node_similarity_topk_capped(e, k=5).collect())
+    )
+    uncapped = sorted(map(tuple, G.node_similarity_topk(e, k=5).collect()))
+    assert capped == uncapped and len(capped) > 0
+
+
 def test_fastrp_packed_matches_exploded(spark, shares_dna):
     # the round-5 packed-vector iteration must be BIT-IDENTICAL to the
     # exploded (id, dim, val) twin it replaces (VERDICT r4 ask #5) —

@@ -235,6 +235,20 @@ def main() -> None:
     ap.add_argument("--roots", type=int, default=100,
                     help="sampled root count for --centrality-only")
     ap.add_argument(
+        "--nodesim-only",
+        action="store_true",
+        help="probe ONLY node similarity (top-10 out-neighbor Jaccard) at "
+        "this tier",
+    )
+    ap.add_argument(
+        "--nodesim-cap",
+        type=int,
+        default=None,
+        help="freq_cap for --nodesim-only (None = the exact single-pass "
+        "join; the capped form is the 100-TB shape — candidates from the "
+        "hub-pruned index, values from exact verification)",
+    )
+    ap.add_argument(
         "--bc-only",
         action="store_true",
         help="probe ONLY betweenness at this tier (skips "
@@ -362,6 +376,29 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     from pyspark.sql import functions as F
+
+    if args.nodesim_only:
+        fe = edges.filter(F.col("distance") <= 0.15).select("src", "dst")
+        t0 = time.time()
+        sim = G.node_similarity_topk_capped(
+            fe, k=10, freq_cap=args.nodesim_cap
+        )
+        n_pairs = sim.count()
+        print(
+            json.dumps(
+                {
+                    "n_nodes": args.nodes,
+                    "n_edges": n_edges,
+                    "skew": args.skew,
+                    "nodesim_cap": args.nodesim_cap,
+                    "n_sim_pairs": n_pairs,
+                    "nodesim_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+        if not args.keep:
+            shutil.rmtree(work, ignore_errors=True)
+        return
 
     if args.bc_only:
         # betweenness root-placement A/B (VERDICT r4 ask #2): 'hub' roots
