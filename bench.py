@@ -83,6 +83,14 @@ HEADLINE = [
     # round-3 late additions: triangle-support peeling (two rounds of the
     # degree-oriented O(m^1.5) enumeration)
     "graph_ktruss",
+    # round-5 additions tracked from their introduction round: the packed
+    # fastRP iteration (array-column per-slot sums, |edges|-row shuffles),
+    # fixed-point sampled betweenness (sigma-BFS + midpoint join), and the
+    # frequency-capped node similarity (hub-pruned candidates + exact
+    # verification — the 100-TB similarity-join shape)
+    "graph_fastrp_embeddings",
+    "graph_betweenness_centrality",
+    "graph_node_similarity_capped",
 ]
 
 

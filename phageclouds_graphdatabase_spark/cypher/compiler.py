@@ -2645,8 +2645,13 @@ class CypherEngine:
                 F.col("lcc").alias("localClusteringCoefficient"),
             )
         elif name == "gds.nodesimilarity.stream":
-            df = _G.node_similarity_topk(
-                e, k=int(config.get("topK", 10))
+            # freqCap engages the 100-TB capped form (hub-pruned
+            # candidates + exact verification — node_similarity_topk_capped)
+            fc = config.get("freqCap")
+            df = _G.node_similarity_topk_capped(
+                e,
+                k=int(config.get("topK", 10)),
+                freq_cap=None if fc is None else int(fc),
             ).select(
                 F.col("a").alias("nodeId1"),
                 F.col("b").alias("nodeId2"),

@@ -2150,6 +2150,23 @@ class TestGdsProcedures:
         assert len(got) > 0 and max(c.values()) == 1
         assert all(0.0 < s <= 1.0 for _, _, s in got)
 
+    def test_nodesimilarity_freqcap_config(self, eng, shares_dna):
+        from phageclouds_graphdatabase_spark.operators import graph as G
+
+        got = rows(eng.run(
+            "CALL gds.nodeSimilarity.stream('sharesDNA', "
+            "{topK: 5, freqCap: 2}) "
+            "YIELD nodeId1, nodeId2, similarity "
+            "RETURN nodeId1, nodeId2, similarity"
+        ))
+        want = sorted(
+            (r.a, r.b, r.jaccard)
+            for r in G.node_similarity_topk_capped(
+                shares_dna.select("src", "dst"), k=5, freq_cap=2
+            ).collect()
+        )
+        assert got == want
+
     def test_sourcenodes_must_be_list(self, eng):
         with pytest.raises(CypherCompileError, match="sourceNodes"):
             eng.run(
