@@ -2646,12 +2646,17 @@ class CypherEngine:
             )
         elif name == "gds.nodesimilarity.stream":
             # freqCap engages the 100-TB capped form (hub-pruned
-            # candidates + exact verification — node_similarity_topk_capped)
+            # candidates + exact verification — node_similarity_topk_capped);
+            # upperDegreeCutoff (the stock-GDS knob) excludes hub pair
+            # members, which bounds the verification join (SCALE.md skew
+            # rehearsal: found-the-hard-way)
             fc = config.get("freqCap")
+            udc = config.get("upperDegreeCutoff")
             df = _G.node_similarity_topk_capped(
                 e,
                 k=int(config.get("topK", 10)),
                 freq_cap=None if fc is None else int(fc),
+                upper_degree_cutoff=None if udc is None else int(udc),
             ).select(
                 F.col("a").alias("nodeId1"),
                 F.col("b").alias("nodeId2"),

@@ -1515,7 +1515,10 @@ def node_similarity_topk(edges: DataFrame, k: int = 10) -> DataFrame:
 
 
 def node_similarity_topk_capped(
-    edges: DataFrame, k: int = 10, freq_cap: int | None = None
+    edges: DataFrame,
+    k: int = 10,
+    freq_cap: int | None = None,
+    upper_degree_cutoff: int | None = None,
 ) -> DataFrame:
     """Frequency-capped node similarity — the 100-TB shape of
     :func:`node_similarity_topk`, the same production pattern as
@@ -1535,22 +1538,45 @@ def node_similarity_topk_capped(
     Recall trade (the only semantic difference): a pair whose shared
     neighbors are ALL hot is never generated — at a sane cap that is
     "nodes similar only through universal hubs", the pair a similarity
-    search wants to ignore. ``freq_cap=None`` delegates to the uncapped
-    single-pass operator. The hot-neighbor list is tiny (df > cap keys) →
-    broadcast anti-join; verification groups by the naturally
-    high-cardinality pair key — combiner-reduced, no skew to salt."""
-    if freq_cap is None:
+    search wants to ignore. ``freq_cap=None`` (with no cutoff) delegates
+    to the uncapped single-pass operator. The hot-neighbor list is tiny
+    (df > cap keys) → broadcast anti-join; verification groups by the
+    naturally high-cardinality pair key — combiner-reduced, no skew to
+    salt.
+
+    ``upper_degree_cutoff`` (the GDS nodeSimilarity ``upperDegreeCutoff``
+    knob) excludes nodes with out-degree above it from PAIR MEMBERSHIP
+    entirely — found-the-hard-way at the 2M-skew rehearsal tier: the dst
+    frequency cap alone bounds CANDIDATE GENERATION, but a mega-hub as a
+    pair MEMBER drags its full neighbor list into the verification join
+    once per candidate pair (5 hubs × ~2M candidates spilled local disk
+    to death, SCALE.md). A hub's Jaccard against any normal node is
+    ≤ deg_small/deg_hub ≈ 0 anyway, so the cutoff drops only pairs the
+    top-k would never rank. With the cutoff, verification is bounded by
+    |candidates| × cutoff rows; surviving pairs keep EXACT values over
+    their full neighbor lists."""
+    if freq_cap is None and upper_degree_cutoff is None:
         return node_similarity_topk(edges, k)
     from pyspark.sql.window import Window
 
     e = edges.select("src", "dst").localCheckpoint()
-    hot = (
-        e.groupBy("dst")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > freq_cap)
-        .select("dst")
-    )
-    index = e.join(F.broadcast(hot), "dst", "left_anti")
+    if upper_degree_cutoff is not None:
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") <= upper_degree_cutoff)
+            .select("src")
+        )
+        e = e.join(keep, "src", "left_semi").localCheckpoint()
+    index = e
+    if freq_cap is not None:
+        hot = (
+            e.groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > freq_cap)
+            .select("dst")
+        )
+        index = e.join(F.broadcast(hot), "dst", "left_anti")
     cand = (
         index.alias("x")
         .join(index.alias("y"), "dst")

@@ -830,13 +830,16 @@ def graph_node_similarity_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.graph_edges(spark, sf_dir, threshold=h.GRAPH_THRESHOLD),
         k=10,
         freq_cap=150,
+        upper_degree_cutoff=10_000,
     )
 
 
 GRAPH_NODE_SIM_CAPPED_SQL = f"""
-WITH e AS (
+WITH e0 AS (
     SELECT src, dst FROM ({h.GRAPH_EDGES_SQL}) _e WHERE distance <= {h.GRAPH_THRESHOLD}
 ),
+keepers AS (SELECT src FROM e0 GROUP BY src HAVING COUNT(*) <= 10000),
+e AS (SELECT src, dst FROM e0 WHERE src IN (SELECT src FROM keepers)),
 hot AS (SELECT dst FROM e GROUP BY dst HAVING COUNT(*) > 150),
 idx AS (SELECT src, dst FROM e WHERE dst NOT IN (SELECT dst FROM hot)),
 cand AS (

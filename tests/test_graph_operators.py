@@ -575,6 +575,32 @@ def test_node_similarity_capped_exact_values_and_recall_trade(spark):
     assert not any("d" in pair for pair in got)
 
 
+def test_node_similarity_upper_degree_cutoff_excludes_hubs(spark):
+    # a mega-hub source (out-degree 5 > cutoff 3) is excluded from pair
+    # membership entirely — the verification-join bound (SCALE.md skew
+    # rehearsal: dst-cap alone spilled disk to death through hub members)
+    e = spark.createDataFrame(
+        [("hub", f"n{i}") for i in range(5)]
+        + [("a", "n0"), ("a", "n1"), ("b", "n0"), ("b", "n2")],
+        "src string, dst string",
+    )
+    got = {
+        (r.a, r.b): (r.inter, r.union_sz)
+        for r in G.node_similarity_topk_capped(
+            e, k=10, upper_degree_cutoff=3
+        ).collect()
+    }
+    assert not any("hub" in pair for pair in got)
+    # surviving pair keeps exact values over its FULL neighbor lists
+    assert got[("a", "b")] == (1, 3)
+    # without the cutoff the hub ranks (scores ~0 but present)
+    allp = {
+        (r.a, r.b)
+        for r in G.node_similarity_topk_capped(e, k=10, freq_cap=100).collect()
+    }
+    assert any("hub" in pair for pair in allp)
+
+
 def test_node_similarity_capped_none_equals_uncapped(spark, shares_dna):
     e = shares_dna.select("src", "dst")
     capped = sorted(

@@ -249,6 +249,14 @@ def main() -> None:
         "hub-pruned index, values from exact verification)",
     )
     ap.add_argument(
+        "--nodesim-cutoff",
+        type=int,
+        default=None,
+        help="upper_degree_cutoff for --nodesim-only (the GDS "
+        "upperDegreeCutoff knob): excludes hub pair-members, bounding "
+        "the verification join",
+    )
+    ap.add_argument(
         "--bc-only",
         action="store_true",
         help="probe ONLY betweenness at this tier (skips "
@@ -381,7 +389,10 @@ def main() -> None:
         fe = edges.filter(F.col("distance") <= 0.15).select("src", "dst")
         t0 = time.time()
         sim = G.node_similarity_topk_capped(
-            fe, k=10, freq_cap=args.nodesim_cap
+            fe,
+            k=10,
+            freq_cap=args.nodesim_cap,
+            upper_degree_cutoff=args.nodesim_cutoff,
         )
         n_pairs = sim.count()
         print(
@@ -391,6 +402,7 @@ def main() -> None:
                     "n_edges": n_edges,
                     "skew": args.skew,
                     "nodesim_cap": args.nodesim_cap,
+                    "nodesim_cutoff": args.nodesim_cutoff,
                     "n_sim_pairs": n_pairs,
                     "nodesim_sec": round(time.time() - t0, 2),
                 }
