@@ -2426,6 +2426,9 @@ class CypherEngine:
             "nodeId", "localClusteringCoefficient",
         ),
         "gds.nodesimilarity.stream": ("nodeId1", "nodeId2", "similarity"),
+        "gds.allshortestpaths.dijkstra.stream": (
+            "sourceNodeId", "targetNodeId", "totalCost",
+        ),
     }
 
     def _gds_edges(self, reltype: str | None):
@@ -2661,6 +2664,51 @@ class CypherEngine:
                 F.col("a").alias("nodeId1"),
                 F.col("b").alias("nodeId2"),
                 F.col("jaccard").alias("similarity"),
+            )
+        elif name == "gds.allshortestpaths.dijkstra.stream":
+            # hop-bounded multi-source SSSP (the engine's deterministic
+            # Dijkstra surface — operators/graph.py cheapest_path_costs):
+            # Bellman-Ford relaxation with integer-scaled weights, NOT
+            # path enumeration. Engine divergences (documented): costs
+            # are totalCost × scale (exact longs, no float summation
+            # order), the walk is hop-bounded by maxDepth, the graph is
+            # undirected (the stored-once edge convention), and
+            # sourceNodes may list MANY sources (stock GDS takes one).
+            src_nodes = config.get("sourceNodes")
+            if not isinstance(src_nodes, (list, tuple)) or not src_nodes:
+                raise CypherCompileError(
+                    "gds.allShortestPaths.dijkstra.stream needs "
+                    "sourceNodes: [node keys]"
+                )
+            wprop = config.get("relationshipWeightProperty", "distance")
+            rel = self.catalog.rel(
+                reltype
+                if reltype is not None
+                else next(iter(self.catalog.rels))
+            )
+            if wprop not in rel.df.columns:
+                raise CypherCompileError(
+                    f"relationshipWeightProperty {wprop!r} is not a "
+                    f"column of :{reltype}"
+                )
+            we = rel.df.select(
+                F.col(rel.src_col).cast("string").alias("src"),
+                F.col(rel.dst_col).cast("string").alias("dst"),
+                F.col(wprop).cast("double").alias("distance"),
+            )
+            seeds = self._session().createDataFrame(
+                [(str(x),) for x in src_nodes], "id string"
+            )
+            df = _G.cheapest_path_costs(
+                seeds,
+                we,
+                max_hops=int(config.get("maxDepth", 3)),
+                scale=float(config.get("scale", 10000.0)),
+                directed=False,
+            ).select(
+                F.col("src").alias("sourceNodeId"),
+                F.col("dst").alias("targetNodeId"),
+                F.col("cost").alias("totalCost"),
             )
         else:  # gds.wcc.stream
             df = _G.connected_components(e).select(

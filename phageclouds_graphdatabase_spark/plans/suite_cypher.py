@@ -1800,6 +1800,29 @@ def cypher_gds_nodesim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_sp_thresh(spark, sf_dir).run(q)
 
 
+def cypher_gds_dijkstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.allShortestPaths.dijkstra.stream (round 5): hop-bounded
+    multi-source weighted SSSP through the proc surface — sourceNodes
+    pins graph_cheapest_paths' ECONOMY %20 seed set and
+    relationshipWeightProperty/scale/maxDepth replay its exact
+    integer-scaled Bellman-Ford, so that twin's three-round unrolled SQL
+    is the oracle verbatim."""
+    seeds = [
+        r.id
+        for r in t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_partkey") % 20 == 0))
+        .select(F.concat(F.lit("P"), F.col("p_partkey")).alias("id"))
+        .distinct()
+        .collect()
+    ]
+    q = ("CALL gds.allShortestPaths.dijkstra.stream('sharesDNA', "
+         "{sourceNodes: $seeds, maxDepth: 3, scale: 10000.0, "
+         "relationshipWeightProperty: 'distance'}) "
+         "YIELD sourceNodeId AS src, targetNodeId AS dst, "
+         "totalCost AS cost RETURN src, dst, cost")
+    return _engine_sp_thresh(spark, sf_dir).run(q, params={"seeds": seeds})
+
+
 def _cosupply_catalog(spark: SparkSession, sf_dir: str) -> GraphCatalog:
     """Supplier co-supply projection (S_i — S_j iff both supply a part)
     as a one-relationship catalog — the graph the triangle-family twins
@@ -1849,6 +1872,9 @@ ENTRIES.update({
     ),
     "cypher_gds_nodesim": SuiteEntry(
         cypher_gds_nodesim, CYPHER_GDS_NODESIM_SQL, ("S2", "W6", "W5")
+    ),
+    "cypher_gds_dijkstra": SuiteEntry(
+        cypher_gds_dijkstra, _ext.GRAPH_CHEAPEST_SQL, ("S2", "W6", "J2")
     ),
 })
 

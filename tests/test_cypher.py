@@ -2167,6 +2167,39 @@ class TestGdsProcedures:
         )
         assert got == want
 
+    def test_dijkstra_stream_matches_operator(self, eng, shares_dna):
+        from phageclouds_graphdatabase_spark.operators import graph as G
+
+        got = rows(eng.run(
+            "CALL gds.allShortestPaths.dijkstra.stream('sharesDNA', "
+            "{sourceNodes: ['A1'], maxDepth: 2}) "
+            "YIELD sourceNodeId, targetNodeId, totalCost "
+            "RETURN sourceNodeId, targetNodeId, totalCost"
+        ))
+        seeds = shares_dna.sparkSession.createDataFrame([("A1",)], "id string")
+        want = sorted(
+            (r.src, r.dst, r.cost)
+            for r in G.cheapest_path_costs(
+                seeds, shares_dna, max_hops=2, directed=False
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_dijkstra_stream_requires_sourcenodes(self, eng):
+        with pytest.raises(CypherCompileError, match="sourceNodes"):
+            eng.run(
+                "CALL gds.allShortestPaths.dijkstra.stream('sharesDNA') "
+                "YIELD sourceNodeId RETURN sourceNodeId"
+            )
+
+    def test_dijkstra_stream_bad_weight_property(self, eng):
+        with pytest.raises(CypherCompileError, match="not a column"):
+            eng.run(
+                "CALL gds.allShortestPaths.dijkstra.stream('sharesDNA', "
+                "{sourceNodes: ['A1'], relationshipWeightProperty: 'nope'}) "
+                "YIELD sourceNodeId RETURN sourceNodeId"
+            )
+
     def test_sourcenodes_must_be_list(self, eng):
         with pytest.raises(CypherCompileError, match="sourceNodes"):
             eng.run(
