@@ -826,10 +826,22 @@ def graph_node_similarity_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked, not approximated."""
     from phageclouds_graphdatabase_spark.operators import graph as G
 
+    e = h.graph_edges(spark, sf_dir, threshold=h.GRAPH_THRESHOLD)
+    # scale-relative cap: 90% of the max shared-neighbor frequency,
+    # integer arithmetic so both engines cut at the same value. An
+    # absolute cap goes degenerate as SF grows (at sf0.1 every df
+    # exceeds a cap tuned on sf0.01 and the index empties); df-relative
+    # keeps the pruning meaningful at any scale. One extra 1-row agg job.
+    mx = (
+        e.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df"))
+        .collect()[0][0]
+    )
     return G.node_similarity_topk_capped(
-        h.graph_edges(spark, sf_dir, threshold=h.GRAPH_THRESHOLD),
+        e,
         k=10,
-        freq_cap=150,
+        freq_cap=(9 * int(mx)) // 10,
         upper_degree_cutoff=10_000,
     )
 
@@ -840,7 +852,11 @@ WITH e0 AS (
 ),
 keepers AS (SELECT src FROM e0 GROUP BY src HAVING COUNT(*) <= 10000),
 e AS (SELECT src, dst FROM e0 WHERE src IN (SELECT src FROM keepers)),
-hot AS (SELECT dst FROM e GROUP BY dst HAVING COUNT(*) > 150),
+hot AS (
+    SELECT dst FROM e GROUP BY dst
+    HAVING COUNT(*) > (SELECT (9 * MAX(df)) // 10
+                       FROM (SELECT COUNT(*) AS df FROM e GROUP BY dst) q)
+),
 idx AS (SELECT src, dst FROM e WHERE dst NOT IN (SELECT dst FROM hot)),
 cand AS (
     SELECT DISTINCT x.src AS a, y.src AS b
