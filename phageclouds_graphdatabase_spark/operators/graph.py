@@ -1388,7 +1388,12 @@ def triangle_counts(
     (_enumerate_triangles, gated sort-free closing join), explode the
     three corners, count per node. Returns (id, n_triangles); nodes in no
     triangle are absent. The oriented set is localCheckpointed — three
-    plan instances feed the wedge/closing self-joins."""
+    plan instances feed the wedge/closing self-joins — and when
+    ``edge_count`` is None it is COUNTED there (~free on the just-
+    materialized checkpoint) so the broadcast-vs-shuffle-hash gate is
+    self-applying: a bare call on a 100M-edge graph must never build a
+    driver-side broadcast hash set past the cap (the k-truss round-3
+    lesson, applied by default here)."""
     canonical = (
         edges.select(
             F.least("src", "dst").alias("a"),
@@ -1398,6 +1403,8 @@ def triangle_counts(
         .distinct()
     )
     oriented = _orient_edges(canonical).localCheckpoint()
+    if edge_count is None:
+        edge_count = oriented.count()
     tri = _enumerate_triangles(oriented, edge_count, hash_broadcast_cap_edges)
     return (
         tri.select(F.explode(F.array("x", "y", "z")).alias("id"))

@@ -257,6 +257,14 @@ def main() -> None:
         "the verification join",
     )
     ap.add_argument(
+        "--triangles-only",
+        action="store_true",
+        help="probe ONLY per-node triangle counts + local clustering "
+        "coefficient at this tier (the round-5 shared gated enumeration "
+        "core; above 48M thresholded edges the closing join runs the "
+        "shuffle-hash branch)",
+    )
+    ap.add_argument(
         "--bc-only",
         action="store_true",
         help="probe ONLY betweenness at this tier (skips "
@@ -384,6 +392,32 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     from pyspark.sql import functions as F
+
+    if args.triangles_only:
+        fe = edges.filter(F.col("distance") <= 0.15).select("src", "dst")
+        t0 = time.time()
+        tc = G.triangle_counts(fe)
+        n_tri_nodes = tc.count()
+        t_tri = round(time.time() - t0, 2)
+        t0 = time.time()
+        lcc = G.local_clustering_coefficient(fe)
+        n_lcc = lcc.count()
+        print(
+            json.dumps(
+                {
+                    "n_nodes": args.nodes,
+                    "n_edges": n_edges,
+                    "skew": args.skew,
+                    "n_triangle_nodes": n_tri_nodes,
+                    "triangles_sec": t_tri,
+                    "n_lcc_nodes": n_lcc,
+                    "lcc_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+        if not args.keep:
+            shutil.rmtree(work, ignore_errors=True)
+        return
 
     if args.nodesim_only:
         fe = edges.filter(F.col("distance") <= 0.15).select("src", "dst")
