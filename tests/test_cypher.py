@@ -2207,6 +2207,84 @@ class TestGdsProcedures:
                 "{sourceNodes: 'A1'}) YIELD nodeId RETURN nodeId"
             )
 
+    def test_harmonic_maxdepth_above_3_rejected(self, eng):
+        # ADVICE r5: the x6 scaling would silently weight every d >= 4
+        # level as depth 3 — fail fast at compile time instead
+        with pytest.raises(CypherCompileError, match="maxDepth 1..3"):
+            eng.run(
+                "CALL gds.closeness.harmonic.stream('sharesDNA', "
+                "{maxDepth: 4}) YIELD nodeId RETURN nodeId"
+            )
+
+    def test_dijkstra_maxdepth_out_of_range_rejected(self, eng):
+        # ADVICE r5: surface the [1, 10] bound as CypherCompileError like
+        # every other proc config error, not the operator's bare ValueError
+        for bad in (0, 11):
+            with pytest.raises(CypherCompileError, match="maxDepth"):
+                eng.run(
+                    "CALL gds.allShortestPaths.dijkstra.stream('sharesDNA', "
+                    f"{{sourceNodes: ['A1'], maxDepth: {bad}}}) "
+                    "YIELD sourceNodeId RETURN sourceNodeId"
+                )
+
+    def test_betweenness_orientation_natural_is_directed(self, eng, shares_dna):
+        from phageclouds_graphdatabase_spark.operators import graph as G
+
+        # round 6: orientation 'NATURAL' (the GDS projection vocabulary)
+        # runs the directed form — reversed-edge sigma-BFS + ordered pairs
+        e = shares_dna.select("src", "dst")
+        roots = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        ids = sorted(r.id for r in roots.collect())
+        src_list = "[" + ", ".join(f"'{i}'" for i in ids) + "]"
+        got = rows(eng.run(
+            "CALL gds.betweenness.stream('sharesDNA', "
+            f"{{sourceNodes: {src_list}, orientation: 'NATURAL'}}) "
+            "YIELD nodeId, score RETURN nodeId, score"
+        ))
+        want = sorted(
+            (r.id, r.bc_scaled)
+            for r in G.betweenness_centrality_scaled(
+                e, roots, max_depth=3, directed=True
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+        # and it differs from the undirected default on this digraph
+        undirected = rows(eng.run(
+            "CALL gds.betweenness.stream('sharesDNA', "
+            f"{{sourceNodes: {src_list}}}) "
+            "YIELD nodeId, score RETURN nodeId, score"
+        ))
+        assert got != undirected
+
+    def test_betweenness_bad_orientation_rejected(self, eng):
+        with pytest.raises(CypherCompileError, match="orientation"):
+            eng.run(
+                "CALL gds.betweenness.stream('sharesDNA', "
+                "{orientation: 'REVERSE'}) YIELD nodeId RETURN nodeId"
+            )
+
+    def test_nodesimilarity_freqcap_auto(self, eng, shares_dna):
+        from phageclouds_graphdatabase_spark.operators import graph as G
+
+        # 'auto' engages the df-histogram skew gate (VERDICT r5 fix)
+        got = rows(eng.run(
+            "CALL gds.nodeSimilarity.stream('sharesDNA', "
+            "{topK: 5, freqCap: 'auto'}) "
+            "YIELD nodeId1, nodeId2, similarity "
+            "RETURN nodeId1, nodeId2, similarity"
+        ))
+        want = sorted(
+            (r.a, r.b, r.jaccard)
+            for r in G.node_similarity_topk_capped(
+                shares_dna.select("src", "dst"), k=5, freq_cap="auto"
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+
     def test_stress_stream_positive_counts(self, eng):
         got = rows(eng.run(
             "CALL gds.stress.stream('sharesDNA', {samplingSize: 20}) "

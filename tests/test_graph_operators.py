@@ -361,16 +361,109 @@ def test_sample_roots_uniform_graph_falls_back_to_hash_order(spark):
     assert len(got) == 3 and got < {"A", "B", "C", "D"}
 
 
-def test_stress_betweenness_directed_fail_fast(spark):
-    # ADVICE r4: the t-side sigma leg reuses the FORWARD BFS (valid only
-    # undirected) and pairs are halved by root < id — directed=True would
-    # be silently wrong, so both fail fast instead
-    e = spark.createDataFrame([("A", "B")], "src string, dst string")
-    roots = spark.createDataFrame([("A",), ("B",)], "id string")
-    with pytest.raises(NotImplementedError):
-        G.stress_centrality_sampled(e, roots, directed=True)
-    with pytest.raises(NotImplementedError):
-        G.betweenness_centrality_scaled(e, roots, directed=True)
+def test_stress_betweenness_directed_hand_computed(spark):
+    # round 6 (clears the ADVICE-r4 fail-fast): A→B→C, A→D, D→C with the
+    # ordered sample {A, C}. Only (s=A, t=C) is a valid ordered pair
+    # (d=2, sigma_st=2; C reaches nothing). Midpoints: B (1+1=2) and D
+    # (1+1=2), each with sigma(A→v)=1 and — from the REVERSED-edge BFS —
+    # sigma(v→C)=1. Stress 1 each; betweenness (1·1·1e6) div 2 = 500000.
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("A", "D"), ("D", "C")],
+        "src string, dst string",
+    )
+    roots = spark.createDataFrame([("A",), ("C",)], "id string")
+    stress = {
+        r.id: r.stress
+        for r in G.stress_centrality_sampled(
+            e, roots, max_depth=3, directed=True
+        ).collect()
+    }
+    assert stress == {"B": 1, "D": 1}
+    bc = {
+        r.id: r.bc_scaled
+        for r in G.betweenness_centrality_scaled(
+            e, roots, max_depth=3, directed=True
+        ).collect()
+    }
+    assert bc == {"B": 500_000, "D": 500_000}
+
+
+def test_stress_betweenness_directed_matches_bruteforce(spark):
+    # differential vs driver-side directed Brandes over ORDERED sampled
+    # pairs: forward sigma from s, v→t sigma from a forward BFS rooted at
+    # every v (n is tiny), both hop-bounded at 3 like the operator's two
+    # sigma-BFS legs
+    import random
+    from collections import deque
+
+    rng = random.Random(29)
+    n = 15
+    edges = sorted({
+        (a, b)
+        for a, b in (rng.sample(range(n), 2) for _ in range(45))
+    })
+    adj: dict = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+
+    def bfs(s):
+        d, sig = {s: 0}, {s: 1}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj.get(u, ()):
+                if w not in d:
+                    d[w] = d[u] + 1
+                    sig[w] = 0
+                    q.append(w)
+                if d[w] == d[u] + 1:
+                    sig[w] += sig[u]
+        return d, sig
+
+    info = {v: bfs(v) for v in range(n)}
+    sample = [0, 3, 6, 9, 12]
+    want_stress: dict = {}
+    want_bc: dict = {}
+    for s in sample:
+        for t in sample:
+            if s == t:
+                continue
+            ds, ss = info[s]
+            if t not in ds or not 1 <= ds[t] <= 3:
+                continue
+            for v in ds:
+                if v in (s, t):
+                    continue
+                dv, sv = info[v]
+                if t not in dv:
+                    continue
+                if (
+                    ds[v] + dv[t] == ds[t]
+                    and 1 <= ds[v] <= 3
+                    and 1 <= dv[t] <= 3
+                ):
+                    term = ss[v] * sv[t]
+                    want_stress[v] = want_stress.get(v, 0) + term
+                    want_bc[v] = want_bc.get(v, 0) + (
+                        term * 1_000_000
+                    ) // ss[t]
+
+    e = spark.createDataFrame(edges, "src int, dst int")
+    roots = spark.createDataFrame([(s,) for s in sample], "id int")
+    got_stress = {
+        r.id: r.stress
+        for r in G.stress_centrality_sampled(
+            e, roots, max_depth=3, directed=True
+        ).collect()
+    }
+    assert got_stress == want_stress
+    got_bc = {
+        r.id: r.bc_scaled
+        for r in G.betweenness_centrality_scaled(
+            e, roots, max_depth=3, directed=True
+        ).collect()
+    }
+    assert got_bc == want_bc
 
 
 def test_stress_matches_bruteforce(spark):
@@ -608,6 +701,74 @@ def test_node_similarity_capped_none_equals_uncapped(spark, shares_dna):
     )
     uncapped = sorted(map(tuple, G.node_similarity_topk(e, k=5).collect()))
     assert capped == uncapped and len(capped) > 0
+
+
+def test_node_similarity_dedupes_parallel_edges(spark):
+    # ADVICE r5: the catalog supports parallel edges; without the distinct
+    # both intersection and degree count them twice (multiset Jaccard).
+    # GDS semantics are neighbor SETS — a tripled edge must change nothing.
+    simple = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "z")]
+    multi = simple + [("a", "x"), ("a", "x"), ("b", "z")]
+    es = spark.createDataFrame(simple, "src string, dst string")
+    em = spark.createDataFrame(multi, "src string, dst string")
+    want = sorted(map(tuple, G.node_similarity_topk(es, k=5).collect()))
+    assert sorted(map(tuple, G.node_similarity_topk(em, k=5).collect())) == want
+    assert (
+        sorted(
+            map(
+                tuple,
+                G.node_similarity_topk_capped(em, k=5, freq_cap=100).collect(),
+            )
+        )
+        == want
+    )
+    # the exact values on the simple graph: (a,b) share {x}, deg 2 each
+    got = {(r.a, r.b): (r.inter, r.union_sz) for r in
+           G.node_similarity_topk(em, k=5).collect()}
+    assert got[("a", "b")] == (1, 3)
+
+
+def test_node_similarity_auto_gate_unskewed_delegates(spark, shares_dna):
+    # VERDICT r5 "What's wrong" #2: on an unskewed graph (max_df <= 4x
+    # median_df) the auto gate must choose the uncapped single pass —
+    # value-identical to both the explicit never-hot cap and the plain
+    # uncapped operator
+    e = shares_dna.select("src", "dst")
+    auto = sorted(
+        map(
+            tuple,
+            G.node_similarity_topk_capped(
+                e, k=5, freq_cap="auto", upper_degree_cutoff=10_000
+            ).collect(),
+        )
+    )
+    uncapped = sorted(map(tuple, G.node_similarity_topk(e, k=5).collect()))
+    assert auto == uncapped and len(auto) > 0
+
+
+def test_node_similarity_auto_gate_skewed_engages_cap(spark):
+    # one hub neighbor shared by everyone (df 12) over a median df of 1:
+    # the gate must engage (12 > 4x1) with cap (9*12)//10 = 10, so
+    # hub-only pairs are never generated — identical to the explicit cap
+    rows = [(f"s{i}", "HUB") for i in range(12)]
+    rows += [("s0", "n1"), ("s1", "n1")]  # one cool shared neighbor
+    rows += [(f"s{i}", f"u{i}") for i in range(10)]  # df-1 fillers
+    e = spark.createDataFrame(rows, "src string, dst string")
+    auto = sorted(
+        map(
+            tuple,
+            G.node_similarity_topk_capped(e, k=10, freq_cap="auto").collect(),
+        )
+    )
+    explicit = sorted(
+        map(
+            tuple,
+            G.node_similarity_topk_capped(e, k=10, freq_cap=10).collect(),
+        )
+    )
+    assert auto == explicit
+    # only the (s0, s1) pair has a cool shared neighbor
+    assert {(t[0], t[1]) for t in auto} == {("s0", "s1"), ("s1", "s0")}
 
 
 def test_fastrp_packed_matches_exploded(spark, shares_dna):
