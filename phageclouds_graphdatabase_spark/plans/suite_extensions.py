@@ -2760,6 +2760,166 @@ ENTRIES.update({
 })
 
 
+# --------------------------------------------------------------------------
+# DIRECTED betweenness/stress (round 6 — clears the ADVICE-r4 fail-fast):
+# on a digraph the t-side sigma leg cannot reuse the forward BFS, so the
+# operators run a SECOND sigma-BFS over REVERSED edges and pairs are
+# ORDERED (every (s, t), s ≠ t — an s→t path says nothing about t→s).
+# The test graph is the same deterministic functional digraph graph_scc
+# uses (x → (x²+1) mod M, plus x → (17x+3) mod M for every 7th doc) —
+# rho-shaped tails and multi-node cycles give real asymmetric midpoints.
+# The oracle unrolls BOTH sigma-BFS legs from one template (the shared-
+# constant lesson of ADVICE r4: one body, two instantiations).
+# --------------------------------------------------------------------------
+
+def _doc_functional_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    m = docs.agg((F.max("doc_id") + F.lit(1)).alias("m"))
+    base = docs.select("doc_id").crossJoin(F.broadcast(m))
+    e1 = base.select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * F.col("doc_id") + 1, F.col("m")).alias("dst"),
+    )
+    e2 = base.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("src"),
+        F.pmod(F.col("doc_id") * 17 + 3, F.col("m")).alias("dst"),
+    )
+    return e1.unionByName(e2)
+
+
+def _doc_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 1)
+        .select(F.col("doc_id").alias("id"))
+        .distinct()
+    )
+
+
+def graph_stress_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed stress centrality: shortest-path COUNTS through each node
+    over ordered sampled pairs — the forward sigma-BFS supplies
+    sigma(s→v)/d(s,v), the reversed-edge sigma-BFS supplies
+    sigma(v→t)/d(v,t) (operators/graph.py stress_centrality_sampled,
+    directed=True)."""
+    return G.stress_centrality_sampled(
+        _doc_functional_edges(spark, sf_dir),
+        _doc_roots(spark, sf_dir),
+        max_depth=3,
+        directed=True,
+    ).select(F.col("id").cast("long").alias("id"), "stress")
+
+
+def graph_betweenness_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed betweenness in fixed-point integers: the Brandes pair
+    dependency over ORDERED pairs, per-term floored at 1e-6 — same
+    machinery as graph_stress_directed with the sigma_st division."""
+    return G.betweenness_centrality_scaled(
+        _doc_functional_edges(spark, sf_dir),
+        _doc_roots(spark, sf_dir),
+        max_depth=3,
+        scale=1_000_000,
+        directed=True,
+    ).select(F.col("id").cast("long").alias("id"), "bc_scaled")
+
+
+def _directed_sigma_levels(prefix: str, edge_join: str) -> str:
+    """Three unrolled sigma-BFS levels over the functional digraph —
+    instantiated once forward (edge_join joins u.src, expands to u.dst)
+    and once reversed (joins u.dst, expands to u.src), so the two legs
+    of the directed oracle cannot drift apart."""
+    nxt = "u.dst" if edge_join == "src" else "u.src"
+    prv = edge_join
+    lv = lambda i: f"{prefix}{i}"  # noqa: E731
+    return f"""
+{lv(1)} AS (
+    SELECT {lv(0)}.root, {nxt} AS id, CAST(SUM({lv(0)}.sig) AS BIGINT) AS sig
+    FROM {lv(0)} JOIN de u ON u.{prv} = {lv(0)}.id
+    WHERE {nxt} <> {lv(0)}.root
+    GROUP BY {lv(0)}.root, {nxt}
+),
+{lv(2)} AS (
+    SELECT {lv(1)}.root, {nxt} AS id, CAST(SUM({lv(1)}.sig) AS BIGINT) AS sig
+    FROM {lv(1)} JOIN de u ON u.{prv} = {lv(1)}.id
+    WHERE {nxt} <> {lv(1)}.root
+      AND NOT EXISTS (SELECT 1 FROM {lv(1)} z
+                      WHERE z.root = {lv(1)}.root AND z.id = {nxt})
+    GROUP BY {lv(1)}.root, {nxt}
+),
+{lv(3)} AS (
+    SELECT {lv(2)}.root, {nxt} AS id, CAST(SUM({lv(2)}.sig) AS BIGINT) AS sig
+    FROM {lv(2)} JOIN de u ON u.{prv} = {lv(2)}.id
+    WHERE {nxt} <> {lv(2)}.root
+      AND NOT EXISTS (SELECT 1 FROM {lv(1)} z
+                      WHERE z.root = {lv(2)}.root AND z.id = {nxt})
+      AND NOT EXISTS (SELECT 1 FROM {lv(2)} z
+                      WHERE z.root = {lv(2)}.root AND z.id = {nxt})
+    GROUP BY {lv(2)}.root, {nxt}
+),
+{prefix}sig AS (
+    SELECT root, id, 1 AS d, sig FROM {lv(1)}
+    UNION ALL SELECT root, id, 2, sig FROM {lv(2)}
+    UNION ALL SELECT root, id, 3, sig FROM {lv(3)}
+),"""
+
+
+_DIRECTED_SIGMA_CTE_BODY = (
+    """
+WITH de AS (
+    SELECT doc_id AS src,
+           (doc_id * doc_id + 1) % (SELECT MAX(doc_id) + 1 FROM documents) AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           (doc_id * 17 + 3) % (SELECT MAX(doc_id) + 1 FROM documents)
+    FROM documents WHERE doc_id % 7 = 0
+),
+r AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id % 5 = 1),
+f0 AS (SELECT id AS root, id, CAST(1 AS BIGINT) AS sig FROM r),
+b0 AS (SELECT id AS root, id, CAST(1 AS BIGINT) AS sig FROM r),"""
+    + _directed_sigma_levels("f", "src")
+    + _directed_sigma_levels("b", "dst")
+)
+
+GRAPH_STRESS_DIRECTED_SQL = _DIRECTED_SIGMA_CTE_BODY + """
+pd AS (
+    SELECT root AS s, id AS t, d AS dst_d FROM fsig
+    WHERE id IN (SELECT id FROM r)
+)
+SELECT CAST(a.id AS BIGINT) AS id,
+       CAST(SUM(a.sig * b.sig) AS BIGINT) AS stress
+FROM pd
+JOIN fsig a ON a.root = pd.s
+JOIN bsig b ON b.root = pd.t AND b.id = a.id
+WHERE a.d + b.d = pd.dst_d AND a.id <> pd.s AND a.id <> pd.t
+GROUP BY a.id
+"""
+
+GRAPH_BETWEENNESS_DIRECTED_SQL = _DIRECTED_SIGMA_CTE_BODY + """
+pd AS (
+    SELECT root AS s, id AS t, d AS dst_d, sig AS sig_st FROM fsig
+    WHERE id IN (SELECT id FROM r)
+)
+SELECT CAST(a.id AS BIGINT) AS id,
+       CAST(SUM((a.sig * b.sig * 1000000) // pd.sig_st) AS BIGINT) AS bc_scaled
+FROM pd
+JOIN fsig a ON a.root = pd.s
+JOIN bsig b ON b.root = pd.t AND b.id = a.id
+WHERE a.d + b.d = pd.dst_d AND a.id <> pd.s AND a.id <> pd.t
+GROUP BY a.id
+"""
+
+
+ENTRIES.update({
+    "graph_stress_directed": SuiteEntry(
+        graph_stress_directed, GRAPH_STRESS_DIRECTED_SQL, ("W6", "A6")
+    ),
+    "graph_betweenness_directed": SuiteEntry(
+        graph_betweenness_directed, GRAPH_BETWEENNESS_DIRECTED_SQL, ("W6", "A6")
+    ),
+})
+
+
 def zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout under the driver contract (round 3): events written
     Morton-clustered on (user_id, value-cents), read back through a 2-D box
