@@ -2418,7 +2418,7 @@ class CypherEngine:
         "gds.closeness.harmonic.stream": ("nodeId", "score"),
         "gds.fastrp.stream": ("nodeId", "embedding"),
         "gds.scc.stream": ("nodeId", "componentId"),
-        "gds.kcore.stream": ("nodeId", "degree"),
+        "gds.kcore.stream": ("nodeId", "coreValue"),
         "gds.ktruss.stream": ("sourceNodeId", "targetNodeId", "support"),
         "gds.labelpropagation.stream": ("nodeId", "communityId"),
         "gds.trianglecount.stream": ("nodeId", "triangleCount"),
@@ -2617,19 +2617,19 @@ class CypherEngine:
                 F.col("scc").alias("componentId"),
             )
         elif name == "gds.kcore.stream":
-            # engine variant: nodes of the k-core FOR A GIVEN k (config
-            # {k, rounds}) with their final in-core degree — not GDS's
-            # full core-value decomposition (documented divergence;
-            # rounds=None runs to the fixpoint, a fixed budget is the
-            # round-unrollable oracle form)
+            # FULL core-value decomposition — stock GDS semantics
+            # (round 6; the given-k round-5 variant and its COVERAGE
+            # divergence note are retired — the DataFrame operator
+            # k_core still answers the given-k question directly).
+            # rounds=None runs the h-index iteration to the fixpoint;
+            # a fixed budget is the round-unrollable oracle form.
             rounds = config.get("rounds")
-            df = _G.k_core(
+            df = _G.core_decomposition(
                 e,
-                int(config.get("k", 2)),
                 rounds=None if rounds is None else int(rounds),
             ).select(
                 F.col("id").alias("nodeId"),
-                F.col("degree").cast("long").alias("degree"),
+                F.col("core").cast("long").alias("coreValue"),
             )
         elif name == "gds.ktruss.stream":
             rounds = config.get("rounds")

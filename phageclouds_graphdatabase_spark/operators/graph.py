@@ -1319,6 +1319,96 @@ def _k_core_delta(und: DataFrame, k: int, reliable: bool) -> DataFrame:
     return deg.filter(F.col("degree") >= k)
 
 
+def core_decomposition(
+    edges: DataFrame,
+    rounds: int | None = None,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """FULL k-core decomposition — every node's core number (the largest
+    k such that the node survives k-core peeling), the stock
+    ``gds.kcore.stream`` semantics (round 6, closing the COVERAGE
+    divergence where the proc only answered the given-k question).
+
+    Algorithm: H-INDEX ITERATION (Lü, Zhou, Zhang & Stanley 2016, "The
+    H-index of a network node and its relation to degree and coreness"):
+    h₀(v) = degree(v); h_{t+1}(v) = H-index of the multiset
+    {h_t(u) : u ∼ v} (the largest k such that ≥ k neighbors have value
+    ≥ k). The sequence is monotone non-increasing per node and its
+    fixpoint is exactly coreness — but unlike sequential bucket peeling
+    it is a LOCAL, synchronous update, which is the distributed-friendly
+    form: each round is one |E|-row join (neighbor values) + one
+    per-node H-index (window rank + max(min(rank, value)) — partial-agg
+    free but bounded by degree) + one node-cardinality aggregate. No
+    global priority queue, no per-k sequential dependency; rounds needed
+    in practice ≈ the graph's "coreness smoothness", measured small
+    (single digits on every rehearsed tier).
+
+    Every intermediate value is an exact integer and the update is
+    order-independent, so a fixed ``rounds`` budget is round-for-round
+    reproducible in SQL (the oracle form); ``rounds=None`` iterates to
+    the fixpoint, detected by the monotonicity trick: sum(h) strictly
+    decreases until the fixpoint, so one 1-row SUM per round is the
+    convergence test (no row-level diff join).
+
+    Input is canonicalized to the SIMPLE undirected graph (self-loops
+    dropped, parallel edges collapsed — coreness is a neighbor-set
+    notion, same convention as triangle_counts). Returns (id, core);
+    isolated nodes are absent (no edges → no rows, like k_core)."""
+    from pyspark.sql.window import Window
+
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = (
+        canon.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    h = _ckpt(
+        und.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).cast("long").alias("core")
+        ),
+        reliable_checkpoint,
+    )
+    prev_sum = None
+    if rounds is None:
+        prev_sum = h.agg(F.sum("core")).collect()[0][0]
+    i = 0
+    while True:
+        nv = und.join(
+            h.select(F.col("id").alias("dst"), F.col("core").alias("nv")),
+            "dst",
+        ).select(F.col("src").alias("id"), "nv")
+        w = Window.partitionBy("id").orderBy(F.col("nv").desc())
+        h = _ckpt(
+            nv.withColumn("rn", F.row_number().over(w))
+            .select(
+                "id",
+                F.least(F.col("rn").cast("long"), F.col("nv")).alias("hv"),
+            )
+            .groupBy("id")
+            .agg(F.max("hv").alias("core")),
+            reliable_checkpoint,
+        )
+        i += 1
+        if rounds is not None:
+            if i >= rounds:
+                break
+            continue
+        cur = h.agg(F.sum("core")).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return h
+
+
 def _orient_edges(live: DataFrame) -> DataFrame:
     """Orient a canonical (a < b) edge set up the (degree, id) total order
     -> (u, v, dv). The orientation caps per-node wedge fan-out by

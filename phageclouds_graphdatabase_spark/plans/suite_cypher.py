@@ -1708,13 +1708,14 @@ def cypher_gds_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cypher_gds_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """gds.kcore.stream (round 5): the engine's k-core variant (given k,
-    fixed peel budget, in-core degree) through the proc surface — the
-    documented divergence from stock GDS's core-value decomposition;
-    config {k: 2, rounds: 3} replays graph_k_core, whose round-unrolled
-    SQL is the oracle."""
-    q = ("CALL gds.kcore.stream('sharesDNA', {k: 2, rounds: 3}) "
-         "YIELD nodeId AS id, degree RETURN id, degree")
+    """gds.kcore.stream (upgraded round 6): FULL core-value decomposition
+    — stock GDS semantics, retiring the round-5 given-k divergence. The
+    proc runs the h-index iteration to the fixpoint and shares
+    graph_core_decomposition's 8-round-unrolled SQL (measured
+    convergence 5/6 updates at sf0.001/sf0.01; fixpoint rounds are
+    no-ops)."""
+    q = ("CALL gds.kcore.stream('sharesDNA') "
+         "YIELD nodeId AS id, coreValue AS core RETURN id, core")
     return _engine_sp_thresh(spark, sf_dir).run(q)
 
 
@@ -1893,7 +1894,7 @@ ENTRIES.update({
         cypher_gds_scc, _ext.GRAPH_SCC_SQL, ("S2", "W6")
     ),
     "cypher_gds_kcore": SuiteEntry(
-        cypher_gds_kcore, _ext.GRAPH_K_CORE_SQL, ("S2", "W6")
+        cypher_gds_kcore, _ext.GRAPH_CORE_DECOMP_SQL, ("S2", "W6")
     ),
     "cypher_gds_ktruss": SuiteEntry(
         cypher_gds_ktruss, _pipe.GRAPH_KTRUSS_SQL, ("S2", "J1", "W6")

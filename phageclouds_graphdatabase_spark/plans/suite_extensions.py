@@ -2920,6 +2920,52 @@ ENTRIES.update({
 })
 
 
+def graph_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL k-core decomposition (round 6 — the stock gds.kcore.stream
+    semantics, closing the given-k COVERAGE divergence): every node's
+    core number via the h-index iteration (operators/graph.py
+    core_decomposition — h₀ = degree, h_{t+1}(v) = H-index of neighbor
+    values, fixpoint = coreness). The engine runs to the FIXPOINT; the
+    oracle unrolls 8 synchronous rounds — measured convergence is 5/6
+    updates at sf0.001/sf0.01 and the update is idempotent at the
+    fixpoint, so extra unrolled rounds are no-ops by construction."""
+    return G.core_decomposition(graph_edges(spark, sf_dir, GRAPH_THRESHOLD))
+
+
+def _core_decomposition_sql(rounds: int) -> str:
+    head = f"""
+WITH edges AS ({GRAPH_EDGES_SQL}),
+und AS (
+    SELECT src, dst FROM edges WHERE distance <= {GRAPH_THRESHOLD}
+    UNION
+    SELECT dst AS src, src AS dst FROM edges WHERE distance <= {GRAPH_THRESHOLD}
+),
+h0 AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS core FROM und GROUP BY src)"""
+    body = "".join(
+        f""",
+h{i} AS (
+    SELECT id, MAX(LEAST(CAST(rn AS BIGINT), nv)) AS core FROM (
+        SELECT u.src AS id, p.core AS nv,
+               ROW_NUMBER() OVER (PARTITION BY u.src
+                                  ORDER BY p.core DESC) AS rn
+        FROM und u JOIN h{i - 1} p ON p.id = u.dst
+    ) q GROUP BY id
+)"""
+        for i in range(1, rounds + 1)
+    )
+    return head + body + f"\nSELECT id, core FROM h{rounds}\n"
+
+
+GRAPH_CORE_DECOMP_SQL = _core_decomposition_sql(8)
+
+
+ENTRIES.update({
+    "graph_core_decomposition": SuiteEntry(
+        graph_core_decomposition, GRAPH_CORE_DECOMP_SQL, ("W6",)
+    ),
+})
+
+
 def zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout under the driver contract (round 3): events written
     Morton-clustered on (user_id, value-cents), read back through a 2-D box

@@ -2066,13 +2066,26 @@ class TestGdsProcedures:
         )
         assert got == want and len(got) > 0
 
-    def test_kcore_stream_k_and_rounds_config(self, eng):
+    def test_kcore_stream_full_decomposition(self, eng, shares_dna):
+        from phageclouds_graphdatabase_spark.operators import graph as G
+
+        # round 6: stock GDS semantics — every node's core VALUE (the
+        # h-index-iteration fixpoint), not the round-5 given-k survivors
         got = rows(eng.run(
-            "CALL gds.kcore.stream('sharesDNA', {k: 2, rounds: 3}) "
-            "YIELD nodeId, degree RETURN nodeId, degree"
+            "CALL gds.kcore.stream('sharesDNA') "
+            "YIELD nodeId, coreValue RETURN nodeId, coreValue"
         ))
-        # every surviving node keeps in-core undirected degree >= 2
-        assert len(got) > 0 and all(d >= 2 for _, d in got)
+        want = sorted(
+            (r.id, r.core)
+            for r in G.core_decomposition(
+                shares_dna.select("src", "dst")
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+        # fixture cross-check: the A1-A2-A3 triangle is the only 2-core
+        core = dict(got)
+        assert core["A1"] == core["A2"] == core["A3"] == 2
+        assert all(c == 1 for n, c in core.items() if not n.startswith("A"))
 
     def test_ktruss_stream_k_config(self, eng):
         got = rows(eng.run(

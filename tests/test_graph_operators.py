@@ -265,6 +265,89 @@ def test_k_core_delta_equals_naive_on_random_graphs(spark):
             assert fix == naive, (trial, k)
 
 
+def test_core_decomposition_hand_computed(spark):
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    # triangle {A,B,C} + tail C-D-E: coreness A/B/C = 2, D/E = 1
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("A", "C"), ("C", "D"), ("D", "E")],
+        "src string, dst string",
+    )
+    got = sorted((r.id, r.core) for r in G.core_decomposition(e).collect())
+    assert got == [("A", 2), ("B", 2), ("C", 2), ("D", 1), ("E", 1)]
+
+
+def test_core_decomposition_ignores_parallel_and_self_edges(spark):
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    # coreness is a neighbor-SET notion: doubled edges and self-loops
+    # must not inflate it (same canonicalization as triangle_counts)
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("A", "B"), ("A", "A"),
+         ("B", "C"), ("A", "C")],
+        "src string, dst string",
+    )
+    got = sorted((r.id, r.core) for r in G.core_decomposition(e).collect())
+    assert got == [("A", 2), ("B", 2), ("C", 2)]
+
+
+def test_core_decomposition_matches_peeling_on_random_graphs(spark):
+    # the h-index fixpoint IS coreness (Lü et al. 2016): for every k,
+    # {v : core(v) >= k} must equal the k_core peel's survivor set
+    import random
+
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    rng = random.Random(11)
+    for trial in range(2):
+        n, m = 35, 110
+        seen = set()
+        rows = []
+        while len(rows) < m:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a == b or (min(a, b), max(a, b)) in seen:
+                continue
+            seen.add((min(a, b), max(a, b)))
+            rows.append((f"N{a}", f"N{b}"))
+        edges = spark.createDataFrame(rows, "src string, dst string")
+        core = {r.id: r.core for r in G.core_decomposition(edges).collect()}
+        max_core = max(core.values())
+        for k in range(1, max_core + 2):
+            want = {i for i, c in core.items() if c >= k}
+            got = {r.id for r in G.k_core(edges, k).collect()}
+            assert got == want, (trial, k)
+
+
+def test_core_decomposition_fixed_rounds_matches_driver_sim(spark):
+    # pre-convergence rounds must be round-for-round reproducible (the
+    # property the unrolled SQL oracle depends on): compare round 1 and 2
+    # against a driver-side simulation of the same synchronous update
+    import random
+
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    rng = random.Random(3)
+    rows = sorted({tuple(sorted(rng.sample(range(20), 2))) for _ in range(50)})
+    adj: dict = {}
+    for a, b in rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def h_index(vals):
+        s = sorted(vals, reverse=True)
+        return max(min(i + 1, v) for i, v in enumerate(s))
+
+    h = {v: len(ns) for v, ns in adj.items()}
+    e = spark.createDataFrame(rows, "src int, dst int")
+    for rounds in (1, 2):
+        h = {v: h_index([h[u] for u in adj[v]]) for v in adj}
+        got = sorted(
+            (r.id, r.core)
+            for r in G.core_decomposition(e, rounds=rounds).collect()
+        )
+        assert got == sorted(h.items()), rounds
+
+
 def test_multi_source_bfs_levels_hand_derived(spark, shares_dna):
     # roots {C1, B3}, undirected, t=0.25, k=3.
     # C1: A1@1; A2,A3@2 (A3 also via A1 direct — min d wins).
