@@ -91,6 +91,11 @@ HEADLINE = [
     "graph_fastrp_embeddings",
     "graph_betweenness_centrality",
     "graph_node_similarity_capped",
+    # round-6 additions tracked from their introduction round: the full
+    # h-index core decomposition (per-round |E|-join + window H-index)
+    # and directed betweenness (two sigma-BFS legs + ordered pairs)
+    "graph_core_decomposition",
+    "graph_betweenness_directed",
 ]
 
 
@@ -149,10 +154,34 @@ def main() -> None:
     timings = {name: round(median(xs), 3) for name, xs in samples.items()}
 
     total = round(sum(timings.values()), 3)
-    # Repeat metadata in the artifact itself (VERDICT r4 ask #4): the
-    # per-query MIN alongside the median lets a reader separate container
-    # noise from real regression without trusting prose — a query whose
-    # median moved but whose min held is noise; a min that moved is code.
+    # Artifact framing (VERDICT r5 "What's wrong" #1): the r05 line carried
+    # per-query median AND min maps and outgrew the driver's tail capture,
+    # truncating the front of the line ("parsed": null). Now the FULL
+    # detail — every raw sample per query, plus median/min — goes to
+    # BENCH_DETAIL.json (and an earlier stdout line), and the LAST stdout
+    # line is the compact headline the driver records: the r04 shape that
+    # always parsed (metric/value/queries-medians) plus three scalar
+    # repeat-metadata fields. Per-query MIN alongside the median lets a
+    # reader separate container noise from real regression — a median
+    # that moved with a held min is noise; a moved min is code.
+    detail = {
+        "metric": "headline_suite_detail",
+        "sf": sf,
+        "repeat": repeat,
+        "queries_median": timings,
+        "queries_min": {
+            name: round(min(xs), 3) for name, xs in samples.items()
+        },
+        "samples": {
+            name: [round(x, 3) for x in xs] for name, xs in samples.items()
+        },
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
@@ -163,9 +192,6 @@ def main() -> None:
                 "sf": sf,
                 "repeat": repeat,
                 "stat": "median",
-                "queries_min": {
-                    name: round(min(xs), 3) for name, xs in samples.items()
-                },
                 "total_min": round(
                     sum(min(xs) for xs in samples.values()), 3
                 ),

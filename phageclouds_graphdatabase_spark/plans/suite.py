@@ -25,68 +25,79 @@ _ALL: dict[str, SuiteEntry] = {
 }
 
 # The driver checks the FIRST 50 dict entries each round (observed across
-# rounds 1-4). Round-5 window (VERDICT r4 ask #1): the 11 never-checked
-# entries (6 round-4 additions + the 5 round-4-deferred relational shapes)
-# close never-checked debt to zero, and the remaining 39 slots re-confirm
-# the stalest r1-vintage entries (in their CORRECTNESS_r01 check order) to
-# cut three rounds of code drift. 7 r1-vintage entries
-# (graph_components_incremental, graph_k_core, text_token_stats,
-# text_quality_score, lang_id_ngram, dedup_exact_docs, minhash_signatures)
-# plus any round-5 additions queue for round 6's window.
+# rounds 1-5). Round-6 window (VERDICT r5 ask #1, in its prescribed order):
+# the 12 never-driver-checked round-5 additions, then the 4 entries whose
+# implementation changed in round 5 AFTER their last driver check (packed
+# fastRP + the triangle/similarity twins now delegating to the shared
+# operators), then the 3 NEW round-6 entries (directed betweenness/stress,
+# full core decomposition), then the 7 r1-vintage stragglers, then the 24
+# stalest r2-vintage entries (CORRECTNESS_r02 check order). The remaining
+# 25 r2-vintage entries queue for round 7's window:
+# stream_user_totals, stream_static_join, stream_stream_join,
+# stream_stream_left_join, stream_session_counts, jpeg_lossless_stats_real,
+# jpeg_baseline_stats_real, jpeg_progressive_stats_real, mjpeg_frames_real,
+# flac_stats_real, neardup_jaccard_pairs, neardup_jaccard_capped,
+# minhash_lsh_candidates, simhash_fingerprint, neardup_simhash_hamming,
+# neardup_levenshtein, dedup_cluster_canonical, dedup_incremental_exact,
+# knn_cosine_bruteforce, ann_lsh_buckets, kmeans_ivf_train, ivf_ann_topk,
+# embedding_neardup_cosine, vis_html_golden_scan, approx_stats_lineitem.
 _WINDOW = [
-    # the 6 round-4 additions, never driver-checked
-    "graph_katz_centrality",
-    "graph_stress_centrality",
-    "graph_betweenness_centrality",
-    "cypher_delete_untyped_rels",
-    "cypher_untyped_anon_midpoint",
-    "cypher_gds_pagerank",
-    # the 5 round-4-deferred relational shapes, never driver-checked
-    "corr_chars_tokens",
-    "median_order_value",
-    "events_rolling_10min",
-    "split_train_val_test",
-    "shuffle_order_global",
-    # 39 stalest r1-vintage re-confirmations (CORRECTNESS_r01 order)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "filter_scan_pushdown",
-    "projection_computed",
-    "semi_join_parts",
-    "anti_join_customers",
-    "left_outer_nation_customers",
-    "full_outer_nation_presence",
-    "range_join_price_bands",
-    "grouped_agg_stats",
-    "rollup_status_priority",
-    "cube_returnflag_linestatus",
-    "pivot_flag_by_status",
-    "unpivot_lineitem_rates",
-    "dedup_last_wins_events",
-    "set_ops_nations",
-    "window_rank_suppliers",
-    "window_running_totals",
-    "topk_orders_global",
-    "scalar_string_funcs",
-    "scalar_datetime_funcs",
-    "scalar_json_funcs",
-    "case_color_segments",
-    "map_lookup_colors",
-    "arith_derivations",
-    "array_functions",
-    "graph_expand_nodes",
-    "graph_induced_edges",
-    "graph_khop_levels",
-    "graph_cheapest_paths",
-    "motif_open_wedges",
-    "pregel_pagerank",
-    "graph_label_propagation",
-    "motif_co_suppliers",
-    "graph_pagerank",
-    "graph_degrees",
-    "graph_optional_host",
-    "graph_components",
+    # 12 round-5 additions, never driver-checked
+    "cypher_gds_harmonic",
+    "cypher_gds_ppr",
+    "cypher_gds_fastrp",
+    "cypher_gds_scc",
+    "cypher_gds_kcore",
+    "cypher_gds_ktruss",
+    "cypher_gds_labelprop",
+    "cypher_gds_trianglecount",
+    "cypher_gds_lcc",
+    "cypher_gds_nodesim",
+    "cypher_gds_dijkstra",
+    "graph_node_similarity_capped",
+    # 4 rewritten in round 5 after their last driver check (the drift the
+    # local gate can't fully substitute for)
+    "graph_fastrp_embeddings",
+    "graph_node_similarity",
+    "graph_triangle_counts",
+    "graph_clustering_coefficient",
+    # 3 new round-6 entries
+    "graph_stress_directed",
+    "graph_betweenness_directed",
+    "graph_core_decomposition",
+    # 7 r1-vintage stragglers (suite.py:33-35 of round 5)
+    "graph_components_incremental",
+    "graph_k_core",
+    "text_token_stats",
+    "text_quality_score",
+    "lang_id_ngram",
+    "dedup_exact_docs",
+    "minhash_signatures",
+    # 24 stalest r2-vintage re-confirmations (CORRECTNESS_r02 order)
+    "cypher_seed_expand",
+    "cypher_induced_in_list",
+    "cypher_optional_host",
+    "cypher_existential_collect",
+    "cypher_grouped_agg",
+    "cypher_percentiles",
+    "cypher_var_length_khop",
+    "cypher_path_enumeration",
+    "cypher_chain_paths",
+    "cypher_shortest_paths",
+    "cypher_weighted_paths",
+    "cypher_union_sources",
+    "cypher_quantified_paths",
+    "cypher_optional_shortest",
+    "cypher_entity_functions",
+    "cypher_exists_count_blocks",
+    "cypher_call_topk",
+    "cypher_topk_order_limit",
+    "cypher_unwind_case",
+    "cypher_merge_upsert_nodes",
+    "cypher_set_property",
+    "cypher_detach_delete",
+    "cypher_create_edges",
+    "stream_tumbling_counts",
 ]
 
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate window entry"
