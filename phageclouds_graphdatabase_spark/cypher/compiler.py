@@ -2406,6 +2406,12 @@ class CypherEngine:
         # COVERAGE.md — ADVICE r4).
         "gds.alpha.katz.stream": ("nodeId", "score"),
         "gds.katz.stream": ("nodeId", "score"),
+        # round 6: the two procs that superseded gds.alpha.katz in stock
+        # GDS — ArticleRank (avg-out-degree-damped PageRank) and
+        # fixed-iteration integer eigenvector (documented divergence from
+        # GDS's per-round L2 normalization: same ranks, scaled values)
+        "gds.articlerank.stream": ("nodeId", "score"),
+        "gds.eigenvector.stream": ("nodeId", "score"),
         "gds.degree.stream": ("nodeId", "score"),
         "gds.wcc.stream": ("nodeId", "componentId"),
         "gds.betweenness.stream": ("nodeId", "score"),
@@ -2534,6 +2540,16 @@ class CypherEngine:
             df = _G.katz_centrality_scaled(e, iterations=iters).select(
                 F.col("id").alias("nodeId"),
                 F.col("katz_scaled").alias("score"),
+            )
+        elif name == "gds.articlerank.stream":
+            df = _G.article_rank_scaled(e, iterations=iters).select(
+                F.col("id").alias("nodeId"),
+                F.col("ar_scaled").alias("score"),
+            )
+        elif name == "gds.eigenvector.stream":
+            df = _G.eigenvector_scaled(e, iterations=iters).select(
+                F.col("id").alias("nodeId"),
+                F.col("eig_scaled").alias("score"),
             )
         elif name == "gds.degree.stream":
             df = _G.degrees(e).select(

@@ -1001,6 +1001,104 @@ def katz_centrality_scaled(
     return x
 
 
+def article_rank_scaled(
+    edges: DataFrame,
+    iterations: int = 2,
+    scale: int = 1_000_000,
+    d_num: int = 85,
+    d_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration ArticleRank in INTEGER arithmetic (round 6 — one
+    of the two procs that superseded gds.alpha.katz in stock GDS, the
+    other being eigenvector): the PageRank recurrence with each node's
+    out-contribution divided by ``od(u) + avg_od`` instead of ``od(u)``,
+    which damps the endorsements of low-out-degree nodes toward the
+    network average (the "citation from a short reference list counts
+    less disproportionately" fix). ``avg_od = |E| div |V|`` — the
+    integer floor of the mean out-degree over ALL nodes (stock GDS uses
+    the float average; the floor keeps every op exact, the same
+    documented trade as PageRank's integer div). Same distributed shape
+    as pagerank_scaled: per iteration one edges⋈scores join + one
+    groupBy(dst) sum. Returns (id, ar_scaled)."""
+    e = edges.select("src", "dst").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    avg_od = e.count() // max(1, nodes.count())
+    od = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("od"))
+    base = (scale * (d_den - d_num)) // d_den
+    pr = nodes.withColumn("ar_scaled", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(pr.join(od, "id"), e["src"] == F.col("id"))
+            .select(
+                F.col("dst"),
+                F.expr(f"ar_scaled div (od + {avg_od}L)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left_outer")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(f"({d_num} * coalesce(s, 0L)) div {d_den}")
+                ).cast("long").alias("ar_scaled"),
+            )
+            .localCheckpoint()
+        )
+    return pr
+
+
+def eigenvector_scaled(
+    edges: DataFrame,
+    iterations: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-iteration UNNORMALIZED eigenvector centrality in integers
+    (round 6 — the other gds.alpha.katz successor): ``x_0 = scale``,
+    ``x_{t+1}(v) = sum over in-neighbors u of x_t(u)`` — after k rounds
+    the score is scale × (number of length-k walks ending at v), the raw
+    power-iteration numerator. Stock GDS L2-normalizes each iteration
+    (floats whose value depends on reduction order); the engine keeps
+    the integer power step, the oracle-checkable form — the same
+    deviation Katz documents, and rank order per iteration matches the
+    normalized variant exactly (normalization is a positive per-round
+    global constant). Returns (id, eig_scaled); nodes no length-k walk
+    reaches settle at 0."""
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    x = nodes.withColumn("eig_scaled", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(x, e["src"] == F.col("id"))
+            .select(F.col("dst"), F.col("eig_scaled").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        x = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left_outer")
+            .select(
+                "id",
+                F.coalesce(F.col("s"), F.lit(0)).cast("long").alias(
+                    "eig_scaled"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return x
+
+
 def fastrp_embeddings(
     edges: DataFrame,
     dims: int = 8,

@@ -1661,6 +1661,25 @@ def cypher_gds_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_sp_thresh(spark, sf_dir).run(q, params={"seeds": seeds})
 
 
+def cypher_gds_articlerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.articleRank.stream (round 6): avg-out-degree-damped PageRank
+    through the proc surface — shares graph_article_rank's unrolled
+    2-iteration SQL verbatim (avg_od = |E| div |V| in both engines)."""
+    q = ("CALL gds.articleRank.stream('sharesDNA', {maxIterations: 2}) "
+         "YIELD nodeId AS id, score AS ar_scaled RETURN id, ar_scaled")
+    return _engine_sp_thresh(spark, sf_dir).run(q)
+
+
+def cypher_gds_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.eigenvector.stream (round 6): the fixed-iteration integer
+    power step through the proc surface — shares graph_eigenvector's
+    unrolled SQL (documented divergence from GDS's per-round L2
+    normalization: identical ranks, scaled values)."""
+    q = ("CALL gds.eigenvector.stream('sharesDNA', {maxIterations: 2}) "
+         "YIELD nodeId AS id, score AS eig_scaled RETURN id, eig_scaled")
+    return _engine_sp_thresh(spark, sf_dir).run(q)
+
+
 def cypher_gds_fastrp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gds.fastRP.stream (round 5): integer FastRP embeddings through the
     proc surface — embeddingDimension/maxIterations map onto the twin's
@@ -1886,6 +1905,12 @@ ENTRIES.update({
     ),
     "cypher_gds_ppr": SuiteEntry(
         cypher_gds_ppr, _ext.GRAPH_PPR_SQL, ("S2", "W6")
+    ),
+    "cypher_gds_articlerank": SuiteEntry(
+        cypher_gds_articlerank, _ext.GRAPH_ARTICLE_RANK_SQL, ("S2", "W6")
+    ),
+    "cypher_gds_eigenvector": SuiteEntry(
+        cypher_gds_eigenvector, _ext.GRAPH_EIGENVECTOR_SQL, ("S2", "W6")
     ),
     "cypher_gds_fastrp": SuiteEntry(
         cypher_gds_fastrp, _ext.GRAPH_FASTRP_SQL, ("S2", "W6", "W5")

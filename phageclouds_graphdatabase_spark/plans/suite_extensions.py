@@ -725,6 +725,75 @@ FROM n LEFT JOIN c2 ON n.id = c2.dst
 """
 
 
+def graph_article_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration integer-scaled ArticleRank (round 6 — the GDS proc
+    that superseded gds.alpha.katz): the PageRank recurrence with
+    out-contributions divided by od + avg_od (avg_od = |E| div |V|,
+    integer floor — documented divergence from GDS's float mean), which
+    damps low-out-degree endorsements toward the network average.
+    Exact-integer throughout, so the unrolled SQL oracle hashes
+    bit-identically."""
+    return G.article_rank_scaled(
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD), iterations=2
+    )
+
+
+GRAPH_ARTICLE_RANK_SQL = f"""
+WITH e AS (
+    SELECT src, dst FROM ({GRAPH_EDGES_SQL}) WHERE distance <= {GRAPH_THRESHOLD}
+),
+n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+avg AS (SELECT (SELECT COUNT(*) FROM e) // (SELECT COUNT(*) FROM n) AS a),
+od AS (SELECT src AS id, COUNT(*) AS od FROM e GROUP BY src),
+c1 AS (
+    SELECT e.dst, SUM(1000000 // (od.od + (SELECT a FROM avg))) AS s
+    FROM e JOIN od ON e.src = od.id GROUP BY e.dst
+),
+p1 AS (
+    SELECT n.id, CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS ar
+    FROM n LEFT JOIN c1 ON n.id = c1.dst
+),
+c2 AS (
+    SELECT e.dst, SUM(p1.ar // (od.od + (SELECT a FROM avg))) AS s
+    FROM e JOIN od ON e.src = od.id JOIN p1 ON p1.id = e.src
+    GROUP BY e.dst
+)
+SELECT n.id, CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS ar_scaled
+FROM n LEFT JOIN c2 ON n.id = c2.dst
+"""
+
+
+def graph_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration UNNORMALIZED integer eigenvector centrality (round 6 —
+    the other gds.alpha.katz successor): score = 1e6 × (number of
+    length-2 walks ending at the node), the raw power-iteration
+    numerator. GDS L2-normalizes per round (reduction-order-dependent
+    floats); the integer power step keeps identical per-round ranks and
+    is the oracle-checkable form."""
+    return G.eigenvector_scaled(
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD), iterations=2
+    )
+
+
+GRAPH_EIGENVECTOR_SQL = f"""
+WITH e AS (
+    SELECT src, dst FROM ({GRAPH_EDGES_SQL}) WHERE distance <= {GRAPH_THRESHOLD}
+),
+n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+c1 AS (SELECT dst, SUM(CAST(1000000 AS BIGINT)) AS s FROM e GROUP BY dst),
+x1 AS (
+    SELECT n.id, CAST(COALESCE(c1.s, 0) AS BIGINT) AS x
+    FROM n LEFT JOIN c1 ON n.id = c1.dst
+),
+c2 AS (
+    SELECT e.dst, SUM(x1.x) AS s
+    FROM e JOIN x1 ON x1.id = e.src GROUP BY e.dst
+)
+SELECT n.id, CAST(COALESCE(c2.s, 0) AS BIGINT) AS eig_scaled
+FROM n LEFT JOIN c2 ON n.id = c2.dst
+"""
+
+
 def graph_degrees_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node degrees over the induced subgraph (cloud analytics)."""
     return G.degrees(graph_induced_edges(spark, sf_dir)).select(
@@ -1987,6 +2056,12 @@ ENTRIES: dict[str, SuiteEntry] = {
         motif_co_suppliers, MOTIF_CO_SUPPLIERS_SQL, ("J1", "W6")
     ),
     "graph_pagerank": SuiteEntry(graph_pagerank, GRAPH_PAGERANK_SQL, ("W6", "A6")),
+    "graph_article_rank": SuiteEntry(
+        graph_article_rank, GRAPH_ARTICLE_RANK_SQL, ("W6", "A6")
+    ),
+    "graph_eigenvector": SuiteEntry(
+        graph_eigenvector, GRAPH_EIGENVECTOR_SQL, ("W6", "A6")
+    ),
     "graph_katz_centrality": SuiteEntry(
         graph_katz_centrality, GRAPH_KATZ_SQL, ("W6", "A6")
     ),

@@ -1965,6 +1965,31 @@ class TestGdsProcedures:
         b = rows(eng.run(q.format(name="gds.katz.stream")))
         assert a == b == [("A3", 1_281_250), ("B2", 1_265_625)]
 
+    def test_articlerank_eigenvector_streams_match_operators(self, eng, shares_dna):
+        from phageclouds_graphdatabase_spark.operators import graph as G
+
+        # round 6: the two gds.alpha.katz successors through the proc
+        # surface must equal their operators
+        e = shares_dna.select("src", "dst")
+        got_ar = rows(eng.run(
+            "CALL gds.articleRank.stream('sharesDNA', {maxIterations: 2}) "
+            "YIELD nodeId, score RETURN nodeId, score"
+        ))
+        want_ar = sorted(
+            (r.id, r.ar_scaled)
+            for r in G.article_rank_scaled(e, iterations=2).collect()
+        )
+        assert got_ar == want_ar and len(got_ar) > 0
+        got_ev = rows(eng.run(
+            "CALL gds.eigenvector.stream('sharesDNA', {maxIterations: 2}) "
+            "YIELD nodeId, score RETURN nodeId, score"
+        ))
+        want_ev = sorted(
+            (r.id, r.eig_scaled)
+            for r in G.eigenvector_scaled(e, iterations=2).collect()
+        )
+        assert got_ev == want_ev and len(got_ev) > 0
+
     def test_yield_flows_into_clauses(self, eng):
         got = rows(eng.run(
             "CALL gds.pageRank.stream('sharesDNA') YIELD nodeId, score "

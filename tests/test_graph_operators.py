@@ -698,6 +698,40 @@ def test_katz_centrality_hand_computed(spark, shares_dna):
     }
 
 
+def test_article_rank_hand_computed(spark):
+    # A->B, A->C, B->C: |E|=3, |V|=3 -> avg_od = 1; od(A)=2, od(B)=1.
+    # iter1: c(B) = 1e6 div 3 = 333333; c(C) = 333333 + 1e6 div 2 = 833333
+    #   -> B = 150000 + (85*333333)//100 = 433333; C = 858333; A = 150000
+    # iter2: from A: 150000 div 3 = 50000; from B: 433333 div 2 = 216666
+    #   -> B = 150000 + (85*50000)//100 = 192500
+    #   -> C = 150000 + (85*266666)//100 = 376666
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    e = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "C")], "src string, dst string"
+    )
+    got = {
+        r.id: r.ar_scaled
+        for r in G.article_rank_scaled(e, iterations=2).collect()
+    }
+    assert got == {"A": 150_000, "B": 192_500, "C": 376_666}
+
+
+def test_eigenvector_hand_computed(spark):
+    # same triangle-free digraph, 2 unnormalized power steps: score =
+    # 1e6 x (number of length-2 walks ending at the node) — only A->B->C
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    e = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "C")], "src string, dst string"
+    )
+    got = {
+        r.id: r.eig_scaled
+        for r in G.eigenvector_scaled(e, iterations=2).collect()
+    }
+    assert got == {"A": 0, "B": 0, "C": 1_000_000}
+
+
 def test_personalized_pagerank_hand_computed(spark, shares_dna):
     # seeds {A1}; t=0.25 directed graph: A1->{A2,A3}, A2->A3, C1->A1,
     # B1->B2, B3->B2 (B-side unreachable from A1 -> score 0)

@@ -257,6 +257,41 @@ def main() -> None:
         "the verification join",
     )
     ap.add_argument(
+        "--nodesim-auto",
+        action="store_true",
+        help="freq_cap='auto' for --nodesim-only: the round-6 df-histogram "
+        "skew gate — cap+verify only when max_df > 4x median_df, else the "
+        "uncapped single pass (measures the eliminated insurance premium)",
+    )
+    ap.add_argument(
+        "--lp-only",
+        action="store_true",
+        help="probe ONLY deterministic synchronous label propagation at "
+        "this tier (per round: one edges-labels join + per-node "
+        "most-frequent-label window)",
+    )
+    ap.add_argument("--lp-iters", type=int, default=2,
+                    help="rounds for --lp-only")
+    ap.add_argument(
+        "--dijkstra-only",
+        action="store_true",
+        help="probe ONLY hop-bounded multi-source weighted SSSP "
+        "(cheapest_path_costs, maxDepth 3 — the gds dijkstra surface) "
+        "from --roots sampled sources at this tier",
+    )
+    ap.add_argument(
+        "--coredec-only",
+        action="store_true",
+        help="probe ONLY the full k-core decomposition (h-index iteration "
+        "to the fixpoint) at this tier",
+    )
+    ap.add_argument(
+        "--bc-directed",
+        action="store_true",
+        help="run --bc-only in the DIRECTED form (second reversed-edge "
+        "sigma-BFS + ordered pairs — round 6)",
+    )
+    ap.add_argument(
         "--triangles-only",
         action="store_true",
         help="probe ONLY per-node triangle counts + local clustering "
@@ -421,11 +456,12 @@ def main() -> None:
 
     if args.nodesim_only:
         fe = edges.filter(F.col("distance") <= 0.15).select("src", "dst")
+        cap = "auto" if args.nodesim_auto else args.nodesim_cap
         t0 = time.time()
         sim = G.node_similarity_topk_capped(
             fe,
             k=10,
-            freq_cap=args.nodesim_cap,
+            freq_cap=cap,
             upper_degree_cutoff=args.nodesim_cutoff,
         )
         n_pairs = sim.count()
@@ -435,10 +471,93 @@ def main() -> None:
                     "n_nodes": args.nodes,
                     "n_edges": n_edges,
                     "skew": args.skew,
-                    "nodesim_cap": args.nodesim_cap,
+                    "nodesim_cap": cap,
                     "nodesim_cutoff": args.nodesim_cutoff,
                     "n_sim_pairs": n_pairs,
                     "nodesim_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+        if not args.keep:
+            shutil.rmtree(work, ignore_errors=True)
+        return
+
+    if args.lp_only:
+        from phageclouds_graphdatabase_spark.graphframe import GraphFrame
+
+        fe = edges.filter(F.col("distance") <= 0.15).select("src", "dst")
+        v = (
+            fe.select(F.col("src").alias("id"))
+            .unionByName(fe.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        t0 = time.time()
+        lp = GraphFrame(v, fe).labelPropagation(args.lp_iters)
+        n_labeled = lp.count()
+        t_lp = round(time.time() - t0, 2)
+        n_comm = lp.select("label").distinct().count()
+        print(
+            json.dumps(
+                {
+                    "n_nodes": args.nodes,
+                    "n_edges": n_edges,
+                    "skew": args.skew,
+                    "lp_iters": args.lp_iters,
+                    "n_labeled": n_labeled,
+                    "n_communities": n_comm,
+                    "labelprop_sec": t_lp,
+                }
+            )
+        )
+        if not args.keep:
+            shutil.rmtree(work, ignore_errors=True)
+        return
+
+    if args.dijkstra_only:
+        fe = edges.filter(F.col("distance") <= 0.15).select(
+            "src", "dst", "distance"
+        )
+        roots = (
+            nodes.select(F.col("accession").alias("id"))
+            .orderBy(F.xxhash64("id"))
+            .limit(args.roots)
+            .localCheckpoint()
+        )
+        t0 = time.time()
+        costs = G.cheapest_path_costs(roots, fe, max_hops=3, directed=False)
+        n_costs = costs.count()
+        print(
+            json.dumps(
+                {
+                    "n_nodes": args.nodes,
+                    "n_edges": n_edges,
+                    "skew": args.skew,
+                    "roots": args.roots,
+                    "n_cost_pairs": n_costs,
+                    "dijkstra_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+        if not args.keep:
+            shutil.rmtree(work, ignore_errors=True)
+        return
+
+    if args.coredec_only:
+        fe = edges.filter(F.col("distance") <= 0.15).select("src", "dst")
+        t0 = time.time()
+        cd = G.core_decomposition(fe).localCheckpoint()
+        n_cored = cd.count()
+        t_cd = round(time.time() - t0, 2)
+        mx = cd.agg(F.max("core")).collect()[0][0]
+        print(
+            json.dumps(
+                {
+                    "n_nodes": args.nodes,
+                    "n_edges": n_edges,
+                    "skew": args.skew,
+                    "n_cored": n_cored,
+                    "max_core": mx,
+                    "coredec_sec": t_cd,
                 }
             )
         )
@@ -472,7 +591,9 @@ def main() -> None:
             )
             t_sample = round(time.time() - t0, 2)
         t0 = time.time()
-        bc = G.betweenness_centrality_scaled(fe, broots, max_depth=3)
+        bc = G.betweenness_centrality_scaled(
+            fe, broots, max_depth=3, directed=args.bc_directed
+        )
         n_bc = bc.count()
         print(
             json.dumps(
@@ -481,6 +602,7 @@ def main() -> None:
                     "n_edges": n_edges,
                     "roots": args.roots,
                     "skew": args.skew,
+                    "bc_directed": args.bc_directed,
                     "bc_sampler": args.bc_sampler,
                     "sample_sec": t_sample,
                     "n_betweenness": n_bc,
