@@ -2552,9 +2552,22 @@ class CypherEngine:
                 F.col("eig_scaled").alias("score"),
             )
         elif name == "gds.degree.stream":
+            # orientation (round 6, the stock-GDS projection vocabulary):
+            # UNDIRECTED (default) = total, NATURAL = out, REVERSE = in
+            orientation = str(config.get("orientation", "UNDIRECTED")).upper()
+            deg_col = {
+                "UNDIRECTED": "degree",
+                "NATURAL": "out_degree",
+                "REVERSE": "in_degree",
+            }.get(orientation)
+            if deg_col is None:
+                raise CypherCompileError(
+                    "orientation must be 'UNDIRECTED', 'NATURAL' or "
+                    "'REVERSE'"
+                )
             df = _G.degrees(e).select(
                 F.col("id").alias("nodeId"),
-                F.col("degree").cast("long").alias("score"),
+                F.col(deg_col).cast("long").alias("score"),
             )
         elif name in ("gds.betweenness.stream", "gds.stress.stream"):
             # GDS samples source nodes via samplingSize; here the sample
@@ -2700,15 +2713,25 @@ class CypherEngine:
             elif isinstance(fc, str):
                 fc = "auto"
             udc = config.get("upperDegreeCutoff")
+            # similarityMetric: JACCARD (default) | OVERLAP | COSINE —
+            # the stock-GDS knob (round 6); scoring tail only, the
+            # capped/verified candidate machinery is metric-independent
+            metric = str(config.get("similarityMetric", "JACCARD")).lower()
+            if metric not in _G._NODESIM_METRICS:
+                raise CypherCompileError(
+                    "similarityMetric must be 'JACCARD', 'OVERLAP' or "
+                    "'COSINE'"
+                )
             df = _G.node_similarity_topk_capped(
                 e,
                 k=int(config.get("topK", 10)),
                 freq_cap=fc,
                 upper_degree_cutoff=None if udc is None else int(udc),
+                metric=metric,
             ).select(
                 F.col("a").alias("nodeId1"),
                 F.col("b").alias("nodeId2"),
-                F.col("jaccard").alias("similarity"),
+                F.col(metric).alias("similarity"),
             )
         elif name == "gds.allshortestpaths.dijkstra.stream":
             # hop-bounded multi-source SSSP (the engine's deterministic

@@ -1666,7 +1666,72 @@ def local_clustering_coefficient(
     )
 
 
-def node_similarity_topk(edges: DataFrame, k: int = 10) -> DataFrame:
+_NODESIM_METRICS = ("jaccard", "overlap", "cosine")
+
+
+def _nodesim_rank(
+    inter: DataFrame, deg: DataFrame, k: int, metric: str
+) -> DataFrame:
+    """Shared scoring+ranking tail of the node-similarity family: join
+    degrees onto (a, b, inter) pairs, score with the chosen GDS
+    similarityMetric, symmetrize, take per-node top-k with the
+    deterministic (score desc, id) tie-break. All three metrics divide
+    exact-int inputs, so the doubles are correctly rounded identically
+    cross-engine (cosine's sqrt is IEEE correctly rounded too — da·db is
+    an exact long well under 2^53 before the cast):
+
+    - jaccard  = inter / (da + db − inter)
+    - overlap  = inter / min(da, db)
+    - cosine   = inter / sqrt(da · db)
+    """
+    from pyspark.sql.window import Window
+
+    if metric not in _NODESIM_METRICS:
+        raise ValueError(
+            f"metric must be one of {_NODESIM_METRICS}, got {metric!r}"
+        )
+    da, db, iv = F.col("da"), F.col("db"), F.col("inter")
+    score = {
+        "jaccard": iv.cast("double") / (da + db - iv),
+        "overlap": iv.cast("double") / F.least(da, db),
+        "cosine": iv.cast("double") / F.sqrt((da * db).cast("double")),
+    }[metric]
+    scored = (
+        inter.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            F.col("inter").cast("long").alias("inter"),
+            (F.col("da") + F.col("db") - F.col("inter")).cast("long").alias(
+                "union_sz"
+            ),
+            score.alias(metric),
+        )
+    )
+    sym = scored.unionByName(
+        scored.select(
+            F.col("b").alias("a"),
+            F.col("a").alias("b"),
+            "inter",
+            "union_sz",
+            metric,
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.col(metric).desc(), F.col("b"))
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "a", "b", "inter", "union_sz", metric,
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+def node_similarity_topk(
+    edges: DataFrame, k: int = 10, metric: str = "jaccard"
+) -> DataFrame:
     """Neighborhood node similarity (the GDS ``nodeSimilarity`` surface):
     Jaccard of OUT-neighbor sets between source nodes, top-``k``
     most-similar per node with a deterministic (jaccard desc, id)
@@ -1685,9 +1750,11 @@ def node_similarity_topk(edges: DataFrame, k: int = 10) -> DataFrame:
     catalog supports parallel edges, and without the dedup both the
     intersection and the degree count them twice — multiset Jaccard
     instead of GDS's neighbor-SET semantics (triangle_counts already
-    canonicalizes the same way)."""
-    from pyspark.sql.window import Window
+    canonicalizes the same way).
 
+    ``metric`` picks the GDS similarityMetric — jaccard (default),
+    overlap, cosine; the score column is named after it
+    (:func:`_nodesim_rank`)."""
     e = edges.select("src", "dst").distinct().localCheckpoint()
     inter = (
         e.alias("x")
@@ -1697,40 +1764,7 @@ def node_similarity_topk(edges: DataFrame, k: int = 10) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     deg = e.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("d"))
-    scored = (
-        inter.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
-        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
-        .select(
-            "a",
-            "b",
-            F.col("inter").cast("long").alias("inter"),
-            (F.col("da") + F.col("db") - F.col("inter")).cast("long").alias(
-                "union_sz"
-            ),
-            (
-                F.col("inter").cast("double")
-                / (F.col("da") + F.col("db") - F.col("inter"))
-            ).alias("jaccard"),
-        )
-    )
-    sym = scored.unionByName(
-        scored.select(
-            F.col("b").alias("a"),
-            F.col("a").alias("b"),
-            "inter",
-            "union_sz",
-            "jaccard",
-        )
-    )
-    w = Window.partitionBy("a").orderBy(F.col("jaccard").desc(), F.col("b"))
-    return (
-        sym.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            "a", "b", "inter", "union_sz", "jaccard",
-            F.col("rnk").cast("long").alias("rnk"),
-        )
-    )
+    return _nodesim_rank(inter, deg, k, metric)
 
 
 def node_similarity_topk_capped(
@@ -1739,6 +1773,7 @@ def node_similarity_topk_capped(
     freq_cap: int | str | None = None,
     upper_degree_cutoff: int | None = None,
     skew_ratio: int = 4,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Frequency-capped node similarity — the 100-TB shape of
     :func:`node_similarity_topk`, the same production pattern as
@@ -1792,11 +1827,11 @@ def node_similarity_topk_capped(
 
     Like :func:`node_similarity_topk`, the (src, dst) projection is
     DISTINCT'd first — GDS neighbor-set semantics under parallel edges
-    (ADVICE r5)."""
+    (ADVICE r5) — and ``metric`` picks the GDS similarityMetric
+    (jaccard/overlap/cosine; verification is metric-independent, only
+    the scoring tail changes)."""
     if freq_cap is None and upper_degree_cutoff is None:
-        return node_similarity_topk(edges, k)
-    from pyspark.sql.window import Window
-
+        return node_similarity_topk(edges, k, metric)
     e = edges.select("src", "dst").distinct().localCheckpoint()
     if upper_degree_cutoff is not None:
         keep = (
@@ -1816,7 +1851,7 @@ def node_similarity_topk_capped(
             .collect()
         )
         if not hist:
-            return node_similarity_topk(e, k)
+            return node_similarity_topk(e, k, metric)
         total = sum(c for _, c in hist)
         half, run, med = (total + 1) // 2, 0, hist[-1][0]
         for d, c in hist:
@@ -1830,7 +1865,7 @@ def node_similarity_topk_capped(
         # unskewed (or explicit no-cap with a cutoff): the single pass on
         # the cutoff-filtered set is value-identical to cap+verify with a
         # never-hot cap, at roughly half the cost
-        return node_similarity_topk(e, k)
+        return node_similarity_topk(e, k, metric)
     index = e
     if freq_cap is not None:
         hot = (
@@ -1856,40 +1891,7 @@ def node_similarity_topk_capped(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     deg = e.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("d"))
-    scored = (
-        inter.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
-        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
-        .select(
-            "a",
-            "b",
-            F.col("inter").cast("long").alias("inter"),
-            (F.col("da") + F.col("db") - F.col("inter")).cast("long").alias(
-                "union_sz"
-            ),
-            (
-                F.col("inter").cast("double")
-                / (F.col("da") + F.col("db") - F.col("inter"))
-            ).alias("jaccard"),
-        )
-    )
-    sym = scored.unionByName(
-        scored.select(
-            F.col("b").alias("a"),
-            F.col("a").alias("b"),
-            "inter",
-            "union_sz",
-            "jaccard",
-        )
-    )
-    w = Window.partitionBy("a").orderBy(F.col("jaccard").desc(), F.col("b"))
-    return (
-        sym.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(
-            "a", "b", "inter", "union_sz", "jaccard",
-            F.col("rnk").cast("long").alias("rnk"),
-        )
-    )
+    return _nodesim_rank(inter, deg, k, metric)
 
 
 def _triangle_support(

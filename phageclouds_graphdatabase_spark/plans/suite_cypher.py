@@ -1820,6 +1820,18 @@ def cypher_gds_nodesim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_sp_thresh(spark, sf_dir).run(q)
 
 
+def cypher_gds_nodesim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.nodeSimilarity.stream with similarityMetric: 'COSINE'
+    (round 6 — the stock-GDS metric knob): score = inter / sqrt(da·db).
+    da·db is an exact long and sqrt/division are IEEE correctly rounded,
+    so the doubles hash-match the shared metric-template SQL."""
+    q = ("CALL gds.nodeSimilarity.stream('sharesDNA', "
+         "{topK: 10, similarityMetric: 'COSINE'}) "
+         "YIELD nodeId1 AS a, nodeId2 AS b, similarity AS cosine "
+         "RETURN a, b, cosine")
+    return _engine_sp_thresh(spark, sf_dir).run(q)
+
+
 def cypher_gds_dijkstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gds.allShortestPaths.dijkstra.stream (round 5): hop-bounded
     multi-source weighted SSSP through the proc surface — sourceNodes
@@ -1879,6 +1891,10 @@ CYPHER_GDS_NODESIM_SQL = (
     "SELECT a, b, jaccard FROM (" + _pipe.GRAPH_NODE_SIM_SQL + ") z"
 )
 
+CYPHER_GDS_NODESIM_COSINE_SQL = (
+    "SELECT a, b, cosine FROM (" + _pipe.GRAPH_NODE_SIM_COSINE_SQL + ") z"
+)
+
 
 ENTRIES.update({
     "cypher_gds_labelprop": SuiteEntry(
@@ -1892,6 +1908,10 @@ ENTRIES.update({
     ),
     "cypher_gds_nodesim": SuiteEntry(
         cypher_gds_nodesim, CYPHER_GDS_NODESIM_SQL, ("S2", "W6", "W5")
+    ),
+    "cypher_gds_nodesim_cosine": SuiteEntry(
+        cypher_gds_nodesim_cosine, CYPHER_GDS_NODESIM_COSINE_SQL,
+        ("S2", "W6", "W5"),
     ),
     "cypher_gds_dijkstra": SuiteEntry(
         cypher_gds_dijkstra, _ext.GRAPH_CHEAPEST_SQL, ("S2", "W6", "J2")

@@ -816,6 +816,63 @@ WHERE rnk <= 10
 """
 
 
+def graph_node_similarity_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nodeSimilarity with similarityMetric OVERLAP (round 6 — the
+    stock-GDS metric knob): score = inter / min(da, db), the containment
+    coefficient (a small node fully inside a big neighborhood scores
+    1.0 where Jaccard dilutes it). Same candidate machinery; only the
+    scoring tail changes (operators/graph.py _nodesim_rank)."""
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    return G.node_similarity_topk(
+        h.graph_edges(spark, sf_dir, threshold=h.GRAPH_THRESHOLD),
+        k=10,
+        metric="overlap",
+    )
+
+
+def _nodesim_metric_sql(metric_expr: str, metric: str) -> str:
+    """GRAPH_NODE_SIM_SQL with the scoring expression swapped — one
+    template, three metrics, so the oracles cannot drift from each
+    other (the shared-constant lesson)."""
+    return f"""
+WITH e AS (
+    SELECT DISTINCT src, dst FROM ({h.GRAPH_EDGES_SQL}) _e WHERE distance <= {h.GRAPH_THRESHOLD}
+),
+inter AS (
+    SELECT x.src AS a, y.src AS b, COUNT(*) AS inter
+    FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
+    GROUP BY x.src, y.src
+),
+deg AS (SELECT src AS n, COUNT(*) AS d FROM e GROUP BY src),
+scored AS (
+    SELECT a, b, CAST(inter AS BIGINT) AS inter,
+           CAST(da.d + db.d - inter AS BIGINT) AS union_sz,
+           {metric_expr} AS {metric}
+    FROM inter JOIN deg da ON da.n = a JOIN deg db ON db.n = b
+),
+sym AS (
+    SELECT a, b, inter, union_sz, {metric} FROM scored
+    UNION ALL
+    SELECT b AS a, a AS b, inter, union_sz, {metric} FROM scored
+)
+SELECT a, b, inter, union_sz, {metric}, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY a
+                                   ORDER BY {metric} DESC, b) AS rnk
+      FROM sym) z
+WHERE rnk <= 10
+"""
+
+
+GRAPH_NODE_SIM_OVERLAP_SQL = _nodesim_metric_sql(
+    "CAST(inter AS DOUBLE) / LEAST(da.d, db.d)", "overlap"
+)
+
+GRAPH_NODE_SIM_COSINE_SQL = _nodesim_metric_sql(
+    "CAST(inter AS DOUBLE) / sqrt(CAST(da.d * db.d AS DOUBLE))", "cosine"
+)
+
+
 def graph_node_similarity_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-capped node similarity (round 5): the 100-TB form of
     graph_node_similarity — candidates from the hub-pruned co-neighbor
@@ -1612,6 +1669,10 @@ ENTRIES: dict[str, SuiteEntry] = {
     ),
     "graph_node_similarity": SuiteEntry(
         graph_node_similarity, GRAPH_NODE_SIM_SQL, ("J1", "W6", "W5")
+    ),
+    "graph_node_similarity_overlap": SuiteEntry(
+        graph_node_similarity_overlap, GRAPH_NODE_SIM_OVERLAP_SQL,
+        ("J1", "W6", "W5"),
     ),
     "graph_node_similarity_capped": SuiteEntry(
         graph_node_similarity_capped, GRAPH_NODE_SIM_CAPPED_SQL,

@@ -2305,6 +2305,46 @@ class TestGdsProcedures:
                 "{orientation: 'REVERSE'}) YIELD nodeId RETURN nodeId"
             )
 
+    def test_degree_stream_orientation(self, eng):
+        # round 6: NATURAL = out, REVERSE = in, and they sum to the
+        # UNDIRECTED default on every node
+        q = ("CALL gds.degree.stream('sharesDNA', {{orientation: '{o}'}}) "
+             "YIELD nodeId, score RETURN nodeId, score")
+        out_d = dict(rows(eng.run(q.format(o="NATURAL"))))
+        in_d = dict(rows(eng.run(q.format(o="REVERSE"))))
+        total = dict(rows(eng.run(q.format(o="UNDIRECTED"))))
+        assert total == {
+            n: out_d.get(n, 0) + in_d.get(n, 0) for n in total
+        } and len(total) > 0
+        with pytest.raises(CypherCompileError, match="orientation"):
+            eng.run(
+                "CALL gds.degree.stream('sharesDNA', {orientation: 'BOTH'}) "
+                "YIELD nodeId RETURN nodeId"
+            )
+
+    def test_nodesimilarity_metric_config(self, eng, shares_dna):
+        from phageclouds_graphdatabase_spark.operators import graph as G
+
+        # round 6: similarityMetric OVERLAP through the proc surface
+        got = rows(eng.run(
+            "CALL gds.nodeSimilarity.stream('sharesDNA', "
+            "{topK: 5, similarityMetric: 'OVERLAP'}) "
+            "YIELD nodeId1, nodeId2, similarity "
+            "RETURN nodeId1, nodeId2, similarity"
+        ))
+        want = sorted(
+            (r.a, r.b, r.overlap)
+            for r in G.node_similarity_topk(
+                shares_dna.select("src", "dst"), k=5, metric="overlap"
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+        with pytest.raises(CypherCompileError, match="similarityMetric"):
+            eng.run(
+                "CALL gds.nodeSimilarity.stream('sharesDNA', "
+                "{similarityMetric: 'DICE'}) YIELD nodeId1 RETURN nodeId1"
+            )
+
     def test_nodesimilarity_freqcap_auto(self, eng, shares_dna):
         from phageclouds_graphdatabase_spark.operators import graph as G
 

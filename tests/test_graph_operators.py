@@ -820,6 +820,50 @@ def test_node_similarity_capped_none_equals_uncapped(spark, shares_dna):
     assert capped == uncapped and len(capped) > 0
 
 
+def test_node_similarity_metrics_hand_computed(spark):
+    import math
+
+    # a:{x,y}, b:{x,z}, c:{x} — (a,b): inter 1, deg 2/2; (a,c)/(b,c):
+    # inter 1, deg 2/1. overlap rewards containment (c inside a = 1.0),
+    # cosine sits between, jaccard dilutes.
+    e = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "z"), ("c", "x")],
+        "src string, dst string",
+    )
+    for metric, want_ab, want_ac in (
+        ("jaccard", 1 / 3, 1 / 2),
+        ("overlap", 1 / 2, 1.0),
+        ("cosine", 1 / 2, 1 / math.sqrt(2)),
+    ):
+        got = {
+            (r.a, r.b): r[metric]
+            for r in G.node_similarity_topk(e, k=10, metric=metric).collect()
+        }
+        assert got[("a", "b")] == want_ab, metric
+        assert got[("a", "c")] == want_ac, metric
+    with pytest.raises(ValueError, match="metric"):
+        G.node_similarity_topk(e, k=10, metric="dice")
+
+
+def test_node_similarity_capped_metric_matches_uncapped(spark, shares_dna):
+    # the capped path's verification is metric-independent; with a
+    # never-hot cap every metric must equal its uncapped twin
+    e = shares_dna.select("src", "dst")
+    for metric in ("overlap", "cosine"):
+        capped = sorted(
+            map(
+                tuple,
+                G.node_similarity_topk_capped(
+                    e, k=5, freq_cap=10_000, metric=metric
+                ).collect(),
+            )
+        )
+        uncapped = sorted(
+            map(tuple, G.node_similarity_topk(e, k=5, metric=metric).collect())
+        )
+        assert capped == uncapped and len(capped) > 0, metric
+
+
 def test_node_similarity_dedupes_parallel_edges(spark):
     # ADVICE r5: the catalog supports parallel edges; without the distinct
     # both intersection and degree count them twice (multiset Jaccard).
