@@ -2435,6 +2435,11 @@ class CypherEngine:
         "gds.allshortestpaths.dijkstra.stream": (
             "sourceNodeId", "targetNodeId", "totalCost",
         ),
+        # round 6: DeepWalk corpus generation through the proc surface —
+        # the engine's DETERMINISTIC md5-argmin walks (cross-engine
+        # reproducible; stock GDS walks are seeded-RNG). walkLength
+        # counts STEPS (hops), not nodes — documented divergence.
+        "gds.randomwalk.stream": ("start", "walkId", "nodeIds"),
     }
 
     def _gds_edges(self, reltype: str | None):
@@ -2786,6 +2791,29 @@ class CypherEngine:
                 F.col("src").alias("sourceNodeId"),
                 F.col("dst").alias("targetNodeId"),
                 F.col("cost").alias("totalCost"),
+            )
+        elif name == "gds.randomwalk.stream":
+            wl = int(config.get("walkLength", 3))
+            if not 1 <= wl <= 20:
+                raise CypherCompileError(
+                    "gds.randomWalk.stream walkLength (steps) must be "
+                    "between 1 and 20"
+                )
+            starts = None
+            if config.get("sourceNodes") is not None:
+                # an explicit list only — the sampling default of
+                # _gds_roots is wrong here (walks default to ALL nodes)
+                starts = self._gds_roots(e, config)
+            df = _G.deterministic_walks(
+                e,
+                walk_length=wl,
+                walks_per_node=int(config.get("walksPerNode", 1)),
+                starts=starts,
+                directed=False,
+            ).select(
+                F.col("start"),
+                F.col("wid").cast("long").alias("walkId"),
+                F.col("walk").alias("nodeIds"),
             )
         else:  # gds.wcc.stream
             df = _G.connected_components(e).select(

@@ -1820,6 +1820,21 @@ def cypher_gds_nodesim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_sp_thresh(spark, sf_dir).run(q)
 
 
+def cypher_gds_randomwalk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.randomWalk.stream (round 6): the deterministic md5-argmin
+    DeepWalk corpus through the proc surface — walkLength counts STEPS
+    (documented divergence from GDS's node count, which also uses a
+    seeded RNG the engine deliberately avoids for cross-engine
+    reproducibility). Config {walkLength: 3, walksPerNode: 2} replays
+    graph_random_walks, whose unrolled SQL is the oracle after the walk
+    array renders through arr_str."""
+    q = ("CALL gds.randomWalk.stream('sharesDNA', "
+         "{walkLength: 3, walksPerNode: 2}) "
+         "YIELD start, walkId AS wid, nodeIds RETURN start, wid, nodeIds")
+    out = _engine_sp_thresh(spark, sf_dir).run(q)
+    return out.select("start", "wid", arr_str("nodeIds").alias("walk"))
+
+
 def cypher_gds_nodesim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gds.nodeSimilarity.stream with similarityMetric: 'COSINE'
     (round 6 — the stock-GDS metric knob): score = inter / sqrt(da·db).
@@ -1912,6 +1927,9 @@ ENTRIES.update({
     "cypher_gds_nodesim_cosine": SuiteEntry(
         cypher_gds_nodesim_cosine, CYPHER_GDS_NODESIM_COSINE_SQL,
         ("S2", "W6", "W5"),
+    ),
+    "cypher_gds_randomwalk": SuiteEntry(
+        cypher_gds_randomwalk, _ext.GRAPH_WALKS_SQL, ("S2", "W6", "W5")
     ),
     "cypher_gds_dijkstra": SuiteEntry(
         cypher_gds_dijkstra, _ext.GRAPH_CHEAPEST_SQL, ("S2", "W6", "J2")

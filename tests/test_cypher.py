@@ -2305,6 +2305,33 @@ class TestGdsProcedures:
                 "{orientation: 'REVERSE'}) YIELD nodeId RETURN nodeId"
             )
 
+    def test_randomwalk_stream_matches_operator(self, eng, shares_dna):
+        from phageclouds_graphdatabase_spark.operators import graph as G
+
+        got = sorted(
+            (r.start, r.walkId, tuple(r.nodeIds))
+            for r in eng.run(
+                "CALL gds.randomWalk.stream('sharesDNA', "
+                "{walkLength: 2, walksPerNode: 2}) "
+                "YIELD start, walkId, nodeIds RETURN start, walkId, nodeIds"
+            ).collect()
+        )
+        want = sorted(
+            (r.start, r.wid, tuple(r.walk))
+            for r in G.deterministic_walks(
+                shares_dna.select("src", "dst"),
+                walk_length=2,
+                walks_per_node=2,
+                directed=False,
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+        with pytest.raises(CypherCompileError, match="walkLength"):
+            eng.run(
+                "CALL gds.randomWalk.stream('sharesDNA', {walkLength: 21}) "
+                "YIELD start RETURN start"
+            )
+
     def test_degree_stream_orientation(self, eng):
         # round 6: NATURAL = out, REVERSE = in, and they sum to the
         # UNDIRECTED default on every node
