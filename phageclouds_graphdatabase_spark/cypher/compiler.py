@@ -2816,6 +2816,37 @@ class CypherEngine:
                 F.col("walk").alias("nodeIds"),
             )
         else:  # gds.wcc.stream
+            # weighted form (round 6): relationshipWeightProperty +
+            # threshold (stock GDS: keep edges with weight > threshold)
+            # or maxDistance (engine extension — keep weight <= bound,
+            # the phage idiom: a CLOUD is exactly
+            # wcc(distance <= t), reference README.md:3)
+            wprop = config.get("relationshipWeightProperty")
+            if wprop is not None:
+                rel = self.catalog.rel(
+                    reltype
+                    if reltype is not None
+                    else next(iter(self.catalog.rels))
+                )
+                if wprop not in rel.df.columns:
+                    raise CypherCompileError(
+                        f"relationshipWeightProperty {wprop!r} is not a "
+                        f"column of :{reltype}"
+                    )
+                we = rel.df.select(
+                    F.col(rel.src_col).cast("string").alias("src"),
+                    F.col(rel.dst_col).cast("string").alias("dst"),
+                    F.col(wprop).cast("double").alias("__w"),
+                )
+                if config.get("threshold") is not None:
+                    we = we.filter(
+                        F.col("__w") > float(config["threshold"])
+                    )
+                if config.get("maxDistance") is not None:
+                    we = we.filter(
+                        F.col("__w") <= float(config["maxDistance"])
+                    )
+                e = we.select("src", "dst")
             df = _G.connected_components(e).select(
                 F.col("id").alias("nodeId"),
                 F.col("component").alias("componentId"),

@@ -1820,6 +1820,48 @@ def cypher_gds_nodesim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_sp_thresh(spark, sf_dir).run(q)
 
 
+def cypher_gds_wcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.wcc.stream with a relationship-weight bound (round 6): the
+    reference's CLOUD is exactly wcc(distance <= t) (reference
+    README.md:3), so the weighted proc over the UNTHRESHOLDED catalog
+    with {relationshipWeightProperty: 'distance', maxDistance: t} must
+    reproduce it — the maxDistance knob (engine extension; stock GDS's
+    `threshold` keeps weight > t, also supported) does the filtering
+    inside the proc, not the catalog. Oracle: recursive min-label
+    closure over the thresholded full graph (subqueries inlined — the
+    DuckDB WITH RECURSIVE sibling-CTE hazard)."""
+    q = ("CALL gds.wcc.stream('sharesDNA', "
+         "{relationshipWeightProperty: 'distance', "
+         f"maxDistance: {GRAPH_THRESHOLD}}}) "
+         "YIELD nodeId AS id, componentId AS component "
+         "RETURN id, component")
+    return _engine_sp(spark, sf_dir).run(q)
+
+
+_FE_SUB = (
+    f"(SELECT src, dst FROM ({GRAPH_EDGES_SQL}) _e "
+    f"WHERE distance <= {GRAPH_THRESHOLD})"
+)
+
+CYPHER_GDS_WCC_THRESHOLD_SQL = f"""
+WITH RECURSIVE reach(id, nbr) AS (
+    SELECT id, id FROM (
+        SELECT src AS id FROM {_FE_SUB} f1
+        UNION
+        SELECT dst FROM {_FE_SUB} f2
+    ) n
+    UNION
+    SELECT r.id, u.b
+    FROM reach r JOIN (
+        SELECT src AS a, dst AS b FROM {_FE_SUB} f3
+        UNION
+        SELECT dst AS a, src AS b FROM {_FE_SUB} f4
+    ) u ON r.nbr = u.a
+)
+SELECT id, MIN(nbr) AS component FROM reach GROUP BY id
+"""
+
+
 def cypher_gds_randomwalk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gds.randomWalk.stream (round 6): the deterministic md5-argmin
     DeepWalk corpus through the proc surface — walkLength counts STEPS
@@ -1930,6 +1972,9 @@ ENTRIES.update({
     ),
     "cypher_gds_randomwalk": SuiteEntry(
         cypher_gds_randomwalk, _ext.GRAPH_WALKS_SQL, ("S2", "W6", "W5")
+    ),
+    "cypher_gds_wcc_threshold": SuiteEntry(
+        cypher_gds_wcc_threshold, CYPHER_GDS_WCC_THRESHOLD_SQL, ("S2", "W6")
     ),
     "cypher_gds_dijkstra": SuiteEntry(
         cypher_gds_dijkstra, _ext.GRAPH_CHEAPEST_SQL, ("S2", "W6", "J2")

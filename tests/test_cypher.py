@@ -2305,6 +2305,43 @@ class TestGdsProcedures:
                 "{orientation: 'REVERSE'}) YIELD nodeId RETURN nodeId"
             )
 
+    def test_wcc_stream_weight_bounds(self, eng, shares_dna):
+        from phageclouds_graphdatabase_spark.operators import graph as G
+
+        # round 6: maxDistance keeps weight <= bound (the phage cloud
+        # idiom); stock threshold keeps weight > bound — together they
+        # partition the edge set
+        got_close = rows(eng.run(
+            "CALL gds.wcc.stream('sharesDNA', "
+            "{relationshipWeightProperty: 'distance', maxDistance: 0.25}) "
+            "YIELD nodeId, componentId RETURN nodeId, componentId"
+        ))
+        want_close = sorted(
+            (r.id, r.component)
+            for r in G.connected_components(
+                shares_dna.filter(F.col("distance") <= 0.25).select("src", "dst")
+            ).collect()
+        )
+        assert got_close == want_close and len(got_close) > 0
+        got_far = rows(eng.run(
+            "CALL gds.wcc.stream('sharesDNA', "
+            "{relationshipWeightProperty: 'distance', threshold: 0.25}) "
+            "YIELD nodeId, componentId RETURN nodeId, componentId"
+        ))
+        want_far = sorted(
+            (r.id, r.component)
+            for r in G.connected_components(
+                shares_dna.filter(F.col("distance") > 0.25).select("src", "dst")
+            ).collect()
+        )
+        assert got_far == want_far and got_far != got_close
+        with pytest.raises(CypherCompileError, match="not a column"):
+            eng.run(
+                "CALL gds.wcc.stream('sharesDNA', "
+                "{relationshipWeightProperty: 'nope'}) "
+                "YIELD nodeId RETURN nodeId"
+            )
+
     def test_randomwalk_stream_matches_operator(self, eng, shares_dna):
         from phageclouds_graphdatabase_spark.operators import graph as G
 
