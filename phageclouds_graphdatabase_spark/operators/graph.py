@@ -1820,10 +1820,18 @@ def node_similarity_topk_capped(
     when max_df > ``skew_ratio`` × median_df (lower median); otherwise
     it delegates to the uncapped single pass over the same edge set,
     which is value-identical because verification is exact. When it
-    does engage, the cap is the scale-relative (9·max_df) div 10,
-    derived from the SAME post-cutoff set the index is built from
-    (ADVICE r5: the pre-cutoff max diverged from the oracle's
-    post-keepers subquery once any node crossed the cutoff).
+    DOES engage, the cap is ``skew_ratio × median_df`` — NOT the
+    round-5 scale-relative (9·max_df) div 10, which is measured
+    toothless under a genuinely heavy-tailed df distribution: on the
+    2M-skew tier the fat band of dsts just UNDER 0.9×max survives the
+    index and candidate generation explodes quadratically in that band
+    (~80 GB spill, disk death — round-6 rehearsal), while the
+    median-anchored cap prunes the whole hot tail and bounds any
+    reducer at (skew_ratio·median)², the same philosophy as
+    operators/dedup.py's absolute cap. The histogram is read from the
+    SAME post-cutoff set the index is built from (ADVICE r5: the
+    pre-cutoff max diverged from the oracle's post-keepers subquery
+    once any node crossed the cutoff).
 
     Like :func:`node_similarity_topk`, the (src, dst) projection is
     DISTINCT'd first — GDS neighbor-set semantics under parallel edges
@@ -1860,7 +1868,7 @@ def node_similarity_topk_capped(
                 med = d
                 break
         mx = hist[-1][0]
-        freq_cap = None if mx <= skew_ratio * med else (9 * mx) // 10
+        freq_cap = None if mx <= skew_ratio * med else skew_ratio * med
     if freq_cap is None:
         # unskewed (or explicit no-cap with a cutoff): the single pass on
         # the cutoff-filtered set is value-identical to cap+verify with a

@@ -886,11 +886,13 @@ def graph_node_similarity_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     pays the cap+verify two-pass when max_df > 4 × median_df; on this
     dense small-domain demo graph (no skew at all) it delegates to the
     uncapped single pass, identical output at ~half the cost. The cap,
-    when it engages, is the scale-relative (9·max_df) div 10 computed
-    from the POST-cutoff edge set (ADVICE r5 plan/oracle divergence
-    fix). The oracle replicates gate + cap + verify in integer-exact
-    SQL — a never-hot cap (cap = max_df) reduces to the single pass
-    because verification is exact, so ONE SQL covers both branches."""
+    when it engages, is 4 × median_df computed from the POST-cutoff
+    edge set (ADVICE r5 plan/oracle divergence fix; the round-5
+    (9·max_df) div 10 form is measured toothless under heavy-tailed
+    dfs — SCALE.md round-6 found-and-fixed). The oracle replicates
+    gate + cap + verify in integer-exact SQL — a never-hot cap
+    (cap = max_df) reduces to the single pass because verification is
+    exact, so ONE SQL covers both branches."""
     from phageclouds_graphdatabase_spark.operators import graph as G
 
     return G.node_similarity_topk_capped(
@@ -918,7 +920,7 @@ stats AS (
 hot AS (
     SELECT dst FROM e GROUP BY dst
     HAVING COUNT(*) > (SELECT CASE WHEN mx > 4 * med
-                                   THEN (9 * mx) // 10
+                                   THEN 4 * med
                                    ELSE mx END
                        FROM stats)
 ),
