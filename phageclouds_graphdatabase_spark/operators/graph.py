@@ -1421,6 +1421,7 @@ def core_decomposition(
     edges: DataFrame,
     rounds: int | None = None,
     reliable_checkpoint: bool = False,
+    delta: bool = False,
 ) -> DataFrame:
     """FULL k-core decomposition — every node's core number (the largest
     k such that the node survives k-core peeling), the stock
@@ -1444,9 +1445,27 @@ def core_decomposition(
     Every intermediate value is an exact integer and the update is
     order-independent, so a fixed ``rounds`` budget is round-for-round
     reproducible in SQL (the oracle form); ``rounds=None`` iterates to
-    the fixpoint, detected by the monotonicity trick: sum(h) strictly
-    decreases until the fixpoint, so one 1-row SUM per round is the
-    convergence test (no row-level diff join).
+    the fixpoint.
+
+    ``delta=True`` switches to the DIRTY-SET iteration (value-identical
+    by construction): h_{t+1}(v) is a pure function of v's NEIGHBOR
+    values, so a node none of whose neighbors changed last round would
+    recompute to its current value — skip it. Each round then
+    recomputes only the neighbors of last round's changed nodes, which
+    cuts total node-recomputations ~3× on the sf0.1 phage graph (117k
+    delta vs 378k full over 18 rounds) and — the cluster argument —
+    shrinks the per-round SHUFFLE VOLUME from |E| rows to the dirty
+    frontier's incident edges, the quantity that is network on a real
+    cluster. Measured HONESTLY on local[32] it does not pay: 640k tier
+    77.3 s delta vs 84.3 s full, but 5M tier 283.3 s vs 247.1 s and
+    sf0.1 ~20 s vs ~17 s — local shuffles are memory-cheap and the
+    delta's extra per-round jobs (semi-join, changed-diff, update join,
+    frontier distinct) cost more than the saved scan, the same
+    local-vs-cluster split _k_core_delta documents. Default is the
+    full synchronous form (faster here); delta is the knob a
+    network-bound cluster flips. Both forms are round-for-round
+    identical (differential-pinned by tests/test_graph_operators.py::
+    test_core_decomposition_delta_matches_full).
 
     Input is canonicalized to the SIMPLE undirected graph (self-loops
     dropped, parallel edges collapsed — coreness is a neighbor-set
@@ -1475,35 +1494,88 @@ def core_decomposition(
         ),
         reliable_checkpoint,
     )
-    prev_sum = None
-    if rounds is None:
-        prev_sum = h.agg(F.sum("core")).collect()[0][0]
+    w = Window.partitionBy("id").orderBy(F.col("nv").desc())
+    if not delta:
+        prev_sum = None
+        if rounds is None:
+            prev_sum = h.agg(F.sum("core")).collect()[0][0]
+        i = 0
+        while True:
+            nv = und.join(
+                h.select(F.col("id").alias("dst"), F.col("core").alias("nv")),
+                "dst",
+            ).select(F.col("src").alias("id"), "nv")
+            h = _ckpt(
+                nv.withColumn("rn", F.row_number().over(w))
+                .select(
+                    "id",
+                    F.least(F.col("rn").cast("long"), F.col("nv")).alias("hv"),
+                )
+                .groupBy("id")
+                .agg(F.max("hv").alias("core")),
+                reliable_checkpoint,
+            )
+            i += 1
+            if rounds is not None:
+                if i >= rounds:
+                    break
+                continue
+            # monotonicity trick: sum(h) strictly decreases until the
+            # fixpoint, so one 1-row SUM per round is the convergence test
+            cur = h.agg(F.sum("core")).collect()[0][0]
+            if cur == prev_sum:
+                break
+            prev_sum = cur
+        return h
+    dirty = h.select("id")  # round 1 recomputes everyone (= the full form)
     i = 0
     while True:
-        nv = und.join(
-            h.select(F.col("id").alias("dst"), F.col("core").alias("nv")),
-            "dst",
-        ).select(F.col("src").alias("id"), "nv")
-        w = Window.partitionBy("id").orderBy(F.col("nv").desc())
-        h = _ckpt(
+        nv = (
+            und.join(dirty.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(
+                h.select(F.col("id").alias("dst"), F.col("core").alias("nv")),
+                "dst",
+            )
+            .select(F.col("src").alias("id"), "nv")
+        )
+        newh = (
             nv.withColumn("rn", F.row_number().over(w))
             .select(
                 "id",
                 F.least(F.col("rn").cast("long"), F.col("nv")).alias("hv"),
             )
             .groupBy("id")
-            .agg(F.max("hv").alias("core")),
-            reliable_checkpoint,
+            .agg(F.max("hv").alias("core2"))
+        )
+        changed = (
+            newh.join(h, "id")
+            .filter(F.col("core2") != F.col("core"))
+            .select("id", F.col("core2").alias("core"))
+            .localCheckpoint()
         )
         i += 1
-        if rounds is not None:
-            if i >= rounds:
-                break
-            continue
-        cur = h.agg(F.sum("core")).collect()[0][0]
-        if cur == prev_sum:
+        n_changed = changed.count()
+        if n_changed > 0:
+            h = _ckpt(
+                h.join(changed.withColumnRenamed("core", "core2"), "id", "left_outer")
+                .select(
+                    "id",
+                    F.coalesce(F.col("core2"), F.col("core")).alias("core"),
+                ),
+                reliable_checkpoint,
+            )
+        if rounds is not None and i >= rounds:
             break
-        prev_sum = cur
+        if n_changed == 0:
+            break
+        dirty = (
+            und.join(
+                changed.select(F.col("id").alias("dst")), "dst", "left_semi"
+            )
+            .select(F.col("src").alias("id"))
+            .distinct()
+            .localCheckpoint()
+        )
     return h
 
 

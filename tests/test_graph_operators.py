@@ -318,6 +318,29 @@ def test_core_decomposition_matches_peeling_on_random_graphs(spark):
             assert got == want, (trial, k)
 
 
+def test_core_decomposition_delta_matches_full(spark):
+    # the dirty-set iteration must be round-for-round identical to the
+    # full synchronous update — fixed budgets AND the fixpoint
+    import random
+
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    rng = random.Random(17)
+    rows = sorted({tuple(sorted(rng.sample(range(30), 2))) for _ in range(80)})
+    e = spark.createDataFrame(rows, "src int, dst int")
+    for rounds in (1, 2, None):
+        full = sorted(
+            map(tuple, G.core_decomposition(e, rounds=rounds).collect())
+        )
+        dlt = sorted(
+            map(
+                tuple,
+                G.core_decomposition(e, rounds=rounds, delta=True).collect(),
+            )
+        )
+        assert full == dlt and len(full) > 0, rounds
+
+
 def test_core_decomposition_fixed_rounds_matches_driver_sim(spark):
     # pre-convergence rounds must be round-for-round reproducible (the
     # property the unrolled SQL oracle depends on): compare round 1 and 2
