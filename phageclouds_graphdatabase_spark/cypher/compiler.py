@@ -2440,6 +2440,12 @@ class CypherEngine:
         # reproducible; stock GDS walks are seeded-RNG). walkLength
         # counts STEPS (hops), not nodes — documented divergence.
         "gds.randomwalk.stream": ("start", "walkId", "nodeIds"),
+        # round 6: level-synchronous BFS — yields one (source, node,
+        # level) row per reached node instead of stock GDS's
+        # path-shaped single-source yield (documented divergence;
+        # sourceNodes takes MANY sources, the multi-source form every
+        # sampled-centrality op here builds on)
+        "gds.bfs.stream": ("sourceNodeId", "nodeId", "level"),
     }
 
     def _gds_edges(self, reltype: str | None):
@@ -2791,6 +2797,31 @@ class CypherEngine:
                 F.col("src").alias("sourceNodeId"),
                 F.col("dst").alias("targetNodeId"),
                 F.col("cost").alias("totalCost"),
+            )
+        elif name == "gds.bfs.stream":
+            if config.get("sourceNodes") is None:
+                raise CypherCompileError(
+                    "gds.bfs.stream needs sourceNodes: [node keys]"
+                )
+            depth = int(config.get("maxDepth", 3))
+            if not 1 <= depth <= 20:
+                raise CypherCompileError(
+                    "gds.bfs.stream maxDepth must be between 1 and 20"
+                )
+            orientation = str(config.get("orientation", "UNDIRECTED")).upper()
+            if orientation not in ("UNDIRECTED", "NATURAL"):
+                raise CypherCompileError(
+                    "orientation must be 'UNDIRECTED' or 'NATURAL'"
+                )
+            df = _G.multi_source_bfs_levels(
+                self._gds_roots(e, config),
+                e,
+                k=depth,
+                directed=orientation == "NATURAL",
+            ).select(
+                F.col("root").alias("sourceNodeId"),
+                F.col("id").alias("nodeId"),
+                F.col("d").cast("long").alias("level"),
             )
         elif name == "gds.randomwalk.stream":
             wl = int(config.get("walkLength", 3))

@@ -1820,6 +1820,62 @@ def cypher_gds_nodesim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_sp_thresh(spark, sf_dir).run(q)
 
 
+def cypher_gds_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.bfs.stream (round 6): level-synchronous multi-source BFS
+    through the proc surface — (sourceNodeId, nodeId, level) rows
+    instead of stock GDS's path-shaped single-source yield (documented
+    divergence). Roots pin graph_harmonic_centrality's ECONOMY %64
+    sample, so the oracle is that twin's 3-level unrolled BFS projected
+    to per-(root, id) rows instead of the harmonic aggregate."""
+    seeds = [
+        r.id
+        for r in t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_partkey") % 64 == 1))
+        .select(F.concat(F.lit("P"), F.col("p_partkey")).alias("id"))
+        .distinct()
+        .collect()
+    ]
+    q = ("CALL gds.bfs.stream('sharesDNA', "
+         "{sourceNodes: $seeds, maxDepth: 3}) "
+         "YIELD sourceNodeId AS src, nodeId AS id, level "
+         "RETURN src, id, level")
+    return _engine_sp_thresh(spark, sf_dir).run(q, params={"seeds": seeds})
+
+
+CYPHER_GDS_BFS_SQL = f"""
+WITH edges AS ({GRAPH_EDGES_SQL}),
+und AS (
+    SELECT src, dst FROM edges WHERE distance <= {GRAPH_THRESHOLD}
+    UNION
+    SELECT dst AS src, src AS dst FROM edges WHERE distance <= {GRAPH_THRESHOLD}
+),
+r0 AS (SELECT id AS root, id FROM (
+    SELECT DISTINCT 'P' || p_partkey AS id FROM part
+    WHERE p_type = 'ECONOMY' AND p_partkey % 64 = 1)),
+l1 AS (
+    SELECT DISTINCT r.root, u.dst AS id
+    FROM r0 r JOIN und u ON u.src = r.id
+    WHERE u.dst <> r.root
+),
+l2 AS (
+    SELECT DISTINCT l1.root, u.dst AS id
+    FROM l1 JOIN und u ON u.src = l1.id
+    WHERE u.dst <> l1.root
+      AND NOT EXISTS (SELECT 1 FROM l1 z WHERE z.root = l1.root AND z.id = u.dst)
+),
+l3 AS (
+    SELECT DISTINCT l2.root, u.dst AS id
+    FROM l2 JOIN und u ON u.src = l2.id
+    WHERE u.dst <> l2.root
+      AND NOT EXISTS (SELECT 1 FROM l1 z WHERE z.root = l2.root AND z.id = u.dst)
+      AND NOT EXISTS (SELECT 1 FROM l2 z WHERE z.root = l2.root AND z.id = u.dst)
+)
+SELECT root AS src, id, CAST(1 AS BIGINT) AS level FROM l1
+UNION ALL SELECT root, id, 2 FROM l2
+UNION ALL SELECT root, id, 3 FROM l3
+"""
+
+
 def cypher_gds_wcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gds.wcc.stream with a relationship-weight bound (round 6): the
     reference's CLOUD is exactly wcc(distance <= t) (reference
@@ -1975,6 +2031,9 @@ ENTRIES.update({
     ),
     "cypher_gds_wcc_threshold": SuiteEntry(
         cypher_gds_wcc_threshold, CYPHER_GDS_WCC_THRESHOLD_SQL, ("S2", "W6")
+    ),
+    "cypher_gds_bfs": SuiteEntry(
+        cypher_gds_bfs, CYPHER_GDS_BFS_SQL, ("S2", "W6", "J2")
     ),
     "cypher_gds_dijkstra": SuiteEntry(
         cypher_gds_dijkstra, _ext.GRAPH_CHEAPEST_SQL, ("S2", "W6", "J2")

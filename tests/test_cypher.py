@@ -2305,6 +2305,22 @@ class TestGdsProcedures:
                 "{orientation: 'REVERSE'}) YIELD nodeId RETURN nodeId"
             )
 
+    def test_bfs_stream_levels(self, eng):
+        # round 6: multi-source BFS levels through the proc surface; on
+        # the t<=0.25 fixture from A1: A2/A3 at level 1, nothing at 3+
+        got = sorted(rows(eng.run(
+            "CALL gds.bfs.stream('sharesDNA', "
+            "{sourceNodes: ['A1'], maxDepth: 3, orientation: 'NATURAL'}) "
+            "YIELD sourceNodeId, nodeId, level "
+            "RETURN sourceNodeId, nodeId, level"
+        )))
+        assert ("A1", "A2", 1) in got and ("A1", "A3", 1) in got
+        assert all(s == "A1" and 1 <= lv <= 3 for s, _, lv in got)
+        with pytest.raises(CypherCompileError, match="sourceNodes"):
+            eng.run(
+                "CALL gds.bfs.stream('sharesDNA') YIELD nodeId RETURN nodeId"
+            )
+
     def test_wcc_stream_weight_bounds(self, eng, shares_dna):
         from phageclouds_graphdatabase_spark.operators import graph as G
 
