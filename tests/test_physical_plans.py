@@ -368,3 +368,35 @@ def test_triangle_counts_inherits_gated_closing_join(spark):
     )
     assert "ShuffledHashJoin" in over and "LeftSemi" in over, over
     assert "SortMergeJoin LeftSemi" not in over, over
+
+
+def test_nodesim_auto_gate_plan_shapes(spark):
+    # the round-6 self-gate must change the PHYSICAL PLAN, not just the
+    # values: on an unskewed graph the auto form delegates to the
+    # single-pass operator (no hot-dst LeftAnti prune stage anywhere in
+    # the plan); on a skewed graph the cap engages and the hub-pruned
+    # candidate index shows up as a LeftAnti join
+    from phageclouds_graphdatabase_spark.operators.graph import (
+        node_similarity_topk_capped,
+    )
+
+    uniform = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "z"), ("c", "y")],
+        "src string, dst string",
+    )
+    plan_u = explain_str(
+        node_similarity_topk_capped(
+            uniform, k=5, freq_cap="auto", upper_degree_cutoff=10_000
+        )
+    )
+    assert "LeftAnti" not in plan_u, plan_u
+    skewed = spark.createDataFrame(
+        [(f"s{i}", "HUB") for i in range(12)]
+        + [("s0", "n1"), ("s1", "n1")]
+        + [(f"s{i}", f"u{i}") for i in range(10)],
+        "src string, dst string",
+    )
+    plan_s = explain_str(
+        node_similarity_topk_capped(skewed, k=5, freq_cap="auto")
+    )
+    assert "LeftAnti" in plan_s, plan_s
