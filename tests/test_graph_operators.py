@@ -868,6 +868,32 @@ def test_node_similarity_metrics_hand_computed(spark):
         G.node_similarity_topk(e, k=10, metric="dice")
 
 
+def test_node_similarity_metric_ordering_invariant(spark):
+    # for any pair: jaccard <= cosine <= overlap (min <= sqrt(da*db) <=
+    # da+db-inter, since max(da,db) >= sqrt(da*db) >= min(da,db) and
+    # union >= max) — a cross-metric sanity net on a random bipartite graph
+    import random
+
+    rng = random.Random(23)
+    rows = sorted({
+        (f"s{rng.randrange(12)}", f"d{rng.randrange(8)}") for _ in range(60)
+    })
+    e = spark.createDataFrame(rows, "src string, dst string")
+    by_metric = {
+        m: {
+            (r.a, r.b): r[m]
+            for r in G.node_similarity_topk(e, k=100, metric=m).collect()
+        }
+        for m in ("jaccard", "overlap", "cosine")
+    }
+    pairs = set(by_metric["jaccard"])
+    assert pairs == set(by_metric["overlap"]) == set(by_metric["cosine"])
+    assert len(pairs) > 0
+    for p in pairs:
+        j, c, o = by_metric["jaccard"][p], by_metric["cosine"][p], by_metric["overlap"][p]
+        assert j <= c + 1e-12 and c <= o + 1e-12, (p, j, c, o)
+
+
 def test_node_similarity_capped_metric_matches_uncapped(spark, shares_dna):
     # the capped path's verification is metric-independent; with a
     # never-hot cap every metric must equal its uncapped twin
