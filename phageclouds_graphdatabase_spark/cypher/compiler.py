@@ -2446,6 +2446,12 @@ class CypherEngine:
         # sourceNodes takes MANY sources, the multi-source form every
         # sampled-centrality op here builds on)
         "gds.bfs.stream": ("sourceNodeId", "nodeId", "level"),
+        # round 6: community-quality metrics (the measurement half of
+        # the community family) — communityProperty reads a node
+        # property; maxIterations instead runs the deterministic
+        # synchronous label propagation (engine extension)
+        "gds.modularity.stream": ("communityId", "modularity"),
+        "gds.conductance.stream": ("community", "conductance"),
     }
 
     def _gds_edges(self, reltype: str | None):
@@ -2798,6 +2804,47 @@ class CypherEngine:
                 F.col("dst").alias("targetNodeId"),
                 F.col("cost").alias("totalCost"),
             )
+        elif name in ("gds.modularity.stream", "gds.conductance.stream"):
+            cprop = config.get("communityProperty")
+            if cprop is not None:
+                # resolve the property on the relationship's src-endpoint
+                # label (sharesDNA endpoints are one label by contract)
+                rel = self.catalog.rel(
+                    reltype
+                    if reltype is not None
+                    else next(iter(self.catalog.rels))
+                )
+                nt = self.catalog.node(rel.src_label)
+                if cprop not in nt.df.columns:
+                    raise CypherCompileError(
+                        f"communityProperty {cprop!r} is not a node property"
+                        f" of :{rel.src_label}"
+                    )
+                assignment = nt.df.select(
+                    F.col(nt.key).cast("string").alias("id"),
+                    F.col(cprop).cast("string").alias("label"),
+                )
+            else:
+                # engine extension: compute the assignment with the
+                # deterministic synchronous label propagation
+                from phageclouds_graphdatabase_spark.graphframe import (
+                    GraphFrame,
+                )
+
+                v = (
+                    e.select(F.col("src").alias("id"))
+                    .unionByName(e.select(F.col("dst").alias("id")))
+                    .distinct()
+                )
+                assignment = GraphFrame(v, e).labelPropagation(iters)
+            q = _G.community_quality(e, assignment)
+            if name == "gds.modularity.stream":
+                df = q.select(
+                    F.col("community").alias("communityId"),
+                    F.col("modularity"),
+                )
+            else:
+                df = q.select("community", "conductance")
         elif name == "gds.bfs.stream":
             if config.get("sourceNodes") is None:
                 raise CypherCompileError(

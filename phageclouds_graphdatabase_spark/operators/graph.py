@@ -1001,6 +1001,110 @@ def katz_centrality_scaled(
     return x
 
 
+def community_quality(edges: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Per-community quality metrics over a node→community assignment
+    (round 6 — the measurement half of the community-detection family,
+    the stock ``gds.modularity.stream`` / ``gds.conductance.stream``
+    surface):
+
+    - modularity  Q_c = e_c/m − (d_c/(2m))², computed as ONE double
+      division of exact longs: (4·m·e_c − d_c²) / (4·m²) — so the value
+      is correctly rounded identically cross-engine;
+    - conductance φ_c = cut_c / min(vol_c, vol_total − vol_c) (the
+      textbook definition; 0.0 when the denominator is 0 — the
+      whole-graph-one-community case).
+
+    Input is canonicalized to the simple undirected graph (the same
+    convention as triangle_counts / core_decomposition); ``assignment``
+    is (id, label). Nodes without an assignment row drop out (inner
+    join); isolated nodes carry no edges and are absent. Returns
+    (community, intra_edges, cut_edges, degree_sum, modularity,
+    conductance).
+
+    Scale shape: one |E|-row double join (labels onto both endpoints),
+    then node- and community-cardinality aggregates — all
+    key-partitioned, map-side combinable; the only driver-side scalar
+    is m (one count job on the canonical set)."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    m = canon.count()
+    lab = assignment.select("id", "label")
+    je = (
+        canon.join(
+            lab.select(F.col("id").alias("a"), F.col("label").alias("la")),
+            "a",
+        )
+        .join(
+            lab.select(F.col("id").alias("b"), F.col("label").alias("lb")),
+            "b",
+        )
+        .select("la", "lb")
+        .localCheckpoint()
+    )
+    intra = (
+        je.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    cut = (
+        je.filter(F.col("la") != F.col("lb"))
+        .select(F.explode(F.array("la", "lb")).alias("community"))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("long").alias("cut_edges"))
+    )
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .unionByName(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    vol = (
+        deg.join(lab, "id")
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.sum("d").cast("long").alias("degree_sum"))
+    )
+    num = (
+        F.lit(4 * m).cast("long") * F.col("intra_edges")
+        - F.col("degree_sum") * F.col("degree_sum")
+    )
+    den = F.lit(4 * m * m).cast("long")
+    cond_den = F.least(
+        F.col("degree_sum"), F.lit(2 * m).cast("long") - F.col("degree_sum")
+    )
+    return (
+        vol.join(intra, "community", "left_outer")
+        .join(cut, "community", "left_outer")
+        .select(
+            "community",
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias(
+                "intra_edges"
+            ),
+            F.coalesce("cut_edges", F.lit(0)).cast("long").alias("cut_edges"),
+            "degree_sum",
+        )
+        .select(
+            "community",
+            "intra_edges",
+            "cut_edges",
+            "degree_sum",
+            (num.cast("double") / den.cast("double")).alias("modularity"),
+            F.when(
+                cond_den > 0,
+                F.col("cut_edges").cast("double") / cond_den.cast("double"),
+            )
+            .otherwise(0.0)
+            .alias("conductance"),
+        )
+    )
+
+
 def article_rank_scaled(
     edges: DataFrame,
     iterations: int = 2,

@@ -32,11 +32,12 @@ _ALL: dict[str, SuiteEntry] = {
 # operators), then the 3 NEW round-6 entries (directed betweenness/stress,
 # full core decomposition), then the 7 r1-vintage stragglers, then the 24
 # stalest r2-vintage entries (CORRECTNESS_r02 check order). Queued for
-# round 7's window: the 9 late-round-6 additions (graph_article_rank,
+# round 7's window: the 12 late-round-6 additions (graph_article_rank,
 # graph_eigenvector, graph_node_similarity_overlap,
-# cypher_gds_articlerank, cypher_gds_eigenvector,
-# cypher_gds_nodesim_cosine, cypher_gds_randomwalk,
-# cypher_gds_wcc_threshold, cypher_gds_bfs — never driver-checked,
+# graph_community_quality, cypher_gds_articlerank,
+# cypher_gds_eigenvector, cypher_gds_nodesim_cosine,
+# cypher_gds_randomwalk, cypher_gds_wcc_threshold, cypher_gds_bfs,
+# cypher_gds_modularity, cypher_gds_conductance — never driver-checked,
 # green in the strict local gate) plus the remaining 25 r2-vintage
 # entries:
 # stream_user_totals, stream_static_join, stream_stream_join,

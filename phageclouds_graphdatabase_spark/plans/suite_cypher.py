@@ -1876,6 +1876,40 @@ UNION ALL SELECT root, id, 3 FROM l3
 """
 
 
+def cypher_gds_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.modularity.stream (round 6): per-community modularity over the
+    deterministic 2-round LP assignment ({maxIterations: 2} — the engine
+    extension; stock GDS reads a precomputed communityProperty, also
+    supported). Shares graph_community_quality's SQL projected to the
+    two yielded columns."""
+    q = ("CALL gds.modularity.stream('sharesDNA', {maxIterations: 2}) "
+         "YIELD communityId AS community, modularity "
+         "RETURN community, modularity")
+    return _engine_sp_thresh(spark, sf_dir).run(q)
+
+
+def cypher_gds_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gds.conductance.stream (round 6): per-community conductance
+    φ_c = cut_c / min(vol_c, 2m − vol_c) over the same LP assignment,
+    sharing the community-quality SQL."""
+    q = ("CALL gds.conductance.stream('sharesDNA', {maxIterations: 2}) "
+         "YIELD community, conductance RETURN community, conductance")
+    return _engine_sp_thresh(spark, sf_dir).run(q)
+
+
+CYPHER_GDS_MODULARITY_SQL = (
+    "SELECT community, modularity FROM ("
+    + _ext.GRAPH_COMMUNITY_QUALITY_SQL
+    + ") z"
+)
+
+CYPHER_GDS_CONDUCTANCE_SQL = (
+    "SELECT community, conductance FROM ("
+    + _ext.GRAPH_COMMUNITY_QUALITY_SQL
+    + ") z"
+)
+
+
 def cypher_gds_wcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gds.wcc.stream with a relationship-weight bound (round 6): the
     reference's CLOUD is exactly wcc(distance <= t) (reference
@@ -2034,6 +2068,12 @@ ENTRIES.update({
     ),
     "cypher_gds_bfs": SuiteEntry(
         cypher_gds_bfs, CYPHER_GDS_BFS_SQL, ("S2", "W6", "J2")
+    ),
+    "cypher_gds_modularity": SuiteEntry(
+        cypher_gds_modularity, CYPHER_GDS_MODULARITY_SQL, ("S2", "W6", "A6")
+    ),
+    "cypher_gds_conductance": SuiteEntry(
+        cypher_gds_conductance, CYPHER_GDS_CONDUCTANCE_SQL, ("S2", "W6", "A6")
     ),
     "cypher_gds_dijkstra": SuiteEntry(
         cypher_gds_dijkstra, _ext.GRAPH_CHEAPEST_SQL, ("S2", "W6", "J2")

@@ -2995,6 +2995,91 @@ ENTRIES.update({
 })
 
 
+def graph_community_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community modularity + conductance (round 6 — the stock
+    gds.modularity/gds.conductance surface) over the deterministic
+    2-round label-propagation assignment: modularity
+    Q_c = (4·m·e_c − d_c²)/(4m²) and conductance
+    φ_c = cut_c / min(vol_c, 2m − vol_c), each ONE double division of
+    exact longs (operators/graph.py community_quality). The oracle
+    inlines the LP twin's 2-round unrolled SQL as the assignment and
+    re-derives the same integer aggregates."""
+    from phageclouds_graphdatabase_spark.graphframe import GraphFrame
+
+    e = graph_edges(spark, sf_dir, GRAPH_THRESHOLD)
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    lp = GraphFrame(v, e).labelPropagation(2)
+    return G.community_quality(e, lp)
+
+
+GRAPH_COMMUNITY_QUALITY_SQL = f"""
+WITH lp AS ({GRAPH_LABEL_PROP_SQL}),
+eg2 AS (
+    SELECT src, dst FROM ({GRAPH_EDGES_SQL}) WHERE distance <= {GRAPH_THRESHOLD}
+),
+canon AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM eg2 WHERE src <> dst
+),
+mm AS (SELECT COUNT(*) AS m FROM canon),
+je AS (
+    SELECT ca.label AS la, cb.label AS lb
+    FROM canon
+    JOIN lp ca ON canon.a = ca.id
+    JOIN lp cb ON canon.b = cb.id
+),
+intra AS (
+    SELECT la AS community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+    FROM je WHERE la = lb GROUP BY la
+),
+cut AS (
+    SELECT community, CAST(COUNT(*) AS BIGINT) AS cut_edges FROM (
+        SELECT la AS community FROM je WHERE la <> lb
+        UNION ALL
+        SELECT lb FROM je WHERE la <> lb
+    ) GROUP BY community
+),
+deg AS (
+    SELECT id, COUNT(*) AS d
+    FROM (SELECT a AS id FROM canon UNION ALL SELECT b FROM canon)
+    GROUP BY id
+),
+vol AS (
+    SELECT lp.label AS community, CAST(SUM(deg.d) AS BIGINT) AS degree_sum
+    FROM deg JOIN lp ON deg.id = lp.id GROUP BY lp.label
+)
+SELECT vol.community,
+       CAST(COALESCE(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+       CAST(COALESCE(cut.cut_edges, 0) AS BIGINT) AS cut_edges,
+       vol.degree_sum,
+       CAST(4 * (SELECT m FROM mm) * COALESCE(intra.intra_edges, 0)
+            - vol.degree_sum * vol.degree_sum AS DOUBLE)
+       / CAST(4 * (SELECT m FROM mm) * (SELECT m FROM mm) AS DOUBLE)
+           AS modularity,
+       CASE WHEN LEAST(vol.degree_sum,
+                       2 * (SELECT m FROM mm) - vol.degree_sum) > 0
+            THEN CAST(COALESCE(cut.cut_edges, 0) AS DOUBLE)
+                 / CAST(LEAST(vol.degree_sum,
+                              2 * (SELECT m FROM mm) - vol.degree_sum)
+                        AS DOUBLE)
+            ELSE 0.0 END AS conductance
+FROM vol
+LEFT JOIN intra ON intra.community = vol.community
+LEFT JOIN cut ON cut.community = vol.community
+"""
+
+
+ENTRIES.update({
+    "graph_community_quality": SuiteEntry(
+        graph_community_quality, GRAPH_COMMUNITY_QUALITY_SQL, ("W6", "A6")
+    ),
+})
+
+
 def graph_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL k-core decomposition (round 6 — the stock gds.kcore.stream
     semantics, closing the given-k COVERAGE divergence): every node's

@@ -2305,6 +2305,49 @@ class TestGdsProcedures:
                 "{orientation: 'REVERSE'}) YIELD nodeId RETURN nodeId"
             )
 
+    def test_modularity_conductance_streams(self, eng, shares_dna):
+        from phageclouds_graphdatabase_spark.graphframe import GraphFrame
+        from phageclouds_graphdatabase_spark.operators import graph as G
+
+        # maxIterations runs the deterministic LP internally; the procs
+        # must equal community_quality over that assignment
+        e = shares_dna.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        )
+        v = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        q = G.community_quality(e, GraphFrame(v, e).labelPropagation(2))
+        got_m = rows(eng.run(
+            "CALL gds.modularity.stream('sharesDNA', {maxIterations: 2}) "
+            "YIELD communityId, modularity RETURN communityId, modularity"
+        ))
+        want_m = sorted((r.community, r.modularity) for r in q.collect())
+        assert got_m == want_m and len(got_m) > 0
+        got_c = rows(eng.run(
+            "CALL gds.conductance.stream('sharesDNA', {maxIterations: 2}) "
+            "YIELD community, conductance RETURN community, conductance"
+        ))
+        want_c = sorted((r.community, r.conductance) for r in q.collect())
+        assert got_c == want_c
+        # communityProperty reads a precomputed node property: 'source'
+        # partitions the fixture nodes into NCBI/EBI communities
+        got_p = rows(eng.run(
+            "CALL gds.modularity.stream('sharesDNA', "
+            "{communityProperty: 'source'}) "
+            "YIELD communityId, modularity RETURN communityId, modularity"
+        ))
+        assert len(got_p) >= 1
+        with pytest.raises(CypherCompileError, match="node property"):
+            eng.run(
+                "CALL gds.modularity.stream('sharesDNA', "
+                "{communityProperty: 'nope'}) "
+                "YIELD communityId RETURN communityId"
+            )
+
     def test_bfs_stream_levels(self, eng):
         # round 6: multi-source BFS levels through the proc surface; on
         # the t<=0.25 fixture from A1: A2/A3 at level 1, nothing at 3+

@@ -721,6 +721,43 @@ def test_katz_centrality_hand_computed(spark, shares_dna):
     }
 
 
+def test_community_quality_hand_computed(spark):
+    # two triangles joined by a bridge C-D, communities = the triangles.
+    # m = 7; per community: e_c = 3, cut_c = 1, d_c = 2+2+3 = 7.
+    # modularity = (4*7*3 - 49)/(4*49) = 35/196; conductance = 1/min(7,7)
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("A", "C"),
+         ("D", "E"), ("E", "F"), ("D", "F"), ("C", "D")],
+        "src string, dst string",
+    )
+    asg = spark.createDataFrame(
+        [("A", "t1"), ("B", "t1"), ("C", "t1"),
+         ("D", "t2"), ("E", "t2"), ("F", "t2")],
+        "id string, label string",
+    )
+    got = {
+        r.community: (
+            r.intra_edges, r.cut_edges, r.degree_sum,
+            r.modularity, r.conductance,
+        )
+        for r in G.community_quality(e, asg).collect()
+    }
+    assert got == {
+        "t1": (3, 1, 7, 35 / 196, 1 / 7),
+        "t2": (3, 1, 7, 35 / 196, 1 / 7),
+    }
+    # whole graph as one community: modularity = (4*7*7 - 196)/196 = 0;
+    # conductance denominator 0 -> defined 0.0
+    one = spark.createDataFrame(
+        [(n, "all") for n in "ABCDEF"], "id string, label string"
+    )
+    row = G.community_quality(e, one).collect()[0]
+    assert (row.intra_edges, row.cut_edges, row.degree_sum) == (7, 0, 14)
+    assert row.modularity == 0.0 and row.conductance == 0.0
+
+
 def test_article_rank_hand_computed(spark):
     # A->B, A->C, B->C: |E|=3, |V|=3 -> avg_od = 1; od(A)=2, od(B)=1.
     # iter1: c(B) = 1e6 div 3 = 333333; c(C) = 333333 + 1e6 div 2 = 833333
