@@ -25,86 +25,68 @@ _ALL: dict[str, SuiteEntry] = {
 }
 
 # The driver checks the FIRST 50 dict entries each round (observed across
-# rounds 1-5). Round-6 window (VERDICT r5 ask #1, in its prescribed order):
-# the 12 never-driver-checked round-5 additions, then the 4 entries whose
-# implementation changed in round 5 AFTER their last driver check (packed
-# fastRP + the triangle/similarity twins now delegating to the shared
-# operators), then the 3 NEW round-6 entries (directed betweenness/stress,
-# full core decomposition), then the 7 r1-vintage stragglers, then the 24
-# stalest r2-vintage entries (CORRECTNESS_r02 check order). Queued for
-# round 7's window: the 12 late-round-6 additions (graph_article_rank,
-# graph_eigenvector, graph_node_similarity_overlap,
-# graph_community_quality, cypher_gds_articlerank,
-# cypher_gds_eigenvector, cypher_gds_nodesim_cosine,
-# cypher_gds_randomwalk, cypher_gds_wcc_threshold, cypher_gds_bfs,
-# cypher_gds_modularity, cypher_gds_conductance — never driver-checked,
-# green in the strict local gate) plus the remaining 25 r2-vintage
-# entries:
-# stream_user_totals, stream_static_join, stream_stream_join,
-# stream_stream_left_join, stream_session_counts, jpeg_lossless_stats_real,
-# jpeg_baseline_stats_real, jpeg_progressive_stats_real, mjpeg_frames_real,
-# flac_stats_real, neardup_jaccard_pairs, neardup_jaccard_capped,
-# minhash_lsh_candidates, simhash_fingerprint, neardup_simhash_hamming,
-# neardup_levenshtein, dedup_cluster_canonical, dedup_incremental_exact,
-# knn_cosine_bruteforce, ann_lsh_buckets, kmeans_ivf_train, ivf_ann_topk,
-# embedding_neardup_cosine, vis_html_golden_scan, approx_stats_lineitem.
+# rounds 1-6). Round-7 window (VERDICT r6 ask #1, in its prescribed order):
+# the 12 late-round-6 additions that have never been seen by the external
+# driver (green in the 233/233 local strict gate, but "pass (local only)"
+# until the driver confirms), then the 25 stalest r2-vintage
+# re-confirmations (multimodal *_real, neardup/ANN, streaming — last
+# driver-checked in CORRECTNESS_r02), then 13 stalest r3-vintage fillers.
+# New round-7 entries (clouds_by_* driver coverage, GDS value-parity
+# variants) replace tail fillers as they land.
 _WINDOW = [
-    # 12 round-5 additions, never driver-checked
-    "cypher_gds_harmonic",
-    "cypher_gds_ppr",
-    "cypher_gds_fastrp",
-    "cypher_gds_scc",
-    "cypher_gds_kcore",
-    "cypher_gds_ktruss",
-    "cypher_gds_labelprop",
-    "cypher_gds_trianglecount",
-    "cypher_gds_lcc",
-    "cypher_gds_nodesim",
-    "cypher_gds_dijkstra",
-    "graph_node_similarity_capped",
-    # 4 rewritten in round 5 after their last driver check (the drift the
-    # local gate can't fully substitute for)
-    "graph_fastrp_embeddings",
-    "graph_node_similarity",
-    "graph_triangle_counts",
-    "graph_clustering_coefficient",
-    # 3 new round-6 entries
-    "graph_stress_directed",
-    "graph_betweenness_directed",
-    "graph_core_decomposition",
-    # 7 r1-vintage stragglers (suite.py:33-35 of round 5)
-    "graph_components_incremental",
-    "graph_k_core",
-    "text_token_stats",
-    "text_quality_score",
-    "lang_id_ngram",
-    "dedup_exact_docs",
-    "minhash_signatures",
-    # 24 stalest r2-vintage re-confirmations (CORRECTNESS_r02 order)
-    "cypher_seed_expand",
-    "cypher_induced_in_list",
-    "cypher_optional_host",
-    "cypher_existential_collect",
-    "cypher_grouped_agg",
-    "cypher_percentiles",
-    "cypher_var_length_khop",
-    "cypher_path_enumeration",
-    "cypher_chain_paths",
-    "cypher_shortest_paths",
-    "cypher_weighted_paths",
-    "cypher_union_sources",
-    "cypher_quantified_paths",
-    "cypher_optional_shortest",
-    "cypher_entity_functions",
-    "cypher_exists_count_blocks",
-    "cypher_call_topk",
-    "cypher_topk_order_limit",
-    "cypher_unwind_case",
-    "cypher_merge_upsert_nodes",
-    "cypher_set_property",
-    "cypher_detach_delete",
-    "cypher_create_edges",
-    "stream_tumbling_counts",
+    # 12 late-round-6 additions, never driver-checked
+    "graph_article_rank",
+    "graph_eigenvector",
+    "graph_community_quality",
+    "graph_node_similarity_overlap",
+    "cypher_gds_nodesim_cosine",
+    "cypher_gds_randomwalk",
+    "cypher_gds_wcc_threshold",
+    "cypher_gds_bfs",
+    "cypher_gds_modularity",
+    "cypher_gds_conductance",
+    "cypher_gds_articlerank",
+    "cypher_gds_eigenvector",
+    # 25 stalest r2-vintage re-confirmations (CORRECTNESS_r02 order)
+    "stream_user_totals",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "stream_session_counts",
+    "jpeg_lossless_stats_real",
+    "jpeg_baseline_stats_real",
+    "jpeg_progressive_stats_real",
+    "mjpeg_frames_real",
+    "flac_stats_real",
+    "neardup_jaccard_pairs",
+    "neardup_jaccard_capped",
+    "minhash_lsh_candidates",
+    "simhash_fingerprint",
+    "neardup_simhash_hamming",
+    "neardup_levenshtein",
+    "dedup_cluster_canonical",
+    "dedup_incremental_exact",
+    "knn_cosine_bruteforce",
+    "ann_lsh_buckets",
+    "kmeans_ivf_train",
+    "ivf_ann_topk",
+    "embedding_neardup_cosine",
+    "vis_html_golden_scan",
+    "approx_stats_lineitem",
+    # 13 stalest r3-vintage fillers (CORRECTNESS_r03 order)
+    "asof_prev_purchase",
+    "bloom_membership",
+    "bm25_doc_ranking",
+    "bpe_merge_train",
+    "collect_order_lists",
+    "corpus_clean_pipeline",
+    "corpus_profile",
+    "cypher_delete_nodes",
+    "cypher_merge_return",
+    "cypher_remove_property",
+    "dq_audit_report",
+    "dsir_importance_weights",
+    "embedding_centroids_bylabel",
 ]
 
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate window entry"
