@@ -2726,7 +2726,12 @@ class CypherEngine:
             if fc is not None and not (
                 isinstance(fc, str) and fc.lower() == "auto"
             ):
-                fc = int(fc)
+                try:
+                    fc = int(fc)
+                except (TypeError, ValueError):
+                    raise CypherCompileError(
+                        "freqCap must be an integer or 'auto'"
+                    ) from None
             elif isinstance(fc, str):
                 fc = "auto"
             udc = config.get("upperDegreeCutoff")

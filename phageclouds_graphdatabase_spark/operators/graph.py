@@ -1009,22 +1009,33 @@ def community_quality(edges: DataFrame, assignment: DataFrame) -> DataFrame:
 
     - modularity  Q_c = e_c/m − (d_c/(2m))², computed as ONE double
       division of exact longs: (4·m·e_c − d_c²) / (4·m²) — so the value
-      is correctly rounded identically cross-engine;
+      is correctly rounded identically cross-engine — for
+      m < 2³⁰ canonical edges (the bound where 4·m² stays inside a
+      signed 64-bit long; ADVICE r6); past it the quotient form
+      e_c/m − (d_c/(2m))² in doubles, relative rounding ~1e-16;
     - conductance φ_c = cut_c / min(vol_c, vol_total − vol_c) (the
       textbook definition; 0.0 when the denominator is 0 — the
       whole-graph-one-community case).
 
     Input is canonicalized to the simple undirected graph (the same
     convention as triangle_counts / core_decomposition); ``assignment``
-    is (id, label). Nodes without an assignment row drop out (inner
-    join); isolated nodes carry no edges and are absent. Returns
+    is (id, label). ALL THREE aggregates are computed over the edges
+    whose BOTH endpoints are assigned (ADVICE r6: degrees were
+    previously taken before the label join, so a partial assignment —
+    user-supplied communityProperty with missing labels — mixed
+    incompatible aggregates); the invariant degree_sum = 2·intra_c +
+    cut_c therefore holds BY CONSTRUCTION, partial or not, and m counts
+    the full canonical edge set (the normalization the modularity
+    definition needs). Unassigned nodes and their incident edges drop
+    out; isolated nodes carry no edges and are absent. Returns
     (community, intra_edges, cut_edges, degree_sum, modularity,
     conductance).
 
     Scale shape: one |E|-row double join (labels onto both endpoints),
-    then node- and community-cardinality aggregates — all
-    key-partitioned, map-side combinable; the only driver-side scalar
-    is m (one count job on the canonical set)."""
+    then community-cardinality aggregates — all key-partitioned,
+    map-side combinable; degree_sum is derived (no separate node-degree
+    aggregate, one fewer shuffle than the round-6 form); the only
+    driver-side scalar is m (one count job on the canonical set)."""
     canon = (
         edges.select(
             F.least("src", "dst").alias("a"),
@@ -1059,42 +1070,46 @@ def community_quality(edges: DataFrame, assignment: DataFrame) -> DataFrame:
         .groupBy("community")
         .agg(F.count(F.lit(1)).cast("long").alias("cut_edges"))
     )
-    deg = (
-        canon.select(F.col("a").alias("id"))
-        .unionByName(canon.select(F.col("b").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    vol = (
-        deg.join(lab, "id")
-        .groupBy(F.col("label").alias("community"))
-        .agg(F.sum("d").cast("long").alias("degree_sum"))
-    )
-    num = (
-        F.lit(4 * m).cast("long") * F.col("intra_edges")
-        - F.col("degree_sum") * F.col("degree_sum")
-    )
-    den = F.lit(4 * m * m).cast("long")
+    if m < (1 << 30):
+        # exact-long single division: 4m·e_c − d_c² with e_c <= m and
+        # d_c <= 2m is bounded by 4m² < 2^62
+        modularity = (
+            F.lit(4 * m).cast("long") * F.col("intra_edges")
+            - F.col("degree_sum") * F.col("degree_sum")
+        ).cast("double") / F.lit(float(4 * m * m))
+    else:
+        modularity = (
+            F.col("intra_edges").cast("double") / F.lit(float(m))
+            - F.pow(
+                F.col("degree_sum").cast("double") / F.lit(float(2 * m)),
+                F.lit(2.0),
+            )
+        )
     cond_den = F.least(
         F.col("degree_sum"), F.lit(2 * m).cast("long") - F.col("degree_sum")
     )
     return (
-        vol.join(intra, "community", "left_outer")
-        .join(cut, "community", "left_outer")
+        intra.join(cut, "community", "full_outer")
         .select(
             "community",
             F.coalesce("intra_edges", F.lit(0)).cast("long").alias(
                 "intra_edges"
             ),
             F.coalesce("cut_edges", F.lit(0)).cast("long").alias("cut_edges"),
+        )
+        .withColumn(
             "degree_sum",
+            (
+                F.lit(2).cast("long") * F.col("intra_edges")
+                + F.col("cut_edges")
+            ).cast("long"),
         )
         .select(
             "community",
             "intra_edges",
             "cut_edges",
             "degree_sum",
-            (num.cast("double") / den.cast("double")).alias("modularity"),
+            modularity.alias("modularity"),
             F.when(
                 cond_den > 0,
                 F.col("cut_edges").cast("double") / cond_den.cast("double"),
@@ -1521,6 +1536,40 @@ def _k_core_delta(und: DataFrame, k: int, reliable: bool) -> DataFrame:
     return deg.filter(F.col("degree") >= k)
 
 
+def _hindex_histogram(nv: DataFrame) -> DataFrame:
+    """(id, nv) neighbor-value rows -> (id, core): per-node H-index — the
+    largest k such that >= k values are >= k.
+
+    HISTOGRAM form (round 7, VERDICT r6 ask #3): aggregate to
+    (id, nv) -> cnt first, then rank/running-sum over the DISTINCT values
+    per node: c(v) = #values >= v is the running sum of cnt in descending
+    v order, and H = max over distinct v of min(v, c(v)). Exactness: for
+    any distinct v, min(v, c(v)) is a feasible k (c is non-increasing);
+    conversely the smallest distinct value v* >= H has c(v*) = c(H) >= H,
+    so min(v*, c(v*)) >= H. This replaces the per-row
+    ``row_number()`` rank over all neighbor values: a degree-10M hub
+    previously landed its whole neighbor list in ONE window task, while
+    here its window partition is at most |distinct neighbor core values|
+    rows (<= max coreness, typically tiny) — the same skew class fixed
+    for node similarity via the df-histogram gate. Value-identical to the
+    rank form (differential-pinned in tests/test_graph_operators.py)."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("id")
+        .orderBy(F.col("nv").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        nv.groupBy("id", "nv")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("c", F.sum("cnt").over(w))
+        .select("id", F.least(F.col("nv"), F.col("c")).alias("hv"))
+        .groupBy("id")
+        .agg(F.max("hv").alias("core"))
+    )
+
+
 def core_decomposition(
     edges: DataFrame,
     rounds: int | None = None,
@@ -1540,8 +1589,10 @@ def core_decomposition(
     fixpoint is exactly coreness — but unlike sequential bucket peeling
     it is a LOCAL, synchronous update, which is the distributed-friendly
     form: each round is one |E|-row join (neighbor values) + one
-    per-node H-index (window rank + max(min(rank, value)) — partial-agg
-    free but bounded by degree) + one node-cardinality aggregate. No
+    per-node H-index (the HISTOGRAM form, ``_hindex_histogram`` — a
+    map-side-combinable (id, value) count, then a running sum over the
+    per-node DISTINCT values only, so hub window partitions are bounded
+    by max coreness, not degree) + one node-cardinality aggregate. No
     global priority queue, no per-k sequential dependency; rounds needed
     in practice ≈ the graph's "coreness smoothness", measured small
     (single digits on every rehearsed tier).
@@ -1575,8 +1626,6 @@ def core_decomposition(
     dropped, parallel edges collapsed — coreness is a neighbor-set
     notion, same convention as triangle_counts). Returns (id, core);
     isolated nodes are absent (no edges → no rows, like k_core)."""
-    from pyspark.sql.window import Window
-
     canon = (
         edges.select(
             F.least("src", "dst").alias("a"),
@@ -1598,7 +1647,6 @@ def core_decomposition(
         ),
         reliable_checkpoint,
     )
-    w = Window.partitionBy("id").orderBy(F.col("nv").desc())
     if not delta:
         prev_sum = None
         if rounds is None:
@@ -1609,16 +1657,7 @@ def core_decomposition(
                 h.select(F.col("id").alias("dst"), F.col("core").alias("nv")),
                 "dst",
             ).select(F.col("src").alias("id"), "nv")
-            h = _ckpt(
-                nv.withColumn("rn", F.row_number().over(w))
-                .select(
-                    "id",
-                    F.least(F.col("rn").cast("long"), F.col("nv")).alias("hv"),
-                )
-                .groupBy("id")
-                .agg(F.max("hv").alias("core")),
-                reliable_checkpoint,
-            )
+            h = _ckpt(_hindex_histogram(nv), reliable_checkpoint)
             i += 1
             if rounds is not None:
                 if i >= rounds:
@@ -1642,15 +1681,7 @@ def core_decomposition(
             )
             .select(F.col("src").alias("id"), "nv")
         )
-        newh = (
-            nv.withColumn("rn", F.row_number().over(w))
-            .select(
-                "id",
-                F.least(F.col("rn").cast("long"), F.col("nv")).alias("hv"),
-            )
-            .groupBy("id")
-            .agg(F.max("hv").alias("core2"))
-        )
+        newh = _hindex_histogram(nv).withColumnRenamed("core", "core2")
         changed = (
             newh.join(h, "id")
             .filter(F.col("core2") != F.col("core"))

@@ -3085,11 +3085,19 @@ def graph_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, closing the given-k COVERAGE divergence): every node's
     core number via the h-index iteration (operators/graph.py
     core_decomposition — h₀ = degree, h_{t+1}(v) = H-index of neighbor
-    values, fixpoint = coreness). The engine runs to the FIXPOINT; the
-    oracle unrolls 8 synchronous rounds — measured convergence is 5/6
-    updates at sf0.001/sf0.01 and the update is idempotent at the
-    fixpoint, so extra unrolled rounds are no-ops by construction."""
-    return G.core_decomposition(graph_edges(spark, sf_dir, GRAPH_THRESHOLD))
+    values, fixpoint = coreness). The engine runs the SAME 8-round
+    budget the oracle unrolls (ADVICE r6: convergence depth is
+    data-dependent — up to graph diameter on path-like graphs — so
+    fixpoint-vs-8-rounds could diverge spuriously on a future testdata
+    regen; with matched budgets the comparison is exact by
+    construction). Measured convergence on the actual tables is 5/6
+    rounds and the update is idempotent at the fixpoint, so this result
+    IS the fixpoint coreness here — pinned by
+    tests/test_oracle_suite.py::test_core_decomposition_budget_is_fixpoint,
+    which fails loudly if a regen ever needs > 8 rounds."""
+    return G.core_decomposition(
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD), rounds=8
+    )
 
 
 def _core_decomposition_sql(rounds: int) -> str:

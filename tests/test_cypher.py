@@ -2485,6 +2485,13 @@ class TestGdsProcedures:
             ).collect()
         )
         assert got == want and len(got) > 0
+        # ADVICE r6: a non-'auto' string must fail the UNIFORM config
+        # error contract (CypherCompileError), not a bare ValueError
+        with pytest.raises(CypherCompileError, match="freqCap"):
+            eng.run(
+                "CALL gds.nodeSimilarity.stream('sharesDNA', "
+                "{topK: 5, freqCap: 'high'}) YIELD nodeId1 RETURN nodeId1"
+            )
 
     def test_stress_stream_positive_counts(self, eng):
         got = rows(eng.run(

@@ -1253,3 +1253,59 @@ def test_k_truss_deep_cascade_differential(spark, tmp_path):
         want_mid, _ = _brute_truss_rounds(edges, k, budget=4)
         got_mid = set(_truss_rows(G.k_truss(e, k, rounds=4)))
         assert got_mid == want_mid, (seed, k)
+
+
+def test_hindex_histogram_matches_bruteforce(spark):
+    # the histogram H-index (round 7: hub-safe replacement for the
+    # per-row rank window) must equal the classic sorted-rank H-index on
+    # adversarial multisets: heavy ties, hub-sized lists, singletons
+    import random
+
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    def brute(vals):
+        s = sorted(vals, reverse=True)
+        return max(min(i + 1, v) for i, v in enumerate(s))
+
+    rng = random.Random(23)
+    cases = {
+        "ties": [5, 5, 5],
+        "hub": [1] * 400 + [7, 7, 3],
+        "single": [9],
+        "ones": [1, 1, 1, 1],
+        "gap": [10, 2],
+    }
+    for t in range(6):
+        cases[f"rng{t}"] = [rng.randrange(1, 12) for _ in range(rng.randrange(1, 60))]
+    rows = [(k, v) for k, vs in cases.items() for v in vs]
+    nv = spark.createDataFrame(rows, "id string, nv long")
+    got = {r.id: r.core for r in G._hindex_histogram(nv).collect()}
+    assert got == {k: brute(vs) for k, vs in cases.items()}
+
+
+def test_community_quality_partial_assignment_consistent(spark):
+    # ADVICE r6: with a PARTIAL assignment (user communityProperty with
+    # missing labels) all three aggregates must be computed over the same
+    # edge set — edges with both endpoints assigned — so
+    # degree_sum = 2*intra + cut holds by construction. Triangle {A,B,C}
+    # in t1 plus edges C-D, D-E where D,E are unassigned: the t1 row must
+    # see only the triangle (D-edges excluded from degrees too).
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("A", "C"), ("C", "D"), ("D", "E")],
+        "src string, dst string",
+    )
+    part = spark.createDataFrame(
+        [("A", "t1"), ("B", "t1"), ("C", "t1")], "id string, label string"
+    )
+    rows = G.community_quality(e, part).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # m = 5 (full canonical set), e_c = 3, cut = 0, d_c = 2*3 + 0 = 6
+    assert (r.community, r.intra_edges, r.cut_edges, r.degree_sum) == (
+        "t1", 3, 0, 6,
+    )
+    assert r.degree_sum == 2 * r.intra_edges + r.cut_edges
+    assert r.modularity == (4 * 5 * 3 - 36) / (4 * 25)
+    assert r.conductance == 0.0

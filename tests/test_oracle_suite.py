@@ -108,3 +108,23 @@ def test_coverage_md_matches_suite():
     for names in survey_coverage().values():
         listed.update(names)
     assert listed == set(SUITE), sorted(set(SUITE) ^ listed)
+
+
+def test_core_decomposition_budget_is_fixpoint(spark, sf_dir):
+    """graph_core_decomposition runs the oracle's 8-round budget (ADVICE
+    r6: matched budgets make the comparison exact by construction); this
+    pins the stronger claim that 8 rounds ALSO reaches the fixpoint on
+    the actual testdata graph, so the suite entry's answer is the true
+    coreness — if a testdata regen ever ships a graph needing more
+    rounds, this fails loudly instead of the gate silently comparing two
+    pre-convergence vectors."""
+    from phageclouds_graphdatabase_spark.operators import graph as G
+    from phageclouds_graphdatabase_spark.plans.suite_extensions import (
+        GRAPH_THRESHOLD,
+        graph_edges,
+    )
+
+    e = graph_edges(spark, sf_dir, GRAPH_THRESHOLD)
+    budget = sorted(map(tuple, G.core_decomposition(e, rounds=8).collect()))
+    fix = sorted(map(tuple, G.core_decomposition(e).collect()))
+    assert budget == fix and len(fix) > 0
