@@ -2559,15 +2559,41 @@ class CypherEngine:
                 F.col("katz_scaled").alias("score"),
             )
         elif name == "gds.articlerank.stream":
-            df = _G.article_rank_scaled(e, iterations=iters).select(
+            # avgDegreeMode: 'floor' (default, exact-integer oracle form) |
+            # 'exact' (round 7 — the true |E|/|V| mean as a rational,
+            # matching stock GDS's float mean up to the one documented
+            # truncating div)
+            avg_mode = str(config.get("avgDegreeMode", "floor")).lower()
+            if avg_mode not in ("floor", "exact"):
+                raise CypherCompileError(
+                    "avgDegreeMode must be 'floor' or 'exact'"
+                )
+            df = _G.article_rank_scaled(
+                e, iterations=iters, avg_mode=avg_mode
+            ).select(
                 F.col("id").alias("nodeId"),
                 F.col("ar_scaled").alias("score"),
             )
         elif name == "gds.eigenvector.stream":
-            df = _G.eigenvector_scaled(e, iterations=iters).select(
-                F.col("id").alias("nodeId"),
-                F.col("eig_scaled").alias("score"),
-            )
+            # normalized: true (round 7) = stock-GDS value parity — the
+            # unit-L2 double score (one exact decimal sum of squares +
+            # one correctly-rounded sqrt/div, so still oracle-checkable);
+            # default stays the integer power step
+            norm = config.get("normalized", False)
+            if not isinstance(norm, bool):
+                raise CypherCompileError("normalized must be a boolean")
+            if norm:
+                df = _G.eigenvector_scaled(
+                    e, iterations=iters, normalized=True
+                ).select(
+                    F.col("id").alias("nodeId"),
+                    F.col("eigenvector").alias("score"),
+                )
+            else:
+                df = _G.eigenvector_scaled(e, iterations=iters).select(
+                    F.col("id").alias("nodeId"),
+                    F.col("eig_scaled").alias("score"),
+                )
         elif name == "gds.degree.stream":
             # orientation (round 6, the stock-GDS projection vocabulary):
             # UNDIRECTED (default) = total, NATURAL = out, REVERSE = in

@@ -1126,6 +1126,7 @@ def article_rank_scaled(
     scale: int = 1_000_000,
     d_num: int = 85,
     d_den: int = 100,
+    avg_mode: str = "floor",
 ) -> DataFrame:
     """Fixed-iteration ArticleRank in INTEGER arithmetic (round 6 — one
     of the two procs that superseded gds.alpha.katz in stock GDS, the
@@ -1133,12 +1134,29 @@ def article_rank_scaled(
     out-contribution divided by ``od(u) + avg_od`` instead of ``od(u)``,
     which damps the endorsements of low-out-degree nodes toward the
     network average (the "citation from a short reference list counts
-    less disproportionately" fix). ``avg_od = |E| div |V|`` — the
-    integer floor of the mean out-degree over ALL nodes (stock GDS uses
-    the float average; the floor keeps every op exact, the same
-    documented trade as PageRank's integer div). Same distributed shape
-    as pagerank_scaled: per iteration one edges⋈scores join + one
-    groupBy(dst) sum. Returns (id, ar_scaled)."""
+    less disproportionately" fix).
+
+    ``avg_mode`` (round 7, VERDICT r6 ask #4 — narrowing the documented
+    stock-GDS divergence):
+
+    - ``'floor'`` (default, oracle-pinned since round 6):
+      ``avg_od = |E| div |V|``, the integer floor of the mean
+      out-degree.
+    - ``'exact'``: the TRUE mean ``|E|/|V|`` incorporated as a rational
+      — per-edge contribution ``ar·|V| div (od·|V| + |E|)``, which is
+      exactly ``floor(ar / (od + |E|/|V|))``. This matches stock GDS's
+      float mean out-degree to within the one documented truncating div
+      (GDS floats the whole recurrence; the rational form is exact and
+      reduction-order-free, so it stays oracle-checkable). Overflow
+      bound: ``ar·|V|`` must stay under 2⁶³ — fine while
+      max-score × |V| < 9.2e18 (e.g. scores ≤ 1e9 up to |V| = 9e9
+      nodes), same class of documented bound as community_quality's m.
+
+    Same distributed shape as pagerank_scaled: per iteration one
+    edges⋈scores join + one groupBy(dst) sum. Returns (id, ar_scaled).
+    """
+    if avg_mode not in ("floor", "exact"):
+        raise ValueError("avg_mode must be 'floor' or 'exact'")
     e = edges.select("src", "dst").localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -1146,7 +1164,12 @@ def article_rank_scaled(
         .distinct()
         .localCheckpoint()
     )
-    avg_od = e.count() // max(1, nodes.count())
+    n_edges = e.count()
+    n_nodes = max(1, nodes.count())
+    if avg_mode == "exact":
+        contrib_expr = f"(ar_scaled * {n_nodes}L) div (od * {n_nodes}L + {n_edges}L)"
+    else:
+        contrib_expr = f"ar_scaled div (od + {n_edges // n_nodes}L)"
     od = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("od"))
     base = (scale * (d_den - d_num)) // d_den
     pr = nodes.withColumn("ar_scaled", F.lit(scale).cast("long"))
@@ -1155,7 +1178,7 @@ def article_rank_scaled(
             e.join(pr.join(od, "id"), e["src"] == F.col("id"))
             .select(
                 F.col("dst"),
-                F.expr(f"ar_scaled div (od + {avg_od}L)").alias("c"),
+                F.expr(contrib_expr).alias("c"),
             )
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
@@ -1178,6 +1201,7 @@ def eigenvector_scaled(
     edges: DataFrame,
     iterations: int = 2,
     scale: int = 1_000_000,
+    normalized: bool = False,
 ) -> DataFrame:
     """Fixed-iteration UNNORMALIZED eigenvector centrality in integers
     (round 6 — the other gds.alpha.katz successor): ``x_0 = scale``,
@@ -1189,7 +1213,19 @@ def eigenvector_scaled(
     deviation Katz documents, and rank order per iteration matches the
     normalized variant exactly (normalization is a positive per-round
     global constant). Returns (id, eig_scaled); nodes no length-k walk
-    reaches settle at 0."""
+    reaches settle at 0.
+
+    ``normalized=True`` (round 7, VERDICT r6 ask #4 — stock-GDS VALUE
+    parity): returns (id, eigenvector double) on the unit L2 sphere.
+    Because per-round normalization only rescales by a positive global
+    scalar, normalizing ONCE at the end is mathematically identical to
+    GDS's per-round normalization (theirs exists for float-range
+    stability, not semantics) — and it keeps the result
+    oracle-checkable: the sum of squares is an EXACT decimal(38,0)
+    aggregate (order-free), and the only float ops are one
+    correctly-rounded sqrt and one correctly-rounded division per row,
+    bit-identical cross-engine. An all-zero round (no length-k walks
+    anywhere) yields 0.0 scores rather than 0/0."""
     e = edges.select("src", "dst")
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -1215,7 +1251,20 @@ def eigenvector_scaled(
             )
             .localCheckpoint()
         )
-    return x
+    if not normalized:
+        return x
+    xx = F.col("eig_scaled").cast("decimal(38,0)")
+    ss = x.agg(F.sum(xx * xx).alias("ss"))
+    return x.crossJoin(F.broadcast(ss)).select(
+        "id",
+        F.when(
+            F.col("ss") > 0,
+            F.col("eig_scaled").cast("double")
+            / F.sqrt(F.col("ss").cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("eigenvector"),
+    )
 
 
 def fastrp_embeddings(

@@ -794,6 +794,94 @@ FROM n LEFT JOIN c2 ON n.id = c2.dst
 """
 
 
+def graph_article_rank_exactavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArticleRank with avg_mode='exact' (round 7, VERDICT r6 ask #4):
+    the TRUE mean out-degree |E|/|V| incorporated as a rational — the
+    per-edge contribution is ar·|V| div (od·|V| + |E|), exactly
+    floor(ar/(od + |E|/|V|)) — which matches stock GDS's float mean to
+    within the one documented truncating div while staying exact-integer
+    and reduction-order-free. Narrows COVERAGE.md's articleRank
+    divergence to 'default only'."""
+    return G.article_rank_scaled(
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+        iterations=2,
+        avg_mode="exact",
+    )
+
+
+GRAPH_ARTICLE_RANK_EXACTAVG_SQL = f"""
+WITH e AS (
+    SELECT src, dst FROM ({GRAPH_EDGES_SQL}) WHERE distance <= {GRAPH_THRESHOLD}
+),
+n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+sc AS (SELECT (SELECT COUNT(*) FROM e) AS ee, (SELECT COUNT(*) FROM n) AS nn),
+od AS (SELECT src AS id, COUNT(*) AS od FROM e GROUP BY src),
+c1 AS (
+    SELECT e.dst,
+           SUM((1000000 * (SELECT nn FROM sc))
+               // (od.od * (SELECT nn FROM sc) + (SELECT ee FROM sc))) AS s
+    FROM e JOIN od ON e.src = od.id GROUP BY e.dst
+),
+p1 AS (
+    SELECT n.id, CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS ar
+    FROM n LEFT JOIN c1 ON n.id = c1.dst
+),
+c2 AS (
+    SELECT e.dst,
+           SUM((p1.ar * (SELECT nn FROM sc))
+               // (od.od * (SELECT nn FROM sc) + (SELECT ee FROM sc))) AS s
+    FROM e JOIN od ON e.src = od.id JOIN p1 ON p1.id = e.src
+    GROUP BY e.dst
+)
+SELECT n.id, CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS ar_scaled
+FROM n LEFT JOIN c2 ON n.id = c2.dst
+"""
+
+
+def graph_eigenvector_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality with normalized=True (round 7, VERDICT r6
+    ask #4 — stock-GDS VALUE parity): the unit-L2 double score. Per-round
+    L2 normalization only rescales by a positive global scalar, so one
+    final normalization of the integer power step is mathematically
+    identical to GDS's per-round form; the sum of squares is an exact
+    decimal aggregate and the only float ops are one correctly-rounded
+    sqrt + one division per row — hash-stable cross-engine. Narrows
+    COVERAGE.md's eigenvector divergence to 'default only'."""
+    return G.eigenvector_scaled(
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+        iterations=2,
+        normalized=True,
+    )
+
+
+GRAPH_EIGENVECTOR_NORMALIZED_SQL = f"""
+WITH e AS (
+    SELECT src, dst FROM ({GRAPH_EDGES_SQL}) WHERE distance <= {GRAPH_THRESHOLD}
+),
+n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+c1 AS (SELECT dst, SUM(CAST(1000000 AS BIGINT)) AS s FROM e GROUP BY dst),
+x1 AS (
+    SELECT n.id, CAST(COALESCE(c1.s, 0) AS BIGINT) AS x
+    FROM n LEFT JOIN c1 ON n.id = c1.dst
+),
+c2 AS (
+    SELECT e.dst, SUM(x1.x) AS s
+    FROM e JOIN x1 ON x1.id = e.src GROUP BY e.dst
+),
+x2 AS (
+    SELECT n.id, CAST(COALESCE(c2.s, 0) AS BIGINT) AS x
+    FROM n LEFT JOIN c2 ON n.id = c2.dst
+),
+ss AS (SELECT SUM(x * x) AS ss FROM x2)
+SELECT x2.id,
+       CASE WHEN (SELECT ss FROM ss) > 0
+            THEN CAST(x2.x AS DOUBLE)
+                 / SQRT(CAST((SELECT ss FROM ss) AS DOUBLE))
+            ELSE 0.0 END AS eigenvector
+FROM x2
+"""
+
+
 def graph_degrees_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node degrees over the induced subgraph (cloud analytics)."""
     return G.degrees(graph_induced_edges(spark, sf_dir)).select(
@@ -2058,6 +2146,14 @@ ENTRIES: dict[str, SuiteEntry] = {
     "graph_pagerank": SuiteEntry(graph_pagerank, GRAPH_PAGERANK_SQL, ("W6", "A6")),
     "graph_article_rank": SuiteEntry(
         graph_article_rank, GRAPH_ARTICLE_RANK_SQL, ("W6", "A6")
+    ),
+    "graph_article_rank_exactavg": SuiteEntry(
+        graph_article_rank_exactavg, GRAPH_ARTICLE_RANK_EXACTAVG_SQL,
+        ("W6", "A6"),
+    ),
+    "graph_eigenvector_normalized": SuiteEntry(
+        graph_eigenvector_normalized, GRAPH_EIGENVECTOR_NORMALIZED_SQL,
+        ("W6", "A6"),
     ),
     "graph_eigenvector": SuiteEntry(
         graph_eigenvector, GRAPH_EIGENVECTOR_SQL, ("W6", "A6")

