@@ -73,7 +73,12 @@ _WINDOW = [
     "embedding_neardup_cosine",
     "vis_html_golden_scan",
     "approx_stats_lineitem",
-    # 13 stalest r3-vintage fillers (CORRECTNESS_r03 order)
+    # 4 NEW round-7 entries (E2/E3 end-to-end + GDS value-parity opt-ins)
+    "clouds_family_pipeline",
+    "clouds_host_pipeline",
+    "graph_article_rank_exactavg",
+    "graph_eigenvector_normalized",
+    # 9 stalest r3-vintage fillers (CORRECTNESS_r03 order)
     "asof_prev_purchase",
     "bloom_membership",
     "bm25_doc_ranking",
@@ -83,10 +88,6 @@ _WINDOW = [
     "corpus_profile",
     "cypher_delete_nodes",
     "cypher_merge_return",
-    "cypher_remove_property",
-    "dq_audit_report",
-    "dsir_importance_weights",
-    "embedding_centroids_bylabel",
 ]
 
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate window entry"

@@ -3416,3 +3416,242 @@ ENTRIES.update({
         graph_fastrp_embeddings, GRAPH_FASTRP_SQL, ("W6", "W5")
     ),
 })
+
+
+# --------------------------------------------------------------------------
+# E2/E3 through the driver surface (round 7, VERDICT r6 ask #7): the family
+# and host presentation pipelines (plans/clouds.py) run END-TO-END — seed
+# predicate -> 1-hop expand -> attribute joins -> palette/title derivation —
+# on deterministic phage-SHAPED inputs synthesized from the testdata tables,
+# so the DuckDB oracle can value-check the full pipeline output (the real
+# phage tables aren't part of /root/testdata; golden-parity vs the
+# reference's committed HTMLs is tests/test_clouds*.py).
+# --------------------------------------------------------------------------
+
+_PHAGE_SOURCES = ("NCBI", "Tara", "GPD_Isolate", "GTDB_predicted_prophages")
+
+from phageclouds_graphdatabase_spark.functions.derive import (  # noqa: E402
+    TAB20_HEX as _TAB20_HEX,
+)
+
+_TAB20_SQL_ARRAY = "[" + ", ".join(f"'{h}'" for h in _TAB20_HEX) + "]"
+
+
+def _phage_shaped_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic phage-shaped node+lineage attributes over BOTH endpoint
+    families of the derived lineitem graph ('P<partkey>' from part,
+    'S<suppkey>' from supplier): source cycles over the four reference
+    sources, taxonomy is 'Viruses;Fam_<k%7>;Genus_<k%13 zero-padded>' (the
+    zero-padding keeps genus names substring-collision-free for the
+    first-substring-match palette join), genome_size is an exact multiple
+    of the 3000 size scale."""
+    def mk(tbl: DataFrame, key: str, prefix: str) -> DataFrame:
+        k = F.col(key).cast("long")
+        fam = F.concat(F.lit("Fam_"), (k % 7).cast("string"))
+        gen = F.concat(
+            F.lit("Genus_"), F.lpad((k % 13).cast("string"), 2, "0")
+        )
+        src_arr = F.array(*[F.lit(s) for s in _PHAGE_SOURCES])
+        return tbl.select(
+            F.concat(F.lit(prefix), k.cast("string")).alias("accession"),
+            F.element_at(src_arr, ((k % 4) + 1).cast("int")).alias("source"),
+            F.concat(F.lit("Viruses;"), fam, F.lit(";"), gen).alias(
+                "taxonomy"
+            ),
+            (((k % 90) + 10) * 3000).cast("long").alias("genome_size"),
+            gen.alias("genus"),
+            fam.alias("family"),
+        )
+
+    return mk(t(spark, sf_dir, "part"), "p_partkey", "P").unionByName(
+        mk(t(spark, sf_dir, "supplier"), "s_suppkey", "S")
+    )
+
+
+_PHAGE_NODES_SQL = """
+    SELECT 'P' || p_partkey AS accession,
+           (['NCBI', 'Tara', 'GPD_Isolate', 'GTDB_predicted_prophages'])
+               [CAST(p_partkey % 4 AS INTEGER) + 1] AS source,
+           'Viruses;Fam_' || (p_partkey % 7) || ';Genus_'
+               || lpad(CAST(p_partkey % 13 AS VARCHAR), 2, '0') AS taxonomy,
+           CAST(((p_partkey % 90) + 10) * 3000 AS BIGINT) AS genome_size,
+           'Genus_' || lpad(CAST(p_partkey % 13 AS VARCHAR), 2, '0') AS genus,
+           'Fam_' || (p_partkey % 7) AS family
+    FROM part
+    UNION ALL
+    SELECT 'S' || s_suppkey,
+           (['NCBI', 'Tara', 'GPD_Isolate', 'GTDB_predicted_prophages'])
+               [CAST(s_suppkey % 4 AS INTEGER) + 1],
+           'Viruses;Fam_' || (s_suppkey % 7) || ';Genus_'
+               || lpad(CAST(s_suppkey % 13 AS VARCHAR), 2, '0'),
+           CAST(((s_suppkey % 90) + 10) * 3000 AS BIGINT),
+           'Genus_' || lpad(CAST(s_suppkey % 13 AS VARCHAR), 2, '0'),
+           'Fam_' || (s_suppkey % 7)
+    FROM supplier
+"""
+
+
+def clouds_family_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 end-to-end (clouds_by_family, plans/clouds.py:125): OPTIONAL-MATCH
+    expand keeps edgeless family seeds (J4), per-taxon palette from the
+    lineages dim with alphabetical index pinning (V3), first-substring-match
+    color via min-palette-idx window, rank extraction as a lineages join
+    (V5), and the '{:_}'-formatted hover title (V6). Returns the
+    presentation node table."""
+    from phageclouds_graphdatabase_spark.plans import clouds
+
+    ext = _phage_shaped_nodes(spark, sf_dir)
+    res = clouds.clouds_by_family(
+        ext.select("accession", "source", "taxonomy", "genome_size", "genus"),
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+        ext.select("accession", "family", "genus"),
+        "Fam_3",
+        "genus",
+        GRAPH_THRESHOLD,
+    )
+    return res.nodes
+
+
+CLOUDS_FAMILY_SQL = f"""
+WITH pn AS ({_PHAGE_NODES_SQL}),
+e AS (
+    SELECT src, dst FROM ({GRAPH_EDGES_SQL}) WHERE distance <= {GRAPH_THRESHOLD}
+),
+seeds AS (
+    SELECT accession AS id FROM pn
+    WHERE source = 'NCBI' AND contains(taxonomy, 'Fam_3')
+),
+ns AS (
+    SELECT id FROM seeds
+    UNION
+    SELECT e.dst FROM e JOIN seeds s ON e.src = s.id
+),
+taxa AS (
+    SELECT DISTINCT genus AS taxon FROM pn
+    WHERE family = 'Fam_3' AND genus IS NOT NULL AND genus <> ''
+),
+palh AS (
+    SELECT taxon,
+           row_number() OVER (ORDER BY taxon) - 1 AS palette_idx,
+           ({_TAB20_SQL_ARRAY})
+               [CAST((row_number() OVER (ORDER BY taxon) - 1) % 20 AS INTEGER) + 1] AS hex
+    FROM taxa
+),
+matched AS (
+    SELECT a.accession AS id, a.source, a.genome_size,
+           p.hex,
+           row_number() OVER (PARTITION BY a.accession
+                              ORDER BY p.palette_idx ASC NULLS LAST) AS rn
+    FROM pn a
+    JOIN ns ON a.accession = ns.id
+    LEFT JOIN palh p
+      ON a.source = 'NCBI' AND contains(a.taxonomy, p.taxon)
+),
+fin AS (
+    SELECT id, source, genome_size,
+           CASE WHEN source <> 'NCBI' THEN '#FFFFFF'
+                ELSE COALESCE(hex, '#000000') END AS color_background
+    FROM matched WHERE rn = 1
+)
+SELECT f.id, f.source, f.genome_size,
+       NULLIF(l.genus, '') AS target_taxon,
+       CAST(FLOOR(f.genome_size / 3000) AS INTEGER) AS size,
+       f.color_background,
+       '#000000' AS color_border,
+       'Source: ' || COALESCE(f.source, 'None') || '<br>Genome size: '
+           || replace(format('{{:,}}', f.genome_size), ',', '_')
+           || '<br>genus: ' || COALESCE(NULLIF(l.genus, ''), 'None') AS title
+FROM fin f
+LEFT JOIN (SELECT accession, genus FROM pn) l ON f.id = l.accession
+"""
+
+
+def clouds_host_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 end-to-end (clouds_by_host, plans/clouds.py:203) with
+    harsh=True: existential infects semi-join seeds (P8) with the
+    endpoint-a-only harsh source exclusion (the golden-preserved quirk),
+    non-optional expand, row-multiplying any-host attribute join (J5) +
+    deterministic last-write-wins dedup (A4), source-hex colors (V2) and
+    the host hover title (V6). Returns the presentation node table."""
+    from phageclouds_graphdatabase_spark.plans import clouds
+
+    ext = _phage_shaped_nodes(spark, sf_dir)
+    p = t(spark, sf_dir, "part")
+    k = F.col("p_partkey").cast("long")
+    infects = p.filter(k % 3 == 0).select(
+        F.concat(F.lit("P"), k.cast("string")).alias("src"),
+        F.concat(F.lit("Host_"), (k % 5).cast("string")).alias("host_genus"),
+    ).unionByName(
+        p.filter(k % 6 == 0).select(
+            F.concat(F.lit("P"), k.cast("string")).alias("src"),
+            F.concat(F.lit("Host_"), ((k % 4) + 5).cast("string")).alias(
+                "host_genus"
+            ),
+        )
+    )
+    res = clouds.clouds_by_host(
+        ext.select("accession", "source", "taxonomy", "genome_size", "genus"),
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+        infects,
+        "Host_0",
+        GRAPH_THRESHOLD,
+        harsh=True,
+    )
+    return res.nodes
+
+
+CLOUDS_HOST_SQL = f"""
+WITH pn AS ({_PHAGE_NODES_SQL}),
+e AS (
+    SELECT src, dst FROM ({GRAPH_EDGES_SQL}) WHERE distance <= {GRAPH_THRESHOLD}
+),
+inf AS (
+    SELECT 'P' || p_partkey AS src,
+           'Host_' || (p_partkey % 5) AS host_genus
+    FROM part WHERE p_partkey % 3 = 0
+    UNION ALL
+    SELECT 'P' || p_partkey, 'Host_' || ((p_partkey % 4) + 5)
+    FROM part WHERE p_partkey % 6 = 0
+),
+hosted AS (
+    SELECT accession AS id FROM pn
+    WHERE source <> 'GTDB_predicted_prophages'
+      AND accession IN (SELECT src FROM inf WHERE host_genus = 'Host_0')
+),
+se AS (SELECT e.src, e.dst FROM e JOIN hosted h ON e.src = h.id),
+ns AS (SELECT src AS id FROM se UNION SELECT dst FROM se),
+wh AS (
+    SELECT pn.accession, pn.source, pn.genome_size, pn.genus, i.host_genus,
+           row_number() OVER (PARTITION BY pn.accession
+                              ORDER BY i.host_genus DESC NULLS LAST) AS rn
+    FROM pn
+    JOIN ns ON pn.accession = ns.id
+    LEFT JOIN inf i ON pn.accession = i.src
+)
+SELECT accession AS id, source, genome_size,
+       genus AS phage_genus, host_genus AS host,
+       CAST(FLOOR(genome_size / 3000) AS INTEGER) AS size,
+       CASE source WHEN 'NCBI' THEN '#8acb4a' WHEN 'Tara' THEN '#39dede'
+            WHEN 'GTDB_predicted_prophages' THEN '#f1e653'
+            WHEN 'GPD_Isolate' THEN '#9b4aed'
+            WHEN 'GPD_Metagenome' THEN '#c734df' END AS color_background,
+       '#000000' AS color_border,
+       'Target host genus: ' || COALESCE(host_genus, 'None')
+           || '<br>Phage genus: ' || COALESCE(genus, 'None')
+           || '<br>Genome size: '
+           || replace(format('{{:,}}', genome_size), ',', '_')
+           || ' bp' AS title
+FROM wh WHERE rn = 1
+"""
+
+
+ENTRIES.update({
+    "clouds_family_pipeline": SuiteEntry(
+        clouds_family_pipeline, CLOUDS_FAMILY_SQL,
+        ("J4", "V3", "V5", "V6", "J2"),
+    ),
+    "clouds_host_pipeline": SuiteEntry(
+        clouds_host_pipeline, CLOUDS_HOST_SQL,
+        ("P8", "J5", "A4", "V2", "V6"),
+    ),
+})
