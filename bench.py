@@ -126,6 +126,11 @@ def main() -> None:
         except Exception:
             pass
 
+    # Machine-load fingerprint (VERDICT r6 ask #5): rounds 5-6 saw uniform
+    # 1.2-1.5x drift on untouched code from container load; recording
+    # loadavg around the run lets a reader attribute drift to the
+    # environment without trusting prose.
+    load_before = [round(x, 2) for x in os.getloadavg()]
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(repeat):
         for name in HEADLINE:
@@ -168,6 +173,8 @@ def main() -> None:
         "metric": "headline_suite_detail",
         "sf": sf,
         "repeat": repeat,
+        "loadavg_before": load_before,
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "queries_median": timings,
         "queries_min": {
             name: round(min(xs), 3) for name, xs in samples.items()
@@ -195,6 +202,7 @@ def main() -> None:
                 "total_min": round(
                     sum(min(xs) for xs in samples.values()), 3
                 ),
+                "load1_before": load_before[0],
             }
         )
     )
