@@ -2422,6 +2422,11 @@ class CypherEngine:
         # divergences from stock GDS are per-proc documented below and in
         # COVERAGE.md.
         "gds.closeness.harmonic.stream": ("nodeId", "score"),
+        # round 7: sampled raw closeness (n_reached*scale div sum_d, one
+        # truncating div — integer-exact at any depth, unlike harmonic's
+        # x6 depth-capped scaling); useWassermanFaust applies the sampled
+        # component-size correction
+        "gds.closeness.stream": ("nodeId", "score"),
         "gds.fastrp.stream": ("nodeId", "embedding"),
         "gds.scc.stream": ("nodeId", "componentId"),
         "gds.kcore.stream": ("nodeId", "coreValue"),
@@ -2675,6 +2680,30 @@ class CypherEngine:
                     .otherwise(2)
                 ).cast("long").alias("score")
             ).select(F.col("id").alias("nodeId"), "score")
+        elif name == "gds.closeness.stream":
+            # sampled raw closeness (round 7): integer-exact at any
+            # depth (no x6 scaling), so maxDepth shares gds.bfs's 1..20
+            # bound (a state knob, not a scaling constraint)
+            depth = int(config.get("maxDepth", 3))
+            if not 1 <= depth <= 20:
+                raise CypherCompileError(
+                    "gds.closeness.stream maxDepth must be between 1 and 20"
+                )
+            wf = config.get("useWassermanFaust", False)
+            if not isinstance(wf, bool):
+                raise CypherCompileError(
+                    "useWassermanFaust must be a boolean"
+                )
+            df = _G.closeness_centrality_scaled(
+                self._gds_roots(e, config),
+                e,
+                k=depth,
+                directed=False,
+                wasserman_faust=wf,
+            ).select(
+                F.col("id").alias("nodeId"),
+                F.col("closeness_scaled").alias("score"),
+            )
         elif name == "gds.fastrp.stream":
             df = _G.fastrp_embeddings(
                 e,

@@ -545,6 +545,57 @@ def multi_source_bfs_levels(
     return out
 
 
+def closeness_centrality_scaled(
+    roots: DataFrame,
+    edges: DataFrame,
+    k: int = 3,
+    threshold: float | None = None,
+    directed: bool = False,
+    scale: int = 1_000_000,
+    wasserman_faust: bool = False,
+) -> DataFrame:
+    """Sampled CLOSENESS centrality in exact integers (round 7 — the
+    stock ``gds.closeness.stream`` sibling of the harmonic proc): per
+    node, over the sampled roots that reach it within ``k`` hops,
+
+    - default: ``score = n_reached · scale div sum_d`` — the sampled
+      analog of (reachable−1)/Σd, GDS's raw closeness;
+    - ``wasserman_faust=True``: ``score = n_reached² · scale div
+      (sum_d · |roots|)`` — the Wasserman-Faust component-size
+      correction with |roots| standing in for n−1 (the sampled form of
+      GDS's ``useWassermanFaust``), which damps nodes reached by few
+      roots instead of rewarding their short in-sample distances.
+
+    All arithmetic is integer (one truncating div), so the value is
+    reproducible cross-engine at any depth — unlike harmonic's ×6
+    scaling there is no depth cap. Sampling roots is the production
+    closeness shape: state stays O(|roots| × reach) (the
+    multi_source_bfs_levels primitive underneath; one driver-side
+    count() for |roots| in the WF form only). Returns
+    (id, closeness_scaled, n_reached, sum_d); nodes no sampled root
+    reaches are absent (closeness of an unreached node is undefined)."""
+    lev = multi_source_bfs_levels(
+        roots, edges, k=k, threshold=threshold, directed=directed
+    )
+    agg = lev.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.sum("d").cast("long").alias("sum_d"),
+    )
+    if wasserman_faust:
+        n_roots = max(1, roots.select("id").distinct().count())
+        expr = F.expr(
+            f"(n_reached * n_reached * {scale}L) div (sum_d * {n_roots}L)"
+        )
+    else:
+        expr = F.expr(f"(n_reached * {scale}L) div sum_d")
+    return agg.select(
+        "id",
+        expr.cast("long").alias("closeness_scaled"),
+        "n_reached",
+        "sum_d",
+    )
+
+
 def bfs_sigma(
     roots: DataFrame,
     edges: DataFrame,

@@ -73,12 +73,15 @@ _WINDOW = [
     "embedding_neardup_cosine",
     "vis_html_golden_scan",
     "approx_stats_lineitem",
-    # 4 NEW round-7 entries (E2/E3 end-to-end + GDS value-parity opt-ins)
+    # 6 NEW round-7 entries (E2/E3 end-to-end, GDS value-parity
+    # opt-ins, sampled raw closeness)
     "clouds_family_pipeline",
     "clouds_host_pipeline",
     "graph_article_rank_exactavg",
     "graph_eigenvector_normalized",
-    # 9 stalest r3-vintage fillers (CORRECTNESS_r03 order)
+    "graph_closeness_centrality",
+    "cypher_gds_closeness",
+    # 7 stalest r3-vintage fillers (CORRECTNESS_r03 order)
     "asof_prev_purchase",
     "bloom_membership",
     "bm25_doc_ranking",
@@ -86,8 +89,6 @@ _WINDOW = [
     "collect_order_lists",
     "corpus_clean_pipeline",
     "corpus_profile",
-    "cypher_delete_nodes",
-    "cypher_merge_return",
 ]
 
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate window entry"

@@ -1644,6 +1644,34 @@ CYPHER_GDS_HARMONIC_SQL = (
 )
 
 
+def cypher_gds_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL gds.closeness.stream (round 7) — sampled raw closeness through
+    the Cypher frontend: sourceNodes pins the SAME deterministic ECONOMY
+    %64 root sample as graph_closeness_centrality, so the proc shares
+    that twin's unrolled BFS oracle (minus the n_reached/sum_d component
+    columns the proc does not emit)."""
+    seeds = [
+        r.id
+        for r in t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_partkey") % 64 == 1))
+        .select(F.concat(F.lit("P"), F.col("p_partkey")).alias("id"))
+        .distinct()
+        .collect()
+    ]
+    q = ("CALL gds.closeness.stream('sharesDNA', "
+         "{sourceNodes: $seeds, maxDepth: 3}) "
+         "YIELD nodeId AS id, score AS closeness_scaled "
+         "RETURN id, closeness_scaled")
+    return _engine_sp_thresh(spark, sf_dir).run(q, params={"seeds": seeds})
+
+
+CYPHER_GDS_CLOSENESS_SQL = (
+    "SELECT id, closeness_scaled FROM ("
+    + _ext.GRAPH_CLOSENESS_SQL
+    + ") z"
+)
+
+
 def cypher_gds_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gds.pageRank.stream with sourceNodes (round 5) — the GDS
     personalization convention compiled to personalized_pagerank_scaled;
@@ -2084,6 +2112,9 @@ ENTRIES.update({
 ENTRIES.update({
     "cypher_gds_harmonic": SuiteEntry(
         cypher_gds_harmonic, CYPHER_GDS_HARMONIC_SQL, ("S2", "W6", "A6")
+    ),
+    "cypher_gds_closeness": SuiteEntry(
+        cypher_gds_closeness, CYPHER_GDS_CLOSENESS_SQL, ("S2", "W6", "A6")
     ),
     "cypher_gds_ppr": SuiteEntry(
         cypher_gds_ppr, _ext.GRAPH_PPR_SQL, ("S2", "W6")

@@ -2918,7 +2918,77 @@ FROM lev GROUP BY id
 """
 
 
+def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled raw closeness centrality (round 7 — the gds.closeness.stream
+    surface, sibling of graph_harmonic_centrality): same deterministic
+    ECONOMY %64 root sample and depth-3 undirected BFS, then per node
+    n_reached·1e6 div sum_d — ONE truncating div of exact longs, so unlike
+    harmonic's ×6 scaling it is depth-unbounded. Emits the aggregate
+    components too (n_reached, sum_d) so the oracle pins the BFS itself,
+    not just the quotient."""
+    roots = (
+        t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_partkey") % 64 == 1))
+        .select(F.concat(F.lit("P"), F.col("p_partkey")).alias("id"))
+        .distinct()
+    )
+    return G.closeness_centrality_scaled(
+        roots,
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD),
+        k=3,
+        threshold=GRAPH_THRESHOLD,
+        directed=False,
+    )
+
+
+GRAPH_CLOSENESS_SQL = f"""
+WITH edges AS ({GRAPH_EDGES_SQL}),
+und AS (
+    SELECT src, dst FROM edges WHERE distance <= {GRAPH_THRESHOLD}
+    UNION
+    SELECT dst AS src, src AS dst FROM edges WHERE distance <= {GRAPH_THRESHOLD}
+),
+r0 AS (SELECT id AS root, id FROM (
+    SELECT DISTINCT 'P' || p_partkey AS id FROM part
+    WHERE p_type = 'ECONOMY' AND p_partkey % 64 = 1)),
+l1 AS (
+    SELECT DISTINCT r.root, u.dst AS id
+    FROM r0 r JOIN und u ON u.src = r.id
+    WHERE u.dst <> r.root
+),
+l2 AS (
+    SELECT DISTINCT l1.root, u.dst AS id
+    FROM l1 JOIN und u ON u.src = l1.id
+    WHERE u.dst <> l1.root
+      AND NOT EXISTS (SELECT 1 FROM l1 z WHERE z.root = l1.root AND z.id = u.dst)
+),
+l3 AS (
+    SELECT DISTINCT l2.root, u.dst AS id
+    FROM l2 JOIN und u ON u.src = l2.id
+    WHERE u.dst <> l2.root
+      AND NOT EXISTS (SELECT 1 FROM l1 z WHERE z.root = l2.root AND z.id = u.dst)
+      AND NOT EXISTS (SELECT 1 FROM l2 z WHERE z.root = l2.root AND z.id = u.dst)
+),
+lev AS (
+    SELECT root, id, 1 AS d FROM l1
+    UNION ALL SELECT root, id, 2 FROM l2
+    UNION ALL SELECT root, id, 3 FROM l3
+),
+agg AS (
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(d) AS BIGINT) AS sum_d
+    FROM lev GROUP BY id
+)
+SELECT id, CAST((n_reached * 1000000) // sum_d AS BIGINT) AS closeness_scaled,
+       n_reached, sum_d
+FROM agg
+"""
+
+
 ENTRIES.update({
+    "graph_closeness_centrality": SuiteEntry(
+        graph_closeness_centrality, GRAPH_CLOSENESS_SQL, ("W6", "A6")
+    ),
     "graph_stress_centrality": SuiteEntry(
         graph_stress_centrality, GRAPH_STRESS_SQL, ("W6", "A6")
     ),

@@ -2037,6 +2037,40 @@ class TestGdsProcedures:
                 "{normalized: 'yes'}) YIELD nodeId RETURN nodeId"
             )
 
+    def test_closeness_stream_matches_operator(self, eng, shares_dna):
+        from phageclouds_graphdatabase_spark.operators import graph as G
+
+        # round 7: sampled raw closeness through the proc surface must
+        # equal the operator (default roots = the degree-aware sampler)
+        e = shares_dna.select("src", "dst")
+        for wf in (False, True):
+            got = rows(eng.run(
+                "CALL gds.closeness.stream('sharesDNA', "
+                "{sourceNodes: ['A1', 'C1'], maxDepth: 3, "
+                f"useWassermanFaust: {'true' if wf else 'false'}}}) "
+                "YIELD nodeId, score RETURN nodeId, score"
+            ))
+            roots = e.sparkSession.createDataFrame(
+                [("A1",), ("C1",)], "id string"
+            )
+            want = sorted(
+                (r.id, r.closeness_scaled)
+                for r in G.closeness_centrality_scaled(
+                    roots, e, k=3, wasserman_faust=wf
+                ).collect()
+            )
+            assert got == want and len(got) > 0, wf
+        with pytest.raises(CypherCompileError, match="maxDepth"):
+            eng.run(
+                "CALL gds.closeness.stream('sharesDNA', {maxDepth: 21}) "
+                "YIELD nodeId RETURN nodeId"
+            )
+        with pytest.raises(CypherCompileError, match="useWassermanFaust"):
+            eng.run(
+                "CALL gds.closeness.stream('sharesDNA', "
+                "{useWassermanFaust: 'yes'}) YIELD nodeId RETURN nodeId"
+            )
+
     def test_yield_flows_into_clauses(self, eng):
         got = rows(eng.run(
             "CALL gds.pageRank.stream('sharesDNA') YIELD nodeId, score "

@@ -1309,3 +1309,39 @@ def test_community_quality_partial_assignment_consistent(spark):
     assert r.degree_sum == 2 * r.intra_edges + r.cut_edges
     assert r.modularity == (4 * 5 * 3 - 36) / (4 * 25)
     assert r.conductance == 0.0
+
+
+def test_closeness_centrality_hand_computed(spark):
+    # path A-B-C-D, roots {A, D}, undirected, k=3:
+    # A: reached by D at d=3 -> 1e6*1 div 3 = 333333
+    # B: A@1, D@2 -> 2e6 div 3 = 666666 ; C symmetric
+    # Wasserman-Faust (|roots|=2): A -> 1e6 div 6 = 166666, B -> 4e6 div 6
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "D")], "src string, dst string"
+    )
+    roots = spark.createDataFrame([("A",), ("D",)], "id string")
+    got = {
+        r.id: (r.closeness_scaled, r.n_reached, r.sum_d)
+        for r in G.closeness_centrality_scaled(roots, e, k=3).collect()
+    }
+    assert got == {
+        "A": (333333, 1, 3),
+        "B": (666666, 2, 3),
+        "C": (666666, 2, 3),
+        "D": (333333, 1, 3),
+    }
+    wf = {
+        r.id: r.closeness_scaled
+        for r in G.closeness_centrality_scaled(
+            roots, e, k=3, wasserman_faust=True
+        ).collect()
+    }
+    assert wf == {"A": 166666, "B": 666666, "C": 666666, "D": 166666}
+    # depth cap: k=1 only sees direct neighbors
+    k1 = {
+        r.id: (r.n_reached, r.sum_d)
+        for r in G.closeness_centrality_scaled(roots, e, k=1).collect()
+    }
+    assert k1 == {"B": (1, 1), "C": (1, 1)}
