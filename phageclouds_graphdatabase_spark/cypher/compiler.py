@@ -2427,6 +2427,11 @@ class CypherEngine:
         # x6 depth-capped scaling); useWassermanFaust applies the sampled
         # component-size correction
         "gds.closeness.stream": ("nodeId", "score"),
+        # round 7: EXACT 1-D KNN over a scalar node property (stock GDS
+        # knn is approximate randomized rounds; in 1-D the sorted ±k
+        # positional window is exact — documented as a strength, not a
+        # divergence). Similarity is GDS's 1/(1+|diff|) integer-scaled.
+        "gds.knn.stream": ("node1", "node2", "similarity"),
         "gds.fastrp.stream": ("nodeId", "embedding"),
         "gds.scc.stream": ("nodeId", "componentId"),
         "gds.kcore.stream": ("nodeId", "coreValue"),
@@ -2863,6 +2868,50 @@ class CypherEngine:
                 F.col("src").alias("sourceNodeId"),
                 F.col("dst").alias("targetNodeId"),
                 F.col("cost").alias("totalCost"),
+            )
+        elif name == "gds.knn.stream":
+            nprops = config.get("nodeProperties")
+            if isinstance(nprops, str):
+                nprops = [nprops]
+            if not nprops or len(nprops) != 1:
+                raise CypherCompileError(
+                    "gds.knn.stream needs nodeProperties: ['<one numeric "
+                    "node property>'] (1-D exact form)"
+                )
+            prop = nprops[0]
+            rel = self.catalog.rel(
+                reltype
+                if reltype is not None
+                else next(iter(self.catalog.rels))
+            )
+            nt = self.catalog.node(rel.src_label)
+            if prop not in nt.df.columns:
+                raise CypherCompileError(
+                    f"nodeProperties {prop!r} is not a node property of "
+                    f":{rel.src_label}"
+                )
+            from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+            if not isinstance(
+                nt.df.schema[prop].dataType,
+                (ByteType, ShortType, IntegerType, LongType),
+            ):
+                raise CypherCompileError(
+                    f"nodeProperties {prop!r} must be an integral type for "
+                    "the exact integer-scaled similarity"
+                )
+            from phageclouds_graphdatabase_spark.operators import ann as _ann
+
+            df = _ann.knn_scalar_topk(
+                nt.df.select(
+                    F.col(nt.key).cast("string").alias("id"),
+                    F.col(prop).cast("long").alias("value"),
+                ).filter(F.col("value").isNotNull()),
+                k=int(config.get("topK", 10)),
+            ).select(
+                F.col("id1").alias("node1"),
+                F.col("id2").alias("node2"),
+                F.col("sim_scaled").alias("similarity"),
             )
         elif name in ("gds.modularity.stream", "gds.conductance.stream"):
             cprop = config.get("communityProperty")

@@ -325,3 +325,98 @@ def probe_ivfpq_topk(
         .filter(F.col("rk") <= k)
         .drop("rk")
     )
+
+
+def knn_scalar_topk(
+    props: DataFrame,
+    k: int = 10,
+    scale: int = 1_000_000,
+    bucket_width: int = 1024,
+) -> DataFrame:
+    """EXACT k-nearest-neighbors over a scalar (1-D) node property — the
+    ``gds.knn.stream`` surface for numeric properties (round 7), with
+    GDS's scalar similarity 1/(1+|a−b|) integer-scaled to
+    ``scale div (1 + |a−b|)``.
+
+    In 1-D, exact KNN needs NO all-pairs join and NO approximation (stock
+    GDS's knn samples random comparison rounds): after sorting by
+    (value, id), every node's k nearest by |value diff| lie within its
+    ±k POSITIONAL window — for any candidate c at positional distance
+    > k, each of the ≥ k nodes strictly between (monotone values) has
+    |diff| ≤ |diff(c)| and smaller positional distance, so c is beaten
+    under the result order. Result order per node: (|diff| ASC,
+    positional distance ASC, id2 ASC) — the positional tiebreak is what
+    makes the windowed candidate set EXACT under heavy value ties
+    (an id-only tiebreak could prefer an id outside the window).
+
+    Scale shape: the global position over (value, id) is the TWO-PHASE
+    prefix count (per-bucket local row_number over value-range buckets +
+    a broadcast bucket-offset table, the pack_sequences pattern) — no
+    single global window task; candidate generation is one
+    explode(1..k) + equi-join on the integer position (|V|·k rows, the
+    output order), all map-side partitionable. Returns
+    (id1, id2, sim_scaled), k rows per node (fewer at the sorted
+    extremes when |V| <= k).
+    """
+    from pyspark.sql.window import Window
+
+    p = props.select(
+        F.col("id").cast("string").alias("id"),
+        F.col("value").cast("long").alias("value"),
+    ).withColumn("bucket", F.floor(F.col("value") / F.lit(bucket_width)))
+    wloc = Window.partitionBy("bucket").orderBy("value", "id")
+    local = p.withColumn("lpos", F.row_number().over(wloc).cast("long"))
+    woff = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        p.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .withColumn("boff", F.coalesce(F.sum("bn").over(woff), F.lit(0)))
+        .select("bucket", "boff")
+    )
+    pos = local.join(F.broadcast(offsets), "bucket").select(
+        "id", "value", (F.col("lpos") + F.col("boff")).alias("pos")
+    )
+    pos = pos.localCheckpoint()  # reused on both sides of the self-join
+    above = pos.withColumn(
+        "delta", F.explode(F.sequence(F.lit(1), F.lit(k)))
+    ).withColumn("cpos", F.col("pos") + F.col("delta"))
+    # qualified aliases: a bare F.col on the re-used `pos` lineage is
+    # ambiguous in the self-join and can silently resolve to the left side
+    right = pos.select(
+        F.col("id").alias("id2"),
+        F.col("value").alias("value2"),
+        F.col("pos").alias("pos2"),
+    )
+    cand_up = above.join(
+        right, F.col("cpos") == F.col("pos2")
+    ).select(
+        F.col("id").alias("id1"), "value", "id2", "value2",
+        F.col("delta").alias("posdist"),
+    )
+    pairs = cand_up.unionByName(
+        cand_up.select(
+            F.col("id2").alias("id1"),
+            F.col("value2").alias("value"),
+            F.col("id1").alias("id2"),
+            F.col("value").alias("value2"),
+            "posdist",
+        )
+    )
+    diff = F.abs(F.col("value") - F.col("value2"))
+    wrank = Window.partitionBy("id1").orderBy(
+        diff.asc(), F.col("posdist").asc(), F.col("id2").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") <= k)
+        .select(
+            "id1",
+            "id2",
+            F.expr(f"{scale}L div (1 + abs(value - value2))").alias(
+                "sim_scaled"
+            ),
+        )
+    )

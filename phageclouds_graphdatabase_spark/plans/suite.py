@@ -73,22 +73,22 @@ _WINDOW = [
     "embedding_neardup_cosine",
     "vis_html_golden_scan",
     "approx_stats_lineitem",
-    # 6 NEW round-7 entries (E2/E3 end-to-end, GDS value-parity
-    # opt-ins, sampled raw closeness)
+    # 8 NEW round-7 entries (E2/E3 end-to-end, GDS value-parity
+    # opt-ins, sampled raw closeness, exact 1-D knn)
     "clouds_family_pipeline",
     "clouds_host_pipeline",
     "graph_article_rank_exactavg",
     "graph_eigenvector_normalized",
     "graph_closeness_centrality",
     "cypher_gds_closeness",
-    # 7 stalest r3-vintage fillers (CORRECTNESS_r03 order)
+    "graph_knn_scalar",
+    "cypher_gds_knn",
+    # 5 stalest r3-vintage fillers (CORRECTNESS_r03 order)
     "asof_prev_purchase",
     "bloom_membership",
     "bm25_doc_ranking",
     "bpe_merge_train",
     "collect_order_lists",
-    "corpus_clean_pipeline",
-    "corpus_profile",
 ]
 
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate window entry"

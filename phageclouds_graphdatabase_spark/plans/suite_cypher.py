@@ -1672,6 +1672,46 @@ CYPHER_GDS_CLOSENESS_SQL = (
 )
 
 
+def cypher_gds_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL gds.knn.stream (round 7) — exact 1-D KNN over the catalog's
+    genome_size node property (p_size for P nodes, s_nationkey for S
+    nodes — heavy ties across both) through the Cypher frontend."""
+    q = ("CALL gds.knn.stream('sharesDNA', "
+         "{nodeProperties: ['genome_size'], topK: 5}) "
+         "YIELD node1, node2, similarity RETURN node1, node2, similarity")
+    return _engine_sp_thresh(spark, sf_dir).run(q)
+
+
+CYPHER_GDS_KNN_SQL = """
+WITH props AS (
+    SELECT 'P' || p_partkey AS id, CAST(p_size AS BIGINT) AS value FROM part
+    UNION ALL
+    SELECT 'S' || s_suppkey, CAST(s_nationkey AS BIGINT) FROM supplier
+),
+pos AS (
+    SELECT id, value,
+           CAST(row_number() OVER (ORDER BY value, id) AS BIGINT) AS pos
+    FROM props
+),
+cand AS (
+    SELECT a.id AS id1, a.value AS v1, b.id AS id2, b.value AS v2,
+           abs(a.pos - b.pos) AS posdist
+    FROM pos a JOIN pos b
+      ON b.pos BETWEEN a.pos - 5 AND a.pos + 5 AND b.pos <> a.pos
+),
+r AS (
+    SELECT id1, id2, abs(v1 - v2) AS diff, posdist,
+           row_number() OVER (PARTITION BY id1
+                              ORDER BY abs(v1 - v2) ASC, posdist ASC,
+                                       id2 ASC) AS rn
+    FROM cand
+)
+SELECT id1 AS node1, id2 AS node2,
+       CAST(1000000 // (1 + diff) AS BIGINT) AS similarity
+FROM r WHERE rn <= 5
+"""
+
+
 def cypher_gds_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gds.pageRank.stream with sourceNodes (round 5) — the GDS
     personalization convention compiled to personalized_pagerank_scaled;
@@ -2115,6 +2155,9 @@ ENTRIES.update({
     ),
     "cypher_gds_closeness": SuiteEntry(
         cypher_gds_closeness, CYPHER_GDS_CLOSENESS_SQL, ("S2", "W6", "A6")
+    ),
+    "cypher_gds_knn": SuiteEntry(
+        cypher_gds_knn, CYPHER_GDS_KNN_SQL, ("S2", "W5", "W2")
     ),
     "cypher_gds_ppr": SuiteEntry(
         cypher_gds_ppr, _ext.GRAPH_PPR_SQL, ("S2", "W6")

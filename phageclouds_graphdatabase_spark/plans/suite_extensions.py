@@ -2918,6 +2918,51 @@ FROM lev GROUP BY id
 """
 
 
+def graph_knn_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 1-D KNN over a scalar property (round 7 — the gds.knn.stream
+    surface): value = p_partkey % 97 (heavy ties — the case where the ±k
+    positional window with the positional tiebreak must stay exact), k=5,
+    similarity 1e6 div (1+|diff|). The Spark side computes the global
+    position with the TWO-PHASE prefix count (no single global window
+    task); the oracle uses the naive global ROW_NUMBER — identical by
+    associativity (operators/ann.py knn_scalar_topk)."""
+    from phageclouds_graphdatabase_spark.operators import ann
+
+    props = t(spark, sf_dir, "part").select(
+        F.concat(F.lit("P"), F.col("p_partkey")).alias("id"),
+        (F.col("p_partkey") % 97).cast("long").alias("value"),
+    )
+    return ann.knn_scalar_topk(props, k=5)
+
+
+GRAPH_KNN_SCALAR_SQL = """
+WITH props AS (
+    SELECT 'P' || p_partkey AS id, CAST(p_partkey % 97 AS BIGINT) AS value
+    FROM part
+),
+pos AS (
+    SELECT id, value,
+           CAST(row_number() OVER (ORDER BY value, id) AS BIGINT) AS pos
+    FROM props
+),
+cand AS (
+    SELECT a.id AS id1, a.value AS v1, b.id AS id2, b.value AS v2,
+           abs(a.pos - b.pos) AS posdist
+    FROM pos a JOIN pos b
+      ON b.pos BETWEEN a.pos - 5 AND a.pos + 5 AND b.pos <> a.pos
+),
+r AS (
+    SELECT id1, id2, abs(v1 - v2) AS diff, posdist,
+           row_number() OVER (PARTITION BY id1
+                              ORDER BY abs(v1 - v2) ASC, posdist ASC,
+                                       id2 ASC) AS rn
+    FROM cand
+)
+SELECT id1, id2, CAST(1000000 // (1 + diff) AS BIGINT) AS sim_scaled
+FROM r WHERE rn <= 5
+"""
+
+
 def graph_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled raw closeness centrality (round 7 — the gds.closeness.stream
     surface, sibling of graph_harmonic_centrality): same deterministic
@@ -2988,6 +3033,9 @@ FROM agg
 ENTRIES.update({
     "graph_closeness_centrality": SuiteEntry(
         graph_closeness_centrality, GRAPH_CLOSENESS_SQL, ("W6", "A6")
+    ),
+    "graph_knn_scalar": SuiteEntry(
+        graph_knn_scalar, GRAPH_KNN_SCALAR_SQL, ("W5", "W2", "J7")
     ),
     "graph_stress_centrality": SuiteEntry(
         graph_stress_centrality, GRAPH_STRESS_SQL, ("W6", "A6")

@@ -221,3 +221,41 @@ def test_ivfpq_modest_refine_recall(ivfpq_index, spark):
     got = {(r.qid, r.vec_id) for r in pq.collect()}
     overlap = len(want & got) / len(want)
     assert overlap >= 0.6, overlap
+
+
+def test_knn_scalar_topk_matches_bruteforce(spark):
+    """The ±k positional window with the (diff, posdist, id) result order
+    must equal the brute-force all-pairs top-k under the SAME order —
+    including heavy value ties, where an id-only tiebreak would be wrong
+    (round 7, gds.knn.stream)."""
+    import random
+
+    from phageclouds_graphdatabase_spark.operators import ann
+
+    rng = random.Random(41)
+    n, k = 60, 4
+    vals = {f"N{i:02d}": rng.randrange(0, 12) for i in range(n)}  # heavy ties
+    order = sorted(vals.items(), key=lambda kv: (kv[1], kv[0]))
+    posof = {nid: i for i, (nid, _) in enumerate(order)}
+
+    def brute(nid):
+        cands = [
+            (abs(vals[nid] - vals[o]), abs(posof[nid] - posof[o]), o)
+            for o in vals
+            if o != nid
+        ]
+        return [
+            (nid, o, 1_000_000 // (1 + d)) for d, _, o in sorted(cands)[:k]
+        ]
+
+    want = sorted(row for nid in vals for row in brute(nid))
+    props = spark.createDataFrame(list(vals.items()), "id string, value long")
+    got = sorted(tuple(r) for r in ann.knn_scalar_topk(props, k=k).collect())
+    assert got == want
+    # cross-bucket positions: a tiny bucket width forces many buckets, the
+    # two-phase prefix count must still produce the same global order
+    got_b = sorted(
+        tuple(r)
+        for r in ann.knn_scalar_topk(props, k=k, bucket_width=2).collect()
+    )
+    assert got_b == want

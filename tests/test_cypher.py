@@ -2071,6 +2071,42 @@ class TestGdsProcedures:
                 "{useWassermanFaust: 'yes'}) YIELD nodeId RETURN nodeId"
             )
 
+    def test_knn_stream_scalar_property(self, eng, phage_nodes):
+        from phageclouds_graphdatabase_spark.operators import ann
+
+        # round 7: exact 1-D KNN over genome_size through the proc surface
+        # must equal the operator on the same (id, value) projection
+        got = rows(eng.run(
+            "CALL gds.knn.stream('sharesDNA', "
+            "{nodeProperties: ['genome_size'], topK: 2}) "
+            "YIELD node1, node2, similarity "
+            "RETURN node1, node2, similarity"
+        ))
+        props = phage_nodes.select(
+            F.col("accession").alias("id"),
+            F.col("genome_size").cast("long").alias("value"),
+        ).filter(F.col("value").isNotNull())
+        want = sorted(
+            (r.id1, r.id2, r.sim_scaled)
+            for r in ann.knn_scalar_topk(props, k=2).collect()
+        )
+        assert got == want and len(got) > 0
+        with pytest.raises(CypherCompileError, match="nodeProperties"):
+            eng.run(
+                "CALL gds.knn.stream('sharesDNA', {topK: 2}) "
+                "YIELD node1 RETURN node1"
+            )
+        with pytest.raises(CypherCompileError, match="node property"):
+            eng.run(
+                "CALL gds.knn.stream('sharesDNA', "
+                "{nodeProperties: ['nope']}) YIELD node1 RETURN node1"
+            )
+        with pytest.raises(CypherCompileError, match="integral"):
+            eng.run(
+                "CALL gds.knn.stream('sharesDNA', "
+                "{nodeProperties: ['taxonomy']}) YIELD node1 RETURN node1"
+            )
+
     def test_yield_flows_into_clauses(self, eng):
         got = rows(eng.run(
             "CALL gds.pageRank.stream('sharesDNA') YIELD nodeId, score "
