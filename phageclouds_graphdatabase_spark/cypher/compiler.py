@@ -2432,6 +2432,11 @@ class CypherEngine:
         # positional window is exact — documented as a strength, not a
         # divergence). Similarity is GDS's 1/(1+|diff|) integer-scaled.
         "gds.knn.stream": ("node1", "node2", "similarity"),
+        # round 7: deterministic bounded SYNCHRONOUS single-level Louvain
+        # refinement (stock Louvain is multi-level async — irreproducible
+        # under task placement); exact-integer modularity gains, so fixed
+        # maxIterations is bit-reproducible (the unrolled oracle form)
+        "gds.louvain.stream": ("nodeId", "communityId"),
         "gds.fastrp.stream": ("nodeId", "embedding"),
         "gds.scc.stream": ("nodeId", "componentId"),
         "gds.kcore.stream": ("nodeId", "coreValue"),
@@ -2868,6 +2873,11 @@ class CypherEngine:
                 F.col("src").alias("sourceNodeId"),
                 F.col("dst").alias("targetNodeId"),
                 F.col("cost").alias("totalCost"),
+            )
+        elif name == "gds.louvain.stream":
+            df = _G.louvain_refine(e, rounds=iters).select(
+                F.col("id").alias("nodeId"),
+                F.col("label").alias("communityId"),
             )
         elif name == "gds.knn.stream":
             nprops = config.get("nodeProperties")

@@ -1052,6 +1052,119 @@ def katz_centrality_scaled(
     return x
 
 
+def louvain_refine(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Deterministic SYNCHRONOUS Louvain-style modularity refinement
+    (round 7 — the ``gds.louvain.stream`` surface): every node starts in
+    its own community; each round EVERY node simultaneously moves to the
+    neighboring community with the highest modularity gain (ties to the
+    smallest community id; staying is a candidate with gain computed the
+    same way), based on the PREVIOUS round's assignment.
+
+    Modularity gain of v joining c, with v first removed from its own
+    community, is proportional to ``e_{v,c} − d_v·(Σ_c − [c = c_v]·d_v)
+    / (2m)``; the engine compares the exact-integer scaling
+    ``gain = 2m·e_{v,c} − d_v·(Σ_c − [c = c_v]·d_v)`` — no floats, so a
+    fixed round budget is bit-reproducible cross-engine (the unrolled
+    SQL oracle form). Overflow bound: d_max·2m < 2⁶³, same documented
+    class as community_quality's m < 2³⁰.
+
+    Documented divergence from stock GDS Louvain: stock is MULTI-LEVEL
+    (greedy local moves + graph coarsening, asynchronous node order —
+    irreproducible under task placement); the engine runs the bounded
+    synchronous single-level refinement, the order-free distributed form
+    (synchronous gain evaluation is also how distributed Louvain papers
+    parallelize the move phase). Synchronous moves can oscillate on
+    symmetric graphs, which a bounded ``rounds`` budget makes harmless
+    and reproducible.
+
+    Scale shape per round: one |E|-row join (neighbor labels) + two
+    key-partitioned aggregates (per-community volume — |C| rows, and
+    per-(node, neighbor-community) edge counts — ≤ |E| rows, map-side
+    combinable) + one per-node argmax window over the node's distinct
+    neighbor communities (bounded by degree; hub windows are bounded by
+    the node's DISTINCT neighbor communities, which shrink as
+    communities merge). The only driver scalar is m. Returns
+    (id, label); isolated nodes are absent (no edges → no gain rows)."""
+    from pyspark.sql.window import Window
+
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = (
+        canon.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    m = canon.count()
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    lab = deg.select("id", F.col("id").alias("label")).localCheckpoint()
+    w = Window.partitionBy("id").orderBy(
+        F.col("gain").desc(), F.col("c").asc()
+    )
+    for _ in range(rounds):
+        vol = (
+            lab.join(deg, "id")
+            .groupBy(F.col("label").alias("c"))
+            .agg(F.sum("d").cast("long").alias("vol"))
+        )
+        evc = (
+            und.join(
+                lab.select(
+                    F.col("id").alias("dst"), F.col("label").alias("c")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), "c")
+            .agg(F.count(F.lit(1)).cast("long").alias("e"))
+        )
+        cand = (
+            evc.unionByName(
+                lab.select(
+                    "id",
+                    F.col("label").alias("c"),
+                    F.lit(0).cast("long").alias("e"),
+                )
+            )
+            .groupBy("id", "c")
+            .agg(F.sum("e").cast("long").alias("e"))
+        )
+        scored = (
+            cand.join(deg, "id")
+            .join(lab, "id")
+            .join(vol, "c")
+            .select(
+                "id",
+                "c",
+                (
+                    F.lit(2 * m).cast("long") * F.col("e")
+                    - F.col("d")
+                    * (
+                        F.col("vol")
+                        - F.when(
+                            F.col("c") == F.col("label"), F.col("d")
+                        ).otherwise(F.lit(0).cast("long"))
+                    )
+                ).alias("gain"),
+            )
+        )
+        lab = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("c").alias("label"))
+            .localCheckpoint()
+        )
+    return lab
+
+
 def community_quality(edges: DataFrame, assignment: DataFrame) -> DataFrame:
     """Per-community quality metrics over a node→community assignment
     (round 6 — the measurement half of the community-detection family,

@@ -73,8 +73,9 @@ _WINDOW = [
     "embedding_neardup_cosine",
     "vis_html_golden_scan",
     "approx_stats_lineitem",
-    # 8 NEW round-7 entries (E2/E3 end-to-end, GDS value-parity
-    # opt-ins, sampled raw closeness, exact 1-D knn)
+    # 10 NEW round-7 entries (E2/E3 end-to-end, GDS value-parity
+    # opt-ins, sampled raw closeness, exact 1-D knn, bounded
+    # synchronous louvain)
     "clouds_family_pipeline",
     "clouds_host_pipeline",
     "graph_article_rank_exactavg",
@@ -83,12 +84,12 @@ _WINDOW = [
     "cypher_gds_closeness",
     "graph_knn_scalar",
     "cypher_gds_knn",
-    # 5 stalest r3-vintage fillers (CORRECTNESS_r03 order)
+    "graph_louvain",
+    "cypher_gds_louvain",
+    # 3 stalest r3-vintage fillers (CORRECTNESS_r03 order)
     "asof_prev_purchase",
     "bloom_membership",
     "bm25_doc_ranking",
-    "bpe_merge_train",
-    "collect_order_lists",
 ]
 
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate window entry"

@@ -1672,6 +1672,18 @@ CYPHER_GDS_CLOSENESS_SQL = (
 )
 
 
+def cypher_gds_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL gds.louvain.stream (round 7) — the deterministic bounded
+    synchronous Louvain refinement through the Cypher frontend; shares
+    graph_louvain's 2-round unrolled oracle."""
+    q = ("CALL gds.louvain.stream('sharesDNA', {maxIterations: 2}) "
+         "YIELD nodeId AS id, communityId AS label RETURN id, label")
+    return _engine_sp_thresh(spark, sf_dir).run(q)
+
+
+CYPHER_GDS_LOUVAIN_SQL = _ext.GRAPH_LOUVAIN_SQL
+
+
 def cypher_gds_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CALL gds.knn.stream (round 7) — exact 1-D KNN over the catalog's
     genome_size node property (p_size for P nodes, s_nationkey for S
@@ -2158,6 +2170,9 @@ ENTRIES.update({
     ),
     "cypher_gds_knn": SuiteEntry(
         cypher_gds_knn, CYPHER_GDS_KNN_SQL, ("S2", "W5", "W2")
+    ),
+    "cypher_gds_louvain": SuiteEntry(
+        cypher_gds_louvain, CYPHER_GDS_LOUVAIN_SQL, ("S2", "W6", "A6")
     ),
     "cypher_gds_ppr": SuiteEntry(
         cypher_gds_ppr, _ext.GRAPH_PPR_SQL, ("S2", "W6")

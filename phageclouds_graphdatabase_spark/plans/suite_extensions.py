@@ -2918,6 +2918,67 @@ FROM lev GROUP BY id
 """
 
 
+def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous Louvain refinement, 2 rounds (round 7 —
+    the gds.louvain.stream surface; operators/graph.py louvain_refine):
+    every node starts in its own community and moves each round to the
+    argmax-modularity-gain neighbor community (exact-integer gains
+    2m·e − d·(Σ − [own]·d), ties to smallest community id), synchronously
+    on the previous round's labels — the round-unrollable oracle form."""
+    return G.louvain_refine(
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD), rounds=2
+    )
+
+
+def _louvain_sql(rounds: int) -> str:
+    head = f"""
+WITH e0 AS ({GRAPH_EDGES_SQL}),
+canon AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM e0 WHERE distance <= {GRAPH_THRESHOLD} AND src <> dst
+),
+und AS (
+    SELECT a AS src, b AS dst FROM canon
+    UNION ALL SELECT b, a FROM canon
+),
+mm AS (SELECT COUNT(*) AS m FROM canon),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY src),
+l0 AS (SELECT id, id AS lab FROM deg)"""
+    body = ""
+    for i in range(1, rounds + 1):
+        p = i - 1
+        body += f""",
+vol{i} AS (
+    SELECT l.lab AS c, CAST(SUM(d.d) AS BIGINT) AS vol
+    FROM l{p} l JOIN deg d ON d.id = l.id GROUP BY 1
+),
+cand{i} AS (
+    SELECT id, c, CAST(SUM(e) AS BIGINT) AS e FROM (
+        SELECT u.src AS id, l.lab AS c, COUNT(*) AS e
+        FROM und u JOIN l{p} l ON l.id = u.dst GROUP BY 1, 2
+        UNION ALL SELECT id, lab AS c, 0 FROM l{p}
+    ) z GROUP BY id, c
+),
+l{i} AS (
+    SELECT id, c AS lab FROM (
+        SELECT cand.id, cand.c,
+               row_number() OVER (PARTITION BY cand.id ORDER BY
+                   (2 * (SELECT m FROM mm) * cand.e
+                    - d.d * (v.vol - CASE WHEN cand.c = l.lab
+                                          THEN d.d ELSE 0 END)) DESC,
+                   cand.c ASC) AS rn
+        FROM cand{i} cand
+        JOIN deg d ON d.id = cand.id
+        JOIN l{p} l ON l.id = cand.id
+        JOIN vol{i} v ON v.c = cand.c
+    ) q WHERE rn = 1
+)"""
+    return head + body + f"\nSELECT id, lab AS label FROM l{rounds}\n"
+
+
+GRAPH_LOUVAIN_SQL = _louvain_sql(2)
+
+
 def graph_knn_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT 1-D KNN over a scalar property (round 7 — the gds.knn.stream
     surface): value = p_partkey % 97 (heavy ties — the case where the ±k
@@ -3036,6 +3097,9 @@ ENTRIES.update({
     ),
     "graph_knn_scalar": SuiteEntry(
         graph_knn_scalar, GRAPH_KNN_SCALAR_SQL, ("W5", "W2", "J7")
+    ),
+    "graph_louvain": SuiteEntry(
+        graph_louvain, GRAPH_LOUVAIN_SQL, ("W6", "A6")
     ),
     "graph_stress_centrality": SuiteEntry(
         graph_stress_centrality, GRAPH_STRESS_SQL, ("W6", "A6")

@@ -2071,6 +2071,22 @@ class TestGdsProcedures:
                 "{useWassermanFaust: 'yes'}) YIELD nodeId RETURN nodeId"
             )
 
+    def test_louvain_stream_matches_operator(self, eng, shares_dna):
+        from phageclouds_graphdatabase_spark.operators import graph as G
+
+        # round 7: bounded synchronous Louvain through the proc surface
+        got = rows(eng.run(
+            "CALL gds.louvain.stream('sharesDNA', {maxIterations: 2}) "
+            "YIELD nodeId, communityId RETURN nodeId, communityId"
+        ))
+        want = sorted(
+            (r.id, r.label)
+            for r in G.louvain_refine(
+                shares_dna.select("src", "dst"), rounds=2
+            ).collect()
+        )
+        assert got == want and len(got) > 0
+
     def test_knn_stream_scalar_property(self, eng, phage_nodes):
         from phageclouds_graphdatabase_spark.operators import ann
 

@@ -1345,3 +1345,75 @@ def test_closeness_centrality_hand_computed(spark):
         for r in G.closeness_centrality_scaled(roots, e, k=1).collect()
     }
     assert k1 == {"B": (1, 1), "C": (1, 1)}
+
+
+def test_louvain_refine_matches_driver_sim(spark):
+    """The bounded synchronous Louvain refinement must be round-for-round
+    identical to a driver-side simulation of the same exact-integer gain
+    argmax (the property the unrolled SQL oracle depends on), on random
+    graphs including the oscillation-prone symmetric cases."""
+    import random
+
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    def simulate(adj, m, rounds):
+        deg = {v: len(ns) for v, ns in adj.items()}
+        lab = {v: v for v in adj}
+        for _ in range(rounds):
+            vol: dict = {}
+            for v in adj:
+                vol[lab[v]] = vol.get(lab[v], 0) + deg[v]
+            new = {}
+            for v in adj:
+                e: dict = {}
+                for u in adj[v]:
+                    e[lab[u]] = e.get(lab[u], 0) + 1
+                e.setdefault(lab[v], 0)
+                best = None
+                for c, ec in e.items():
+                    own = deg[v] if c == lab[v] else 0
+                    gain = 2 * m * ec - deg[v] * (vol[c] - own)
+                    key = (-gain, c)
+                    if best is None or key < best[0]:
+                        best = (key, c)
+                new[v] = best[1]
+            lab = new
+        return lab
+
+    rng = random.Random(29)
+    for trial in range(3):
+        rows = sorted(
+            {tuple(sorted(rng.sample(range(25), 2))) for _ in range(55)}
+        )
+        adj: dict = {}
+        for a, b in rows:
+            adj.setdefault(f"N{a:02d}", set()).add(f"N{b:02d}")
+            adj.setdefault(f"N{b:02d}", set()).add(f"N{a:02d}")
+        e = spark.createDataFrame(
+            [(f"N{a:02d}", f"N{b:02d}") for a, b in rows],
+            "src string, dst string",
+        )
+        for rounds in (1, 2, 3):
+            want = simulate(adj, len(rows), rounds)
+            got = {
+                r.id: r.label
+                for r in G.louvain_refine(e, rounds=rounds).collect()
+            }
+            assert got == want, (trial, rounds)
+
+
+def test_louvain_refine_two_triangles(spark):
+    # two triangles + bridge: after round 1 each triangle has collapsed
+    # into intra-triangle communities only (no cross-bridge merges —
+    # gain of joining across the bridge is dominated)
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("A", "C"),
+         ("D", "E"), ("E", "F"), ("D", "F"), ("C", "D")],
+        "src string, dst string",
+    )
+    lab = {r.id: r.label for r in G.louvain_refine(e, rounds=1).collect()}
+    assert set(lab) == set("ABCDEF")
+    assert all(lab[v] in "ABC" for v in "ABC")
+    assert all(lab[v] in "DEF" for v in "DEF")
