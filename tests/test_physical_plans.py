@@ -400,3 +400,26 @@ def test_nodesim_auto_gate_plan_shapes(spark):
         node_similarity_topk_capped(skewed, k=5, freq_cap="auto")
     )
     assert "LeftAnti" in plan_s, plan_s
+
+
+def test_knn_scalar_plan_windowlimit_no_cartesian(spark, sf_dir):
+    """gds.knn.stream's 1-D exact shape (round 7): the per-node top-k rank
+    filter must engage Spark's WindowGroupLimit pushdown (rank computed
+    only until k per partition, not over all candidates), the tiny
+    bucket-offset table must broadcast, and there must be NO cartesian /
+    nested-loop join anywhere — the candidate join is an integer-position
+    equi-join by construction."""
+    df = ext.graph_knn_scalar(spark, sf_dir)
+    plan = explain_str(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the offsets join
+
+
+# NB: louvain_refine's executed plan cannot be pinned the same way — each
+# round ends in a localCheckpoint, so the returned frame's plan is a bare
+# LogicalRDD scan (the joins already ran during construction). Its shape is
+# instead covered by the argmax window being WindowGroupLimit-eligible
+# (rn == 1 filter directly over row_number) and the driver-sim differential
+# in tests/test_graph_operators.py.
