@@ -2875,7 +2875,19 @@ class CypherEngine:
                 F.col("cost").alias("totalCost"),
             )
         elif name == "gds.louvain.stream":
-            df = _G.louvain_refine(e, rounds=iters).select(
+            # maxLevels (round 7): Louvain's coarsening phases — condense
+            # communities to weighted supernodes and re-refine, maxLevels
+            # times in total (default 1 = single-level refinement; stock
+            # GDS defaults to 10 levels with early exit, but async and
+            # irreproducible — documented divergence)
+            max_levels = int(config.get("maxLevels", 1))
+            if not 1 <= max_levels <= 10:
+                raise CypherCompileError(
+                    "gds.louvain.stream maxLevels must be between 1 and 10"
+                )
+            df = _G.louvain_refine(
+                e, rounds=iters, levels=max_levels
+            ).select(
                 F.col("id").alias("nodeId"),
                 F.col("label").alias("communityId"),
             )

@@ -1052,13 +1052,27 @@ def katz_centrality_scaled(
     return x
 
 
-def louvain_refine(edges: DataFrame, rounds: int = 2) -> DataFrame:
+def louvain_refine(
+    edges: DataFrame, rounds: int = 2, levels: int = 1
+) -> DataFrame:
     """Deterministic SYNCHRONOUS Louvain-style modularity refinement
     (round 7 — the ``gds.louvain.stream`` surface): every node starts in
     its own community; each round EVERY node simultaneously moves to the
     neighboring community with the highest modularity gain (ties to the
     smallest community id; staying is a candidate with gain computed the
     same way), based on the PREVIOUS round's assignment.
+
+    ``levels > 1`` adds Louvain's COARSENING phases: after each level's
+    ``rounds`` of refinement the graph condenses (supernode = community;
+    inter-community edge weights aggregate, intra-community weight and
+    member self-loops become the supernode's self-loop — total weight m
+    is invariant) and the WEIGHTED refinement repeats on the condensed
+    graph (``_louvain_weighted_rounds``: strength k_v = Σ incident w +
+    2·self_w, gain 2m·w_{v,c} − k_v·(Σ_c − [own]·k_v), still exact
+    integers). The returned label is the TOP-level community mapped back
+    through every condensation. Level-1 on the simple graph is the
+    weighted core at w = 1 by construction (no separate code path to
+    drift).
 
     Modularity gain of v joining c, with v first removed from its own
     community, is proportional to ``e_{v,c} − d_v·(Σ_c − [c = c_v]·d_v)
@@ -1094,37 +1108,134 @@ def louvain_refine(edges: DataFrame, rounds: int = 2) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .withColumn("w", F.lit(1).cast("long"))
+        .localCheckpoint()
     )
-    und = (
-        canon.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    m = canon.agg(F.sum("w")).collect()[0][0] or 0
+    spark = edges.sparkSession
+    we = canon  # canonical weighted inter-community edges (a < b, w)
+    sw = spark.createDataFrame([], "id string, sw long")  # self weights
+    mapping = None  # node -> current top-level community
+    prev_lab = None  # the PREVIOUS level's lab, over we/sw's node universe
+    for level in range(levels):
+        if level > 0:
+            # CONDENSE under the previous LEVEL's lab — NOT the composed
+            # node->top mapping: a supernode's id is an elected label, and
+            # the node bearing that id need not be a member of it, so the
+            # composed mapping is the wrong function on supernode ids
+            # (caught by the level-3 driver-sim differential). Supernodes =
+            # communities; inter-community weights aggregate on the
+            # canonicalized label pair, intra-community + member
+            # self-weights become the supernode's self-loop weight (total
+            # weight W = m invariant).
+            la = prev_lab.select(
+                F.col("id").alias("a"), F.col("label").alias("la")
+            )
+            lb = prev_lab.select(
+                F.col("id").alias("b"), F.col("label").alias("lb")
+            )
+            j = we.join(la, "a").join(lb, "b")
+            intra = (
+                j.filter(F.col("la") == F.col("lb"))
+                .groupBy(F.col("la").alias("id"))
+                .agg(F.sum("w").cast("long").alias("sw"))
+            )
+            carried = (
+                sw.join(prev_lab, "id")
+                .groupBy(F.col("label").alias("id"))
+                .agg(F.sum("sw").cast("long").alias("sw"))
+            )
+            sw = (
+                intra.unionByName(carried)
+                .groupBy("id")
+                .agg(F.sum("sw").cast("long").alias("sw"))
+                .localCheckpoint()
+            )
+            we = (
+                j.filter(F.col("la") != F.col("lb"))
+                .select(
+                    F.least("la", "lb").alias("a"),
+                    F.greatest("la", "lb").alias("b"),
+                    "w",
+                )
+                .groupBy("a", "b")
+                .agg(F.sum("w").cast("long").alias("w"))
+                .localCheckpoint()
+            )
+        lab = _louvain_weighted_rounds(we, sw, m, rounds)
+        mapping = (
+            lab
+            if mapping is None
+            else mapping.join(
+                lab.select(
+                    F.col("id").alias("label"), F.col("label").alias("l2")
+                ),
+                "label",
+            )
+            .select("id", F.col("l2").alias("label"))
+            .localCheckpoint()
+        )
+        prev_lab = lab
+    return mapping
+
+
+def _louvain_weighted_rounds(
+    we: DataFrame, sw: DataFrame, m: int, rounds: int
+) -> DataFrame:
+    """The synchronous weighted refinement under louvain_refine: ``we`` is
+    the canonical (a < b, w) inter-node weighted edge set, ``sw`` per-node
+    self-loop weights (a condensed community's internal edges). Strength
+    k_v = Σ incident w + 2·sw_v; total weight is the ORIGINAL m (condensing
+    preserves it). Self-loops are excluded from w_{v,c} (they move with v,
+    adding the same constant to every candidate — argmax- and
+    tie-invariant) but counted in k_v and Σ_c. Gain compared exactly as
+    2m·w_{v,c} − k_v·(Σ_c − [c = c_v]·k_v). Returns (id, label)."""
+    from pyspark.sql.window import Window
+
+    wund = (
+        we.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
         .unionByName(
-            canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+            we.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
         )
         .localCheckpoint()
     )
-    m = canon.count()
-    deg = und.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).cast("long").alias("d")
+    wsum = wund.groupBy(F.col("src").alias("id")).agg(
+        F.sum("w").cast("long").alias("ws")
     )
-    lab = deg.select("id", F.col("id").alias("label")).localCheckpoint()
-    w = Window.partitionBy("id").orderBy(
+    nodes = (
+        wsum.select("id").unionByName(sw.select("id")).distinct()
+    )
+    k = (
+        nodes.join(wsum, "id", "left_outer")
+        .join(sw, "id", "left_outer")
+        .select(
+            "id",
+            (
+                F.coalesce(F.col("ws"), F.lit(0))
+                + F.lit(2) * F.coalesce(F.col("sw"), F.lit(0))
+            ).cast("long").alias("d"),
+        )
+        .localCheckpoint()
+    )
+    lab = k.select("id", F.col("id").alias("label")).localCheckpoint()
+    win = Window.partitionBy("id").orderBy(
         F.col("gain").desc(), F.col("c").asc()
     )
     for _ in range(rounds):
         vol = (
-            lab.join(deg, "id")
+            lab.join(k, "id")
             .groupBy(F.col("label").alias("c"))
             .agg(F.sum("d").cast("long").alias("vol"))
         )
         evc = (
-            und.join(
+            wund.join(
                 lab.select(
                     F.col("id").alias("dst"), F.col("label").alias("c")
                 ),
                 "dst",
             )
             .groupBy(F.col("src").alias("id"), "c")
-            .agg(F.count(F.lit(1)).cast("long").alias("e"))
+            .agg(F.sum("w").cast("long").alias("e"))
         )
         cand = (
             evc.unionByName(
@@ -1138,7 +1249,7 @@ def louvain_refine(edges: DataFrame, rounds: int = 2) -> DataFrame:
             .agg(F.sum("e").cast("long").alias("e"))
         )
         scored = (
-            cand.join(deg, "id")
+            cand.join(k, "id")
             .join(lab, "id")
             .join(vol, "c")
             .select(
@@ -1157,7 +1268,7 @@ def louvain_refine(edges: DataFrame, rounds: int = 2) -> DataFrame:
             )
         )
         lab = (
-            scored.withColumn("rn", F.row_number().over(w))
+            scored.withColumn("rn", F.row_number().over(win))
             .filter(F.col("rn") == 1)
             .select("id", F.col("c").alias("label"))
             .localCheckpoint()

@@ -2933,33 +2933,33 @@ def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _louvain_sql(rounds: int) -> str:
     head = f"""
 WITH e0 AS ({GRAPH_EDGES_SQL}),
-canon AS (
+canon AS MATERIALIZED (
     SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
     FROM e0 WHERE distance <= {GRAPH_THRESHOLD} AND src <> dst
 ),
-und AS (
+und AS MATERIALIZED (
     SELECT a AS src, b AS dst FROM canon
     UNION ALL SELECT b, a FROM canon
 ),
-mm AS (SELECT COUNT(*) AS m FROM canon),
-deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY src),
-l0 AS (SELECT id, id AS lab FROM deg)"""
+mm AS MATERIALIZED (SELECT COUNT(*) AS m FROM canon),
+deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY src),
+l0 AS MATERIALIZED (SELECT id, id AS lab FROM deg)"""
     body = ""
     for i in range(1, rounds + 1):
         p = i - 1
         body += f""",
-vol{i} AS (
+vol{i} AS MATERIALIZED (
     SELECT l.lab AS c, CAST(SUM(d.d) AS BIGINT) AS vol
     FROM l{p} l JOIN deg d ON d.id = l.id GROUP BY 1
 ),
-cand{i} AS (
+cand{i} AS MATERIALIZED (
     SELECT id, c, CAST(SUM(e) AS BIGINT) AS e FROM (
         SELECT u.src AS id, l.lab AS c, COUNT(*) AS e
         FROM und u JOIN l{p} l ON l.id = u.dst GROUP BY 1, 2
         UNION ALL SELECT id, lab AS c, 0 FROM l{p}
     ) z GROUP BY id, c
 ),
-l{i} AS (
+l{i} AS MATERIALIZED (
     SELECT id, c AS lab FROM (
         SELECT cand.id, cand.c,
                row_number() OVER (PARTITION BY cand.id ORDER BY
@@ -2977,6 +2977,90 @@ l{i} AS (
 
 
 GRAPH_LOUVAIN_SQL = _louvain_sql(2)
+
+
+def graph_louvain_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-LEVEL Louvain (round 7): refine 2 rounds, condense communities
+    into weighted supernodes (inter-community weights + intra/self-loop
+    carry, total weight m invariant), refine the condensed graph 2 more
+    weighted rounds, map back. All gains exact integers, so the whole
+    two-level computation unrolls into the SQL oracle. NB the oracle's
+    CTEs are MATERIALIZED: DuckDB 1.0 inlines plain CTEs per reference,
+    and the level-2 chain references each label CTE ~4x — inlining makes
+    the unrolled form exponential in depth (observed: the un-hinted
+    2-level oracle did not finish; materialized it is linear)."""
+    return G.louvain_refine(
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD), rounds=2, levels=2
+    )
+
+
+def _louvain_level2_sql(rounds: int) -> str:
+    base = _louvain_sql(rounds)
+    head, tail = base.rsplit("\nSELECT id, lab AS label FROM", 1)
+    r = rounds
+    cond = f""",
+sw2 AS MATERIALIZED (
+    SELECT la2.lab AS id, CAST(COUNT(*) AS BIGINT) AS sw
+    FROM canon c JOIN l{r} la2 ON la2.id = c.a JOIN l{r} lb2 ON lb2.id = c.b
+    WHERE la2.lab = lb2.lab GROUP BY 1
+),
+we2 AS MATERIALIZED (
+    SELECT LEAST(la2.lab, lb2.lab) AS a, GREATEST(la2.lab, lb2.lab) AS b,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM canon c JOIN l{r} la2 ON la2.id = c.a JOIN l{r} lb2 ON lb2.id = c.b
+    WHERE la2.lab <> lb2.lab GROUP BY 1, 2
+),
+wund2 AS MATERIALIZED (
+    SELECT a AS src, b AS dst, w FROM we2
+    UNION ALL SELECT b, a, w FROM we2
+),
+n2 AS MATERIALIZED (SELECT DISTINCT lab AS id FROM l{r}),
+k2 AS MATERIALIZED (
+    SELECT n2.id,
+           CAST(COALESCE(ws.ws, 0) + 2 * COALESCE(sw2.sw, 0) AS BIGINT) AS d
+    FROM n2
+    LEFT JOIN (SELECT src AS id, SUM(w) AS ws FROM wund2 GROUP BY 1) ws
+      ON ws.id = n2.id
+    LEFT JOIN sw2 ON sw2.id = n2.id
+),
+m0 AS MATERIALIZED (SELECT id, id AS lab FROM k2)"""
+    for i in range(1, rounds + 1):
+        p = i - 1
+        cond += f""",
+mvol{i} AS MATERIALIZED (
+    SELECT l.lab AS c, CAST(SUM(k.d) AS BIGINT) AS vol
+    FROM m{p} l JOIN k2 k ON k.id = l.id GROUP BY 1
+),
+mcand{i} AS MATERIALIZED (
+    SELECT id, c, CAST(SUM(e) AS BIGINT) AS e FROM (
+        SELECT u.src AS id, l.lab AS c, SUM(u.w) AS e
+        FROM wund2 u JOIN m{p} l ON l.id = u.dst GROUP BY 1, 2
+        UNION ALL SELECT id, lab AS c, 0 FROM m{p}
+    ) z GROUP BY id, c
+),
+m{i} AS MATERIALIZED (
+    SELECT id, c AS lab FROM (
+        SELECT cand.id, cand.c,
+               row_number() OVER (PARTITION BY cand.id ORDER BY
+                   (2 * (SELECT m FROM mm) * cand.e
+                    - k.d * (v.vol - CASE WHEN cand.c = l.lab
+                                          THEN k.d ELSE 0 END)) DESC,
+                   cand.c ASC) AS rn
+        FROM mcand{i} cand
+        JOIN k2 k ON k.id = cand.id
+        JOIN m{p} l ON l.id = cand.id
+        JOIN mvol{i} v ON v.c = cand.c
+    ) q WHERE rn = 1
+)"""
+    return (
+        head
+        + cond
+        + f"\nSELECT n.id, m{rounds}.lab AS label"
+        + f"\nFROM l{r} n JOIN m{rounds} ON m{rounds}.id = n.lab\n"
+    )
+
+
+GRAPH_LOUVAIN_ML_SQL = _louvain_level2_sql(2)
 
 
 def graph_knn_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3100,6 +3184,9 @@ ENTRIES.update({
     ),
     "graph_louvain": SuiteEntry(
         graph_louvain, GRAPH_LOUVAIN_SQL, ("W6", "A6")
+    ),
+    "graph_louvain_multilevel": SuiteEntry(
+        graph_louvain_multilevel, GRAPH_LOUVAIN_ML_SQL, ("W6", "A6")
     ),
     "graph_stress_centrality": SuiteEntry(
         graph_stress_centrality, GRAPH_STRESS_SQL, ("W6", "A6")

@@ -2086,6 +2086,24 @@ class TestGdsProcedures:
             ).collect()
         )
         assert got == want and len(got) > 0
+        # maxLevels (round 7): the coarsening phases through the proc
+        got2 = rows(eng.run(
+            "CALL gds.louvain.stream('sharesDNA', "
+            "{maxIterations: 2, maxLevels: 2}) "
+            "YIELD nodeId, communityId RETURN nodeId, communityId"
+        ))
+        want2 = sorted(
+            (r.id, r.label)
+            for r in G.louvain_refine(
+                shares_dna.select("src", "dst"), rounds=2, levels=2
+            ).collect()
+        )
+        assert got2 == want2 and len(got2) > 0
+        with pytest.raises(CypherCompileError, match="maxLevels"):
+            eng.run(
+                "CALL gds.louvain.stream('sharesDNA', {maxLevels: 0}) "
+                "YIELD nodeId RETURN nodeId"
+            )
 
     def test_knn_stream_scalar_property(self, eng, phage_nodes):
         from phageclouds_graphdatabase_spark.operators import ann

@@ -1417,3 +1417,86 @@ def test_louvain_refine_two_triangles(spark):
     assert set(lab) == set("ABCDEF")
     assert all(lab[v] in "ABC" for v in "ABC")
     assert all(lab[v] in "DEF" for v in "DEF")
+
+
+def test_louvain_multilevel_matches_driver_sim(spark):
+    """levels > 1 adds the coarsening phases; the condensed weighted
+    refinement (strengths with self-loops, weighted gains) must match a
+    driver-side simulation of the same exact-integer updates, mapped back
+    through every condensation."""
+    import random
+
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    def refine(wadj, selfw, m, rounds):
+        # wadj: {v: {u: w}}, selfw: {v: sw}
+        k = {
+            v: sum(ws.values()) + 2 * selfw.get(v, 0)
+            for v, ws in wadj.items()
+        }
+        lab = {v: v for v in wadj}
+        for _ in range(rounds):
+            vol: dict = {}
+            for v in wadj:
+                vol[lab[v]] = vol.get(lab[v], 0) + k[v]
+            new = {}
+            for v in wadj:
+                e: dict = {}
+                for u, w in wadj[v].items():
+                    e[lab[u]] = e.get(lab[u], 0) + w
+                e.setdefault(lab[v], 0)
+                best = None
+                for c, ec in e.items():
+                    own = k[v] if c == lab[v] else 0
+                    gain = 2 * m * ec - k[v] * (vol[c] - own)
+                    key = (-gain, c)
+                    if best is None or key < best[0]:
+                        best = (key, c)
+                new[v] = best[1]
+            lab = new
+        return lab
+
+    def simulate(rows, rounds, levels):
+        m = len(rows)
+        we = {tuple(sorted(e)): 1 for e in rows}
+        selfw: dict = {}
+        mapping = None
+        for level in range(levels):
+            wadj: dict = {}
+            for (a, b), w in we.items():
+                wadj.setdefault(a, {})[b] = wadj.setdefault(a, {}).get(b, 0) + w
+                wadj.setdefault(b, {})[a] = wadj.setdefault(b, {}).get(a, 0) + w
+            for v in selfw:
+                wadj.setdefault(v, {})
+            lab = refine(wadj, selfw, m, rounds)
+            mapping = lab if mapping is None else {
+                v: lab[c] for v, c in mapping.items()
+            }
+            nwe: dict = {}
+            nsw: dict = {}
+            for (a, b), w in we.items():
+                ca, cb = lab[a], lab[b]
+                if ca == cb:
+                    nsw[ca] = nsw.get(ca, 0) + w
+                else:
+                    key = tuple(sorted((ca, cb)))
+                    nwe[key] = nwe.get(key, 0) + w
+            for v, w in selfw.items():
+                nsw[lab[v]] = nsw.get(lab[v], 0) + w
+            we, selfw = nwe, nsw
+        return mapping
+
+    rng = random.Random(31)
+    for trial in range(2):
+        rows = sorted(
+            {tuple(sorted(rng.sample(range(22), 2))) for _ in range(50)}
+        )
+        rows = [(f"N{a:02d}", f"N{b:02d}") for a, b in rows]
+        e = spark.createDataFrame(rows, "src string, dst string")
+        for levels in (2, 3):
+            want = simulate(rows, rounds=2, levels=levels)
+            got = {
+                r.id: r.label
+                for r in G.louvain_refine(e, rounds=2, levels=levels).collect()
+            }
+            assert got == want, (trial, levels)
