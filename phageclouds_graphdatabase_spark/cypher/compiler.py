@@ -2437,6 +2437,11 @@ class CypherEngine:
         # under task placement); exact-integer modularity gains, so fixed
         # maxIterations is bit-reproducible (the unrolled oracle form)
         "gds.louvain.stream": ("nodeId", "communityId"),
+        # round 7: property scaling — MinMax/Mean/Center/StdScore, each an
+        # exact-integer numerator + one IEEE double op (hash-stable);
+        # stock's Log scaler is out of scope (libm log is not
+        # correctly-rounded, cannot be value-oracled)
+        "gds.scaleproperties.stream": ("nodeId", "scaledProperty"),
         "gds.fastrp.stream": ("nodeId", "embedding"),
         "gds.scc.stream": ("nodeId", "componentId"),
         "gds.kcore.stream": ("nodeId", "coreValue"),
@@ -2890,6 +2895,48 @@ class CypherEngine:
             ).select(
                 F.col("id").alias("nodeId"),
                 F.col("label").alias("communityId"),
+            )
+        elif name == "gds.scaleproperties.stream":
+            nprops = config.get("nodeProperties")
+            if isinstance(nprops, str):
+                nprops = [nprops]
+            if not nprops or len(nprops) != 1:
+                raise CypherCompileError(
+                    "gds.scaleProperties.stream needs nodeProperties: "
+                    "['<one numeric node property>']"
+                )
+            prop = nprops[0]
+            scaler = str(config.get("scaler", "MinMax")).lower()
+            if scaler not in ("minmax", "mean", "center", "stdscore"):
+                raise CypherCompileError(
+                    "scaler must be 'MinMax', 'Mean', 'Center' or "
+                    "'StdScore' (Log is not value-oracle-able: libm log "
+                    "is not correctly rounded)"
+                )
+            rel = self.catalog.rel(
+                reltype
+                if reltype is not None
+                else next(iter(self.catalog.rels))
+            )
+            nt = self.catalog.node(rel.src_label)
+            if prop not in nt.df.columns:
+                raise CypherCompileError(
+                    f"nodeProperties {prop!r} is not a node property of "
+                    f":{rel.src_label}"
+                )
+            from phageclouds_graphdatabase_spark.functions import (
+                derive as _derive,
+            )
+
+            df = _derive.scale_property(
+                nt.df.select(
+                    F.col(nt.key).cast("string").alias("id"),
+                    F.col(prop).cast("long").alias("value"),
+                ).filter(F.col("value").isNotNull()),
+                scaler=scaler,
+            ).select(
+                F.col("id").alias("nodeId"),
+                F.col("scaled").alias("scaledProperty"),
             )
         elif name == "gds.knn.stream":
             nprops = config.get("nodeProperties")

@@ -169,3 +169,71 @@ def taxon_palette(
         idx.alias("palette_idx"),
         F.element_at(palette, (idx % len(TAB20_HEX)) + 1).alias("hex"),
     )
+
+
+def scale_property(props: DataFrame, scaler: str = "minmax") -> DataFrame:
+    """Per-column property scaling — the ``gds.scaleProperties.stream``
+    surface (round 7). ``props`` is (id, value) with an integral value
+    column; returns (id, scaled double).
+
+    Every scaler is an EXACT-INTEGER numerator/denominator with ONE
+    final IEEE double op (the engine's cross-engine-exactness recipe, cf.
+    community_quality / eigenvector normalized):
+
+    - ``minmax``:   (x − min) / (max − min); 0.0 when max = min
+    - ``mean``:     (x·n − S) / (n·(max − min)) — exactly (x − S/n)/(max−min)
+    - ``center``:   (x·n − S) / n — exactly x − mean
+    - ``stdscore``: (x·n − S) / sqrt(n·Q − S²), Q = Σx² as an exact
+      decimal(38,0) aggregate — exactly (x − mean)/σ_population; 0.0 for a
+      constant column. sqrt + division are correctly rounded, so the
+      value hashes identically cross-engine.
+
+    Stock GDS also ships a ``log`` scaler — intentionally out of scope:
+    libm ``log`` is not correctly-rounded and differs across engines, so
+    it cannot be value-oracled (documented divergence)."""
+    scaler = scaler.lower()
+    if scaler not in ("minmax", "mean", "center", "stdscore"):
+        raise ValueError(
+            "scaler must be one of 'minmax', 'mean', 'center', 'stdscore'"
+        )
+    p = props.select(
+        F.col("id"), F.col("value").cast("long").alias("value")
+    )
+    xx = F.col("value").cast("decimal(38,0)")
+    stats = p.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.sum("value").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xx * xx).alias("q"),
+    )
+    j = p.crossJoin(F.broadcast(stats))
+    x = F.col("value")
+    if scaler == "minmax":
+        expr = F.when(
+            F.col("mx") > F.col("mn"),
+            (x - F.col("mn")).cast("double")
+            / (F.col("mx") - F.col("mn")).cast("double"),
+        ).otherwise(F.lit(0.0))
+    elif scaler == "mean":
+        expr = F.when(
+            F.col("mx") > F.col("mn"),
+            (x * F.col("n") - F.col("s")).cast("double")
+            / (F.col("n") * (F.col("mx") - F.col("mn"))).cast("double"),
+        ).otherwise(F.lit(0.0))
+    elif scaler == "center":
+        expr = (x * F.col("n") - F.col("s")).cast("double") / F.col(
+            "n"
+        ).cast("double")
+    else:  # stdscore
+        var_num = (
+            F.col("n").cast("decimal(38,0)") * F.col("q")
+            - F.col("s").cast("decimal(38,0)")
+            * F.col("s").cast("decimal(38,0)")
+        )
+        expr = F.when(
+            var_num > 0,
+            (x * F.col("n") - F.col("s")).cast("double")
+            / F.sqrt(var_num.cast("double")),
+        ).otherwise(F.lit(0.0))
+    return j.select("id", expr.alias("scaled"))

@@ -73,7 +73,7 @@ _WINDOW = [
     "embedding_neardup_cosine",
     "vis_html_golden_scan",
     "approx_stats_lineitem",
-    # 11 NEW round-7 entries (E2/E3 end-to-end, GDS value-parity
+    # 13 NEW round-7 entries (E2/E3 end-to-end, GDS value-parity
     # opt-ins, sampled raw closeness, exact 1-D knn, bounded
     # synchronous louvain)
     "clouds_family_pipeline",
@@ -87,9 +87,8 @@ _WINDOW = [
     "graph_louvain",
     "cypher_gds_louvain",
     "graph_louvain_multilevel",
-    # 2 stalest r3-vintage fillers (CORRECTNESS_r03 order)
-    "asof_prev_purchase",
-    "bloom_membership",
+    "graph_scale_properties",
+    "cypher_gds_scaleprops",
 ]
 
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate window entry"

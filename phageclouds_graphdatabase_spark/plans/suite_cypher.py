@@ -1684,6 +1684,36 @@ def cypher_gds_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
 CYPHER_GDS_LOUVAIN_SQL = _ext.GRAPH_LOUVAIN_SQL
 
 
+def cypher_gds_scaleprops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL gds.scaleProperties.stream (round 7) — StdScore scaling of
+    genome_size through the Cypher frontend (exact-integer numerator,
+    one correctly-rounded sqrt + division, hash-stable)."""
+    q = ("CALL gds.scaleProperties.stream('sharesDNA', "
+         "{nodeProperties: ['genome_size'], scaler: 'StdScore'}) "
+         "YIELD nodeId AS id, scaledProperty AS scaled RETURN id, scaled")
+    return _engine_sp_thresh(spark, sf_dir).run(q)
+
+
+CYPHER_GDS_SCALEPROPS_SQL = """
+WITH props AS (
+    SELECT 'P' || p_partkey AS id, CAST(p_size AS BIGINT) AS value FROM part
+    UNION ALL
+    SELECT 'S' || s_suppkey, CAST(s_nationkey AS BIGINT) FROM supplier
+),
+st AS (
+    SELECT CAST(SUM(value) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(value * value) AS q
+    FROM props
+)
+SELECT id,
+       CASE WHEN st.n * st.q - st.s * st.s > 0
+            THEN CAST(value * st.n - st.s AS DOUBLE)
+                 / SQRT(CAST(st.n * st.q - st.s * st.s AS DOUBLE))
+            ELSE 0.0 END AS scaled
+FROM props, st
+"""
+
+
 def cypher_gds_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CALL gds.knn.stream (round 7) — exact 1-D KNN over the catalog's
     genome_size node property (p_size for P nodes, s_nationkey for S
@@ -2173,6 +2203,9 @@ ENTRIES.update({
     ),
     "cypher_gds_louvain": SuiteEntry(
         cypher_gds_louvain, CYPHER_GDS_LOUVAIN_SQL, ("S2", "W6", "A6")
+    ),
+    "cypher_gds_scaleprops": SuiteEntry(
+        cypher_gds_scaleprops, CYPHER_GDS_SCALEPROPS_SQL, ("S2", "V4", "A6")
     ),
     "cypher_gds_ppr": SuiteEntry(
         cypher_gds_ppr, _ext.GRAPH_PPR_SQL, ("S2", "W6")

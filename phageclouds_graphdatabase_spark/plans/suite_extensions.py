@@ -3063,6 +3063,52 @@ m{i} AS MATERIALIZED (
 GRAPH_LOUVAIN_ML_SQL = _louvain_level2_sql(2)
 
 
+def graph_scale_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four value-oracle-able scalers of gds.scaleProperties.stream
+    over one integral column (p_size), side by side per id (round 7):
+    minmax, mean, center, stdscore — each an exact-integer numerator +
+    one IEEE double op (functions/derive.py scale_property)."""
+    from phageclouds_graphdatabase_spark.functions import derive
+
+    props = t(spark, sf_dir, "part").select(
+        F.concat(F.lit("P"), F.col("p_partkey")).alias("id"),
+        F.col("p_size").cast("long").alias("value"),
+    )
+    out = None
+    for s in ("minmax", "mean", "center", "stdscore"):
+        d = derive.scale_property(props, s).withColumnRenamed("scaled", s)
+        out = d if out is None else out.join(d, "id")
+    return out
+
+
+GRAPH_SCALE_PROPS_SQL = """
+WITH props AS (
+    SELECT 'P' || p_partkey AS id, CAST(p_size AS BIGINT) AS value FROM part
+),
+st AS (
+    SELECT MIN(value) AS mn, MAX(value) AS mx,
+           CAST(SUM(value) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(value * value) AS q
+    FROM props
+)
+SELECT id,
+       CASE WHEN st.mx > st.mn
+            THEN CAST(value - st.mn AS DOUBLE) / CAST(st.mx - st.mn AS DOUBLE)
+            ELSE 0.0 END AS minmax,
+       CASE WHEN st.mx > st.mn
+            THEN CAST(value * st.n - st.s AS DOUBLE)
+                 / CAST(st.n * (st.mx - st.mn) AS DOUBLE)
+            ELSE 0.0 END AS mean,
+       CAST(value * st.n - st.s AS DOUBLE) / CAST(st.n AS DOUBLE) AS center,
+       CASE WHEN st.n * st.q - st.s * st.s > 0
+            THEN CAST(value * st.n - st.s AS DOUBLE)
+                 / SQRT(CAST(st.n * st.q - st.s * st.s AS DOUBLE))
+            ELSE 0.0 END AS stdscore
+FROM props, st
+"""
+
+
 def graph_knn_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT 1-D KNN over a scalar property (round 7 — the gds.knn.stream
     surface): value = p_partkey % 97 (heavy ties — the case where the ±k
@@ -3181,6 +3227,9 @@ ENTRIES.update({
     ),
     "graph_knn_scalar": SuiteEntry(
         graph_knn_scalar, GRAPH_KNN_SCALAR_SQL, ("W5", "W2", "J7")
+    ),
+    "graph_scale_properties": SuiteEntry(
+        graph_scale_properties, GRAPH_SCALE_PROPS_SQL, ("V4", "A6")
     ),
     "graph_louvain": SuiteEntry(
         graph_louvain, GRAPH_LOUVAIN_SQL, ("W6", "A6")

@@ -2105,6 +2105,36 @@ class TestGdsProcedures:
                 "YIELD nodeId RETURN nodeId"
             )
 
+    def test_scaleproperties_stream(self, eng, phage_nodes):
+        from phageclouds_graphdatabase_spark.functions import derive
+
+        # round 7: each scaler through the proc surface must equal the
+        # derive.scale_property operator on the same projection
+        props = phage_nodes.select(
+            F.col("accession").alias("id"),
+            F.col("genome_size").cast("long").alias("value"),
+        ).filter(F.col("value").isNotNull())
+        for scaler in ("MinMax", "Mean", "Center", "StdScore"):
+            got = rows(eng.run(
+                "CALL gds.scaleProperties.stream('sharesDNA', "
+                f"{{nodeProperties: ['genome_size'], scaler: '{scaler}'}}) "
+                "YIELD nodeId, scaledProperty "
+                "RETURN nodeId, scaledProperty"
+            ))
+            want = sorted(
+                (r.id, r.scaled)
+                for r in derive.scale_property(
+                    props, scaler.lower()
+                ).collect()
+            )
+            assert got == want and len(got) > 0, scaler
+        with pytest.raises(CypherCompileError, match="scaler"):
+            eng.run(
+                "CALL gds.scaleProperties.stream('sharesDNA', "
+                "{nodeProperties: ['genome_size'], scaler: 'Log'}) "
+                "YIELD nodeId RETURN nodeId"
+            )
+
     def test_knn_stream_scalar_property(self, eng, phage_nodes):
         from phageclouds_graphdatabase_spark.operators import ann
 
