@@ -1899,6 +1899,7 @@ def core_decomposition(
     rounds: int | None = None,
     reliable_checkpoint: bool = False,
     delta: bool = False,
+    pack_ids: bool = False,
 ) -> DataFrame:
     """FULL k-core decomposition — every node's core number (the largest
     k such that the node survives k-core peeling), the stock
@@ -1949,7 +1950,17 @@ def core_decomposition(
     Input is canonicalized to the SIMPLE undirected graph (self-loops
     dropped, parallel edges collapsed — coreness is a neighbor-set
     notion, same convention as triangle_counts). Returns (id, core);
-    isolated nodes are absent (no edges → no rows, like k_core)."""
+    isolated nodes are absent (no edges → no rows, like k_core).
+
+    ``pack_ids=True`` (round 7, the 20M-rung NVMe lever): dictionary-
+    encode the string ids to dense longs ONCE (two-phase prefix rank —
+    no global window task), run every per-round |E|-row join and
+    aggregate on 8-byte keys, join the labels back at the end. Pays a
+    one-time 2×|E| encode join for a per-round shuffle-width cut on
+    every subsequent round — the knob for string-keyed graphs on
+    disk-bound shuffles; value-identical (differential-pinned)."""
+    if pack_ids:
+        return _coredec_packed(edges, rounds, reliable_checkpoint, delta)
     canon = (
         edges.select(
             F.least("src", "dst").alias("a"),
@@ -2036,6 +2047,67 @@ def core_decomposition(
             .localCheckpoint()
         )
     return h
+
+
+def _coredec_packed(
+    edges: DataFrame,
+    rounds: int | None,
+    reliable_checkpoint: bool,
+    delta: bool,
+) -> DataFrame:
+    """core_decomposition(pack_ids=True): dense-long dictionary encoding
+    around the same loop. The dense rank is the TWO-PHASE prefix count
+    (hash buckets + broadcast offsets — no global window task, the
+    knn_scalar_topk / pack_sequences pattern); any bijection works, so
+    the hash-bucketed order needs no semantic meaning."""
+    from pyspark.sql.window import Window
+
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    b = nodes.withColumn(
+        "bucket", F.pmod(F.xxhash64("id"), F.lit(1024))
+    )
+    wloc = Window.partitionBy("bucket").orderBy("id")
+    local = b.withColumn("lpos", F.row_number().over(wloc).cast("long"))
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .withColumn("boff", F.coalesce(F.sum("bn").over(woff), F.lit(0)))
+        .select("bucket", "boff")
+    )
+    dct = (
+        local.join(F.broadcast(offsets), "bucket")
+        .select("id", (F.col("lpos") + F.col("boff")).alias("nid"))
+        .localCheckpoint()
+    )
+    pe = (
+        e.join(
+            dct.select(F.col("id").alias("src"), F.col("nid").alias("nsrc")),
+            "src",
+        )
+        .join(
+            dct.select(F.col("id").alias("dst"), F.col("nid").alias("ndst")),
+            "dst",
+        )
+        .select(F.col("nsrc").alias("src"), F.col("ndst").alias("dst"))
+    )
+    packed = core_decomposition(
+        pe, rounds=rounds, reliable_checkpoint=reliable_checkpoint,
+        delta=delta,
+    )
+    back = dct.select(
+        F.col("nid").alias("id"), F.col("id").alias("__orig")
+    )
+    return packed.join(back, "id").select(
+        F.col("__orig").alias("id"), "core"
+    )
 
 
 def _orient_edges(live: DataFrame) -> DataFrame:

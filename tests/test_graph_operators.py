@@ -1500,3 +1500,39 @@ def test_louvain_multilevel_matches_driver_sim(spark):
                 for r in G.louvain_refine(e, rounds=2, levels=levels).collect()
             }
             assert got == want, (trial, levels)
+
+
+def test_core_decomposition_pack_ids_matches(spark):
+    # pack_ids=True (round 7): the dense-long dictionary encoding around
+    # the same loop must be value-identical for fixed budgets AND the
+    # fixpoint, delta or full
+    import random
+
+    from phageclouds_graphdatabase_spark.operators import graph as G
+
+    rng = random.Random(43)
+    rows = sorted({tuple(sorted(rng.sample(range(40), 2))) for _ in range(90)})
+    e = spark.createDataFrame(
+        [(f"ACC{a:04d}", f"ACC{b:04d}") for a, b in rows],
+        "src string, dst string",
+    )
+    for rounds in (2, None):
+        plain = sorted(
+            map(tuple, G.core_decomposition(e, rounds=rounds).collect())
+        )
+        packed = sorted(
+            map(
+                tuple,
+                G.core_decomposition(
+                    e, rounds=rounds, pack_ids=True
+                ).collect(),
+            )
+        )
+        assert plain == packed and len(plain) > 0, rounds
+    d = sorted(
+        map(
+            tuple,
+            G.core_decomposition(e, delta=True, pack_ids=True).collect(),
+        )
+    )
+    assert d == sorted(map(tuple, G.core_decomposition(e).collect()))

@@ -286,6 +286,12 @@ def main() -> None:
         "to the fixpoint) at this tier",
     )
     ap.add_argument(
+        "--coredec-pack",
+        action="store_true",
+        help="with --coredec-only: pack_ids=True (dense-long dictionary "
+        "encoding around the loop — the string-key shuffle-width lever)",
+    )
+    ap.add_argument(
         "--bc-directed",
         action="store_true",
         help="run --bc-only in the DIRECTED form (second reversed-edge "
@@ -545,7 +551,9 @@ def main() -> None:
     if args.coredec_only:
         fe = edges.filter(F.col("distance") <= 0.15).select("src", "dst")
         t0 = time.time()
-        cd = G.core_decomposition(fe).localCheckpoint()
+        cd = G.core_decomposition(
+            fe, pack_ids=args.coredec_pack
+        ).localCheckpoint()
         n_cored = cd.count()
         t_cd = round(time.time() - t0, 2)
         mx = cd.agg(F.max("core")).collect()[0][0]
