@@ -2971,12 +2971,15 @@ class CypherEngine:
                 )
             from phageclouds_graphdatabase_spark.operators import ann as _ann
 
+            topk = int(config.get("topK", 10))
+            if topk < 1:
+                raise CypherCompileError("topK must be >= 1")
             df = _ann.knn_scalar_topk(
                 nt.df.select(
                     F.col(nt.key).cast("string").alias("id"),
                     F.col(prop).cast("long").alias("value"),
                 ).filter(F.col("value").isNotNull()),
-                k=int(config.get("topK", 10)),
+                k=topk,
             ).select(
                 F.col("id1").alias("node1"),
                 F.col("id2").alias("node2"),

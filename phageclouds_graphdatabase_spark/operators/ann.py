@@ -360,6 +360,10 @@ def knn_scalar_topk(
     """
     from pyspark.sql.window import Window
 
+    if k < 1:
+        # F.sequence(1, 0) DESCENDS to [1, 0]: delta 0 would pair every
+        # node with itself — fail fast instead
+        raise ValueError("k must be >= 1")
     p = props.select(
         F.col("id").cast("string").alias("id"),
         F.col("value").cast("long").alias("value"),
