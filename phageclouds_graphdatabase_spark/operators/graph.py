@@ -1955,10 +1955,14 @@ def core_decomposition(
     ``pack_ids=True`` (round 7, the 20M-rung NVMe lever): dictionary-
     encode the string ids to dense longs ONCE (two-phase prefix rank —
     no global window task), run every per-round |E|-row join and
-    aggregate on 8-byte keys, join the labels back at the end. Pays a
-    one-time 2×|E| encode join for a per-round shuffle-width cut on
-    every subsequent round — the knob for string-keyed graphs on
-    disk-bound shuffles; value-identical (differential-pinned)."""
+    aggregate on 8-byte keys, join the labels back at the end.
+    MEASURED split (SCALE.md round-7): the one-time 2×|E| encode join
+    amortizes over ROUNDS, so it pays exactly on deep-core graphs —
+    2M-skew (max core 153, many rounds): 1442 s → 1073 s (1.34×); and
+    LOSES on shallow ones — 20M uniform (max core 3, ~6 rounds):
+    901 s → 1227 s. Default OFF: the shallow case is the common one;
+    flip it when the core depth (or id width — URLs, UUIDs) is large.
+    Value-identical (differential-pinned)."""
     if pack_ids:
         return _coredec_packed(edges, rounds, reliable_checkpoint, delta)
     canon = (
