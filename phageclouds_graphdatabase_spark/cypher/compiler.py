@@ -43,6 +43,23 @@ class CypherCompileError(ValueError):
     pass
 
 
+def _int_config(config: dict, key: str, default: int | None = None):
+    """``int(config.get(key, default))`` under the uniform config-error
+    contract (ADVICE r7): a non-integer value raises CypherCompileError,
+    never a bare ValueError/TypeError — the freqCap pattern applied to
+    every integer proc-config knob. ``None`` passes through only when it
+    IS the default (optional knobs like ``rounds``)."""
+    val = config.get(key, default)
+    if val is None and default is None:
+        return None
+    try:
+        return int(val)
+    except (TypeError, ValueError):
+        raise CypherCompileError(
+            f"{key} must be an integer, got {val!r}"
+        ) from None
+
+
 @dataclass(frozen=True)
 class NodeTable:
     """A node label: its DataFrame and the unique-key property."""
@@ -61,6 +78,24 @@ class RelTable:
     dst_col: str
     src_label: str
     dst_label: str
+
+
+@dataclass(frozen=True)
+class ProjectedGraph:
+    """A named graph projection (``gds.graph.project`` / ``gds.graph.filter``,
+    round 8 — VERDICT r7 ask #4): the reusable in-catalog graph stock-GDS
+    procs stream against. ``edges`` keeps src/dst (string) PLUS the
+    relationship properties so a later ``gds.graph.filter`` can compile
+    ``r.<prop>`` predicates against it; the (src, dst)-only projection the
+    algorithm procs consume is a column prune on top. Counts are taken
+    once at project time (stock's nodeCount/relationshipCount yield) —
+    two bounded count jobs, after which every proc reuses the lazy
+    filtered plan with the relationship filter pushed to the scan."""
+
+    edges: DataFrame
+    node_count: int
+    rel_count: int
+    from_graph: str | None = None
 
 
 _ANY = "__any"  # reserved label: the union of every catalog label (MATCH (n))
@@ -274,6 +309,10 @@ class CypherEngine:
     def __init__(self, catalog: GraphCatalog, spark: SparkSession | None = None):
         self.catalog = catalog
         self.spark = spark
+        # gds.graph.project named projections (round 8): graphName ->
+        # ProjectedGraph. Engine-lifetime state, like stock GDS's
+        # per-database graph catalog — project once, stream many procs.
+        self.graphs: dict[str, "ProjectedGraph"] = {}
         # lambda variable -> Spark DataType, recorded while compiling the
         # enclosing reduce()/quantifier/comprehension (its source's element
         # type) — the type probe `+`-as-string-concat needs for lambda vars
@@ -2475,9 +2514,13 @@ class CypherEngine:
     }
 
     def _gds_edges(self, reltype: str | None):
-        """Resolve the edge projection for a gds.* call: the named
-        relationship type's table as (src, dst) strings, or the only type
-        when the catalog has exactly one."""
+        """Resolve the edge projection for a gds.* call: a NAMED PROJECTION
+        from the gds.graph.project catalog (wins over a same-named
+        relationship type — the stock call sequence passes graph names),
+        else the named relationship type's table as (src, dst) strings,
+        else the only type when the catalog has exactly one."""
+        if reltype is not None and reltype in self.graphs:
+            return self.graphs[reltype].edges.select("src", "dst")
         if reltype is None:
             if len(self.catalog.rels) != 1:
                 raise CypherCompileError(
@@ -2513,9 +2556,227 @@ class CypherEngine:
 
         return _G.sample_roots(
             e,
-            int(config.get("samplingSize", 16)),
+            _int_config(config, "samplingSize", 16),
             max_degree_pct=float(config.get("maxDegreePct", 0.90)),
         )
+
+    _GRAPH_CATALOG_PROCS = {
+        "gds.graph.project": ("graphName", "nodeCount", "relationshipCount"),
+        "gds.graph.filter": (
+            "graphName", "fromGraphName", "nodeCount", "relationshipCount",
+        ),
+        "gds.graph.drop": ("graphName",),
+        "gds.graph.exists": ("graphName", "exists"),
+        "gds.graph.list": ("graphName", "nodeCount", "relationshipCount"),
+    }
+
+    def _fold_graph_catalog_proc(self, clause: A.CallProc, params: dict):
+        """The stock-GDS graph-catalog procedures (round 8 — VERDICT r7
+        ask #4): ``gds.graph.project('g', '<nodeLabel(s)|*>', '<relType>')``
+        registers a named projection on this engine,
+        ``gds.graph.filter('g2', 'g', '*', 'r.distance <= 0.15')`` derives
+        a relationship-filtered one (the reference's repeated per-query
+        threshold — /root/reference/phageclouds_gdb.py:57,67 — becomes a
+        single reusable projection), plus drop/exists/list. Algorithm
+        procs then take the graph NAME where they take a relationship
+        type (``_gds_edges`` resolves projections first), so stock call
+        sequences run verbatim.
+
+        Results are driver-built rows like the db.* metadata procs; the
+        two count jobs per project/filter are the stock
+        nodeCount/relationshipCount yield (bounded scalars). Registration
+        happens at compile time — run() compiles eagerly, so the
+        projection is live for the NEXT engine.run() call."""
+        name = clause.name.lower()
+
+        def _pyval(e):
+            if isinstance(e, A.Literal):
+                return e.value
+            if isinstance(e, A.Param):
+                return params.get(e.name)
+            if isinstance(e, A.ListLit):
+                return [_pyval(i) for i in e.items]
+            if isinstance(e, A.MapLit):
+                return {k: _pyval(v) for k, v in e.items}
+            raise CypherCompileError(
+                f"{clause.name}() takes literal or $param arguments"
+            )
+
+        args = [_pyval(a) for a in clause.args]
+
+        def _str_arg(i: int, what: str) -> str:
+            if i >= len(args) or not isinstance(args[i], str):
+                raise CypherCompileError(
+                    f"{clause.name}() argument {i + 1} must be a string "
+                    f"({what})"
+                )
+            return args[i]
+
+        spark = self._session()
+        if name == "gds.graph.project":
+            gname = _str_arg(0, "graphName")
+            if gname in self.graphs:
+                raise CypherCompileError(
+                    f"a graph named {gname!r} already exists; "
+                    "gds.graph.drop it first"
+                )
+            if len(args) < 3 or len(args) > 4:
+                raise CypherCompileError(
+                    "gds.graph.project(graphName, nodeProjection, "
+                    "relationshipProjection[, configuration])"
+                )
+            nodes = args[1]
+            labels = (
+                list(self.catalog.nodes)
+                if nodes == "*"
+                else [nodes] if isinstance(nodes, str) else list(nodes)
+            )
+            for lab in labels:
+                self.catalog.node(lab)  # raises on unknown label
+            relp = args[2]
+            rel_props: list[str] | None = None
+            if isinstance(relp, dict):
+                if len(relp) != 1:
+                    raise CypherCompileError(
+                        "relationshipProjection map must have exactly one "
+                        "relationship type"
+                    )
+                reltype, rcfg = next(iter(relp.items()))
+                if not isinstance(rcfg, dict):
+                    raise CypherCompileError(
+                        "relationshipProjection config must be a map"
+                    )
+                unknown = set(rcfg) - {"properties"}
+                if unknown:
+                    raise CypherCompileError(
+                        "unsupported relationshipProjection keys: "
+                        f"{sorted(unknown)} (supported: properties)"
+                    )
+                props = rcfg.get("properties", [])
+                rel_props = [props] if isinstance(props, str) else list(props)
+            elif isinstance(relp, str):
+                reltype = relp
+            else:
+                raise CypherCompileError(
+                    "relationshipProjection must be a relationship type "
+                    "string or a {type: {properties: [...]}} map"
+                )
+            if len(args) == 4:
+                cfg = args[3]
+                if not isinstance(cfg, dict):
+                    raise CypherCompileError("configuration must be a map")
+                unknown = set(cfg) - {"relationshipProperties"}
+                if unknown:
+                    raise CypherCompileError(
+                        f"unsupported configuration keys: {sorted(unknown)} "
+                        "(supported: relationshipProperties)"
+                    )
+                props = cfg.get("relationshipProperties", [])
+                rel_props = [props] if isinstance(props, str) else list(props)
+            rel = self.catalog.rel(reltype)
+            avail = [
+                c for c in rel.df.columns
+                if c not in (rel.src_col, rel.dst_col)
+            ]
+            if rel_props is None:
+                rel_props = avail  # keep every property: filterable later
+            for pr in rel_props:
+                if pr not in avail:
+                    raise CypherCompileError(
+                        f"{pr!r} is not a property of :{reltype} "
+                        f"(has: {avail})"
+                    )
+            if {"src", "dst"} & (set(rel_props) - {rel.src_col, rel.dst_col}):
+                raise CypherCompileError(
+                    "relationship properties named 'src'/'dst' collide "
+                    "with the projection's endpoint columns"
+                )
+            edges = rel.df.select(
+                F.col(rel.src_col).cast("string").alias("src"),
+                F.col(rel.dst_col).cast("string").alias("dst"),
+                *[F.col(pr) for pr in rel_props],
+            )
+            node_count = sum(
+                self.catalog.node(lab).df.count() for lab in labels
+            )
+            pg = ProjectedGraph(edges, int(node_count), edges.count())
+            self.graphs[gname] = pg
+            rows = [(gname, pg.node_count, pg.rel_count)]
+            schema = "graphName string, nodeCount long, relationshipCount long"
+        elif name == "gds.graph.filter":
+            gname = _str_arg(0, "graphName")
+            fname = _str_arg(1, "fromGraphName")
+            if gname in self.graphs:
+                raise CypherCompileError(
+                    f"a graph named {gname!r} already exists; "
+                    "gds.graph.drop it first"
+                )
+            if fname not in self.graphs:
+                raise CypherCompileError(
+                    f"no projected graph named {fname!r}; "
+                    "gds.graph.project it first"
+                )
+            node_filter = _str_arg(2, "nodeFilter")
+            rel_filter = _str_arg(3, "relationshipFilter")
+            if node_filter not in ("*", "true"):
+                raise CypherCompileError(
+                    "nodeFilter supports '*'/'true' only: projections are "
+                    "edge tables here — filter nodes in the MATCH instead"
+                )
+            parent = self.graphs[fname]
+            edges = parent.edges
+            if rel_filter not in ("*", "true"):
+                from phageclouds_graphdatabase_spark.cypher.parser import (
+                    parse_expression,
+                )
+
+                ast = parse_expression(rel_filter)
+                fr = _Frame(
+                    df=edges.select(
+                        F.struct(
+                            *[F.col(c) for c in edges.columns]
+                        ).alias("r")
+                    ),
+                    used={},
+                )
+                fr.vars["r"] = ("flat", None)
+                cond = self._col(fr, ast, params)
+                edges = fr.df.filter(cond).select("r.*")
+            pg = ProjectedGraph(
+                edges, parent.node_count, edges.count(), from_graph=fname
+            )
+            self.graphs[gname] = pg
+            rows = [(gname, fname, pg.node_count, pg.rel_count)]
+            schema = (
+                "graphName string, fromGraphName string, nodeCount long, "
+                "relationshipCount long"
+            )
+        elif name == "gds.graph.drop":
+            gname = _str_arg(0, "graphName")
+            if gname not in self.graphs:
+                raise CypherCompileError(
+                    f"no projected graph named {gname!r}"
+                )
+            del self.graphs[gname]
+            rows = [(gname,)]
+            schema = "graphName string"
+        elif name == "gds.graph.exists":
+            gname = _str_arg(0, "graphName")
+            rows = [(gname, gname in self.graphs)]
+            schema = "graphName string, exists boolean"
+        else:  # gds.graph.list
+            if clause.args:
+                raise CypherCompileError("gds.graph.list() takes no arguments")
+            rows = [
+                (n, g.node_count, g.rel_count)
+                for n, g in sorted(self.graphs.items())
+            ] or None
+            schema = "graphName string, nodeCount long, relationshipCount long"
+            if rows is None:
+                df = spark.createDataFrame([], schema)
+                return df, self._GRAPH_CATALOG_PROCS[name]
+        df = spark.createDataFrame(rows, schema)
+        return df, self._GRAPH_CATALOG_PROCS[name]
 
     def _fold_gds_proc(self, clause: A.CallProc, params: dict):
         """``CALL gds.pageRank.stream('sharesDNA', {maxIterations: 2})``
@@ -2555,7 +2816,7 @@ class CypherEngine:
                     )
                 reltype = v
         e = self._gds_edges(reltype)
-        iters = int(config.get("maxIterations", 2))
+        iters = _int_config(config, "maxIterations", 2)
         if name == "gds.pagerank.stream":
             if config.get("sourceNodes") is not None:
                 # the GDS personalization convention: sourceNodes turns
@@ -2654,7 +2915,7 @@ class CypherEngine:
                     "orientation must be 'UNDIRECTED' or 'NATURAL'"
                 )
             directed = orientation == "NATURAL"
-            depth = int(config.get("maxDepth", 3))
+            depth = _int_config(config, "maxDepth", 3)
             roots = self._gds_roots(e, config)
             if name == "gds.betweenness.stream":
                 df = _G.betweenness_centrality_scaled(
@@ -2675,7 +2936,7 @@ class CypherEngine:
             # that reach it, ×6 so depths 1/2/3 become exact integers
             # 6/3/2 (the engine's oracle-checkable scaling — documented
             # divergence from GDS's [0,1]-normalized float)
-            depth = int(config.get("maxDepth", 3))
+            depth = _int_config(config, "maxDepth", 3)
             if not 1 <= depth <= 3:
                 # the ×6 scaling is exact ONLY for depths 1-3 (6/3/2);
                 # the .otherwise(2) arm would silently score every d >= 4
@@ -2698,31 +2959,51 @@ class CypherEngine:
         elif name == "gds.closeness.stream":
             # sampled raw closeness (round 7): integer-exact at any
             # depth (no x6 scaling), so maxDepth shares gds.bfs's 1..20
-            # bound (a state knob, not a scaling constraint)
-            depth = int(config.get("maxDepth", 3))
-            if not 1 <= depth <= 20:
-                raise CypherCompileError(
-                    "gds.closeness.stream maxDepth must be between 1 and 20"
-                )
+            # bound (a state knob, not a scaling constraint).
+            # exact: true (round 8 — VERDICT r7 ask #7) runs ALL-roots
+            # BFS to the (maxDepth-budgeted) fixpoint and streams stock's
+            # [0,1] float n_reached/sum_d as one correctly-rounded double
+            # division — value parity with stock GDS; refused above the
+            # operator's max_nodes guard (all-roots state is O(|V|²)).
+            # The sampled integer form stays the scale default.
             wf = config.get("useWassermanFaust", False)
             if not isinstance(wf, bool):
                 raise CypherCompileError(
                     "useWassermanFaust must be a boolean"
                 )
-            df = _G.closeness_centrality_scaled(
-                self._gds_roots(e, config),
-                e,
-                k=depth,
-                directed=False,
-                wasserman_faust=wf,
-            ).select(
-                F.col("id").alias("nodeId"),
-                F.col("closeness_scaled").alias("score"),
-            )
+            exact = config.get("exact", False)
+            if not isinstance(exact, bool):
+                raise CypherCompileError("exact must be a boolean")
+            if exact:
+                depth = _int_config(config, "maxDepth", 30)
+                if depth < 1:
+                    raise CypherCompileError(
+                        "gds.closeness.stream maxDepth must be >= 1"
+                    )
+                df = _G.closeness_centrality_exact(
+                    e, max_depth=depth, directed=False, wasserman_faust=wf
+                ).select(F.col("id").alias("nodeId"), "score")
+            else:
+                depth = _int_config(config, "maxDepth", 3)
+                if not 1 <= depth <= 20:
+                    raise CypherCompileError(
+                        "gds.closeness.stream maxDepth must be between "
+                        "1 and 20"
+                    )
+                df = _G.closeness_centrality_scaled(
+                    self._gds_roots(e, config),
+                    e,
+                    k=depth,
+                    directed=False,
+                    wasserman_faust=wf,
+                ).select(
+                    F.col("id").alias("nodeId"),
+                    F.col("closeness_scaled").alias("score"),
+                )
         elif name == "gds.fastrp.stream":
             df = _G.fastrp_embeddings(
                 e,
-                dims=int(config.get("embeddingDimension", 8)),
+                dims=_int_config(config, "embeddingDimension", 8),
                 iters=iters,
             ).select(
                 F.col("id").alias("nodeId"), F.col("emb").alias("embedding")
@@ -2742,7 +3023,7 @@ class CypherEngine:
             rounds = config.get("rounds")
             df = _G.core_decomposition(
                 e,
-                rounds=None if rounds is None else int(rounds),
+                rounds=None if rounds is None else _int_config(config, "rounds"),
             ).select(
                 F.col("id").alias("nodeId"),
                 F.col("core").cast("long").alias("coreValue"),
@@ -2751,8 +3032,8 @@ class CypherEngine:
             rounds = config.get("rounds")
             df = _G.k_truss(
                 e,
-                int(config.get("k", 4)),
-                rounds=None if rounds is None else int(rounds),
+                _int_config(config, "k", 4),
+                rounds=None if rounds is None else _int_config(config, "rounds"),
             ).select(
                 F.col("a").alias("sourceNodeId"),
                 F.col("b").alias("targetNodeId"),
@@ -2804,7 +3085,6 @@ class CypherEngine:
                     ) from None
             elif isinstance(fc, str):
                 fc = "auto"
-            udc = config.get("upperDegreeCutoff")
             # similarityMetric: JACCARD (default) | OVERLAP | COSINE —
             # the stock-GDS knob (round 6); scoring tail only, the
             # capped/verified candidate machinery is metric-independent
@@ -2816,9 +3096,9 @@ class CypherEngine:
                 )
             df = _G.node_similarity_topk_capped(
                 e,
-                k=int(config.get("topK", 10)),
+                k=_int_config(config, "topK", 10),
                 freq_cap=fc,
-                upper_degree_cutoff=None if udc is None else int(udc),
+                upper_degree_cutoff=_int_config(config, "upperDegreeCutoff"),
                 metric=metric,
             ).select(
                 F.col("a").alias("nodeId1"),
@@ -2859,7 +3139,7 @@ class CypherEngine:
             seeds = self._session().createDataFrame(
                 [(str(x),) for x in src_nodes], "id string"
             )
-            depth = int(config.get("maxDepth", 3))
+            depth = _int_config(config, "maxDepth", 3)
             if not 1 <= depth <= 10:
                 # cheapest_path_costs raises a bare ValueError here;
                 # surface config errors uniformly as CypherCompileError
@@ -2885,13 +3165,19 @@ class CypherEngine:
             # times in total (default 1 = single-level refinement; stock
             # GDS defaults to 10 levels with early exit, but async and
             # irreproducible — documented divergence)
-            max_levels = int(config.get("maxLevels", 1))
+            max_levels = _int_config(config, "maxLevels", 1)
             if not 1 <= max_levels <= 10:
                 raise CypherCompileError(
                     "gds.louvain.stream maxLevels must be between 1 and 10"
                 )
+            # earlyExit (round 8): stop at the exact fixpoint instead of
+            # burning the budget — value-identical by synchronous
+            # determinism (differential-pinned); default on
+            early_exit = config.get("earlyExit", True)
+            if not isinstance(early_exit, bool):
+                raise CypherCompileError("earlyExit must be a boolean")
             df = _G.louvain_refine(
-                e, rounds=iters, levels=max_levels
+                e, rounds=iters, levels=max_levels, early_exit=early_exit
             ).select(
                 F.col("id").alias("nodeId"),
                 F.col("label").alias("communityId"),
@@ -2971,7 +3257,7 @@ class CypherEngine:
                 )
             from phageclouds_graphdatabase_spark.operators import ann as _ann
 
-            topk = int(config.get("topK", 10))
+            topk = _int_config(config, "topK", 10)
             if topk < 1:
                 raise CypherCompileError("topK must be >= 1")
             df = _ann.knn_scalar_topk(
@@ -3031,7 +3317,7 @@ class CypherEngine:
                 raise CypherCompileError(
                     "gds.bfs.stream needs sourceNodes: [node keys]"
                 )
-            depth = int(config.get("maxDepth", 3))
+            depth = _int_config(config, "maxDepth", 3)
             if not 1 <= depth <= 20:
                 raise CypherCompileError(
                     "gds.bfs.stream maxDepth must be between 1 and 20"
@@ -3052,7 +3338,7 @@ class CypherEngine:
                 F.col("d").cast("long").alias("level"),
             )
         elif name == "gds.randomwalk.stream":
-            wl = int(config.get("walkLength", 3))
+            wl = _int_config(config, "walkLength", 3)
             if not 1 <= wl <= 20:
                 raise CypherCompileError(
                     "gds.randomWalk.stream walkLength (steps) must be "
@@ -3066,7 +3352,7 @@ class CypherEngine:
             df = _G.deterministic_walks(
                 e,
                 walk_length=wl,
-                walks_per_node=int(config.get("walksPerNode", 1)),
+                walks_per_node=_int_config(config, "walksPerNode", 1),
                 starts=starts,
                 directed=False,
             ).select(
@@ -3125,7 +3411,9 @@ class CypherEngine:
         procedure. YIELD picks a subset of the procedure's columns, with
         optional aliases."""
         name = clause.name.lower()
-        if name in self._GDS_PROCS:
+        if name in self._GRAPH_CATALOG_PROCS:
+            df, cols = self._fold_graph_catalog_proc(clause, params or {})
+        elif name in self._GDS_PROCS:
             df, cols = self._fold_gds_proc(clause, params or {})
         else:
             cols = self._PROC_COLUMNS.get(name)

@@ -1017,3 +1017,18 @@ class _Parser:
 def parse(text: str) -> A.Query:
     """Parse a Cypher query string into the AST."""
     return _Parser(text).query()
+
+
+def parse_expression(text: str) -> A.Expr:
+    """Parse a standalone Cypher expression — the
+    ``gds.graph.filter('g', 'from', '*', 'r.distance <= 0.15')``
+    predicate strings (round 8). The whole string must be one
+    expression; trailing tokens are a syntax error."""
+    p = _Parser(text)
+    e = p.expr()
+    tk, tv, pos, _ = p.peek()
+    if tk != "eof":
+        raise CypherSyntaxError(
+            f"unexpected trailing input at position {pos}: {tv!r}"
+        )
+    return e

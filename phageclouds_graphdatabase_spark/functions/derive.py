@@ -188,6 +188,13 @@ def scale_property(props: DataFrame, scaler: str = "minmax") -> DataFrame:
       constant column. sqrt + division are correctly rounded, so the
       value hashes identically cross-engine.
 
+    S, Q, and every x·n numerator/denominator are decimal(38,0) — exact
+    128-bit integer arithmetic, NOT wrapping longs (ADVICE r7: a long
+    S or x·n silently wraps under non-ANSI Spark for large values×n;
+    the bound is now |x|·n < 10³⁸, same as Q's). The one inexact step
+    per scaler remains the final correctly-rounded decimal→double cast
+    and IEEE division.
+
     Stock GDS also ships a ``log`` scaler — intentionally out of scope:
     libm ``log`` is not correctly-rounded and differs across engines, so
     it cannot be value-oracled (documented divergence)."""
@@ -203,37 +210,36 @@ def scale_property(props: DataFrame, scaler: str = "minmax") -> DataFrame:
     stats = p.agg(
         F.min("value").alias("mn"),
         F.max("value").alias("mx"),
-        F.sum("value").cast("long").alias("s"),
-        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xx).alias("s"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
         F.sum(xx * xx).alias("q"),
     )
     j = p.crossJoin(F.broadcast(stats))
-    x = F.col("value")
+    x = F.col("value").cast("decimal(38,0)")
+    num = x * F.col("n") - F.col("s")
     if scaler == "minmax":
         expr = F.when(
             F.col("mx") > F.col("mn"),
             (x - F.col("mn")).cast("double")
-            / (F.col("mx") - F.col("mn")).cast("double"),
+            / (F.col("mx") - F.col("mn")).cast("decimal(38,0)").cast(
+                "double"
+            ),
         ).otherwise(F.lit(0.0))
     elif scaler == "mean":
         expr = F.when(
             F.col("mx") > F.col("mn"),
-            (x * F.col("n") - F.col("s")).cast("double")
-            / (F.col("n") * (F.col("mx") - F.col("mn"))).cast("double"),
+            num.cast("double")
+            / (
+                F.col("n")
+                * (F.col("mx") - F.col("mn")).cast("decimal(38,0)")
+            ).cast("double"),
         ).otherwise(F.lit(0.0))
     elif scaler == "center":
-        expr = (x * F.col("n") - F.col("s")).cast("double") / F.col(
-            "n"
-        ).cast("double")
+        expr = num.cast("double") / F.col("n").cast("double")
     else:  # stdscore
-        var_num = (
-            F.col("n").cast("decimal(38,0)") * F.col("q")
-            - F.col("s").cast("decimal(38,0)")
-            * F.col("s").cast("decimal(38,0)")
-        )
+        var_num = F.col("n") * F.col("q") - F.col("s") * F.col("s")
         expr = F.when(
             var_num > 0,
-            (x * F.col("n") - F.col("s")).cast("double")
-            / F.sqrt(var_num.cast("double")),
+            num.cast("double") / F.sqrt(var_num.cast("double")),
         ).otherwise(F.lit(0.0))
     return j.select("id", expr.alias("scaled"))

@@ -331,7 +331,8 @@ def knn_scalar_topk(
     props: DataFrame,
     k: int = 10,
     scale: int = 1_000_000,
-    bucket_width: int = 1024,
+    bucket_width: int | None = None,
+    target_buckets: int = 4096,
 ) -> DataFrame:
     """EXACT k-nearest-neighbors over a scalar (1-D) node property — the
     ``gds.knn.stream`` surface for numeric properties (round 7), with
@@ -357,6 +358,20 @@ def knn_scalar_topk(
     output order), all map-side partitionable. Returns
     (id1, id2, sim_scaled), k rows per node (fewer at the sorted
     extremes when |V| <= k).
+
+    ``bucket_width=None`` (the default) derives the width from the
+    observed value range in one bounded 1-row stats job:
+    ``max(1, (mx − mn + 1) div target_buckets)``, anchored at mn — so
+    the offsets table is ≤ target_buckets + 1 rows BY CONSTRUCTION
+    regardless of the value domain (ADVICE r7: a fixed width of 1024
+    made the bucket count approach |V| on sparse/wide domains like
+    epoch-millis — blowing the F.broadcast — and collapse to ONE bucket,
+    i.e. the single global window task this function exists to avoid, on
+    narrow domains like value % 97). Residual bound, inherent to any
+    value-range bucketing: rows with EQUAL values must share a bucket
+    when width = 1, so the largest per-bucket window partition is
+    O(max tie multiplicity + width·density) — ties serialize, distinct
+    values spread.
     """
     from pyspark.sql.window import Window
 
@@ -367,7 +382,22 @@ def knn_scalar_topk(
     p = props.select(
         F.col("id").cast("string").alias("id"),
         F.col("value").cast("long").alias("value"),
-    ).withColumn("bucket", F.floor(F.col("value") / F.lit(bucket_width)))
+    )
+    anchor = 0
+    if bucket_width is None:
+        if target_buckets < 1:
+            raise ValueError("target_buckets must be >= 1")
+        rng = p.agg(F.min("value"), F.max("value")).first()
+        mn, mx = rng[0], rng[1]
+        if mn is None:  # empty input: any width works
+            bucket_width = 1
+        else:
+            anchor = int(mn)
+            bucket_width = max(1, (int(mx) - anchor + 1) // target_buckets)
+    p = p.withColumn(
+        "bucket",
+        F.floor((F.col("value") - F.lit(anchor)) / F.lit(bucket_width)),
+    )
     wloc = Window.partitionBy("bucket").orderBy("value", "id")
     local = p.withColumn("lpos", F.row_number().over(wloc).cast("long"))
     woff = (

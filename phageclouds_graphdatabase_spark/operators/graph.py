@@ -144,6 +144,36 @@ def _ckpt(df: DataFrame, reliable: bool) -> DataFrame:
     return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
 
 
+def _mem_ckpt(df: DataFrame) -> DataFrame:
+    """In-memory lineage cut that ALSO resets plan statistics (round 8) —
+    the zero-I/O sibling of :func:`_pq_ckpt` for per-round loop state.
+
+    ``localCheckpoint`` rewrites the new LogicalRDD's stats from the
+    pre-checkpoint plan (``LogicalRDD.rewriteStatsAndConstraints``), so
+    a loop whose round plan references its checkpointed state k > 1
+    times MULTIPLIES sizeInBytes digits by ~k per round — Louvain's
+    scored plan joins ``lab`` three times and ``k`` twice, and by round
+    6 Catalyst is Toom-Cook-multiplying thousand-digit BigIntegers
+    inside every stats visit (measured on a 9-EDGE graph: rounds=8,
+    levels=2 took 95 s, the per-round checkpoint doubling 0.7 → 34 s;
+    the pre-fix round-8 test hang burned 22 CPU-minutes in ONE
+    BigInteger.multiply). Rebuilding the frame over the SAME
+    materialized InternalRow RDD (``internalCreateDataFrame``) drops
+    the origin stats — sizeInBytes falls back to the conf default,
+    bounded digits per round; AQE re-plans from RUNTIME sizes, so the
+    physical strategy is unaffected. Falls back to the parquet
+    round-trip if the internal API ever moves."""
+    ck = df.localCheckpoint()
+    try:
+        jdf = ck._jdf
+        jdf2 = df.sparkSession._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(jdf2, df.sparkSession)
+    except Exception:  # private API moved: pay the parquet round-trip
+        return _pq_ckpt(df, False)
+
+
 def _pq_ckpt(df: DataFrame, reliable: bool) -> DataFrame:
     """Lineage cut that also RESETS plan statistics.
 
@@ -593,6 +623,67 @@ def closeness_centrality_scaled(
         expr.cast("long").alias("closeness_scaled"),
         "n_reached",
         "sum_d",
+    )
+
+
+def closeness_centrality_exact(
+    edges: DataFrame,
+    max_depth: int = 30,
+    threshold: float | None = None,
+    directed: bool = False,
+    wasserman_faust: bool = False,
+    max_nodes: int = 200_000,
+) -> DataFrame:
+    """EXACT closeness centrality — the stock ``gds.closeness.stream``
+    value parity opt-in (round 8, VERDICT r7 ask #7): ALL nodes are
+    roots, BFS runs to the fixpoint (bounded by ``max_depth`` — the
+    both-budgeted oracle form, cf. core_decomposition's round budget),
+    and the score is stock's [0,1] float
+
+    - default:          ``n_reached / sum_d``
+    - ``wasserman_faust``: ``n_reached² / (sum_d · (n − 1))``
+
+    each ONE correctly-rounded double division of exact longs (n is the
+    total node count), so the value hashes identically cross-engine —
+    the eigenvector-``normalized`` pattern applied to the last default
+    divergence with a feasible exact form. The sampled integer form
+    (:func:`closeness_centrality_scaled`) stays the scale default:
+    all-roots state is O(|V| × reach) = O(|V|²) on a connected graph,
+    so this guards on ``max_nodes`` (one bounded count job) and refuses
+    larger graphs instead of silently dying at scale. Returns
+    (id, score, n_reached, sum_d); unreached-by-anyone nodes are
+    absent (their closeness is undefined), matching the sampled form."""
+    v = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = v.count()
+    if n > max_nodes:
+        raise ValueError(
+            f"exact closeness is all-roots O(|V|^2) state: |V|={n} exceeds "
+            f"max_nodes={max_nodes}; use the sampled form "
+            "(closeness_centrality_scaled) at this scale"
+        )
+    lev = multi_source_bfs_levels(
+        v, edges, k=max_depth, threshold=threshold, directed=directed
+    )
+    agg = lev.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.sum("d").cast("long").alias("sum_d"),
+    )
+    if wasserman_faust:
+        score = (
+            F.col("n_reached") * F.col("n_reached")
+        ).cast("double") / (F.col("sum_d") * F.lit(max(1, n - 1))).cast(
+            "double"
+        )
+    else:
+        score = F.col("n_reached").cast("double") / F.col("sum_d").cast(
+            "double"
+        )
+    return agg.select(
+        "id", score.alias("score"), "n_reached", "sum_d"
     )
 
 
@@ -1053,7 +1144,10 @@ def katz_centrality_scaled(
 
 
 def louvain_refine(
-    edges: DataFrame, rounds: int = 2, levels: int = 1
+    edges: DataFrame,
+    rounds: int = 2,
+    levels: int = 1,
+    early_exit: bool = True,
 ) -> DataFrame:
     """Deterministic SYNCHRONOUS Louvain-style modularity refinement
     (round 7 — the ``gds.louvain.stream`` surface): every node starts in
@@ -1091,6 +1185,20 @@ def louvain_refine(
     symmetric graphs, which a bounded ``rounds`` budget makes harmless
     and reproducible.
 
+    ``early_exit`` (round 8 — VERDICT r7 ask #5): stop EXACTLY at the
+    fixpoint instead of burning the rest of the budget — per ROUND, a
+    1-row changed-label SUM (the core_decomposition convergence trick)
+    breaks when no node moved (synchronous moves are a deterministic
+    function of the assignment, so the next round would recompute
+    identical state — exiting is value-IDENTICAL to the full budget,
+    pinned by the differential test); per LEVEL, coarsening stops when
+    refinement merged nothing (every node kept its own label → the
+    condensed graph IS the current graph and all further levels are
+    no-ops). Cost: one 1-row aggregate per round/level; saving: whole
+    rounds of |E|-row joins after convergence. Stock's ``tolerance``
+    (min modularity delta) is NOT emulated — it changes results; this
+    exit fires only at the exact fixpoint.
+
     Scale shape per round: one |E|-row join (neighbor labels) + two
     key-partitioned aggregates (per-community volume — |C| rows, and
     per-(node, neighbor-community) edge counts — ≤ |E| rows, map-side
@@ -1109,7 +1217,7 @@ def louvain_refine(
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .withColumn("w", F.lit(1).cast("long"))
-        .localCheckpoint()
+        .transform(_mem_ckpt)
     )
     m = canon.agg(F.sum("w")).collect()[0][0] or 0
     spark = edges.sparkSession
@@ -1149,7 +1257,7 @@ def louvain_refine(
                 intra.unionByName(carried)
                 .groupBy("id")
                 .agg(F.sum("sw").cast("long").alias("sw"))
-                .localCheckpoint()
+                .transform(_mem_ckpt)
             )
             we = (
                 j.filter(F.col("la") != F.col("lb"))
@@ -1160,9 +1268,9 @@ def louvain_refine(
                 )
                 .groupBy("a", "b")
                 .agg(F.sum("w").cast("long").alias("w"))
-                .localCheckpoint()
+                .transform(_mem_ckpt)
             )
-        lab = _louvain_weighted_rounds(we, sw, m, rounds)
+        lab = _louvain_weighted_rounds(we, sw, m, rounds, early_exit)
         mapping = (
             lab
             if mapping is None
@@ -1173,14 +1281,26 @@ def louvain_refine(
                 "label",
             )
             .select("id", F.col("l2").alias("label"))
-            .localCheckpoint()
+            .transform(_mem_ckpt)
         )
         prev_lab = lab
+        if (
+            early_exit
+            and level < levels - 1
+            and lab.filter(F.col("id") != F.col("label")).isEmpty()
+        ):
+            # no merges at this level: condensing yields the same graph,
+            # every further level is a no-op
+            break
     return mapping
 
 
 def _louvain_weighted_rounds(
-    we: DataFrame, sw: DataFrame, m: int, rounds: int
+    we: DataFrame,
+    sw: DataFrame,
+    m: int,
+    rounds: int,
+    early_exit: bool = True,
 ) -> DataFrame:
     """The synchronous weighted refinement under louvain_refine: ``we`` is
     the canonical (a < b, w) inter-node weighted edge set, ``sw`` per-node
@@ -1197,7 +1317,7 @@ def _louvain_weighted_rounds(
         .unionByName(
             we.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
         )
-        .localCheckpoint()
+        .transform(_mem_ckpt)
     )
     wsum = wund.groupBy(F.col("src").alias("id")).agg(
         F.sum("w").cast("long").alias("ws")
@@ -1215,13 +1335,13 @@ def _louvain_weighted_rounds(
                 + F.lit(2) * F.coalesce(F.col("sw"), F.lit(0))
             ).cast("long").alias("d"),
         )
-        .localCheckpoint()
+        .transform(_mem_ckpt)
     )
-    lab = k.select("id", F.col("id").alias("label")).localCheckpoint()
+    lab = k.select("id", F.col("id").alias("label")).transform(_mem_ckpt)
     win = Window.partitionBy("id").orderBy(
         F.col("gain").desc(), F.col("c").asc()
     )
-    for _ in range(rounds):
+    for rnd in range(rounds):
         vol = (
             lab.join(k, "id")
             .groupBy(F.col("label").alias("c"))
@@ -1267,12 +1387,32 @@ def _louvain_weighted_rounds(
                 ).alias("gain"),
             )
         )
-        lab = (
+        new_lab = (
             scored.withColumn("rn", F.row_number().over(win))
             .filter(F.col("rn") == 1)
             .select("id", F.col("c").alias("label"))
-            .localCheckpoint()
+            .transform(_mem_ckpt)
         )
+        if early_exit and rnd < rounds - 1:
+            # 1-row convergence SUM (the coredec trick): 0 moves means
+            # the next round recomputes identical state — exit is
+            # value-identical to the full budget
+            moved = (
+                new_lab.join(
+                    lab.withColumnRenamed("label", "__old"), "id"
+                )
+                .agg(
+                    F.sum(
+                        (F.col("label") != F.col("__old")).cast("long")
+                    ).alias("n")
+                )
+                .first()[0]
+            )
+            lab = new_lab
+            if not moved:
+                break
+        else:
+            lab = new_lab
     return lab
 
 
@@ -1288,9 +1428,13 @@ def community_quality(edges: DataFrame, assignment: DataFrame) -> DataFrame:
       m < 2³⁰ canonical edges (the bound where 4·m² stays inside a
       signed 64-bit long; ADVICE r6); past it the quotient form
       e_c/m − (d_c/(2m))² in doubles, relative rounding ~1e-16;
-    - conductance φ_c = cut_c / min(vol_c, vol_total − vol_c) (the
-      textbook definition; 0.0 when the denominator is 0 — the
-      whole-graph-one-community case).
+    - conductance φ_c = cut_c / min(vol_c, vol_assigned − vol_c), where
+      vol_assigned = 2·m_assigned sums degrees over the SAME
+      both-endpoints-assigned edge set as vol_c and cut_c (ADVICE r7:
+      the full-graph 2m inflated the complement volume with
+      unassigned-node edges on partial assignments; on full assignments
+      m_assigned = m and nothing changes); 0.0 when the denominator is
+      0 — the whole-graph-one-community case.
 
     Input is canonicalized to the simple undirected graph (the same
     convention as triangle_counts / core_decomposition); ``assignment``
@@ -1299,9 +1443,10 @@ def community_quality(edges: DataFrame, assignment: DataFrame) -> DataFrame:
     previously taken before the label join, so a partial assignment —
     user-supplied communityProperty with missing labels — mixed
     incompatible aggregates); the invariant degree_sum = 2·intra_c +
-    cut_c therefore holds BY CONSTRUCTION, partial or not, and m counts
-    the full canonical edge set (the normalization the modularity
-    definition needs). Unassigned nodes and their incident edges drop
+    cut_c therefore holds BY CONSTRUCTION, partial or not; MODULARITY's
+    m still counts the full canonical edge set (the normalization its
+    definition needs), while CONDUCTANCE's total is the assigned
+    volume. Unassigned nodes and their incident edges drop
     out; isolated nodes carry no edges and are absent. Returns
     (community, intra_edges, cut_edges, degree_sum, modularity,
     conductance).
@@ -1310,7 +1455,8 @@ def community_quality(edges: DataFrame, assignment: DataFrame) -> DataFrame:
     then community-cardinality aggregates — all key-partitioned,
     map-side combinable; degree_sum is derived (no separate node-degree
     aggregate, one fewer shuffle than the round-6 form); the only
-    driver-side scalar is m (one count job on the canonical set)."""
+    driver-side scalars are m (one count job on the canonical set) and
+    m_assigned (one count on the checkpointed joined set)."""
     canon = (
         edges.select(
             F.least("src", "dst").alias("a"),
@@ -1345,6 +1491,14 @@ def community_quality(edges: DataFrame, assignment: DataFrame) -> DataFrame:
         .groupBy("community")
         .agg(F.count(F.lit(1)).cast("long").alias("cut_edges"))
     )
+    # conductance total: the ASSIGNED volume 2·m_assigned (= Σ_c d_c =
+    # 2·|je|, one count on the checkpointed both-endpoints-assigned edge
+    # set), NOT 2·m — on partial assignments the full-graph m inflates
+    # the complement volume with unassigned-node edges, diverging from
+    # stock GDS conductance which drops unassigned nodes from the total
+    # too (ADVICE r7). On full assignments m_assigned == m. Modularity
+    # keeps the full-graph m: its definition normalizes by ALL edges.
+    m_assigned = je.count()
     if m < (1 << 30):
         # exact-long single division: 4m·e_c − d_c² with e_c <= m and
         # d_c <= 2m is bounded by 4m² < 2^62
@@ -1361,7 +1515,8 @@ def community_quality(edges: DataFrame, assignment: DataFrame) -> DataFrame:
             )
         )
     cond_den = F.least(
-        F.col("degree_sum"), F.lit(2 * m).cast("long") - F.col("degree_sum")
+        F.col("degree_sum"),
+        F.lit(2 * m_assigned).cast("long") - F.col("degree_sum"),
     )
     return (
         intra.join(cut, "community", "full_outer")
@@ -1894,12 +2049,66 @@ def _hindex_histogram(nv: DataFrame) -> DataFrame:
     )
 
 
+def _coredec_auto_pack(
+    edges: DataFrame,
+    depth_bound_cut: int = 32,
+    min_nodes: int = 1_000_000,
+) -> bool:
+    """The ``pack_ids="auto"`` probe (round 8, VERDICT r7 ask #3 — the
+    nodesimilarity ``freq_cap="auto"`` self-gating pattern applied to
+    core_decomposition): ONE degree-histogram job decides whether
+    dictionary encoding will pay before any fixpoint round runs.
+
+    Predictor: the H-INDEX OF THE DEGREE SEQUENCE (largest k such that
+    ≥ k nodes have degree ≥ k) is an upper bound on max coreness AND,
+    because h₀ = degree, the exact value the iteration's max starts at —
+    deep bound ⇒ many rounds ⇒ the one-time 2×|E| encode join amortizes
+    (the measured r7 split: 2M-skew bound≈core 153 → packed pays 1.34×;
+    20M-uniform bound 3 → packed loses 1.36×). Decision: pack iff
+    bound ≥ ``depth_bound_cut`` AND |V| ≥ ``min_nodes`` (below ~1M nodes
+    the A/B never moved — encode overhead and savings are both noise,
+    so small graphs keep the plain plan and the oracle entries keep
+    their unpacked shape).
+
+    Cost: one |E|-row degree aggregate + a driver collect of the
+    (degree → count) histogram — |distinct degrees| rows, the same
+    bounded-scalar class as the nodesim df-histogram; |V| falls out of
+    the histogram sum for free."""
+    und_deg = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und_deg.select(F.col("a").alias("id"))
+        .unionByName(und_deg.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("n")).collect()
+    n_nodes = sum(r.n for r in hist)
+    if n_nodes < min_nodes:
+        return False
+    # h = max over histogram steps of min(degree, #nodes with >= that
+    # degree) — the max handles h falling BETWEEN distinct degrees
+    # (degrees [5,5,5,2,1]: the d=5 step gives min(5,3)=3, the true h,
+    # while the first running>=d step d=2 would report 2)
+    running, h = 0, 0
+    for r in sorted(hist, key=lambda r: -r.d):
+        running += r.n
+        h = max(h, min(int(r.d), running))
+    return h >= depth_bound_cut
+
+
 def core_decomposition(
     edges: DataFrame,
     rounds: int | None = None,
     reliable_checkpoint: bool = False,
     delta: bool = False,
-    pack_ids: bool = False,
+    pack_ids: bool | str = "auto",
 ) -> DataFrame:
     """FULL k-core decomposition — every node's core number (the largest
     k such that the node survives k-core peeling), the stock
@@ -1960,9 +2169,15 @@ def core_decomposition(
     amortizes over ROUNDS, so it pays exactly on deep-core graphs —
     2M-skew (max core 153, many rounds): 1442 s → 1073 s (1.34×); and
     LOSES on shallow ones — 20M uniform (max core 3, ~6 rounds):
-    901 s → 1227 s. Default OFF: the shallow case is the common one;
-    flip it when the core depth (or id width — URLs, UUIDs) is large.
-    Value-identical (differential-pinned)."""
+    901 s → 1227 s. Default ``"auto"`` (round 8 — VERDICT r7 ask #3):
+    the one-job degree-histogram probe (:func:`_coredec_auto_pack`)
+    packs exactly when the degree-sequence h-index (an upper bound on
+    max coreness, and h₀'s own max) predicts a deep fixpoint on a
+    ≥1M-node graph — the measured split, self-gated. Explicit
+    True/False skips the probe. All three forms are value-identical
+    (differential-pinned)."""
+    if pack_ids == "auto":
+        pack_ids = _coredec_auto_pack(edges)
     if pack_ids:
         return _coredec_packed(edges, rounds, reliable_checkpoint, delta)
     canon = (
@@ -2276,6 +2491,45 @@ def local_clustering_coefficient(
 _NODESIM_METRICS = ("jaccard", "overlap", "cosine")
 
 
+def _string_rank_ids(nodes: DataFrame, parts: int = 256) -> DataFrame:
+    """ORDER-PRESERVING dense rank (id string → pos long) with no global
+    window task (round 8 — the nodesim pack): range-repartition by id
+    (sampled boundaries; partition i's ids all sort before partition
+    i+1's), per-partition row_number, then the broadcast prefix-offset
+    table (the knn_scalar_topk / _coredec_packed two-phase pattern, with
+    RANGE buckets instead of hash buckets precisely so that
+    pos(x) < pos(y) ⇔ x < y as strings — the property that keeps packed
+    a<b candidate filters and (score, id)-tie-break windows
+    oracle-identical to the string forms). Returns (id, pos);
+    offsets are ≤ ``parts`` rows by construction."""
+    from pyspark.sql.window import Window
+
+    p = nodes.select("id").repartitionByRange(parts, F.col("id"))
+    local = (
+        p.withColumn("bucket", F.spark_partition_id())
+        .withColumn(
+            "lpos",
+            F.row_number()
+            .over(Window.partitionBy("bucket").orderBy("id"))
+            .cast("long"),
+        )
+        .localCheckpoint()  # pin ONE partitioner evaluation: offsets and
+        # positions must see the same bucket assignment
+    )
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .withColumn("boff", F.coalesce(F.sum("bn").over(woff), F.lit(0)))
+        .select("bucket", "boff")
+    )
+    return local.join(F.broadcast(offsets), "bucket").select(
+        "id", (F.col("lpos") + F.col("boff")).alias("pos")
+    )
+
+
 def _nodesim_rank(
     inter: DataFrame, deg: DataFrame, k: int, metric: str
 ) -> DataFrame:
@@ -2361,17 +2615,54 @@ def node_similarity_topk(
 
     ``metric`` picks the GDS similarityMetric — jaccard (default),
     overlap, cosine; the score column is named after it
-    (:func:`_nodesim_rank`)."""
-    e = edges.select("src", "dst").distinct().localCheckpoint()
+    (:func:`_nodesim_rank`).
+
+    PACKED pipeline (round 8, VERDICT r7 ask #6 — the entry was 19% of
+    the suite total): ids are dictionary-encoded to longs via the
+    ORDER-PRESERVING range rank (:func:`_string_rank_ids`), the wedge
+    self-join + pair aggregate + degree joins + top-k window all run on
+    8-byte keys (measured: the dominant wedge-agg stage 12.1 s → 7.1 s
+    at sf0.1 — hashing/sorting longs beats strings), and only the final
+    |V|·k top-k rows decode back (two key-partitioned joins at output
+    cardinality). Order preservation makes the packed a<b filter and
+    (score desc, b) tie-break EXACTLY the string semantics — the oracle
+    is unchanged. Encode cost: two |E|-row translate joins + a |V|-row
+    dictionary, amortized over the sum(df²) wedge volume."""
+    e = edges.select("src", "dst").distinct()
+    ids = _string_rank_ids(
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    ).localCheckpoint()
+    ep = (
+        e.join(ids.select(F.col("id").alias("src"), F.col("pos").alias("ps")), "src")
+        .join(ids.select(F.col("id").alias("dst"), F.col("pos").alias("pd")), "dst")
+        .select(F.col("ps").alias("src"), F.col("pd").alias("dst"))
+        .localCheckpoint()
+    )
     inter = (
-        e.alias("x")
-        .join(e.alias("y"), "dst")
+        ep.alias("x")
+        .join(ep.alias("y"), "dst")
         .filter(F.col("x.src") < F.col("y.src"))
         .groupBy(F.col("x.src").alias("a"), F.col("y.src").alias("b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    deg = e.groupBy(F.col("src").alias("n")).agg(F.count(F.lit(1)).alias("d"))
-    return _nodesim_rank(inter, deg, k, metric)
+    deg = ep.groupBy(F.col("src").alias("n")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    topk = _nodesim_rank(inter, deg, k, metric)
+    return (
+        topk.join(ids.select(F.col("pos").alias("a"), F.col("id").alias("_ia")), "a")
+        .join(ids.select(F.col("pos").alias("b"), F.col("id").alias("_ib")), "b")
+        .select(
+            F.col("_ia").alias("a"),
+            F.col("_ib").alias("b"),
+            "inter",
+            "union_sz",
+            metric,
+            "rnk",
+        )
+    )
 
 
 def node_similarity_topk_capped(

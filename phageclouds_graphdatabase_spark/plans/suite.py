@@ -25,70 +25,67 @@ _ALL: dict[str, SuiteEntry] = {
 }
 
 # The driver checks the FIRST 50 dict entries each round (observed across
-# rounds 1-6). Round-7 window (VERDICT r6 ask #1, in its prescribed order):
-# the 12 late-round-6 additions that have never been seen by the external
-# driver (green in the 233/233 local strict gate, but "pass (local only)"
-# until the driver confirms), then the 25 stalest r2-vintage
-# re-confirmations (multimodal *_real, neardup/ANN, streaming — last
-# driver-checked in CORRECTNESS_r02), then 13 stalest r3-vintage fillers.
-# New round-7 entries (clouds_by_* driver coverage, GDS value-parity
-# variants) replace tail fillers as they land.
+# rounds 1-7). Round-8 window (VERDICT r7 ask #2): the 2 NEW round-8
+# entries that have never been seen by the external driver
+# (gds.graph.project catalog sequence, exact-closeness parity opt-in),
+# then the 47 stalest r3-vintage re-confirmations (last driver-checked in
+# CORRECTNESS_r03, in its order), then the stalest r4 filler
+# (cypher_load_csv) to fill 50. After this window every suite entry's
+# driver confirmation is r4-or-newer.
 _WINDOW = [
-    # 12 late-round-6 additions, never driver-checked
-    "graph_article_rank",
-    "graph_eigenvector",
-    "graph_community_quality",
-    "graph_node_similarity_overlap",
-    "cypher_gds_nodesim_cosine",
-    "cypher_gds_randomwalk",
-    "cypher_gds_wcc_threshold",
-    "cypher_gds_bfs",
-    "cypher_gds_modularity",
-    "cypher_gds_conductance",
-    "cypher_gds_articlerank",
-    "cypher_gds_eigenvector",
-    # 25 stalest r2-vintage re-confirmations (CORRECTNESS_r02 order)
-    "stream_user_totals",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_stream_left_join",
-    "stream_session_counts",
-    "jpeg_lossless_stats_real",
-    "jpeg_baseline_stats_real",
-    "jpeg_progressive_stats_real",
-    "mjpeg_frames_real",
-    "flac_stats_real",
-    "neardup_jaccard_pairs",
-    "neardup_jaccard_capped",
-    "minhash_lsh_candidates",
-    "simhash_fingerprint",
-    "neardup_simhash_hamming",
-    "neardup_levenshtein",
-    "dedup_cluster_canonical",
-    "dedup_incremental_exact",
-    "knn_cosine_bruteforce",
-    "ann_lsh_buckets",
-    "kmeans_ivf_train",
-    "ivf_ann_topk",
-    "embedding_neardup_cosine",
-    "vis_html_golden_scan",
-    "approx_stats_lineitem",
-    # 13 NEW round-7 entries (E2/E3 end-to-end, GDS value-parity
-    # opt-ins, sampled raw closeness, exact 1-D knn, bounded
-    # synchronous louvain)
-    "clouds_family_pipeline",
-    "clouds_host_pipeline",
-    "graph_article_rank_exactavg",
-    "graph_eigenvector_normalized",
-    "graph_closeness_centrality",
-    "cypher_gds_closeness",
-    "graph_knn_scalar",
-    "cypher_gds_knn",
-    "graph_louvain",
-    "cypher_gds_louvain",
-    "graph_louvain_multilevel",
-    "graph_scale_properties",
-    "cypher_gds_scaleprops",
+    # 2 NEW round-8 entries, never driver-checked
+    "cypher_gds_graph_project",
+    "graph_closeness_exact",
+    # 47 stalest r3-vintage re-confirmations (CORRECTNESS_r03 order)
+    "stream_user_totals_tws",
+    "motif_aggregate_messages",
+    "graph_path_enumeration",
+    "graph_shortest_paths",
+    "graph_random_walks",
+    "cypher_remove_property",
+    "cypher_merge_return",
+    "cypher_delete_nodes",
+    "graph_scc",
+    "graph_scc_condensation",
+    "webdataset_roundtrip",
+    "stream_webdataset_ingest",
+    "range_join_clicks_in_windows",
+    "interval_overlap_orders",
+    "zipf_token_stats",
+    "bm25_doc_ranking",
+    "bpe_merge_train",
+    "negative_sampling_table",
+    "dq_audit_report",
+    "corpus_clean_pipeline",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_dedup_earliest",
+    "multimodal_metadata",
+    "pandas_udf_token_count",
+    "gopher_quality_filters",
+    "gopher_repetition_signals",
+    "embedding_centroids_bylabel",
+    "semdedup_prune",
+    "graph_wedge_counts",
+    "udtf_explode_props",
+    "udtf_table_arg_topk",
+    "rolling_hash_fingerprint",
+    "grouping_sets_orders",
+    "asof_prev_purchase",
+    "text_bpe_token_count",
+    "collect_order_lists",
+    "presentation_columns",
+    "skew_safe_event_counts",
+    "pii_redact_stats",
+    "repeated_ngram_spans",
+    "bloom_membership",
+    "histogram_quantiles",
+    "dsir_importance_weights",
+    "corpus_profile",
+    "events_lag_lead_delta",
+    # stalest r4 filler
+    "cypher_load_csv",
 ]
 
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate window entry"

