@@ -99,9 +99,31 @@ HEADLINE = [
 ]
 
 
+def wait_for_quiet_window() -> float:
+    """Block (bounded) until the machine is quiet enough to time queries.
+
+    VERDICT r7 ask #1: the committed BENCH_r07.json ran at loadavg 15.6 and
+    its medians showed phantom 1.5-2x regressions on untouched queries —
+    the bench is the one gate whose signal container load can corrupt, so
+    it now refuses to start hot. Polls load1 until it drops below
+    $SPARK_GRAFT_QUIET_LOAD (default 4.0, the judge's usability bar) or
+    $SPARK_GRAFT_QUIET_WAIT seconds elapse (default 900; load1 decays
+    ~2x/min once a prior job exits, so 15 min absorbs any normal cooldown
+    while still bounding a driver run on a genuinely busy box). Returns
+    seconds waited; the detail artifact records it as quiet_wait_sec.
+    """
+    threshold = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "4.0"))
+    budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "900"))
+    t0 = time.time()
+    while os.getloadavg()[0] >= threshold and time.time() - t0 < budget:
+        time.sleep(10)
+    return round(time.time() - t0, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    quiet_wait = wait_for_quiet_window()
     # --repeat N (or $SPARK_GRAFT_REPEAT): run the whole set N times and
     # report the per-query MEDIAN. Default 3: a single pass over-reports by
     # ~70% (measured 31.2 s vs 18.0 s warm median at sf0.1) because the first
@@ -173,6 +195,7 @@ def main() -> None:
         "metric": "headline_suite_detail",
         "sf": sf,
         "repeat": repeat,
+        "quiet_wait_sec": quiet_wait,
         "loadavg_before": load_before,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "queries_median": timings,

@@ -52,6 +52,10 @@ def _int_config(config: dict, key: str, default: int | None = None):
     val = config.get(key, default)
     if val is None and default is None:
         return None
+    # int(1.5) truncates silently (round-8 test catch) — a fractional
+    # knob is a user error under the same contract, not a floor
+    if isinstance(val, float) and not val.is_integer():
+        raise CypherCompileError(f"{key} must be an integer, got {val!r}")
     try:
         return int(val)
     except (TypeError, ValueError):
@@ -2487,6 +2491,25 @@ class CypherEngine:
         "gds.ktruss.stream": ("sourceNodeId", "targetNodeId", "support"),
         "gds.labelpropagation.stream": ("nodeId", "communityId"),
         "gds.trianglecount.stream": ("nodeId", "triangleCount"),
+        # round 8: triangle ENUMERATION (one row per triangle). Stock
+        # shipped it as gds.alpha.triangles (no .stream suffix in docs,
+        # callable with one); register both spellings.
+        "gds.alpha.triangles": ("nodeA", "nodeB", "nodeC"),
+        "gds.triangles": ("nodeA", "nodeB", "nodeC"),
+        # round 8: HITS hubs/authorities. Stock gds.alpha.hits.stream
+        # returns (nodeId, values map{auth,hub}); this engine flattens the
+        # map into typed columns (documented divergence — a map<str,double>
+        # column defeats the driver's column-sorted value hashing and
+        # Cypher consumers address values.auth/values.hub by key anyway).
+        "gds.alpha.hits.stream": ("nodeId", "auth", "hub"),
+        "gds.hits.stream": ("nodeId", "auth", "hub"),
+        # round 8: DAG topological sort with longest-distance levels
+        # (stock emits maxDistanceFromSource as double when
+        # computeMaxDistanceFromSource: true; always computed here)
+        "gds.dag.topologicalsort.stream": (
+            "nodeId",
+            "maxDistanceFromSource",
+        ),
         "gds.localclusteringcoefficient.stream": (
             "nodeId", "localClusteringCoefficient",
         ),
@@ -3058,6 +3081,54 @@ class CypherEngine:
             df = _G.triangle_counts(e).select(
                 F.col("id").alias("nodeId"),
                 F.col("n_triangles").alias("triangleCount"),
+            )
+        elif name in ("gds.alpha.triangles", "gds.triangles"):
+            df = _G.triangles_stream(e).select(
+                F.col("node_a").alias("nodeA"),
+                F.col("node_b").alias("nodeB"),
+                F.col("node_c").alias("nodeC"),
+            )
+        elif name in ("gds.alpha.hits.stream", "gds.hits.stream"):
+            # hitsIterations: the stock knob (global iterations); bounded
+            # by the operator's overflow contract. normalized: true =
+            # stock value parity (unit-L2 doubles, the eigenvector
+            # pattern); default raw integer walk counts (oracle form).
+            hits_iters = _int_config(config, "hitsIterations", 2)
+            if not 1 <= hits_iters <= 8:
+                raise CypherCompileError(
+                    "gds.alpha.hits hitsIterations must be between 1 and 8"
+                )
+            norm = config.get("normalized", False)
+            if not isinstance(norm, bool):
+                raise CypherCompileError("normalized must be a boolean")
+            df = _G.hits_scores(
+                e, iterations=hits_iters, normalized=norm
+            ).select(
+                F.col("id").alias("nodeId"), "auth", "hub"
+            )
+        elif name == "gds.dag.topologicalsort.stream":
+            # computeMaxDistanceFromSource accepted for stock parity but
+            # the level column is ALWAYS computed (Kahn peeling assigns it
+            # for free — suppressing it would save nothing). rounds: the
+            # round-unrollable oracle budget (kcore convention); default
+            # runs to the fixpoint and FAILS on cycles (stock contract,
+            # GraphContainsCycleError -> CypherRuntimeError is left to
+            # surface as-is: a cyclic graph is a data error, not a
+            # compile error).
+            cmd = config.get("computeMaxDistanceFromSource", True)
+            if not isinstance(cmd, bool):
+                raise CypherCompileError(
+                    "computeMaxDistanceFromSource must be a boolean"
+                )
+            rounds = config.get("rounds")
+            df = _G.topological_levels(
+                e,
+                max_rounds=(
+                    None if rounds is None else _int_config(config, "rounds")
+                ),
+            ).select(
+                F.col("id").alias("nodeId"),
+                F.col("dist").cast("double").alias("maxDistanceFromSource"),
             )
         elif name == "gds.localclusteringcoefficient.stream":
             df = _G.local_clustering_coefficient(e).select(

@@ -2050,9 +2050,10 @@ def _hindex_histogram(nv: DataFrame) -> DataFrame:
 
 
 def _coredec_auto_pack(
-    edges: DataFrame,
+    edges: DataFrame | None = None,
     depth_bound_cut: int = 32,
     min_nodes: int = 1_000_000,
+    deg: DataFrame | None = None,
 ) -> bool:
     """The ``pack_ids="auto"`` probe (round 8, VERDICT r7 ask #3 — the
     nodesimilarity ``freq_cap="auto"`` self-gating pattern applied to
@@ -2073,22 +2074,35 @@ def _coredec_auto_pack(
     Cost: one |E|-row degree aggregate + a driver collect of the
     (degree → count) histogram — |distinct degrees| rows, the same
     bounded-scalar class as the nodesim df-histogram; |V| falls out of
-    the histogram sum for free."""
-    und_deg = (
-        edges.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
+    the histogram sum for free. When ``deg`` is given (a (id, degree)
+    frame whose LAST column is the degree — core_decomposition passes
+    its own just-checkpointed h₀, which IS the degree sequence), the
+    probe is one tiny aggregate over it instead of re-deriving the
+    canonicalized graph: the round-8 bench caught the standalone probe
+    re-paying the |E|-distinct the algorithm does anyway (sf0.1 entry
+    min 6.85 s → 8.39 s), so the shared-frame path is the default call
+    site."""
+    if deg is None:
+        und_deg = (
+            edges.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
+        deg = (
+            und_deg.select(F.col("a").alias("id"))
+            .unionByName(und_deg.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+    dcol = deg.columns[-1]
+    hist = (
+        deg.groupBy(F.col(dcol).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    deg = (
-        und_deg.select(F.col("a").alias("id"))
-        .unionByName(und_deg.select(F.col("b").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("n")).collect()
     n_nodes = sum(r.n for r in hist)
     if n_nodes < min_nodes:
         return False
@@ -2176,9 +2190,8 @@ def core_decomposition(
     ≥1M-node graph — the measured split, self-gated. Explicit
     True/False skips the probe. All three forms are value-identical
     (differential-pinned)."""
-    if pack_ids == "auto":
-        pack_ids = _coredec_auto_pack(edges)
-    if pack_ids:
+    auto = pack_ids == "auto"
+    if pack_ids is True:
         return _coredec_packed(edges, rounds, reliable_checkpoint, delta)
     canon = (
         edges.select(
@@ -2201,6 +2214,14 @@ def core_decomposition(
         ),
         reliable_checkpoint,
     )
+    # "auto" probes from the just-checkpointed h₀ (= the degree sequence)
+    # — a |V|-row aggregate, not a second canonicalization. On the rare
+    # pack decision the packed path re-canonicalizes from the raw edges
+    # (one extra |E| distinct, noise against the deep fixpoint that
+    # triggered packing); on the common keep-unpacked decision the probe
+    # adds ~nothing to the plan the rounds run anyway.
+    if auto and _coredec_auto_pack(deg=h):
+        return _coredec_packed(edges, rounds, reliable_checkpoint, delta)
     if not delta:
         prev_sum = None
         if rounds is None:
@@ -2488,6 +2509,199 @@ def local_clustering_coefficient(
     )
 
 
+def triangles_stream(
+    edges: DataFrame,
+    edge_count: int | None = None,
+    hash_broadcast_cap_edges: int = KTRUSS_HASH_BROADCAST_CAP_EDGES,
+) -> DataFrame:
+    """Enumerate each triangle of the canonical undirected graph exactly
+    once as an ordered triple (the stock ``gds.alpha.triangles`` stream
+    surface — nodeA/nodeB/nodeC rows, one per triangle; round 8).
+
+    Shares _orient_edges + _enumerate_triangles with triangle_counts /
+    k_truss (degree-oriented wedges, arboricity-bounded O(m^1.5) work,
+    gated sort-free closing join), so the 100-TB shape is the one already
+    rehearsed for those ops. The enumeration emits corners in DEGREE
+    order; the output sorts each triple by node id (array_sort — same
+    total order as DuckDB list_sort on strings) so rows are deterministic
+    and oracle-checkable. Returns (node_a < node_b < node_c)."""
+    canonical = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    oriented = _orient_edges(canonical).localCheckpoint()
+    if edge_count is None:
+        edge_count = oriented.count()
+    tri = _enumerate_triangles(oriented, edge_count, hash_broadcast_cap_edges)
+    s = F.array_sort(F.array("x", "y", "z"))
+    return tri.select(
+        s.getItem(0).alias("node_a"),
+        s.getItem(1).alias("node_b"),
+        s.getItem(2).alias("node_c"),
+    )
+
+
+def hits_scores(
+    edges: DataFrame,
+    iterations: int = 2,
+    normalized: bool = False,
+) -> DataFrame:
+    """Fixed-iteration HITS hubs-and-authorities in exact integers (the
+    stock ``gds.alpha.hits`` surface; round 8). Directed src→dst edges;
+    ``h_0 = 1`` everywhere, then per iteration the textbook
+    (Kleinberg 1999) synchronous update pair:
+
+        auth_t(v) = Σ over in-neighbors u of hub_{t-1}(u)
+        hub_t(u)  = Σ over out-neighbors v of auth_t(v)
+
+    Stock GDS (Pregel) L2-normalizes both vectors each iteration — a
+    positive GLOBAL scalar per step, so directions are unaffected and
+    normalizing ONCE at the end is mathematically identical (the
+    eigenvector_scaled argument, applied twice: hub = E·(a/c) = (E·a)/c).
+    ``normalized=False`` returns the raw integer walk counts
+    (id, auth, hub longs) — the oracle-checkable form; ``normalized=True``
+    returns each vector on its unit L2 sphere as doubles (exact
+    decimal(38,0) sum of squares, one correctly-rounded sqrt + division
+    per row — bit-identical cross-engine).
+
+    Bounds: values ≤ n·d_max^(2k), so iterations is capped at 8 and the
+    caller owns n·d_max^(2k) < 2^63 (same documented contract as
+    eigenvector_scaled / katz). Scale: per-iteration cost is two
+    edges-sized shuffles with map-side combine; rounds localCheckpoint so
+    lineage stays flat at any k."""
+    if not 1 <= iterations <= 8:
+        raise ValueError("need 1 <= iterations <= 8")
+    e = edges.select("src", "dst").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = nodes.withColumn("hub", F.lit(1).cast("long"))
+    a = None
+    for _ in range(iterations):
+        contrib_a = (
+            e.join(h, e["src"] == h["id"])
+            .select(F.col("dst"), F.col("hub").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        a = nodes.join(
+            contrib_a, nodes["id"] == contrib_a["dst"], "left_outer"
+        ).select(
+            "id", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("auth")
+        ).localCheckpoint()
+        contrib_h = (
+            e.join(a, e["dst"] == a["id"])
+            .select(F.col("src"), F.col("auth").alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").alias("s"))
+        )
+        h = nodes.join(
+            contrib_h, nodes["id"] == contrib_h["src"], "left_outer"
+        ).select(
+            "id", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("hub")
+        ).localCheckpoint()
+    out = a.join(h, "id").select("id", "auth", "hub")
+    if not normalized:
+        return out
+    aa = F.col("auth").cast("decimal(38,0)")
+    hh = F.col("hub").cast("decimal(38,0)")
+    ss = out.agg(
+        F.sum(aa * aa).alias("ssa"), F.sum(hh * hh).alias("ssh")
+    )
+    return out.crossJoin(F.broadcast(ss)).select(
+        "id",
+        F.when(
+            F.col("ssa") > 0,
+            F.col("auth").cast("double") / F.sqrt(F.col("ssa").cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("auth"),
+        F.when(
+            F.col("ssh") > 0,
+            F.col("hub").cast("double") / F.sqrt(F.col("ssh").cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("hub"),
+    )
+
+
+class GraphContainsCycleError(ValueError):
+    """Raised by topological_levels when the input graph is not a DAG —
+    the stock ``gds.dag.topologicalSort`` contract (it fails on cycles
+    rather than emitting a partial order silently)."""
+
+
+def topological_levels(
+    dag: DataFrame, max_rounds: int | None = None
+) -> DataFrame:
+    """Topological sort with longest-distance-from-source levels (the
+    stock ``gds.dag.topologicalSort.stream`` surface with
+    ``computeMaxDistanceFromSource: true``; round 8). Input: directed
+    (src, dst) edges of a DAG.
+
+    Kahn peeling, level-synchronous: round r removes every live node
+    whose in-degree over LIVE edges is zero and assigns it distance r —
+    a node is removed exactly when its last predecessor was, so the round
+    number IS the longest path length from any source (stock's
+    maxDistanceFromSource). Each round is one aggregate over live edges +
+    an anti-join; the live set only shrinks, so total work is
+    O(depth · live-|E|) with the usual map-side combine, and rounds
+    localCheckpoint to keep lineage flat. A 1-row count probe per round
+    detects stalls: live nodes remaining with nothing removable means a
+    cycle → GraphContainsCycleError (stock parity: the proc FAILS on
+    non-DAGs). ``max_rounds`` is the round-unrollable oracle budget
+    (oracle form: max-relaxation d_{t+1}(v) = max(d_t(v), max over
+    in-neighbors u of d_t(u)+1), which converges to the same longest
+    distance — tests pin that the budget reaches the fixpoint at the
+    oracle SF). Returns (id, dist long); dist is a DOUBLE in stock's
+    stream — the compiler casts there, keeping the exact long here."""
+    e = dag.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    live_n = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    live_e = e.distinct().localCheckpoint()
+    out: DataFrame | None = None
+    rounds = 0
+    n_nodes = live_n.count()
+    budget = max_rounds if max_rounds is not None else n_nodes + 1
+    while rounds < budget:
+        targets = live_e.select(F.col("dst").alias("id")).distinct()
+        removed = live_n.join(targets, "id", "left_anti").select(
+            "id", F.lit(rounds).cast("long").alias("dist")
+        ).localCheckpoint()
+        n_removed = removed.count()
+        if n_removed == 0:
+            if live_n.isEmpty():
+                break
+            if max_rounds is None:
+                raise GraphContainsCycleError(
+                    "graph contains a cycle: no zero-in-degree node among "
+                    f"{live_n.count()} live nodes after {rounds} rounds"
+                )
+            break
+        out = removed if out is None else out.unionByName(removed)
+        live_n = live_n.join(removed, "id", "left_anti").localCheckpoint()
+        live_e = live_e.join(
+            removed.select(F.col("id").alias("src")), "src", "left_anti"
+        ).localCheckpoint()
+        rounds += 1
+    if out is None:
+        return live_n.select("id", F.lit(0).cast("long").alias("dist")).filter(
+            F.lit(False)
+        )
+    return out
+
+
 _NODESIM_METRICS = ("jaccard", "overlap", "cosine")
 
 
@@ -2591,7 +2805,10 @@ def _nodesim_rank(
 
 
 def node_similarity_topk(
-    edges: DataFrame, k: int = 10, metric: str = "jaccard"
+    edges: DataFrame,
+    k: int = 10,
+    metric: str = "jaccard",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Neighborhood node similarity (the GDS ``nodeSimilarity`` surface):
     Jaccard of OUT-neighbor sets between source nodes, top-``k``
@@ -2627,8 +2844,14 @@ def node_similarity_topk(
     cardinality). Order preservation makes the packed a<b filter and
     (score desc, b) tie-break EXACTLY the string semantics — the oracle
     is unchanged. Encode cost: two |E|-row translate joins + a |V|-row
-    dictionary, amortized over the sum(df²) wedge volume."""
-    e = edges.select("src", "dst").distinct()
+    dictionary, amortized over the sum(df²) wedge volume.
+
+    ``assume_distinct=True`` (internal, round 8): the capped wrapper
+    hands over an edge set it has ALREADY distinct'd and checkpointed —
+    re-distincting it here was a full extra |E| shuffle for nothing."""
+    e = edges.select("src", "dst")
+    if not assume_distinct:
+        e = e.distinct()
     ids = _string_rank_ids(
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -2757,7 +2980,7 @@ def node_similarity_topk_capped(
             .collect()
         )
         if not hist:
-            return node_similarity_topk(e, k, metric)
+            return node_similarity_topk(e, k, metric, assume_distinct=True)
         total = sum(c for _, c in hist)
         half, run, med = (total + 1) // 2, 0, hist[-1][0]
         for d, c in hist:
@@ -2770,8 +2993,9 @@ def node_similarity_topk_capped(
     if freq_cap is None:
         # unskewed (or explicit no-cap with a cutoff): the single pass on
         # the cutoff-filtered set is value-identical to cap+verify with a
-        # never-hot cap, at roughly half the cost
-        return node_similarity_topk(e, k, metric)
+        # never-hot cap, at roughly half the cost (assume_distinct: e is
+        # already the distinct'd checkpointed projection — round 8)
+        return node_similarity_topk(e, k, metric, assume_distinct=True)
     index = e
     if freq_cap is not None:
         hot = (

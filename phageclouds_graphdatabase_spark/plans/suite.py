@@ -25,17 +25,24 @@ _ALL: dict[str, SuiteEntry] = {
 }
 
 # The driver checks the FIRST 50 dict entries each round (observed across
-# rounds 1-7). Round-8 window (VERDICT r7 ask #2): the 2 NEW round-8
+# rounds 1-7). Round-8 window (VERDICT r7 ask #2): the 7 NEW round-8
 # entries that have never been seen by the external driver
-# (gds.graph.project catalog sequence, exact-closeness parity opt-in),
-# then the 47 stalest r3-vintage re-confirmations (last driver-checked in
-# CORRECTNESS_r03, in its order), then the stalest r4 filler
-# (cypher_load_csv) to fill 50. After this window every suite entry's
-# driver confirmation is r4-or-newer.
+# (gds.graph.project catalog sequence, exact-closeness parity opt-in,
+# triangle enumeration, HITS ×2, topological sort ×2), then the stalest
+# r3-vintage re-confirmations (last driver-checked in CORRECTNESS_r03, in
+# its order) to fill 50. The 5 r3 stragglers this displaces
+# (histogram_quantiles, dsir_importance_weights, corpus_profile,
+# events_lag_lead_delta + the r4 cypher_load_csv) lead the r9 rotation
+# queue (BACKLOG).
 _WINDOW = [
-    # 2 NEW round-8 entries, never driver-checked
+    # 7 NEW round-8 entries, never driver-checked
     "cypher_gds_graph_project",
     "graph_closeness_exact",
+    "graph_triangles_stream",
+    "graph_hits_scores",
+    "graph_topological_sort",
+    "cypher_gds_hits",
+    "cypher_gds_toposort",
     # 47 stalest r3-vintage re-confirmations (CORRECTNESS_r03 order)
     "stream_user_totals_tws",
     "motif_aggregate_messages",
@@ -80,12 +87,6 @@ _WINDOW = [
     "pii_redact_stats",
     "repeated_ngram_spans",
     "bloom_membership",
-    "histogram_quantiles",
-    "dsir_importance_weights",
-    "corpus_profile",
-    "events_lag_lead_delta",
-    # stalest r4 filler
-    "cypher_load_csv",
 ]
 
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate window entry"

@@ -2261,3 +2261,50 @@ ENTRIES.update({
         cypher_gds_graph_project, CYPHER_GDS_WCC_THRESHOLD_SQL, ("S2", "W6")
     ),
 })
+
+
+def cypher_gds_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL gds.alpha.hits.stream (round 8) — HITS hubs/authorities over
+    the thresholded sharesDNA projection through the Cypher frontend;
+    RETURN aliases nodeId back to id so the DataFrame twin's oracle
+    (suite_extensions.GRAPH_HITS_SQL) applies verbatim."""
+    q = ("CALL gds.alpha.hits.stream('sharesDNA', {hitsIterations: 2}) "
+         "YIELD nodeId, auth, hub RETURN nodeId AS id, auth, hub")
+    return _engine_sp_thresh(spark, sf_dir).run(q)
+
+
+def cypher_gds_toposort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL gds.dag.topologicalSort.stream (round 8) on the natural P→S
+    direction of the thresholded sharesDNA projection — a depth-1 DAG
+    (parts are sources, suppliers sinks), so the oracle is the closed
+    form: dist 0 for never-a-dst nodes, 1 otherwise. Depth beyond 1 is
+    exercised by the DataFrame twin (graph_topological_sort, degree-
+    oriented DAG of measured depth 16 at sf0.01) and the cycle-failure
+    contract by tests/test_round8b.py."""
+    q = ("CALL gds.dag.topologicalSort.stream('sharesDNA') "
+         "YIELD nodeId, maxDistanceFromSource "
+         "RETURN nodeId, maxDistanceFromSource")
+    return _engine_sp_thresh(spark, sf_dir).run(q)
+
+
+CYPHER_GDS_TOPOSORT_SQL = f"""
+WITH e AS (
+    SELECT src, dst FROM ({GRAPH_EDGES_SQL})
+    WHERE distance <= {GRAPH_THRESHOLD}
+),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)
+SELECT id AS nodeId,
+       CAST(CASE WHEN id IN (SELECT dst FROM e) THEN 1 ELSE 0 END
+            AS DOUBLE) AS maxDistanceFromSource
+FROM nodes
+"""
+
+
+ENTRIES.update({
+    "cypher_gds_hits": SuiteEntry(
+        cypher_gds_hits, _ext.GRAPH_HITS_SQL, ("S2", "W6")
+    ),
+    "cypher_gds_toposort": SuiteEntry(
+        cypher_gds_toposort, CYPHER_GDS_TOPOSORT_SQL, ("S2", "W6")
+    ),
+})

@@ -4028,3 +4028,195 @@ ENTRIES.update({
         ("P8", "J5", "A4", "V2", "V6"),
     ),
 })
+
+
+# --------------------------------------------------------------------------
+# Round 8 second batch: triangle ENUMERATION (gds.alpha.triangles), HITS
+# hubs/authorities (gds.alpha.hits), DAG topological sort (gds.dag.
+# topologicalSort). Triangles + toposort run on the same-brand
+# adjacent-size part graph (sparse, clustered, triangle-rich — the
+# graph_ktruss construction; the P→S bipartite derived graph has no
+# triangles and only depth-1 natural orientation); HITS runs on the
+# thresholded bipartite graph, where hubs (parts) and authorities
+# (suppliers) are exactly the two tiers — the textbook HITS shape.
+# --------------------------------------------------------------------------
+
+_PART_BRAND_EDGES_SQL = """
+    SELECT x.p_partkey AS a, y.p_partkey AS b
+    FROM part x JOIN part y
+      ON x.p_brand = y.p_brand AND abs(x.p_size - y.p_size) <= 1
+     AND x.p_partkey < y.p_partkey
+"""
+
+
+def _part_brand_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    x, y = p.alias("x"), p.alias("y")
+    return x.join(
+        y,
+        (F.col("x.p_brand") == F.col("y.p_brand"))
+        & (F.abs(F.col("x.p_size") - F.col("y.p_size")) <= 1)
+        & (F.col("x.p_partkey") < F.col("y.p_partkey")),
+    ).select(
+        F.col("x.p_partkey").alias("src"), F.col("y.p_partkey").alias("dst")
+    )
+
+
+def graph_triangles_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle ENUMERATION — one row per triangle, corners sorted
+    ascending (the stock gds.alpha.triangles stream; operators/graph.py
+    triangles_stream). Same degree-oriented once-per-triangle machinery
+    as graph_triangle_counts/k-truss (arboricity-bounded O(m^1.5) wedge
+    join + gated sort-free closing join); the oracle's id-canonical
+    3-join enumerates the identical set because e0 is already a < b."""
+    return G.triangles_stream(_part_brand_edges(spark, sf_dir)).select(
+        F.col("node_a").cast("long").alias("node_a"),
+        F.col("node_b").cast("long").alias("node_b"),
+        F.col("node_c").cast("long").alias("node_c"),
+    )
+
+
+GRAPH_TRIANGLES_STREAM_SQL = f"""
+WITH e0 AS ({_PART_BRAND_EDGES_SQL})
+SELECT CAST(e1.a AS BIGINT) AS node_a, CAST(e1.b AS BIGINT) AS node_b,
+       CAST(e2.b AS BIGINT) AS node_c
+FROM e0 e1 JOIN e0 e2 ON e2.a = e1.b
+JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities, 2 fixed iterations in exact integers
+    (the stock gds.alpha.hits surface; operators/graph.py hits_scores) on
+    the thresholded directed P→S graph: auth counts walks arriving via
+    hubs, hub counts walks leaving via authorities. The raw-integer form
+    is the oracle-checkable one; stock's per-iteration L2 normalization
+    is a positive global scalar per step, available as normalized=True
+    (unit-vector parity, the eigenvector pattern)."""
+    return G.hits_scores(
+        graph_edges(spark, sf_dir, GRAPH_THRESHOLD), iterations=2
+    )
+
+
+GRAPH_HITS_SQL = f"""
+WITH e0 AS ({GRAPH_EDGES_SQL}),
+dir AS MATERIALIZED (
+    SELECT src, dst FROM e0 WHERE distance <= {GRAPH_THRESHOLD}
+),
+nodes AS MATERIALIZED (SELECT src AS id FROM dir UNION SELECT dst FROM dir),
+a1 AS MATERIALIZED (
+    SELECT n.id, CAST(COALESCE(s.v, 0) AS BIGINT) AS auth
+    FROM nodes n LEFT JOIN (
+        SELECT dst AS id, COUNT(*) AS v FROM dir GROUP BY 1
+    ) s ON s.id = n.id
+),
+h1 AS MATERIALIZED (
+    SELECT n.id, CAST(COALESCE(s.v, 0) AS BIGINT) AS hub
+    FROM nodes n LEFT JOIN (
+        SELECT d.src AS id, SUM(a.auth) AS v
+        FROM dir d JOIN a1 a ON a.id = d.dst GROUP BY 1
+    ) s ON s.id = n.id
+),
+a2 AS MATERIALIZED (
+    SELECT n.id, CAST(COALESCE(s.v, 0) AS BIGINT) AS auth
+    FROM nodes n LEFT JOIN (
+        SELECT d.dst AS id, SUM(h.hub) AS v
+        FROM dir d JOIN h1 h ON h.id = d.src GROUP BY 1
+    ) s ON s.id = n.id
+),
+h2 AS MATERIALIZED (
+    SELECT n.id, CAST(COALESCE(s.v, 0) AS BIGINT) AS hub
+    FROM nodes n LEFT JOIN (
+        SELECT d.src AS id, SUM(a.auth) AS v
+        FROM dir d JOIN a2 a ON a.id = d.dst GROUP BY 1
+    ) s ON s.id = n.id
+)
+SELECT a2.id, a2.auth, h2.hub FROM a2 JOIN h2 ON h2.id = a2.id
+"""
+
+
+# Oracle round budget for the DAG longest-distance relaxation. The two
+# budget-truncation semantics DIFFER below the fixpoint (Kahn omits
+# not-yet-removed nodes; max-relaxation emits partial values for them), so
+# the budget must STRICTLY exceed the DAG depth — measured depth at sf0.01
+# is 16 (sf0.001: 2), budget 20 leaves regen headroom, and
+# tests/test_round8b.py pins fixpoint-reached at the oracle SF so a deeper
+# regen fails loudly, not silently (the coredec 8-round-budget precedent).
+# At sf0.1 the depth is 161: the entry is budget-truncated there by
+# design (only sf0.01 is oracle-compared; the operator's default
+# max_rounds=None runs any SF to the fixpoint).
+TOPO_SORT_ROUNDS = 20
+
+
+def graph_topological_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAG topological sort with longest-distance-from-source levels (the
+    stock gds.dag.topologicalSort.stream surface; operators/graph.py
+    topological_levels). The DAG is the same-brand part graph oriented up
+    the (degree, id) total order (_orient_edges — any fixed total order
+    is acyclic by construction, and degree orientation gives real depth,
+    unlike the natural P→S direction's two levels). Engine: Kahn peeling
+    (round r removes the zero-in-degree live nodes = longest distance r);
+    oracle: the equivalent unrolled max-relaxation
+    d_{{t+1}}(v) = max(d_t(v), max over in-neighbors of d_t(u)+1), which
+    converges to the same longest distance in depth rounds."""
+    canon = _part_brand_edges(spark, sf_dir).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    dag = G._orient_edges(canon).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    return G.topological_levels(dag, max_rounds=TOPO_SORT_ROUNDS).select(
+        F.col("id").cast("long").alias("id"), "dist"
+    )
+
+
+def _topo_sort_sql(rounds: int) -> str:
+    head = f"""
+WITH e0 AS ({_PART_BRAND_EDGES_SQL}),
+deg AS MATERIALIZED (
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1
+),
+dag AS MATERIALIZED (
+    SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                THEN e0.a ELSE e0.b END AS u,
+           CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                THEN e0.b ELSE e0.a END AS v
+    FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b
+),
+d0 AS MATERIALIZED (
+    SELECT n AS id, CAST(0 AS BIGINT) AS dist
+    FROM (SELECT u AS n FROM dag UNION SELECT v FROM dag)
+)"""
+    body = ""
+    for i in range(1, rounds + 1):
+        p = i - 1
+        body += f""",
+d{i} AS MATERIALIZED (
+    SELECT n.id, CAST(GREATEST(n.dist, COALESCE(s.m, 0)) AS BIGINT) AS dist
+    FROM d{p} n LEFT JOIN (
+        SELECT g.v AS id, MAX(u.dist) + 1 AS m
+        FROM dag g JOIN d{p} u ON u.id = g.u GROUP BY 1
+    ) s ON s.id = n.id
+)"""
+    return (
+        head
+        + body
+        + f"\nSELECT CAST(id AS BIGINT) AS id, dist FROM d{rounds}\n"
+    )
+
+
+GRAPH_TOPO_SORT_SQL = _topo_sort_sql(TOPO_SORT_ROUNDS)
+
+
+ENTRIES.update({
+    "graph_triangles_stream": SuiteEntry(
+        graph_triangles_stream, GRAPH_TRIANGLES_STREAM_SQL, ("W6", "J1")
+    ),
+    "graph_hits_scores": SuiteEntry(
+        graph_hits_scores, GRAPH_HITS_SQL, ("W6", "A6")
+    ),
+    "graph_topological_sort": SuiteEntry(
+        graph_topological_sort, GRAPH_TOPO_SORT_SQL, ("W6", "A6")
+    ),
+})

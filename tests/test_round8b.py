@@ -1,0 +1,295 @@
+"""Round-8 second batch: triangle enumeration (gds.alpha.triangles), HITS
+(gds.alpha.hits), DAG topological sort (gds.dag.topologicalSort), and the
+coredec auto-probe degree-frame reuse.
+
+Reference parity targets are the stock Neo4j GDS procs the reference's
+users would call against the same projected graph
+(/root/reference/phageclouds_gdb.py:57 builds the thresholded projection
+these procs would consume); the engine re-expresses each as DataFrame
+plans (operators/graph.py triangles_stream / hits_scores /
+topological_levels).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from phageclouds_graphdatabase_spark.cypher import CypherEngine, phage_catalog
+from phageclouds_graphdatabase_spark.cypher.compiler import CypherCompileError
+from phageclouds_graphdatabase_spark.operators import graph as G
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+# ---------------------------------------------------------------------------
+# triangles_stream
+# ---------------------------------------------------------------------------
+
+def test_triangles_stream_enumerates_each_once(spark):
+    # K4 on a..d = 4 triangles; plus a pendant edge that joins none
+    k4 = [(x, y) for i, x in enumerate("abcd") for y in "abcd"[i + 1:]]
+    tri = G.triangles_stream(_edges(spark, k4 + [("d", "e")])).collect()
+    got = sorted((r.node_a, r.node_b, r.node_c) for r in tri)
+    assert got == [
+        ("a", "b", "c"), ("a", "b", "d"), ("a", "c", "d"), ("b", "c", "d"),
+    ]
+
+
+def test_triangles_stream_orders_within_triple_and_dedups(spark):
+    # duplicate + reversed + self-loop inputs collapse to one triangle
+    e = [("c", "a"), ("a", "b"), ("b", "c"), ("a", "c"), ("b", "b")]
+    tri = G.triangles_stream(_edges(spark, e)).collect()
+    assert [(r.node_a, r.node_b, r.node_c) for r in tri] == [("a", "b", "c")]
+
+
+def test_triangles_stream_consistent_with_counts(spark):
+    # corner multiset of the enumeration == triangle_counts
+    e = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("b", "d"),
+         ("a", "e"), ("e", "b")]
+    tri = G.triangles_stream(_edges(spark, e))
+    corners = (
+        tri.select(F.explode(F.array("node_a", "node_b", "node_c")).alias("id"))
+        .groupBy("id").count()
+    )
+    counts = G.triangle_counts(_edges(spark, e))
+    joined = counts.join(corners, "id", "full_outer").collect()
+    assert all(r["n_triangles"] == r["count"] for r in joined)
+
+
+# ---------------------------------------------------------------------------
+# hits_scores
+# ---------------------------------------------------------------------------
+
+def test_hits_two_iterations_by_hand(spark):
+    # star: p1 -> {s1, s2}; p2 -> s1
+    e = _edges(spark, [("p1", "s1"), ("p1", "s2"), ("p2", "s1")])
+    got = {r.id: (r.auth, r.hub) for r in G.hits_scores(e, 1).collect()}
+    # iteration 1: auth = in-degree (hub0 = 1); hub = sum of new auths
+    assert got == {
+        "p1": (0, 3), "p2": (0, 2), "s1": (2, 0), "s2": (1, 0),
+    }
+    got2 = {r.id: (r.auth, r.hub) for r in G.hits_scores(e, 2).collect()}
+    # iteration 2: auth(s1) = hub(p1)+hub(p2) = 5, auth(s2) = hub(p1) = 3;
+    # hub(p1) = 5+3 = 8, hub(p2) = 5
+    assert got2 == {
+        "p1": (0, 8), "p2": (0, 5), "s1": (5, 0), "s2": (3, 0),
+    }
+
+
+def test_hits_normalized_unit_l2(spark):
+    e = _edges(spark, [("p1", "s1"), ("p1", "s2"), ("p2", "s1")])
+    rows = G.hits_scores(e, 2, normalized=True).collect()
+    ssa = sum(r.auth ** 2 for r in rows)
+    ssh = sum(r.hub ** 2 for r in rows)
+    assert ssa == pytest.approx(1.0) and ssh == pytest.approx(1.0)
+    # direction preserved: auth(s1)/auth(s2) == 5/3
+    byid = {r.id: r for r in rows}
+    assert byid["s1"].auth / byid["s2"].auth == pytest.approx(5 / 3)
+
+
+def test_hits_iterations_bound(spark):
+    e = _edges(spark, [("a", "b")])
+    with pytest.raises(ValueError):
+        G.hits_scores(e, 0)
+    with pytest.raises(ValueError):
+        G.hits_scores(e, 9)
+
+
+# ---------------------------------------------------------------------------
+# topological_levels
+# ---------------------------------------------------------------------------
+
+def test_topological_levels_longest_distance(spark):
+    # diamond with a long arm: a->b->c->d and a->d; plus isolated source x->y
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"),
+                       ("x", "y")])
+    got = {r.id: r.dist for r in G.topological_levels(e).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "x": 0, "y": 1}
+
+
+def test_topological_levels_cycle_raises(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    with pytest.raises(G.GraphContainsCycleError):
+        G.topological_levels(e)
+
+
+def test_topological_levels_budget_truncates_silently(spark):
+    # the documented oracle-budget form: max_rounds caps the levels and
+    # leftover nodes are omitted (NOT an error, matching the unrolled SQL
+    # only at/beyond the fixpoint — the suite pins fixpoint separately)
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = {r.id: r.dist for r in G.topological_levels(e, max_rounds=2).collect()}
+    assert got == {"a": 0, "b": 1}
+
+
+def test_topo_suite_budget_reaches_fixpoint_sf001():
+    # the coredec-style pin: the suite's unrolled-oracle budget must
+    # strictly exceed the measured DAG depth at the oracle SF, else the
+    # two truncation semantics diverge silently
+    from phageclouds_graphdatabase_spark.plans import suite_extensions as SE
+    from phageclouds_graphdatabase_spark.session import get_spark
+
+    spark = get_spark("test-topo-fixpoint")
+    canon = SE._part_brand_edges(spark, SF01).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    dag = G._orient_edges(canon).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    depth = (
+        G.topological_levels(dag).agg(F.max("dist")).collect()[0][0]
+    )
+    assert depth < SE.TOPO_SORT_ROUNDS, (
+        f"sf0.01 DAG depth {depth} >= oracle budget "
+        f"{SE.TOPO_SORT_ROUNDS}: bump TOPO_SORT_ROUNDS"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cypher proc surface
+# ---------------------------------------------------------------------------
+
+def _engine(spark):
+    nodes = spark.createDataFrame(
+        [("p1", "NCBI", 30000), ("p2", "NCBI", 31000),
+         ("s1", "Tara", 32000), ("s2", "Tara", 33000)],
+        "accession string, source string, genome_size long",
+    )
+    edges = spark.createDataFrame(
+        [("p1", "s1", 0.01), ("p1", "s2", 0.01), ("p2", "s1", 0.01)],
+        "src string, dst string, distance double",
+    )
+    return CypherEngine(phage_catalog(nodes, edges), spark)
+
+
+def test_cypher_hits_stream(spark):
+    q = ("CALL gds.alpha.hits.stream('sharesDNA', {hitsIterations: 2}) "
+         "YIELD nodeId, auth, hub RETURN nodeId, auth, hub")
+    got = {r.nodeId: (r.auth, r.hub) for r in _engine(spark).run(q).collect()}
+    assert got == {
+        "p1": (0, 8), "p2": (0, 5), "s1": (5, 0), "s2": (3, 0),
+    }
+
+
+def test_cypher_hits_normalized_and_knob_errors(spark):
+    q = ("CALL gds.hits.stream('sharesDNA', "
+         "{hitsIterations: 2, normalized: true}) "
+         "YIELD nodeId, auth RETURN nodeId, auth")
+    rows = _engine(spark).run(q).collect()
+    assert sum(r.auth ** 2 for r in rows) == pytest.approx(1.0)
+    with pytest.raises(CypherCompileError):
+        _engine(spark).run(
+            "CALL gds.hits.stream('sharesDNA', {hitsIterations: 99}) "
+            "YIELD nodeId RETURN nodeId"
+        )
+    with pytest.raises(CypherCompileError):
+        _engine(spark).run(
+            "CALL gds.hits.stream('sharesDNA', {hitsIterations: 'x'}) "
+            "YIELD nodeId RETURN nodeId"
+        )
+    with pytest.raises(CypherCompileError):
+        _engine(spark).run(
+            "CALL gds.hits.stream('sharesDNA', {normalized: 1}) "
+            "YIELD nodeId RETURN nodeId"
+        )
+
+
+def test_cypher_triangles_stream(spark):
+    # triangle among p1-s1-s2 requires non-bipartite edges — use a custom
+    # catalog with an s1-s2 edge
+    nodes = spark.createDataFrame(
+        [("a", "NCBI", 1), ("b", "NCBI", 2), ("c", "NCBI", 3)],
+        "accession string, source string, genome_size long",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", 0.01), ("b", "c", 0.01), ("c", "a", 0.01)],
+        "src string, dst string, distance double",
+    )
+    eng = CypherEngine(phage_catalog(nodes, edges), spark)
+    got = eng.run(
+        "CALL gds.alpha.triangles('sharesDNA') "
+        "YIELD nodeA, nodeB, nodeC RETURN nodeA, nodeB, nodeC"
+    ).collect()
+    assert [(r.nodeA, r.nodeB, r.nodeC) for r in got] == [("a", "b", "c")]
+
+
+def test_cypher_toposort_stream_and_knobs(spark):
+    q = ("CALL gds.dag.topologicalSort.stream('sharesDNA') "
+         "YIELD nodeId, maxDistanceFromSource "
+         "RETURN nodeId, maxDistanceFromSource")
+    got = {r.nodeId: r.maxDistanceFromSource
+           for r in _engine(spark).run(q).collect()}
+    assert got == {"p1": 0.0, "p2": 0.0, "s1": 1.0, "s2": 1.0}
+    with pytest.raises(CypherCompileError):
+        _engine(spark).run(
+            "CALL gds.dag.topologicalSort.stream('sharesDNA', "
+            "{computeMaxDistanceFromSource: 'yes'}) "
+            "YIELD nodeId RETURN nodeId"
+        )
+    with pytest.raises(CypherCompileError):
+        _engine(spark).run(
+            "CALL gds.dag.topologicalSort.stream('sharesDNA', "
+            "{rounds: 1.5}) YIELD nodeId RETURN nodeId"
+        )
+
+
+def test_cypher_toposort_cycle_surfaces(spark):
+    nodes = spark.createDataFrame(
+        [("a", "NCBI", 1), ("b", "NCBI", 2)],
+        "accession string, source string, genome_size long",
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", 0.01), ("b", "a", 0.01)],
+        "src string, dst string, distance double",
+    )
+    eng = CypherEngine(phage_catalog(nodes, edges), spark)
+    with pytest.raises(G.GraphContainsCycleError):
+        eng.run(
+            "CALL gds.dag.topologicalSort.stream('sharesDNA') "
+            "YIELD nodeId RETURN nodeId"
+        ).collect()
+
+
+# ---------------------------------------------------------------------------
+# coredec auto-probe: shared-degree-frame path
+# ---------------------------------------------------------------------------
+
+def test_coredec_auto_probe_deg_frame_matches_edges_path(spark):
+    # K20 plus a long path: deep (h-index 19) — both probe call forms agree
+    k20 = [(f"k{i}", f"k{j}") for i in range(20) for j in range(i + 1, 20)]
+    path = [(f"n{i}", f"n{i+1}") for i in range(50)]
+    e = _edges(spark, k20 + path)
+    und = e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("core"))
+    )
+    for cut, expect in ((16, True), (20, False)):
+        assert G._coredec_auto_pack(e, depth_bound_cut=cut, min_nodes=1) is expect
+        assert G._coredec_auto_pack(
+            deg=deg, depth_bound_cut=cut, min_nodes=1
+        ) is expect
+
+
+def test_coredec_auto_still_value_identical(spark):
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("b", "d"),
+         ("d", "e"), ("e", "f")],
+    )
+    base = sorted(
+        (r.id, r.core) for r in G.core_decomposition(e, pack_ids=False).collect()
+    )
+    assert sorted(
+        (r.id, r.core) for r in G.core_decomposition(e, pack_ids="auto").collect()
+    ) == base

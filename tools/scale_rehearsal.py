@@ -292,6 +292,13 @@ def main() -> None:
         "encoding around the loop — the string-key shuffle-width lever)",
     )
     ap.add_argument(
+        "--coredec-auto",
+        action="store_true",
+        help="with --coredec-only: pack_ids='auto' (round-8 degree-"
+        "histogram probe); also runs the standalone probe first to "
+        "record its decision + cost in the artifact",
+    )
+    ap.add_argument(
         "--bc-directed",
         action="store_true",
         help="run --bc-only in the DIRECTED form (second reversed-edge "
@@ -550,9 +557,17 @@ def main() -> None:
 
     if args.coredec_only:
         fe = edges.filter(F.col("distance") <= 0.15).select("src", "dst")
+        probe = None
+        if args.coredec_auto:
+            tp = time.time()
+            decision = G._coredec_auto_pack(fe)
+            probe = {
+                "auto_probe_packs": decision,
+                "auto_probe_sec": round(time.time() - tp, 2),
+            }
         t0 = time.time()
         cd = G.core_decomposition(
-            fe, pack_ids=args.coredec_pack
+            fe, pack_ids="auto" if args.coredec_auto else args.coredec_pack
         ).localCheckpoint()
         n_cored = cd.count()
         t_cd = round(time.time() - t0, 2)
@@ -566,6 +581,7 @@ def main() -> None:
                     "n_cored": n_cored,
                     "max_core": mx,
                     "coredec_sec": t_cd,
+                    **(probe or {}),
                 }
             )
         )
