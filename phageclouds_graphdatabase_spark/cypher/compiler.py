@@ -2534,6 +2534,16 @@ class CypherEngine:
         # synchronous label propagation (engine extension)
         "gds.modularity.stream": ("communityId", "modularity"),
         "gds.conductance.stream": ("community", "conductance"),
+        # round 8: Bellman-Ford — negative weights allowed, runs to the
+        # fixpoint by default (no hop bound), FAILS on reachable
+        # negative cycles (stock streams the cycle; documented
+        # divergence). Costs are totalCost x scale exact longs, the
+        # dijkstra convention.
+        "gds.bellmanford.stream": (
+            "sourceNodeId",
+            "targetNodeId",
+            "totalCost",
+        ),
     }
 
     def _gds_edges(self, reltype: str | None):
@@ -3225,6 +3235,56 @@ class CypherEngine:
                 max_hops=depth,
                 scale=float(config.get("scale", 10000.0)),
                 directed=False,
+            ).select(
+                F.col("src").alias("sourceNodeId"),
+                F.col("dst").alias("targetNodeId"),
+                F.col("cost").alias("totalCost"),
+            )
+        elif name == "gds.bellmanford.stream":
+            # single/multi-source shortest paths with NEGATIVE weights
+            # (operators/graph.py bellman_ford_costs): synchronous
+            # relaxation to the FIXPOINT (rounds = the unrollable oracle
+            # budget), NegativeCycleError surfaces as-is (a reachable
+            # negative cycle is a data error, not a compile error).
+            # DIRECTED as stored (stock NATURAL default), unlike the
+            # undirected dijkstra surface.
+            src_nodes = config.get("sourceNodes")
+            if not isinstance(src_nodes, (list, tuple)) or not src_nodes:
+                raise CypherCompileError(
+                    "gds.bellmanFord.stream needs sourceNodes: [node keys]"
+                )
+            wprop = config.get("relationshipWeightProperty", "distance")
+            rel = self.catalog.rel(
+                reltype
+                if reltype is not None
+                else next(iter(self.catalog.rels))
+            )
+            if wprop not in rel.df.columns:
+                raise CypherCompileError(
+                    f"relationshipWeightProperty {wprop!r} is not a "
+                    f"column of :{reltype}"
+                )
+            bf_scale = float(config.get("scale", 10000.0))
+            we = rel.df.select(
+                F.col(rel.src_col).cast("string").alias("src"),
+                F.col(rel.dst_col).cast("string").alias("dst"),
+                F.floor(
+                    F.col(wprop).cast("double") * F.lit(bf_scale)
+                    + F.lit(0.5)
+                ).cast("long").alias("w"),
+            )
+            seeds = self._session().createDataFrame(
+                [(str(x),) for x in src_nodes], "id string"
+            )
+            bf_rounds = config.get("rounds")
+            df = _G.bellman_ford_costs(
+                seeds,
+                we,
+                max_rounds=(
+                    None
+                    if bf_rounds is None
+                    else _int_config(config, "rounds")
+                ),
             ).select(
                 F.col("src").alias("sourceNodeId"),
                 F.col("dst").alias("targetNodeId"),

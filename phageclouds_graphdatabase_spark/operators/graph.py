@@ -3450,6 +3450,112 @@ def cheapest_path_costs(
     )
 
 
+class NegativeCycleError(ValueError):
+    """Raised by bellman_ford_costs when a negative-weight cycle is
+    reachable from a seed — min-cost over walks is then unbounded below
+    (stock ``gds.bellmanFord`` streams the cycle instead of paths; this
+    engine fails loudly, the documented divergence)."""
+
+
+def bellman_ford_costs(
+    seeds: DataFrame,
+    weighted_edges: DataFrame,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Multi-source Bellman-Ford with NEGATIVE edge weights (the stock
+    ``gds.bellmanFord`` surface; round 8) — the semantic
+    :func:`cheapest_path_costs` can't express (its non-negative-weights
+    argument "min over walks = min over simple paths" breaks the moment
+    a weight is negative, and its hop bound silently truncates).
+
+    Input: ``weighted_edges (src, dst, w)`` with ``w`` an already-
+    quantized LONG (exact, order-free min — the cheapest_path_costs
+    convention; callers quantize floats with the usual
+    floor(x·scale + 0.5)); directed as given. ``seeds (id)``.
+
+    Synchronous relaxation: state is one (seed, node, cost) row per
+    REACHED pair; each round joins the state against the edge list and
+    groupBy-mins the union — after round r the state holds the exact
+    min cost over walks of ≤ r hops, so ``max_rounds=r`` is the
+    round-unrollable oracle form (identical in SQL, no truncation
+    divergence: both sides emit reached-so-far minima). With
+    ``max_rounds=None`` it runs to the fixpoint via a 1-row
+    (reached-count, cost-sum) probe — count is non-decreasing and the
+    sum strictly decreases on any improvement, so the pair is stable
+    exactly at the fixpoint — and raises :class:`NegativeCycleError`
+    if improvement continues past |V| rounds (a shortest simple path
+    has ≤ |V|−1 edges; only a reachable negative cycle improves past
+    that — the textbook detection, distributed).
+
+    Scale: per-round shuffle = reached pairs × avg out-degree with
+    map-side combine into the min; rounds localCheckpoint so lineage
+    stays flat. Returns ``(src, dst, cost long)`` including the
+    (seed, seed, ≤0) row when a negative walk returns to the seed —
+    dropped only when it stays at the trivial 0."""
+    step = weighted_edges.select(
+        F.col("src").alias("_u"),
+        F.col("dst").alias("_v"),
+        F.col("w").cast("long").alias("_w"),
+    ).localCheckpoint()
+    best = (
+        seeds.select("id")
+        .distinct()
+        .select(
+            F.col("id").alias("_src"),
+            F.col("id").alias("_node"),
+            F.lit(0).cast("long").alias("_cost"),
+        )
+        .localCheckpoint()
+    )
+    n_nodes = None
+    if max_rounds is None:
+        n_nodes = (
+            step.select(F.col("_u").alias("n"))
+            .unionByName(step.select(F.col("_v").alias("n")))
+            .distinct()
+            .count()
+        )
+    prev = None
+    rounds = 0
+    while True:
+        cand = best.join(step, best["_node"] == step["_u"]).select(
+            "_src",
+            F.col("_v").alias("_node"),
+            (F.col("_cost") + F.col("_w")).alias("_cost"),
+        )
+        best = (
+            best.unionByName(cand)
+            .groupBy("_src", "_node")
+            .agg(F.min("_cost").alias("_cost"))
+            .localCheckpoint()
+        )
+        rounds += 1
+        if max_rounds is not None:
+            if rounds >= max_rounds:
+                break
+            continue
+        cur = tuple(
+            best.agg(
+                F.count(F.lit(1)), F.sum("_cost")
+            ).collect()[0]
+        )
+        if cur == prev:
+            break
+        if rounds > n_nodes:
+            raise NegativeCycleError(
+                "negative-weight cycle reachable from a seed: costs still "
+                f"improving after {rounds} rounds on {n_nodes} nodes"
+            )
+        prev = cur
+    return best.filter(
+        (F.col("_node") != F.col("_src")) | (F.col("_cost") < 0)
+    ).select(
+        F.col("_src").alias("src"),
+        F.col("_node").alias("dst"),
+        F.col("_cost").alias("cost"),
+    )
+
+
 def merge_components(
     membership: DataFrame,
     new_edges: DataFrame,

@@ -25,17 +25,18 @@ _ALL: dict[str, SuiteEntry] = {
 }
 
 # The driver checks the FIRST 50 dict entries each round (observed across
-# rounds 1-7). Round-8 window (VERDICT r7 ask #2): the 7 NEW round-8
+# rounds 1-7). Round-8 window (VERDICT r7 ask #2): the 9 NEW round-8
 # entries that have never been seen by the external driver
 # (gds.graph.project catalog sequence, exact-closeness parity opt-in,
-# triangle enumeration, HITS ×2, topological sort ×2), then the stalest
+# triangle enumeration, HITS ×2, topological sort ×2, Bellman-Ford ×2
+# incl. negative weights), then the stalest
 # r3-vintage re-confirmations (last driver-checked in CORRECTNESS_r03, in
 # its order) to fill 50. The 5 r3 stragglers this displaces
-# (histogram_quantiles, dsir_importance_weights, corpus_profile,
-# events_lag_lead_delta + the r4 cypher_load_csv) lead the r9 rotation
-# queue (BACKLOG).
+# (repeated_ngram_spans, bloom_membership, histogram_quantiles,
+# dsir_importance_weights, corpus_profile, events_lag_lead_delta + the
+# r4 cypher_load_csv) lead the r9 rotation queue (BACKLOG).
 _WINDOW = [
-    # 7 NEW round-8 entries, never driver-checked
+    # 9 NEW round-8 entries, never driver-checked
     "cypher_gds_graph_project",
     "graph_closeness_exact",
     "graph_triangles_stream",
@@ -43,6 +44,8 @@ _WINDOW = [
     "graph_topological_sort",
     "cypher_gds_hits",
     "cypher_gds_toposort",
+    "graph_bellman_ford",
+    "cypher_gds_bellmanford",
     # 47 stalest r3-vintage re-confirmations (CORRECTNESS_r03 order)
     "stream_user_totals_tws",
     "motif_aggregate_messages",
@@ -85,8 +88,6 @@ _WINDOW = [
     "presentation_columns",
     "skew_safe_event_counts",
     "pii_redact_stats",
-    "repeated_ngram_spans",
-    "bloom_membership",
 ]
 
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate window entry"

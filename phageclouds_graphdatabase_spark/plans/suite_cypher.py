@@ -2308,3 +2308,49 @@ ENTRIES.update({
         cypher_gds_toposort, CYPHER_GDS_TOPOSORT_SQL, ("S2", "W6")
     ),
 })
+
+
+def cypher_gds_bellmanford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL gds.bellmanFord.stream (round 8) — fixpoint shortest paths,
+    DIRECTED as stored, through the Cypher frontend with the usual
+    ECONOMY %64 seed pins. On the bipartite P→S projection the fixpoint
+    lands in one effective round (every path is one hop), which the
+    convergence probe must detect — the negative-weight/deep-DAG arc is
+    exercised by the DataFrame twin (graph_bellman_ford) and the
+    negative-cycle failure contract by tests/test_round8b.py."""
+    seeds = [
+        r.id
+        for r in t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_partkey") % 64 == 1))
+        .select(F.concat(F.lit("P"), F.col("p_partkey")).alias("id"))
+        .distinct()
+        .collect()
+    ]
+    q = ("CALL gds.bellmanFord.stream('sharesDNA', {sourceNodes: $seeds}) "
+         "YIELD sourceNodeId, targetNodeId, totalCost "
+         "RETURN sourceNodeId, targetNodeId, totalCost")
+    return _engine_sp_thresh(spark, sf_dir).run(q, params={"seeds": seeds})
+
+
+CYPHER_GDS_BELLMANFORD_SQL = f"""
+WITH e AS (
+    SELECT src, dst,
+           CAST(FLOOR(distance * 10000.0 + 0.5) AS BIGINT) AS w
+    FROM ({GRAPH_EDGES_SQL}) _e WHERE distance <= {GRAPH_THRESHOLD}
+),
+seeds AS (
+    SELECT DISTINCT 'P' || p_partkey AS id FROM part
+    WHERE p_type = 'ECONOMY' AND p_partkey % 64 = 1
+)
+SELECT s.id AS sourceNodeId, e.dst AS targetNodeId,
+       CAST(MIN(e.w) AS BIGINT) AS totalCost
+FROM seeds s JOIN e ON e.src = s.id
+GROUP BY 1, 2
+"""
+
+
+ENTRIES.update({
+    "cypher_gds_bellmanford": SuiteEntry(
+        cypher_gds_bellmanford, CYPHER_GDS_BELLMANFORD_SQL, ("S2", "W6", "J7")
+    ),
+})

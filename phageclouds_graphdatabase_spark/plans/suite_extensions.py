@@ -4220,3 +4220,101 @@ ENTRIES.update({
         graph_topological_sort, GRAPH_TOPO_SORT_SQL, ("W6", "A6")
     ),
 })
+
+
+def graph_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bellman-Ford with NEGATIVE edge weights (round 8 — the stock
+    gds.bellmanFord surface; operators/graph.py bellman_ford_costs) on
+    the degree-oriented same-brand DAG weighted by the SIGNED size step
+    w = size(v) − size(u) ∈ {−1, 0, 1} (the |size diff| ≤ 1 edge
+    predicate makes every weight a unit step; orientation makes the
+    graph acyclic, so negative weights are exact-summable with no
+    negative cycle). max_rounds is the round-unrollable oracle budget —
+    unlike the toposort peeling, BOTH sides hold reached-so-far minima
+    at every round, so ANY budget is oracle-identical by construction
+    (no fixpoint pin needed); 12 rounds keeps the entry cheap (20
+    sequential rounds measured 24.5 s at sf0.01 — rounds are the cost,
+    not rows) while still exercising multi-hop negative-sum paths."""
+    canon = _part_brand_edges(spark, sf_dir).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    dag = G._orient_edges(canon).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    sz = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("n"), F.col("p_size").cast("long").alias("s")
+    )
+    we = (
+        dag.join(sz.select(F.col("n").alias("src"), F.col("s").alias("su")), "src")
+        .join(sz.select(F.col("n").alias("dst"), F.col("s").alias("sv")), "dst")
+        .select("src", "dst", (F.col("sv") - F.col("su")).alias("w"))
+    )
+    seeds = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 64 == 1)
+        .select(F.col("p_partkey").alias("id"))
+    )
+    return G.bellman_ford_costs(
+        seeds, we, max_rounds=BELLMAN_FORD_ROUNDS
+    ).select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("cost").cast("long").alias("cost"),
+    )
+
+
+def _bellman_ford_sql(rounds: int) -> str:
+    head = f"""
+WITH e0 AS ({_PART_BRAND_EDGES_SQL}),
+deg AS MATERIALIZED (
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1
+),
+dag AS MATERIALIZED (
+    SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                THEN e0.a ELSE e0.b END AS u,
+           CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                THEN e0.b ELSE e0.a END AS v
+    FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b
+),
+sz AS (SELECT p_partkey AS n, CAST(p_size AS BIGINT) AS s FROM part),
+we AS MATERIALIZED (
+    SELECT dag.u, dag.v, sv.s - su.s AS w
+    FROM dag JOIN sz su ON su.n = dag.u JOIN sz sv ON sv.n = dag.v
+),
+b0 AS MATERIALIZED (
+    SELECT p_partkey AS src, p_partkey AS node, CAST(0 AS BIGINT) AS cost
+    FROM part WHERE p_partkey % 64 = 1
+)"""
+    body = ""
+    for i in range(1, rounds + 1):
+        p = i - 1
+        body += f""",
+b{i} AS MATERIALIZED (
+    SELECT src, node, CAST(MIN(cost) AS BIGINT) AS cost FROM (
+        SELECT src, node, cost FROM b{p}
+        UNION ALL
+        SELECT b.src, w.v AS node, b.cost + w.w
+        FROM b{p} b JOIN we w ON w.u = b.node
+    ) z GROUP BY 1, 2
+)"""
+    return (
+        head
+        + body
+        + f"""
+SELECT CAST(src AS BIGINT) AS src, CAST(node AS BIGINT) AS dst, cost
+FROM b{rounds} WHERE src <> node OR cost < 0
+"""
+    )
+
+
+BELLMAN_FORD_ROUNDS = 12
+
+GRAPH_BELLMAN_FORD_SQL = _bellman_ford_sql(BELLMAN_FORD_ROUNDS)
+
+
+ENTRIES.update({
+    "graph_bellman_ford": SuiteEntry(
+        graph_bellman_ford, GRAPH_BELLMAN_FORD_SQL, ("W6", "J7")
+    ),
+})

@@ -293,3 +293,72 @@ def test_coredec_auto_still_value_identical(spark):
     assert sorted(
         (r.id, r.core) for r in G.core_decomposition(e, pack_ids="auto").collect()
     ) == base
+
+
+# ---------------------------------------------------------------------------
+# bellman_ford_costs
+# ---------------------------------------------------------------------------
+
+def _wedges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, w long")
+
+
+def test_bellman_ford_negative_weights_by_hand(spark):
+    # a->b (5), b->c (-3), a->c (4): min cost a->c is 2 via b, found only
+    # because negative weights are allowed past the greedy 1-hop answer
+    e = _wedges(spark, [("a", "b", 5), ("b", "c", -3), ("a", "c", 4)])
+    seeds = e.sparkSession.createDataFrame([("a",)], "id string")
+    got = {(r.src, r.dst): r.cost
+           for r in G.bellman_ford_costs(seeds, e).collect()}
+    assert got == {("a", "b"): 5, ("a", "c"): 2}
+
+
+def test_bellman_ford_budget_matches_unrolled_rounds(spark):
+    # with max_rounds=1 the c row holds the 1-hop cost 4 (the oracle's
+    # identical truncation); the fixpoint improves it to 2
+    e = _wedges(spark, [("a", "b", 5), ("b", "c", -3), ("a", "c", 4)])
+    seeds = e.sparkSession.createDataFrame([("a",)], "id string")
+    got1 = {(r.src, r.dst): r.cost
+            for r in G.bellman_ford_costs(seeds, e, max_rounds=1).collect()}
+    assert got1 == {("a", "b"): 5, ("a", "c"): 4}
+
+
+def test_bellman_ford_negative_cycle_raises(spark):
+    e = _wedges(spark, [("a", "b", 1), ("b", "c", -2), ("c", "b", 1)])
+    seeds = e.sparkSession.createDataFrame([("a",)], "id string")
+    with pytest.raises(G.NegativeCycleError):
+        G.bellman_ford_costs(seeds, e)
+
+
+def test_bellman_ford_negative_return_to_seed_kept(spark):
+    # a->b (-2), b->a (1): no negative cycle (sum -1 < 0!) — wait, that
+    # IS a negative cycle; use sum 0 instead: a->b (-2), b->a (2) is a
+    # zero cycle (legal), and the (a, a, 0) trivial row stays dropped
+    # while (a, b, -2) streams
+    e = _wedges(spark, [("a", "b", -2), ("b", "a", 2)])
+    seeds = e.sparkSession.createDataFrame([("a",)], "id string")
+    got = {(r.src, r.dst): r.cost
+           for r in G.bellman_ford_costs(seeds, e).collect()}
+    assert got == {("a", "b"): -2}
+
+
+def test_cypher_bellmanford_stream_and_knobs(spark):
+    q = ("CALL gds.bellmanFord.stream('sharesDNA', "
+         "{sourceNodes: ['p1']}) "
+         "YIELD sourceNodeId, targetNodeId, totalCost "
+         "RETURN sourceNodeId, targetNodeId, totalCost")
+    got = {(r.sourceNodeId, r.targetNodeId): r.totalCost
+           for r in _engine(spark).run(q).collect()}
+    # distance 0.01 at scale 10000 -> 100
+    assert got == {("p1", "s1"): 100, ("p1", "s2"): 100}
+    with pytest.raises(CypherCompileError):
+        _engine(spark).run(
+            "CALL gds.bellmanFord.stream('sharesDNA') "
+            "YIELD sourceNodeId RETURN sourceNodeId"
+        )
+    with pytest.raises(CypherCompileError):
+        _engine(spark).run(
+            "CALL gds.bellmanFord.stream('sharesDNA', "
+            "{sourceNodes: ['p1'], rounds: 2.5}) "
+            "YIELD sourceNodeId RETURN sourceNodeId"
+        )
