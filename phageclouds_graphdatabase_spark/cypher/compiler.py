@@ -2510,6 +2510,11 @@ class CypherEngine:
             "nodeId",
             "maxDistanceFromSource",
         ),
+        # round 8: weighted longest path from any DAG source. Stock
+        # yields per-path route columns; the engine streams the
+        # (targetNodeId, distance) distances (documented flattening —
+        # same reason as hits).
+        "gds.dag.longestpath.stream": ("targetNodeId", "distance"),
         "gds.localclusteringcoefficient.stream": (
             "nodeId", "localClusteringCoefficient",
         ),
@@ -3239,6 +3244,45 @@ class CypherEngine:
                 F.col("src").alias("sourceNodeId"),
                 F.col("dst").alias("targetNodeId"),
                 F.col("cost").alias("totalCost"),
+            )
+        elif name == "gds.dag.longestpath.stream":
+            # weighted longest path from any source (operators/graph.py
+            # dag_longest_paths — Bellman-Ford on negated weights seeded
+            # at the zero-in-degree nodes); GraphContainsCycleError
+            # surfaces as-is on non-DAGs. relationshipWeightProperty
+            # default 'distance', quantized at `scale` (the dijkstra
+            # convention); distance streams as the exact scaled long.
+            wprop = config.get("relationshipWeightProperty", "distance")
+            rel = self.catalog.rel(
+                reltype
+                if reltype is not None
+                else next(iter(self.catalog.rels))
+            )
+            if wprop not in rel.df.columns:
+                raise CypherCompileError(
+                    f"relationshipWeightProperty {wprop!r} is not a "
+                    f"column of :{reltype}"
+                )
+            lp_scale = float(config.get("scale", 10000.0))
+            we = rel.df.select(
+                F.col(rel.src_col).cast("string").alias("src"),
+                F.col(rel.dst_col).cast("string").alias("dst"),
+                F.floor(
+                    F.col(wprop).cast("double") * F.lit(lp_scale)
+                    + F.lit(0.5)
+                ).cast("long").alias("w"),
+            )
+            lp_rounds = config.get("rounds")
+            df = _G.dag_longest_paths(
+                we,
+                max_rounds=(
+                    None
+                    if lp_rounds is None
+                    else _int_config(config, "rounds")
+                ),
+            ).select(
+                F.col("id").alias("targetNodeId"),
+                F.col("dist").alias("distance"),
             )
         elif name == "gds.bellmanford.stream":
             # single/multi-source shortest paths with NEGATIVE weights

@@ -3556,6 +3556,52 @@ def bellman_ford_costs(
     )
 
 
+def dag_longest_paths(
+    weighted_edges: DataFrame, max_rounds: int | None = None
+) -> DataFrame:
+    """Weighted LONGEST path distance from any source to each node of a
+    DAG (the stock ``gds.dag.longestPath.stream`` surface; round 8).
+    Input: directed (src, dst, w) with ``w`` an already-quantized LONG
+    (signed allowed — on a DAG the sum is exact either way).
+
+    Longest = Bellman-Ford on NEGATED weights seeded at the DAG's
+    sources (zero-in-degree nodes), then max-over-sources = the negated
+    min over (seed, node) minima — exact integer algebra end to end, no
+    new iteration machinery. On a cyclic input the negated positive
+    cycle is a negative cycle, so the fixpoint run surfaces the stock
+    DAG-proc failure contract as :class:`GraphContainsCycleError`
+    (a zero-total cycle is geometrically still a cycle but does not
+    diverge — it is reported as a cycle only when it changes costs,
+    matching what longest-path semantics can detect). ``max_rounds`` is
+    the round-unrollable oracle budget; like bellman_ford_costs (and
+    unlike the toposort peeling) ANY budget is oracle-identical —
+    both sides hold reached-so-far extrema. Sources themselves stream
+    at distance 0. Returns (id, dist long)."""
+    we = weighted_edges.select(
+        "src", "dst", F.col("w").cast("long").alias("w")
+    ).localCheckpoint()
+    sources = (
+        we.select(F.col("src").alias("id"))
+        .distinct()
+        .join(we.select(F.col("dst").alias("id")).distinct(), "id", "left_anti")
+        .localCheckpoint()
+    )
+    neg = we.select("src", "dst", (-F.col("w")).alias("w"))
+    try:
+        bf = bellman_ford_costs(sources, neg, max_rounds=max_rounds)
+    except NegativeCycleError as exc:
+        raise GraphContainsCycleError(
+            f"gds.dag.longestPath needs a DAG: {exc}"
+        ) from None
+    reached = (
+        bf.groupBy(F.col("dst").alias("id"))
+        .agg((-F.min("cost")).cast("long").alias("dist"))
+    )
+    return sources.select(
+        "id", F.lit(0).cast("long").alias("dist")
+    ).unionByName(reached)
+
+
 def merge_components(
     membership: DataFrame,
     new_edges: DataFrame,

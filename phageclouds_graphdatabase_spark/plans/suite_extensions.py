@@ -4318,3 +4318,89 @@ ENTRIES.update({
         graph_bellman_ford, GRAPH_BELLMAN_FORD_SQL, ("W6", "J7")
     ),
 })
+
+
+def graph_dag_longest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted longest path from any DAG source (round 8 — the stock
+    gds.dag.longestPath surface; operators/graph.py dag_longest_paths):
+    Bellman-Ford on NEGATED weights seeded at the zero-in-degree nodes,
+    max-over-sources = negated min. Same signed unit-step weighted DAG
+    as graph_bellman_ford; the oracle relaxes MAX directly (identical by
+    the negation bijection, reached-so-far extrema at any budget)."""
+    canon = _part_brand_edges(spark, sf_dir).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    dag = G._orient_edges(canon).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    sz = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("n"), F.col("p_size").cast("long").alias("s")
+    )
+    we = (
+        dag.join(sz.select(F.col("n").alias("src"), F.col("s").alias("su")), "src")
+        .join(sz.select(F.col("n").alias("dst"), F.col("s").alias("sv")), "dst")
+        .select("src", "dst", (F.col("sv") - F.col("su")).alias("w"))
+    )
+    return G.dag_longest_paths(we, max_rounds=BELLMAN_FORD_ROUNDS).select(
+        F.col("id").cast("long").alias("id"), "dist"
+    )
+
+
+def _dag_longest_sql(rounds: int) -> str:
+    head = f"""
+WITH e0 AS ({_PART_BRAND_EDGES_SQL}),
+deg AS MATERIALIZED (
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1
+),
+dag AS MATERIALIZED (
+    SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                THEN e0.a ELSE e0.b END AS u,
+           CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+                THEN e0.b ELSE e0.a END AS v
+    FROM e0 JOIN deg da ON da.n = e0.a JOIN deg db ON db.n = e0.b
+),
+sz AS (SELECT p_partkey AS n, CAST(p_size AS BIGINT) AS s FROM part),
+we AS MATERIALIZED (
+    SELECT dag.u, dag.v, sv.s - su.s AS w
+    FROM dag JOIN sz su ON su.n = dag.u JOIN sz sv ON sv.n = dag.v
+),
+srcs AS MATERIALIZED (
+    SELECT DISTINCT u AS id FROM dag
+    WHERE u NOT IN (SELECT v FROM dag)
+),
+m0 AS MATERIALIZED (
+    SELECT id AS src, id AS node, CAST(0 AS BIGINT) AS cost FROM srcs
+)"""
+    body = ""
+    for i in range(1, rounds + 1):
+        p = i - 1
+        body += f""",
+m{i} AS MATERIALIZED (
+    SELECT src, node, CAST(MAX(cost) AS BIGINT) AS cost FROM (
+        SELECT src, node, cost FROM m{p}
+        UNION ALL
+        SELECT b.src, w.v AS node, b.cost + w.w
+        FROM m{p} b JOIN we w ON w.u = b.node
+    ) z GROUP BY 1, 2
+)"""
+    return (
+        head
+        + body
+        + f"""
+SELECT CAST(id AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist FROM srcs
+UNION ALL
+SELECT CAST(node AS BIGINT) AS id, CAST(MAX(cost) AS BIGINT) AS dist
+FROM m{rounds} WHERE node <> src GROUP BY node
+"""
+    )
+
+
+GRAPH_DAG_LONGEST_SQL = _dag_longest_sql(BELLMAN_FORD_ROUNDS)
+
+
+ENTRIES.update({
+    "graph_dag_longest_path": SuiteEntry(
+        graph_dag_longest_path, GRAPH_DAG_LONGEST_SQL, ("W6", "A6")
+    ),
+})

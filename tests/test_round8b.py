@@ -362,3 +362,37 @@ def test_cypher_bellmanford_stream_and_knobs(spark):
             "{sourceNodes: ['p1'], rounds: 2.5}) "
             "YIELD sourceNodeId RETURN sourceNodeId"
         )
+
+
+# ---------------------------------------------------------------------------
+# dag_longest_paths
+# ---------------------------------------------------------------------------
+
+def test_dag_longest_paths_by_hand(spark):
+    # a->b(2), b->c(1), a->c(5), d->c(-1): sources a, d; longest to c is
+    # 5 (direct beats the 3-hop 2+1); b gets 2; sources at 0
+    e = _wedges(spark, [("a", "b", 2), ("b", "c", 1), ("a", "c", 5),
+                        ("d", "c", -1)])
+    got = {r.id: r.dist for r in G.dag_longest_paths(e).collect()}
+    assert got == {"a": 0, "d": 0, "b": 2, "c": 5}
+
+
+def test_dag_longest_paths_negative_only_route(spark):
+    # the only route carries a negative total: longest is still that max
+    e = _wedges(spark, [("a", "b", -3)])
+    got = {r.id: r.dist for r in G.dag_longest_paths(e).collect()}
+    assert got == {"a": 0, "b": -3}
+
+
+def test_dag_longest_paths_cycle_raises(spark):
+    e = _wedges(spark, [("a", "b", 1), ("b", "c", 1), ("c", "b", 1)])
+    with pytest.raises(G.GraphContainsCycleError):
+        G.dag_longest_paths(e)
+
+
+def test_cypher_dag_longest_stream(spark):
+    q = ("CALL gds.dag.longestPath.stream('sharesDNA') "
+         "YIELD targetNodeId, distance RETURN targetNodeId, distance")
+    got = {r.targetNodeId: r.distance for r in _engine(spark).run(q).collect()}
+    # sources p1, p2 at 0; s1/s2 at max incoming 0.01*10000 = 100
+    assert got == {"p1": 0, "p2": 0, "s1": 100, "s2": 100}
