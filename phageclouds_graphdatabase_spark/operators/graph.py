@@ -2201,12 +2201,17 @@ def core_decomposition(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    und = (
+    # und honors reliable_checkpoint too (round 8, found by the 40M/156M
+    # rung): at 2x|E| rows the bidirectional edge frame is the LARGEST
+    # block in the store, and keeping it executor-local blew the 48g heap
+    # mid-iteration (read-ahead OOM) — the same lesson the 100M-components
+    # rung taught for wcc state.
+    und = _ckpt(
         canon.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(
             canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
-        .localCheckpoint()
+        ),
+        reliable_checkpoint,
     )
     h = _ckpt(
         und.groupBy(F.col("src").alias("id")).agg(

@@ -423,3 +423,54 @@ def test_knn_scalar_plan_windowlimit_no_cartesian(spark, sf_dir):
 # instead covered by the argmax window being WindowGroupLimit-eligible
 # (rn == 1 filter directly over row_number) and the driver-sim differential
 # in tests/test_graph_operators.py.
+
+
+def test_triangles_stream_no_cartesian(spark, sf_dir):
+    # the enumeration's closing join must stay a (broadcast|shuffle) HASH
+    # semi-join — never a cartesian/nested-loop blow-up
+    df = ext.graph_triangles_stream(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hits_stays_jvm_side_hash_aggregates(spark, sf_dir):
+    # HITS checkpoints each round, so the FINAL lineage only shows the
+    # a⋈h output join over the two checkpointed RDDs — the per-round
+    # HashAggregates already executed inside the loop and are not
+    # visible here. Assert the observable properties: a key-equi join
+    # (hash or sort-merge, never nested-loop) and zero Python evals.
+    df = ext.graph_hits_scores(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Join" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the per-round plan IS observable one level down: one relaxation
+    # round over the checkpointed state must partial-agg JVM-side
+    from phageclouds_graphdatabase_spark.plans._suite_helpers import (
+        GRAPH_THRESHOLD,
+        graph_edges,
+    )
+    from pyspark.sql import functions as F
+
+    e = graph_edges(spark, sf_dir, GRAPH_THRESHOLD).localCheckpoint()
+    one_round = (
+        e.groupBy("dst").agg(F.count(F.lit(1)).alias("s"))
+    )
+    rplan = explain_str(one_round)
+    assert "HashAggregate" in rplan, rplan
+
+
+def test_bellman_ford_rounds_are_hash_joins(spark, sf_dir):
+    # same checkpoint-per-round shape: the final lineage is a filter over
+    # the fixpoint RDD; assert no nested-loop/cartesian anywhere and no
+    # Python evals (the relaxation min is a JVM HashAggregate inside the
+    # loop, pinned indirectly by the operator finishing in bounded
+    # rounds — a cartesian would not)
+    df = ext.graph_bellman_ford(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -376,10 +376,15 @@ def main() -> None:
     # 32 partitions at 20M nodes puts ~2.4M edge rows in one in-memory sort
     # and dies with UNABLE_TO_ACQUIRE_MEMORY), and the local heap grows past
     # the 16g default for 10M+ nodes.
+    # round 8: the heap tier is keyed on EDGES, not nodes — the 40M-node
+    # avg-degree-8 coredec rung (156M edges) blew the 48g tier with a
+    # read-ahead OOM mid-iteration; 150M+ edges needs the 80g tier
+    # regardless of node count.
     os.environ.setdefault(
         "SPARK_GRAFT_DRIVER_MEM",
         "80g"
         if args.nodes >= 80_000_000
+        or args.nodes * args.avg_degree >= 150_000_000
         else (
             "48g"
             # the --skew graph carries a 23M-edge near-clique whose SCC
@@ -557,6 +562,13 @@ def main() -> None:
 
     if args.coredec_only:
         fe = edges.filter(F.col("distance") <= 0.15).select("src", "dst")
+        # 150M+ edges: reliable on-disk checkpoints for und + per-round h
+        # (the 100M-components lesson applied to coredec — found by this
+        # rung's first attempt OOMing the 48g heap on executor-local
+        # blocks)
+        reliable = args.nodes * args.avg_degree >= 150_000_000
+        if reliable:
+            spark.sparkContext.setCheckpointDir(os.path.join(work, "ckpt"))
         probe = None
         if args.coredec_auto:
             tp = time.time()
@@ -567,7 +579,9 @@ def main() -> None:
             }
         t0 = time.time()
         cd = G.core_decomposition(
-            fe, pack_ids="auto" if args.coredec_auto else args.coredec_pack
+            fe,
+            pack_ids="auto" if args.coredec_auto else args.coredec_pack,
+            reliable_checkpoint=reliable,
         ).localCheckpoint()
         n_cored = cd.count()
         t_cd = round(time.time() - t0, 2)
