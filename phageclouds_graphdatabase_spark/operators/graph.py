@@ -3539,9 +3539,12 @@ def bellman_ford_costs(
             if rounds >= max_rounds:
                 break
             continue
+        # decimal(38,0) keeps the probe sum EXACT — a wrapped long sum
+        # (non-ANSI) could alias two different states and stop early
         cur = tuple(
             best.agg(
-                F.count(F.lit(1)), F.sum("_cost")
+                F.count(F.lit(1)),
+                F.sum(F.col("_cost").cast("decimal(38,0)")),
             ).collect()[0]
         )
         if cur == prev:
