@@ -3068,10 +3068,18 @@ class CypherEngine:
             )
         elif name == "gds.ktruss.stream":
             rounds = config.get("rounds")
+            # delta: true (round 8) = frontier-decrement peeling — rounds
+            # past the first derive supports from triangles touching the
+            # peel frontier instead of re-enumerating the live set
+            # (value-identical, differential-pinned)
+            kt_delta = config.get("delta", False)
+            if not isinstance(kt_delta, bool):
+                raise CypherCompileError("delta must be a boolean")
             df = _G.k_truss(
                 e,
                 _int_config(config, "k", 4),
                 rounds=None if rounds is None else _int_config(config, "rounds"),
+                delta=kt_delta,
             ).select(
                 F.col("a").alias("sourceNodeId"),
                 F.col("b").alias("targetNodeId"),

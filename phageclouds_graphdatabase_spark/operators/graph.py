@@ -3079,6 +3079,73 @@ def _triangle_support(
     )
 
 
+def _ktruss_delta_dec(o_old: DataFrame, peeled: DataFrame) -> DataFrame:
+    """Per-edge support DECREMENTS for one delta peel round (round 8):
+    the number of triangles of the previous live set ``o_old`` that
+    contain at least one ``peeled`` edge, counted once per triangle for
+    each SURVIVING member edge. Both frames are in oriented (u, v, dv)
+    coordinates; every triangle decomposes uniquely into
+    e1=(x,y), e2=(x,z), e3=(y,z) with x<y<z in the (degree, id) order,
+    so enumerating each peeled edge in each of the three roles — always
+    JOINING FROM THE PEELED SIDE — finds every affected triangle with
+    work proportional to the peel frontier's wedges, not the live set's:
+
+      role e1: peeled ⋈ o_old on the shared apex (wedge), close in o_old
+      role e2: o_old ⋈ peeled on the shared apex, close in o_old
+      role e3: peeled (y,z) ⋈ o_old (x,y) ⋈ o_old (x,z) — apex discovery
+
+    The role union is distinct'd by triple (a triangle with 2-3 peeled
+    members appears in several roles but must decrement each survivor
+    ONCE), members are exploded, peeled members anti-joined out, and the
+    rest counted. Closing/apex joins carry shuffle_hash hints — the
+    _triangle_support lesson: the streams must never be sort-merged.
+    Returns (u, v, dec)."""
+    e_old = o_old.select("u", "v", "dv")
+    p = peeled.select("u", "v", "dv")
+    e1, e2, e3 = e_old.alias("e1"), e_old.alias("e2"), e_old.alias("e3")
+    p1, p2 = p.alias("e1"), p.alias("e2")
+    wedge_lt = (F.col("e1.dv") < F.col("e2.dv")) | (
+        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    corners = [
+        F.col("e1.u").alias("x"),
+        F.col("e1.v").alias("y"),
+        F.col("e2.v").alias("z"),
+    ]
+    exact_close = (F.col("e3.u") == F.col("y")) & (F.col("e3.v") == F.col("z"))
+    t1 = (
+        p1.join(e2, (F.col("e1.u") == F.col("e2.u")) & wedge_lt)
+        .select(*corners)
+        .join(e3.hint("shuffle_hash"), exact_close, "left_semi")
+    )
+    t2 = (
+        e1.join(p2.hint("shuffle_hash"), (F.col("e1.u") == F.col("e2.u")) & wedge_lt)
+        .select(*corners)
+        .join(e3.hint("shuffle_hash"), exact_close, "left_semi")
+    )
+    t3 = (
+        p.select(F.col("u").alias("y"), F.col("v").alias("z"))
+        .join(e1.hint("shuffle_hash"), F.col("e1.v") == F.col("y"))
+        .join(
+            e2.hint("shuffle_hash"),
+            (F.col("e2.u") == F.col("e1.u")) & (F.col("e2.v") == F.col("z")),
+            "left_semi",
+        )
+        .select(F.col("e1.u").alias("x"), "y", "z")
+    )
+    tri = t1.unionByName(t2).unionByName(t3).distinct()
+    members = (
+        tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
+        .unionAll(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
+        .unionAll(tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
+    )
+    return (
+        members.join(p.select("u", "v"), ["u", "v"], "left_anti")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("dec"))
+    )
+
+
 def k_truss(
     edges: DataFrame,
     k: int,
@@ -3086,6 +3153,7 @@ def k_truss(
     reliable_checkpoint: bool = False,
     hash_broadcast_cap_edges: int = KTRUSS_HASH_BROADCAST_CAP_EDGES,
     branch_log: list | None = None,
+    delta: bool | str = "auto",
 ) -> DataFrame:
     """Edges of the k-truss: the maximal subgraph where every edge closes
     >= k-2 triangles within the subgraph — the standard cohesive-subgraph
@@ -3131,6 +3199,124 @@ def k_truss(
         F.greatest(F.col("u"), F.col("v")).alias("b"),
         F.col("support"),
     ]
+    if delta:
+        # DELTA peeling (round 8, the BACKLOG ktruss item): round 1 pays
+        # the one full enumeration it cannot avoid; a later round can
+        # derive supports by DECREMENT — support over L_{i+1} equals
+        # support over L_i minus the triangles of L_i touching the peel
+        # frontier (removal only destroys triangles, never creates), and
+        # those triangles are enumerable FROM the frontier
+        # (_ktruss_delta_dec), so the round's work scales with the peel
+        # frontier's wedges, not the live set's. Value-identical to the
+        # full form round-for-round (differential-pinned): both report
+        # the final round's input-set supports on the surviving edges.
+        #
+        # MEASURED split (SCALE.md round 8) — the decrement is ~3 role
+        # joins over the frontier's wedges, so it wins exactly when the
+        # frontier is a small fraction of the live set: sf0.1 same-brand
+        # graph (modest peels) 9.2 s → 6.1 s (1.5×); 2M-skew tier (round
+        # 1 peels 98.7% of edges) 159 s → 629 s (4× LOSS). Default
+        # "auto" therefore picks PER ROUND, from counts it already has:
+        # decrement when n_peeled × 4 < n_live_after (frontier under
+        # ~1/4 — the 3× role-join cost model plus margin), full
+        # re-enumeration of the shrunken live set otherwise. True forces
+        # decrement every round (the A/B knob); False is the always-
+        # re-enumerate loop below.
+        auto = delta == "auto"
+
+        def _log_enum(rnd: int, n: int, extra: dict | None = None) -> None:
+            # same record shape as the delta=False loop, so the
+            # closing-join crossover pin observes the gate regardless of
+            # which peel loop runs
+            if branch_log is not None:
+                branch_log.append({
+                    "round": rnd,
+                    "live_edges": n,
+                    "branch": "broadcast"
+                    if n <= hash_broadcast_cap_edges
+                    else "shuffle_hash",
+                    **(extra or {}),
+                })
+
+        _log_enum(1, m)
+        sup = _triangle_support(live, m, hash_broadcast_cap_edges)
+        state = _ckpt(
+            live.join(sup, ["u", "v"], "left").select(
+                "u",
+                "v",
+                "dv",
+                F.coalesce(F.col("support"), F.lit(0)).alias("support"),
+            ),
+            reliable_checkpoint,
+        )
+        n_live = m
+        i = 1
+        while True:
+            kept = state.filter(F.col("support") >= k - 2)
+            if rounds is not None and i >= rounds:
+                return kept.select(*out_cols)
+            peeled = _ckpt(
+                state.filter(F.col("support") < k - 2), reliable_checkpoint
+            )
+            n_peeled = peeled.count()
+            if n_peeled == 0:
+                # nothing to peel: supports are already the fixpoint
+                # values, and every remaining budgeted round would be a
+                # no-op — return now (the full loop burns one enumeration
+                # per empty round; the delta loop's whole point is not to)
+                if branch_log is not None:
+                    branch_log.append(
+                        {"round": i + 1, "peeled": 0, "branch": "fixpoint"}
+                    )
+                return kept.select(*out_cols)
+            n_live_after = n_live - n_peeled
+            use_dec = (not auto) or (n_peeled * 4 < n_live_after)
+            if use_dec and branch_log is not None:
+                branch_log.append({
+                    "round": i + 1,
+                    "live_edges": n_live_after,
+                    "peeled": n_peeled,
+                    "branch": "delta",
+                })
+            if not use_dec:
+                _log_enum(i + 1, n_live_after, {"peeled": n_peeled})
+            if use_dec:
+                dec = _ktruss_delta_dec(
+                    state.select("u", "v", "dv"),
+                    peeled.select("u", "v", "dv"),
+                )
+                state = _ckpt(
+                    kept.join(dec, ["u", "v"], "left").select(
+                        "u",
+                        "v",
+                        "dv",
+                        (
+                            F.col("support")
+                            - F.coalesce(F.col("dec"), F.lit(0))
+                        ).alias("support"),
+                    ),
+                    reliable_checkpoint,
+                )
+            else:
+                live2 = _ckpt(
+                    kept.select("u", "v", "dv"), reliable_checkpoint
+                )
+                sup2 = _triangle_support(
+                    live2, n_live_after, hash_broadcast_cap_edges
+                )
+                state = _ckpt(
+                    live2.join(sup2, ["u", "v"], "left").select(
+                        "u",
+                        "v",
+                        "dv",
+                        F.coalesce(F.col("support"), F.lit(0)).alias(
+                            "support"
+                        ),
+                    ),
+                    reliable_checkpoint,
+                )
+            n_live = n_live_after
+            i += 1
     i = 0
     prev_n = None
     while True:

@@ -396,3 +396,77 @@ def test_cypher_dag_longest_stream(spark):
     got = {r.targetNodeId: r.distance for r in _engine(spark).run(q).collect()}
     # sources p1, p2 at 0; s1/s2 at max incoming 0.01*10000 = 100
     assert got == {"p1": 0, "p2": 0, "s1": 100, "s2": 100}
+
+
+# ---------------------------------------------------------------------------
+# k_truss delta peeling
+# ---------------------------------------------------------------------------
+
+def _ktruss_pairs(df):
+    return sorted((r.a, r.b, r.support) for r in df.collect())
+
+
+def test_ktruss_delta_matches_full_cascading(spark):
+    # two K4s sharing edge (d,e)... build a graph where peeling CASCADES:
+    # K4 abcd + pendant triangle cde + chain — k=4 (support >= 2) peels
+    # the triangle, which strips support from K4 edges touching c/d
+    k4 = [(x, y) for i, x in enumerate("abcd") for y in "abcd"[i + 1:]]
+    extra = [("c", "e"), ("d", "e"), ("e", "f"), ("a", "f")]
+    e = _edges(spark, k4 + extra)
+    for rounds in (1, 2, 3, None):
+        full = G.k_truss(e, k=4, rounds=rounds)
+        dlt = G.k_truss(e, k=4, rounds=rounds, delta=True)
+        assert _ktruss_pairs(full) == _ktruss_pairs(dlt), f"rounds={rounds}"
+
+
+def test_ktruss_delta_matches_full_on_derived_graph():
+    # the suite's own graph at sf0.001: the real differential
+    from phageclouds_graphdatabase_spark.plans._suite_helpers import t as _t
+    from phageclouds_graphdatabase_spark.session import get_spark
+
+    spark = get_spark("test-ktruss-delta")
+    p = _t(spark, SF, "part").select("p_partkey", "p_brand", "p_size")
+    x, y = p.alias("x"), p.alias("y")
+    e = x.join(
+        y,
+        (F.col("x.p_brand") == F.col("y.p_brand"))
+        & (F.abs(F.col("x.p_size") - F.col("y.p_size")) <= 1)
+        & (F.col("x.p_partkey") < F.col("y.p_partkey")),
+    ).select(
+        F.col("x.p_partkey").alias("src"), F.col("y.p_partkey").alias("dst")
+    )
+    full = G.k_truss(e, k=4, rounds=2)
+    dlt = G.k_truss(e, k=4, rounds=2, delta=True)
+    assert _ktruss_pairs(full) == _ktruss_pairs(dlt)
+
+
+def test_ktruss_delta_multi_peeled_triangle_decrements_once(spark):
+    # a triangle with TWO peeled member edges must decrement its one
+    # surviving member exactly once (the tri-role distinct): build K4
+    # minus one edge so (a,b) sits in exactly 2 triangles, (c,d) absent
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"),
+                       ("a", "d"), ("b", "d")])
+    # k=4: supports are ab=2, others=1 -> peel strips ac,bc,ad,bd; the
+    # two triangles abc/abd each lose TWO edges; ab must drop 2 -> 0
+    full = G.k_truss(e, k=4, rounds=2)
+    dlt = G.k_truss(e, k=4, rounds=2, delta=True)
+    assert _ktruss_pairs(full) == _ktruss_pairs(dlt) == []
+
+
+def test_cypher_ktruss_delta_knob(spark):
+    nodes = spark.createDataFrame(
+        [(x, "NCBI", 1) for x in "abcd"],
+        "accession string, source string, genome_size long",
+    )
+    k4 = [(x, y, 0.01) for i, x in enumerate("abcd") for y in "abcd"[i + 1:]]
+    edges = spark.createDataFrame(k4, "src string, dst string, distance double")
+    eng = CypherEngine(phage_catalog(nodes, edges), spark)
+    q = ("CALL gds.ktruss.stream('sharesDNA', {k: 4, delta: true}) "
+         "YIELD sourceNodeId, targetNodeId, support "
+         "RETURN sourceNodeId, targetNodeId, support")
+    got = sorted((r.sourceNodeId, r.targetNodeId, r.support)
+                 for r in eng.run(q).collect())
+    assert got == [(x, y, 2) for i, x in enumerate("abcd") for y in "abcd"[i + 1:]]
+    with pytest.raises(CypherCompileError):
+        eng.run("CALL gds.ktruss.stream('sharesDNA', {delta: 1}) "
+                "YIELD support RETURN support")

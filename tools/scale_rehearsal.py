@@ -345,6 +345,12 @@ def main() -> None:
         "measure the fallback branch end-to-end)",
     )
     ap.add_argument(
+        "--truss-delta", action="store_true",
+        help="with --truss-only: delta peeling (round 8 — rounds > 1 "
+        "decrement supports from frontier-seeded triangle enumeration "
+        "instead of re-enumerating the live set)",
+    )
+    ap.add_argument(
         "--truss-reliable", action="store_true",
         help="run k-truss with RELIABLE per-round checkpoints (the "
         "cluster configuration: survives executor loss) instead of "
@@ -731,6 +737,8 @@ def main() -> None:
         if args.truss_reliable:
             spark.sparkContext.setCheckpointDir(work + "/truss_ckpt")
             tkw["reliable_checkpoint"] = True
+        if args.truss_delta:
+            tkw["delta"] = True
         blog: list = []
         truss = G.k_truss(
             fe, 4, rounds=args.truss_rounds, branch_log=blog, **tkw
@@ -747,6 +755,7 @@ def main() -> None:
                     "ingest_sec": round(t_ingest, 2),
                     "n_truss_edges": n_truss,
                     "truss_hash_cap": args.truss_hash_cap,
+                    "truss_delta": args.truss_delta,
                     "branch_log": blog,
                     **timings,
                 }
