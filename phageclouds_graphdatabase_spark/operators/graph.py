@@ -2900,6 +2900,7 @@ def node_similarity_topk_capped(
     upper_degree_cutoff: int | None = None,
     skew_ratio: int = 4,
     metric: str = "jaccard",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Frequency-capped node similarity — the 100-TB shape of
     :func:`node_similarity_topk`, the same production pattern as
@@ -2965,8 +2966,15 @@ def node_similarity_topk_capped(
     (jaccard/overlap/cosine; verification is metric-independent, only
     the scoring tail changes)."""
     if freq_cap is None and upper_degree_cutoff is None:
-        return node_similarity_topk(edges, k, metric)
-    e = edges.select("src", "dst").distinct().localCheckpoint()
+        return node_similarity_topk(edges, k, metric, assume_distinct)
+    # assume_distinct (round 8): callers whose edge build is a groupBy —
+    # one row per (src, dst) by construction, like the suite's
+    # graph_edges — skip the redundant |E| distinct shuffle here (the
+    # checkpoint stays: four subplans read this frame)
+    e = edges.select("src", "dst")
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint()
     if upper_degree_cutoff is not None:
         keep = (
             e.groupBy("src")

@@ -900,6 +900,9 @@ def graph_node_similarity_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         freq_cap="auto",
         upper_degree_cutoff=10_000,
+        # graph_edges is a groupBy build — one row per (src, dst) by
+        # construction, so the operator's distinct pass is skippable
+        assume_distinct=True,
     )
 
 
