@@ -3071,10 +3071,12 @@ class CypherEngine:
             # delta: true (round 8) = frontier-decrement peeling — rounds
             # past the first derive supports from triangles touching the
             # peel frontier instead of re-enumerating the live set
-            # (value-identical, differential-pinned)
-            kt_delta = config.get("delta", False)
-            if not isinstance(kt_delta, bool):
-                raise CypherCompileError("delta must be a boolean")
+            # (value-identical, differential-pinned). Default "auto"
+            # (ADVICE r8): match the operator's per-round priced gate so
+            # Cypher callers get the measured-safe default too.
+            kt_delta = config.get("delta", "auto")
+            if not (isinstance(kt_delta, bool) or kt_delta == "auto"):
+                raise CypherCompileError("delta must be a boolean or 'auto'")
             df = _G.k_truss(
                 e,
                 _int_config(config, "k", 4),

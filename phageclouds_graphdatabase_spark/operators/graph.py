@@ -2190,6 +2190,15 @@ def core_decomposition(
     ≥1M-node graph — the measured split, self-gated. Explicit
     True/False skips the probe. All three forms are value-identical
     (differential-pinned)."""
+    # identity checks: `1 in (True, False)` is True in Python (int/bool
+    # equality), which is exactly the truthy-non-True hole being closed
+    if not (pack_ids is True or pack_ids is False or pack_ids == "auto"):
+        # ADVICE r8: a truthy non-True value (pack_ids=1) used to take
+        # the packed path, then silently ran unpacked after the "auto"
+        # change — fail loudly instead of guessing.
+        raise ValueError(
+            f"pack_ids must be True, False or 'auto'; got {pack_ids!r}"
+        )
     auto = pack_ids == "auto"
     if pack_ids is True:
         return _coredec_packed(edges, rounds, reliable_checkpoint, delta)
@@ -3707,6 +3716,7 @@ def bellman_ford_costs(
         .localCheckpoint()
     )
     n_nodes = None
+    prev = None
     if max_rounds is None:
         n_nodes = (
             step.select(F.col("_u").alias("n"))
@@ -3714,7 +3724,17 @@ def bellman_ford_costs(
             .distinct()
             .count()
         )
-    prev = None
+        # Seed the fixpoint probe from the INITIAL state so a no-op
+        # first round (empty edge list, or seeds with no out-edges)
+        # breaks instead of tripping the rounds > n_nodes cycle check
+        # (ADVICE r8: n_nodes counts edge-endpoint nodes only, so an
+        # edge-free projection had n_nodes=0 and raised spuriously).
+        prev = tuple(
+            best.agg(
+                F.count(F.lit(1)),
+                F.sum(F.col("_cost").cast("decimal(38,0)")),
+            ).collect()[0]
+        )
     rounds = 0
     while True:
         cand = best.join(step, best["_node"] == step["_u"]).select(
