@@ -396,9 +396,25 @@ def test_nodesim_auto_gate_plan_shapes(spark):
         + [(f"s{i}", f"u{i}") for i in range(10)],
         "src string, dst string",
     )
-    plan_s = explain_str(
+    # the engaged path's rank tail localCheckpoints its scored frame
+    # (round 9: one compute instead of once per union branch), which
+    # truncates the FINAL plan at an RDD scan — so capture the pair
+    # frame handed to the rank tail and pin the hub prune there
+    import phageclouds_graphdatabase_spark.operators.graph as G
+
+    captured = {}
+    orig_rank = G._nodesim_rank
+
+    def spy(inter, deg, k, metric, symmetric=False):
+        captured["inter"] = inter
+        return orig_rank(inter, deg, k, metric, symmetric)
+
+    G._nodesim_rank = spy
+    try:
         node_similarity_topk_capped(skewed, k=5, freq_cap="auto")
-    )
+    finally:
+        G._nodesim_rank = orig_rank
+    plan_s = explain_str(captured["inter"])
     assert "LeftAnti" in plan_s, plan_s
 
 
