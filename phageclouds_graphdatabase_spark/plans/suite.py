@@ -25,71 +25,70 @@ _ALL: dict[str, SuiteEntry] = {
 }
 
 # The driver checks the FIRST 50 dict entries each round (observed across
-# rounds 1-7). Round-8 window (VERDICT r7 ask #2): the 11 NEW round-8
-# entries that have never been seen by the external driver
-# (gds.graph.project catalog sequence, exact-closeness parity opt-in,
-# triangle enumeration, HITS ×2, topological sort ×2, Bellman-Ford ×2
-# incl. negative weights, DAG longest path ×2), then the stalest
-# r3-vintage re-confirmations (last driver-checked in CORRECTNESS_r03, in
-# its order) to fill 50. The 7 r3 stragglers this displaces
-# (skew_safe_event_counts, pii_redact_stats, repeated_ngram_spans,
-# bloom_membership,
-# histogram_quantiles, dsir_importance_weights, corpus_profile,
-# events_lag_lead_delta + the r4 cypher_load_csv) lead the r9 rotation
-# queue (BACKLOG).
+# rounds 1-8). Round-9 window (VERDICT r8 ask #2): the 2 NEW round-9
+# entries never seen by the external driver (exact-harmonic parity
+# opt-in, banded-LSH multi-property knn), then the 8 r3-vintage
+# stragglers the round-8 rotation displaced, then the stalest r4-vintage
+# re-confirmations (last driver-checked in CORRECTNESS_r04, in its
+# order) to fill 50. The 9 r4 entries this leaves over
+# (source_mixture_budget, contamination_check, chunk_token_windows,
+# merge_upsert_orders, heavy_hitters_countmin, kmv_distinct_estimate,
+# weighted_sample_bylang, bpe_encode_tokens, quality_classifier_hashed)
+# lead the r10 rotation queue (BACKLOG).
 _WINDOW = [
-    # 11 NEW round-8 entries, never driver-checked
-    "cypher_gds_graph_project",
-    "graph_closeness_exact",
-    "graph_triangles_stream",
-    "graph_hits_scores",
-    "graph_topological_sort",
-    "cypher_gds_hits",
-    "cypher_gds_toposort",
-    "graph_bellman_ford",
-    "cypher_gds_bellmanford",
-    "graph_dag_longest_path",
-    "cypher_gds_dag_longest",
-    # 47 stalest r3-vintage re-confirmations (CORRECTNESS_r03 order)
-    "stream_user_totals_tws",
-    "motif_aggregate_messages",
-    "graph_path_enumeration",
-    "graph_shortest_paths",
-    "graph_random_walks",
-    "cypher_remove_property",
-    "cypher_merge_return",
-    "cypher_delete_nodes",
-    "graph_scc",
-    "graph_scc_condensation",
-    "webdataset_roundtrip",
-    "stream_webdataset_ingest",
-    "range_join_clicks_in_windows",
-    "interval_overlap_orders",
-    "zipf_token_stats",
-    "bm25_doc_ranking",
-    "bpe_merge_train",
-    "negative_sampling_table",
-    "dq_audit_report",
-    "corpus_clean_pipeline",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_dedup_earliest",
-    "multimodal_metadata",
-    "pandas_udf_token_count",
-    "gopher_quality_filters",
-    "gopher_repetition_signals",
-    "embedding_centroids_bylabel",
-    "semdedup_prune",
-    "graph_wedge_counts",
-    "udtf_explode_props",
-    "udtf_table_arg_topk",
-    "rolling_hash_fingerprint",
-    "grouping_sets_orders",
-    "asof_prev_purchase",
-    "text_bpe_token_count",
-    "collect_order_lists",
-    "presentation_columns",
+    # 2 NEW round-9 entries, never driver-checked
+    "graph_harmonic_exact",
+    "knn_vector_multidim",
+    # 8 r3-vintage stragglers displaced by the round-8 window
+    "skew_safe_event_counts",
+    "pii_redact_stats",
+    "repeated_ngram_spans",
+    "bloom_membership",
+    "histogram_quantiles",
+    "dsir_importance_weights",
+    "corpus_profile",
+    "events_lag_lead_delta",
+    # 40 stalest r4-vintage re-confirmations (CORRECTNESS_r04 order)
+    "cypher_load_csv",
+    "graph_ktruss",
+    "graph_harmonic_centrality",
+    "graph_personalized_pagerank",
+    "ivf_partitioned_probe",
+    "pq_ann_topk",
+    "ann_int8_rescore",
+    "cypher_foreach_ingest",
+    "cypher_set_map_props",
+    "cypher_pattern_comprehension",
+    "cypher_star_projection",
+    "cypher_list_slicing",
+    "cypher_map_projection",
+    "cypher_math_functions",
+    "cypher_temporal_orders",
+    "cypher_apoc_lite",
+    "cypher_mixed_aggregates",
+    "cypher_match_any_node",
+    "cypher_point_distance",
+    "cypher_untyped_relationships",
+    "cypher_untyped_varlength",
+    "stream_type_counts_tws",
+    "stream_event_log_tws",
+    "stream_session_flush_tws",
+    "stream_variant_stats",
+    "stream_stream_full_join",
+    "stream_stream_semi_join",
+    "stream_dedup_within_watermark",
+    "stream_join_then_window",
+    "image_stats_real",
+    "png_stats_real",
+    "wav_stats_real",
+    "avi_frames_real",
+    "gif_stats_real",
+    "tiff_stats_real",
+    "variant_json_props",
+    "zorder_roundtrip",
+    "dedup_spans_exact",
+    "pack_sequences",
+    "stratified_sample_bylang",
 ]
 
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate window entry"

@@ -280,6 +280,26 @@ def main() -> None:
         "from --roots sampled sources at this tier",
     )
     ap.add_argument(
+        "--bellman-only",
+        action="store_true",
+        help="probe ONLY multi-source Bellman-Ford (negative-capable "
+        "weighted fixpoint, round 8) from --roots sampled seeds at this "
+        "tier — the open question is the reached-pair state under hubs "
+        "(state O(seeds x reached))",
+    )
+    ap.add_argument(
+        "--bellman-rounds", type=int, default=None,
+        help="round budget for --bellman-only (default: fixpoint with "
+        "cycle detection)",
+    )
+    ap.add_argument(
+        "--daglongest-only",
+        action="store_true",
+        help="probe ONLY DAG longest path (round 8) at this tier, on the "
+        "id-ordered orientation of the thresholded graph (src < dst "
+        "makes it a DAG by construction, preserving the skew profile)",
+    )
+    ap.add_argument(
         "--coredec-only",
         action="store_true",
         help="probe ONLY the full k-core decomposition (h-index iteration "
@@ -559,6 +579,78 @@ def main() -> None:
                     "roots": args.roots,
                     "n_cost_pairs": n_costs,
                     "dijkstra_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+        if not args.keep:
+            shutil.rmtree(work, ignore_errors=True)
+        return
+
+    if args.bellman_only:
+        # quantized long weights (the bellman_ford_costs convention);
+        # the beta distances are non-negative — negativity is a
+        # correctness property (unit-tested), state growth is the scale
+        # question and it is weight-sign-independent
+        fe = edges.filter(F.col("distance") <= 0.15).select(
+            "src",
+            "dst",
+            F.floor(F.col("distance") * 1_000_000 + 0.5)
+            .cast("long")
+            .alias("w"),
+        )
+        seeds = (
+            nodes.select(F.col("accession").alias("id"))
+            .orderBy(F.xxhash64("id"))
+            .limit(args.roots)
+            .localCheckpoint()
+        )
+        t0 = time.time()
+        costs = G.bellman_ford_costs(
+            seeds, fe, max_rounds=args.bellman_rounds
+        )
+        n_pairs = costs.count()
+        print(
+            json.dumps(
+                {
+                    "n_nodes": args.nodes,
+                    "n_edges": n_edges,
+                    "skew": args.skew,
+                    "seeds": args.roots,
+                    "bellman_rounds": args.bellman_rounds,
+                    "n_reached_pairs": n_pairs,
+                    "bellman_sec": round(time.time() - t0, 2),
+                }
+            )
+        )
+        if not args.keep:
+            shutil.rmtree(work, ignore_errors=True)
+        return
+
+    if args.daglongest_only:
+        # orient by id order: src < dst is acyclic by construction while
+        # keeping the degree/skew profile of the thresholded graph
+        fe = (
+            edges.filter(F.col("distance") <= 0.15)
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                F.floor(F.col("distance") * 1_000_000 + 0.5)
+                .cast("long")
+                .alias("w"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        t0 = time.time()
+        lp_ = G.dag_longest_paths(fe)
+        n_rows = lp_.count()
+        print(
+            json.dumps(
+                {
+                    "n_nodes": args.nodes,
+                    "n_edges": n_edges,
+                    "skew": args.skew,
+                    "n_dag_rows": n_rows,
+                    "daglongest_sec": round(time.time() - t0, 2),
                 }
             )
         )
