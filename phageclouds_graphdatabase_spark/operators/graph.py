@@ -3995,25 +3995,36 @@ def bellman_ford_costs(
     convention; callers quantize floats with the usual
     floor(x·scale + 0.5)); directed as given. ``seeds (id)``.
 
-    Synchronous relaxation: state is one (seed, node, cost) row per
-    REACHED pair; each round joins the state against the edge list and
-    groupBy-mins the union — after round r the state holds the exact
-    min cost over walks of ≤ r hops, so ``max_rounds=r`` is the
-    round-unrollable oracle form (identical in SQL, no truncation
-    divergence: both sides emit reached-so-far minima). With
-    ``max_rounds=None`` it runs to the fixpoint via a 1-row
-    (reached-count, cost-sum) probe — count is non-decreasing and the
-    sum strictly decreases on any improvement, so the pair is stable
-    exactly at the fixpoint — and raises :class:`NegativeCycleError`
-    if improvement continues past |V| rounds (a shortest simple path
-    has ≤ |V|−1 edges; only a reachable negative cycle improves past
-    that — the textbook detection, distributed).
+    FRONTIER relaxation (round 9 — the SPFA/delta form, measured after
+    the 200k rehearsal showed the synchronous form re-relaxing the FULL
+    reached state every round): each round relaxes only the edges out
+    of the pairs IMPROVED last round, computes per-(seed, node) minima
+    of those candidates, keeps the strict improvements vs the standing
+    state (one left join), and merges them in (anti-join + union). This
+    is round-for-round VALUE-IDENTICAL to full synchronous relaxation:
+    after round r the state holds the exact min cost over walks of
+    ≤ r hops — a node reaches its ≤(r−1)-hop optimum by round r−1 (by
+    induction), re-enters the frontier at whatever round it last
+    improved, and relaxes its out-edges the following round, so every
+    ≤ r-hop walk's cost is present by round r, and every present cost
+    IS some walk's cost (never below the true min). ``max_rounds=r``
+    therefore stays the round-unrollable oracle form, identical in
+    SQL. The fixpoint is reached exactly when the improvement frame is
+    EMPTY — which replaces the round-8 (count, decimal-sum) probe with
+    one bounded isEmpty() on the (usually tiny) frontier — and
+    :class:`NegativeCycleError` raises if improvements continue past
+    |V| rounds (a shortest simple path has ≤ |V|−1 edges; only a
+    reachable negative cycle improves past that — the textbook
+    detection, distributed).
 
-    Scale: per-round shuffle = reached pairs × avg out-degree with
-    map-side combine into the min; rounds localCheckpoint so lineage
-    stays flat. Returns ``(src, dst, cost long)`` including the
-    (seed, seed, ≤0) row when a negative walk returns to the seed —
-    dropped only when it stays at the trivial 0."""
+    Scale: per-round shuffle = |frontier| × avg out-degree (map-side
+    combined into the min) + one |state|-row anti-join merge; rounds
+    localCheckpoint so lineage stays flat. Late rounds touch only the
+    still-improving fringe instead of all reached pairs — the same
+    delta discipline as k-core/k-truss. Returns ``(src, dst, cost
+    long)`` including the (seed, seed, ≤0) row when a negative walk
+    returns to the seed — dropped only when it stays at the trivial
+    0."""
     step = weighted_edges.select(
         F.col("src").alias("_u"),
         F.col("dst").alias("_v"),
@@ -4030,7 +4041,6 @@ def bellman_ford_costs(
         .localCheckpoint()
     )
     n_nodes = None
-    prev = None
     if max_rounds is None:
         n_nodes = (
             step.select(F.col("_u").alias("n"))
@@ -4038,51 +4048,49 @@ def bellman_ford_costs(
             .distinct()
             .count()
         )
-        # Seed the fixpoint probe from the INITIAL state so a no-op
-        # first round (empty edge list, or seeds with no out-edges)
-        # breaks instead of tripping the rounds > n_nodes cycle check
-        # (ADVICE r8: n_nodes counts edge-endpoint nodes only, so an
-        # edge-free projection had n_nodes=0 and raised spuriously).
-        prev = tuple(
-            best.agg(
-                F.count(F.lit(1)),
-                F.sum(F.col("_cost").cast("decimal(38,0)")),
-            ).collect()[0]
-        )
+    delta = best
     rounds = 0
     while True:
-        cand = best.join(step, best["_node"] == step["_u"]).select(
-            "_src",
-            F.col("_v").alias("_node"),
-            (F.col("_cost") + F.col("_w")).alias("_cost"),
-        )
-        best = (
-            best.unionByName(cand)
+        cand = (
+            delta.join(step, delta["_node"] == step["_u"])
+            .select(
+                "_src",
+                F.col("_v").alias("_node"),
+                (F.col("_cost") + F.col("_w")).alias("_cc"),
+            )
             .groupBy("_src", "_node")
-            .agg(F.min("_cost").alias("_cost"))
+            .agg(F.min("_cc").alias("_cc"))
+        )
+        imp = (
+            cand.join(best, ["_src", "_node"], "left")
+            .filter(
+                F.col("_cost").isNull() | (F.col("_cc") < F.col("_cost"))
+            )
+            .select("_src", "_node", F.col("_cc").alias("_cost"))
             .localCheckpoint()
         )
         rounds += 1
+        # an empty improvement frame IS the fixpoint (also what makes an
+        # edge-free projection or out-edge-less seeds a clean no-op —
+        # ADVICE r8); checking it first keeps the budgeted form
+        # early-exit-identical to the unrolled oracle
+        if imp.isEmpty():
+            break
+        best = (
+            best.join(imp, ["_src", "_node"], "left_anti")
+            .unionByName(imp)
+            .localCheckpoint()
+        )
+        delta = imp
         if max_rounds is not None:
             if rounds >= max_rounds:
                 break
             continue
-        # decimal(38,0) keeps the probe sum EXACT — a wrapped long sum
-        # (non-ANSI) could alias two different states and stop early
-        cur = tuple(
-            best.agg(
-                F.count(F.lit(1)),
-                F.sum(F.col("_cost").cast("decimal(38,0)")),
-            ).collect()[0]
-        )
-        if cur == prev:
-            break
         if rounds > n_nodes:
             raise NegativeCycleError(
                 "negative-weight cycle reachable from a seed: costs still "
                 f"improving after {rounds} rounds on {n_nodes} nodes"
             )
-        prev = cur
     return best.filter(
         (F.col("_node") != F.col("_src")) | (F.col("_cost") < 0)
     ).select(
