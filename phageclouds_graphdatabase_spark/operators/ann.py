@@ -456,11 +456,76 @@ def knn_scalar_topk(
     )
 
 
+# JVM explode-join signature cost is O(|V| x dim x bands x planes) rows
+# through a groupBy — fine at oracle scale, the wrong shape past ~1e9
+# (measured motivation: 2M x 32d x 128 hyperplanes = 8.2G rows); above
+# this the "auto" signature switches to the Arrow GEMM kernel, which
+# derives the SAME md5 hyperplanes in numpy (exact int64 matmul -> sign
+# bits), so the buckets — and therefore candidates and results — are
+# identical.
+KNNVEC_SIGNATURE_JVM_MAX_ROWS = 1_000_000_000
+
+
+def _knnvec_md5_coefs(bands: int, planes: int, ndims: int):
+    """The ±1 hyperplane matrix (bands·planes × ndims) from
+    md5(h||'-'||d) — byte-identical to the explode-join derivation (and
+    the DuckDB oracle's)."""
+    import hashlib
+
+    import numpy as np
+
+    n_h = bands * planes
+    C = np.empty((n_h, ndims), dtype=np.int64)
+    for h in range(n_h):
+        for d in range(ndims):
+            first = hashlib.md5(f"{h}-{d}".encode()).hexdigest()[0]
+            C[h, d] = -1 if first in "89abcdef" else 1
+    return C
+
+
+def _knnvec_signature_kernel(coefs, bands: int, planes: int):
+    """mapInPandas signature kernel: one int64 GEMM per Arrow batch,
+    sign bits packed per band into a bucket key. The packed-int bucket
+    is 1:1 with the JVM path's bit string (bit j of band b = sign of
+    hyperplane h = b·planes + j), so the same-bucket equivalence classes
+    — and every downstream candidate pair — are identical."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["vec"].to_numpy()).astype(np.int64)
+            S = M @ coefs.T  # exact: int64 entries well under 2^63
+            bits = (S >= 0).astype(np.int64)
+            out_id, out_band, out_bucket = [], [], []
+            ids = pdf["id"].to_numpy()
+            for b in range(bands):
+                blk = bits[:, b * planes:(b + 1) * planes]
+                key = np.zeros(len(pdf), dtype=np.int64)
+                for j in range(planes):
+                    key |= blk[:, j] << j
+                out_id.append(ids)
+                out_band.append(np.full(len(pdf), b, dtype=np.int64))
+                out_bucket.append(key)
+            yield pd.DataFrame(
+                {
+                    "id": np.concatenate(out_id),
+                    "band": np.concatenate(out_band),
+                    "bucket": np.concatenate(out_bucket).astype("str"),
+                }
+            )
+
+    return fn
+
+
 def knn_vector_topk(
     props: DataFrame,
     k: int = 10,
     planes: int = 4,
     bands: int = 8,
+    signature: str = "auto",
 ) -> DataFrame:
     """APPROXIMATE k-nearest-neighbors over an integer VECTOR property —
     the multi-property ``gds.knn.stream`` surface (round 9, VERDICT r8
@@ -505,6 +570,10 @@ def knn_vector_topk(
         raise ValueError("planes must be 1..64")
     if bands < 1 or bands > 64:
         raise ValueError("bands must be 1..64")
+    if signature not in ("auto", "jvm", "kernel"):
+        raise ValueError(
+            f"signature must be 'auto', 'jvm' or 'kernel'; got {signature!r}"
+        )
     spark = props.sparkSession
     v = props.select(
         F.col("id").cast("string").alias("id"), F.col("vec")
@@ -516,50 +585,62 @@ def knn_vector_topk(
             F.col("id").alias("id2"),
             F.lit(0.0).alias("similarity"),
         ).limit(0)
-    elems = v.select("id", F.posexplode("vec").alias("d", "qe"))
-    hi = ("8", "9", "a", "b", "c", "d", "e", "f")
-    pl = (
-        spark.range(bands * planes)
-        .select(F.col("id").alias("h"))
-        .crossJoin(spark.range(ndims).select(F.col("id").alias("d")))
-        .select(
-            "h",
-            "d",
-            F.when(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("h").cast("string"),
-                            F.lit("-"),
-                            F.col("d").cast("string"),
-                        )
-                    ),
-                    1,
-                    1,
-                ).isin(*hi),
-                -1,
-            )
-            .otherwise(1)
-            .cast("long")
-            .alias("coef"),
+    if signature == "auto":
+        sig_rows = v.count() * ndims * bands * planes
+        signature = (
+            "jvm" if sig_rows <= KNNVEC_SIGNATURE_JVM_MAX_ROWS else "kernel"
         )
-    )
-    sums = (
-        elems.join(F.broadcast(pl), "d")
-        .groupBy("id", "h")
-        .agg(F.sum(F.col("qe") * F.col("coef")).alias("s"))
-        .withColumn("bit", F.when(F.col("s") >= 0, "1").otherwise("0"))
-        .withColumn("band", F.floor(F.col("h") / F.lit(planes)))
-    )
-    buckets = sums.groupBy("id", "band").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("h", "bit"))),
-                lambda x: x["bit"],
-            ),
-            "",
-        ).alias("bucket")
-    )
+    if signature == "kernel":
+        coefs = _knnvec_md5_coefs(bands, planes, ndims)
+        buckets = v.mapInPandas(
+            _knnvec_signature_kernel(coefs, bands, planes),
+            "id string, band long, bucket string",
+        )
+    else:
+        elems = v.select("id", F.posexplode("vec").alias("d", "qe"))
+        hi = ("8", "9", "a", "b", "c", "d", "e", "f")
+        pl = (
+            spark.range(bands * planes)
+            .select(F.col("id").alias("h"))
+            .crossJoin(spark.range(ndims).select(F.col("id").alias("d")))
+            .select(
+                "h",
+                "d",
+                F.when(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("h").cast("string"),
+                                F.lit("-"),
+                                F.col("d").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ).isin(*hi),
+                    -1,
+                )
+                .otherwise(1)
+                .cast("long")
+                .alias("coef"),
+            )
+        )
+        sums = (
+            elems.join(F.broadcast(pl), "d")
+            .groupBy("id", "h")
+            .agg(F.sum(F.col("qe") * F.col("coef")).alias("s"))
+            .withColumn("bit", F.when(F.col("s") >= 0, "1").otherwise("0"))
+            .withColumn("band", F.floor(F.col("h") / F.lit(planes)))
+        )
+        buckets = sums.groupBy("id", "band").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h", "bit"))),
+                    lambda x: x["bit"],
+                ),
+                "",
+            ).alias("bucket")
+        )
     cand = (
         buckets.select(F.col("id").alias("id1"), "band", "bucket")
         .join(

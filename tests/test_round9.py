@@ -344,3 +344,24 @@ def test_cypher_knn_single_property_still_scalar(spark):
     got = {r.node1: (r.node2, r.similarity) for r in eng.run(q).collect()}
     assert got["a"] == ("b", 1_000_000 // 3)
     assert got["b"] == ("a", 1_000_000 // 3)
+
+
+def test_knn_vector_kernel_signature_identical_to_jvm(spark):
+    # the Arrow GEMM signature path must produce the SAME candidate
+    # equivalence classes — hence identical final results
+    from phageclouds_graphdatabase_spark.operators.ann import knn_vector_topk
+
+    props = _vec_props(spark, seed=31, n=40, dims=8)
+    jvm = sorted(map(tuple,
+                     knn_vector_topk(props, k=4, signature="jvm").collect()))
+    ker = sorted(map(tuple,
+                     knn_vector_topk(props, k=4, signature="kernel").collect()))
+    assert jvm == ker and len(jvm) > 0
+
+
+def test_knn_vector_signature_param_validated(spark):
+    from phageclouds_graphdatabase_spark.operators.ann import knn_vector_topk
+
+    props = _vec_props(spark)
+    with pytest.raises(ValueError, match="signature"):
+        knn_vector_topk(props, signature="numpy")

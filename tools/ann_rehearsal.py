@@ -237,6 +237,12 @@ def main() -> None:
                     help="codes per subspace codebook")
     ap.add_argument("--pq-refine", type=int, default=20,
                     help="shortlist over-fetch factor for the exact rescore")
+    ap.add_argument("--knnvec", action="store_true",
+                    help="probe ONLY the banded-LSH all-pairs vector KNN "
+                    "(knn_vector_topk, the multi-property gds.knn surface) "
+                    "at this tier: wall + per-query recall vs brute force")
+    ap.add_argument("--knnvec-planes", type=int, default=16)
+    ap.add_argument("--knnvec-bands", type=int, default=8)
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
@@ -258,6 +264,59 @@ def main() -> None:
     )
     queries = np.stack(qpdf["vec"])
     qids = qpdf["vec_id"].to_numpy()
+
+    if args.knnvec:
+        # all-pairs KNN (every node, not just the sampled queries) via the
+        # operator itself; the sampled queries only ground the recall
+        # measurement. Quantize to integer micro-units (the operator's
+        # contract — exact dots); recall vs the FLOAT brute truth, so the
+        # number includes quantization noise (documented).
+        from phageclouds_graphdatabase_spark.operators.ann import (
+            knn_vector_topk,
+        )
+
+        t0 = time.time()
+        truth = brute_topk(corpus, queries, qids, args.k).cache()
+        n_truth = truth.count()
+        brute_sec = round(time.time() - t0, 2)
+
+        qv = corpus.select(
+            F.col("vec_id").cast("string").alias("id"),
+            F.transform(
+                "vec",
+                lambda x: F.floor(x.cast("double") * 10000.0 + 0.5).cast(
+                    "long"
+                ),
+            ).alias("vec"),
+        )
+        t0 = time.time()
+        ann = knn_vector_topk(
+            qv, k=args.k, planes=args.knnvec_planes, bands=args.knnvec_bands
+        ).cache()
+        n_ann = ann.count()
+        knn_sec = round(time.time() - t0, 2)
+        sample_ann = ann.filter(
+            F.col("id1").isin([str(int(q)) for q in qids])
+        ).select(
+            F.col("id1").cast("long").alias("qid"),
+            F.col("id2").cast("long").alias("vec_id"),
+        )
+        hits = sample_ann.join(truth, ["qid", "vec_id"], "left_semi").count()
+        print(json.dumps({
+            "probe": "knnvec",
+            "n_vec": n_vec,
+            "dim": args.dim,
+            "latent": args.latent,
+            "planes": args.knnvec_planes,
+            "bands": args.knnvec_bands,
+            "k": args.k,
+            "gen_sec": gen_sec,
+            "brute_sec": brute_sec,
+            "knnvec_sec": knn_sec,
+            "n_topk_rows": n_ann,
+            "recall_at_k": round(hits / max(n_truth, 1), 4),
+        }))
+        return
 
     t0 = time.time()
     truth = brute_topk(corpus, queries, qids, args.k).cache()
