@@ -365,6 +365,12 @@ def main() -> None:
         "measure the fallback branch end-to-end)",
     )
     ap.add_argument(
+        "--truss-no-delta", action="store_true",
+        help="with --truss-only: force delta=False (full per-round "
+        "re-enumeration) — the A/B leg against --truss-delta; neither "
+        "flag = the shipped 'auto' per-round gate",
+    )
+    ap.add_argument(
         "--truss-delta", action="store_true",
         help="with --truss-only: delta peeling (round 8 — rounds > 1 "
         "decrement supports from frontier-seeded triangle enumeration "
@@ -831,6 +837,8 @@ def main() -> None:
             tkw["reliable_checkpoint"] = True
         if args.truss_delta:
             tkw["delta"] = True
+        elif args.truss_no_delta:
+            tkw["delta"] = False
         blog: list = []
         truss = G.k_truss(
             fe, 4, rounds=args.truss_rounds, branch_log=blog, **tkw
