@@ -207,6 +207,44 @@ def _ckpt_noaqe(df: DataFrame, reliable: bool) -> DataFrame:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+def _bfs_lazy_k() -> int:
+    """Hop bound at or under which the BFS primitives UNROLL LAZILY — all
+    rounds composed into one query instead of a per-round
+    localCheckpoint + emptiness probe (round 9, guide §1.2 step 1 /
+    §2.4). The eager loop costs ~2 sequential jobs per round plus a py4j
+    round-trip and an AQE re-plan each; at small k the whole BFS is a
+    handful of MB-scale shuffles, so that per-round latency dominates
+    (measured: sampled betweenness 4.8–5.2 s eager vs 3.9–4.5 s lazy at
+    sf0.1, value-identical). The plan of the lazy form grows O(k²)
+    (level i's anti-join re-references levels 0..i-1), so deep BFS
+    (exact closeness/harmonic, k=30) keeps the checkpointed loop with
+    its early exit. Env-parameterized; the default 4 covers the sampled
+    centralities (k=3) without risking plan blowup."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_BFS_LAZY_K", "4"))
+
+
+def _two_legs(fa, fb):
+    """Run two INDEPENDENT job-submitting thunks concurrently and return
+    both results (round 9, guide §2.6 "overlap independent jobs"): the
+    directed betweenness/stress procs build a forward and a reversed
+    sigma-BFS that share nothing until the closing join, but the eager
+    sequential driver code serializes them — while one leg's last stages
+    drain, the other leg's tasks can back-fill the idle executors.
+    ``inheritable_thread_target`` is the documented PySpark way to run
+    driver threads so JVM thread-locals (job description/group) are
+    inherited and cleaned up."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        a = pool.submit(inheritable_thread_target(fa))
+        b = pool.submit(inheritable_thread_target(fb))
+        return a.result(), b.result()
+
+
 def _loop_bcast_rows() -> int:
     """Row cap under which an iterative operator broadcasts its per-round
     node-state frame (|V| rows of (id, value)) instead of shuffle-joining it
@@ -631,15 +669,21 @@ def multi_source_bfs_levels(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     e = e.localCheckpoint()  # re-joined every BFS round
+    lazy = k <= _bfs_lazy_k()
     level0 = (
         roots.select(F.col("id").alias("root"))
         .distinct()
         .select("root", F.col("root").alias("id"), F.lit(0).alias("d"))
-        .localCheckpoint()
     )
+    if not lazy:
+        level0 = level0.localCheckpoint()
     # only each round's NEW frontier materializes; the visited set for the
     # anti-join is the lazy union of already-checkpointed levels (no
-    # re-materialization of old rows per round)
+    # re-materialization of old rows per round). Round 9: at small k the
+    # rounds compose into ONE query instead (no per-round checkpoint /
+    # isEmpty probe — see _bfs_lazy_k); exchange reuse dedups the shared
+    # level subplans, and the early exit is dropped (an exhausted frontier
+    # just yields empty joins for the remaining unrolled rounds).
     levels = [level0]
     frontier = level0.select("root", "id")
     for i in range(1, k + 1):
@@ -652,10 +696,11 @@ def multi_source_bfs_levels(
             .distinct()
             .join(visited, ["root", "id"], "left_anti")
             .withColumn("d", F.lit(i))
-            .localCheckpoint()
         )
-        if nxt.isEmpty():
-            break
+        if not lazy:
+            nxt = nxt.localCheckpoint()
+            if nxt.isEmpty():
+                break
         levels.append(nxt)
         frontier = nxt.select("root", "id")
     out = levels[1] if len(levels) > 1 else level0.filter(F.lit(False))
@@ -868,6 +913,10 @@ def bfs_sigma(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     e = e.localCheckpoint()
+    # Round 9: same lazy small-k unroll as multi_source_bfs_levels (see
+    # _bfs_lazy_k) — one composed query instead of 2 jobs + an AQE re-plan
+    # per round; measured 4.8–5.2 → 3.9–4.5 s on sampled betweenness.
+    lazy = k <= _bfs_lazy_k()
     level0 = (
         roots.select(F.col("id").alias("root"))
         .distinct()
@@ -877,8 +926,9 @@ def bfs_sigma(
             F.lit(0).alias("d"),
             F.lit(1).cast("long").alias("sigma"),
         )
-        .localCheckpoint()
     )
+    if not lazy:
+        level0 = level0.localCheckpoint()
     levels = [level0]
     frontier = level0.select("root", "id", "sigma")
     for i in range(1, k + 1):
@@ -892,10 +942,11 @@ def bfs_sigma(
             .withColumnRenamed("nid", "id")
             .join(visited, ["root", "id"], "left_anti")
             .select("root", "id", F.lit(i).alias("d"), "sigma")
-            .localCheckpoint()
         )
-        if nxt.isEmpty():
-            break
+        if not lazy:
+            nxt = nxt.localCheckpoint()
+            if nxt.isEmpty():
+                break
         levels.append(nxt)
         frontier = nxt.select("root", "id", "sigma")
     out = levels[1] if len(levels) > 1 else level0.filter(F.lit(False))
@@ -1018,17 +1069,29 @@ def stress_centrality_sampled(
         F.col("distance") <= F.lit(threshold)
     )
     e = e.select("src", "dst")
-    sig = bfs_sigma(roots, e, max_depth, directed=directed).localCheckpoint()
     rset = roots.select(F.col("id").alias("t")).distinct()
     if directed:
+        # the two sigma-BFS legs are independent until the closing join —
+        # build them concurrently so one leg's tail back-fills the other's
+        # idle slots (guide §2.6 via _two_legs)
         rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        sig_t = bfs_sigma(roots, rev, max_depth, directed=True).localCheckpoint()
+        sig, sig_t = _two_legs(
+            lambda: bfs_sigma(
+                roots, e, max_depth, directed=True
+            ).localCheckpoint(),
+            lambda: bfs_sigma(
+                roots, rev, max_depth, directed=True
+            ).localCheckpoint(),
+        )
         pairs = sig.join(rset, sig["id"] == rset["t"], "left_semi").select(
             F.col("root").alias("s"),
             F.col("id").alias("t"),
             F.col("d").alias("dst_d"),
         )
     else:
+        sig = bfs_sigma(
+            roots, e, max_depth, directed=False
+        ).localCheckpoint()
         sig_t = sig
         pairs = (
             sig.join(rset, sig["id"] == rset["t"], "left_semi")
@@ -1089,11 +1152,19 @@ def betweenness_centrality_scaled(
         F.col("distance") <= F.lit(threshold)
     )
     e = e.select("src", "dst")
-    sig = bfs_sigma(roots, e, max_depth, directed=directed).localCheckpoint()
     rset = roots.select(F.col("id").alias("t")).distinct()
     if directed:
+        # independent forward/reversed legs built concurrently (guide §2.6
+        # via _two_legs) — identical rationale to stress_centrality_sampled
         rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        sig_t = bfs_sigma(roots, rev, max_depth, directed=True).localCheckpoint()
+        sig, sig_t = _two_legs(
+            lambda: bfs_sigma(
+                roots, e, max_depth, directed=True
+            ).localCheckpoint(),
+            lambda: bfs_sigma(
+                roots, rev, max_depth, directed=True
+            ).localCheckpoint(),
+        )
         pairs = sig.join(rset, sig["id"] == rset["t"], "left_semi").select(
             F.col("root").alias("s"),
             F.col("id").alias("t"),
@@ -1101,6 +1172,9 @@ def betweenness_centrality_scaled(
             F.col("sigma").alias("sigma_st"),
         )
     else:
+        sig = bfs_sigma(
+            roots, e, max_depth, directed=False
+        ).localCheckpoint()
         sig_t = sig
         pairs = (
             sig.join(rset, sig["id"] == rset["t"], "left_semi")
