@@ -2968,7 +2968,7 @@ def topological_levels(
 _NODESIM_METRICS = ("jaccard", "overlap", "cosine")
 
 
-def _string_rank_ids(nodes: DataFrame, parts: int = 256) -> DataFrame:
+def _string_rank_ids(nodes: DataFrame, parts: int | None = None) -> DataFrame:
     """ORDER-PRESERVING dense rank (id string → pos long) with no global
     window task (round 8 — the nodesim pack): range-repartition by id
     (sampled boundaries; partition i's ids all sort before partition
@@ -2978,9 +2978,18 @@ def _string_rank_ids(nodes: DataFrame, parts: int = 256) -> DataFrame:
     pos(x) < pos(y) ⇔ x < y as strings — the property that keeps packed
     a<b candidate filters and (score, id)-tie-break windows
     oracle-identical to the string forms). Returns (id, pos);
-    offsets are ≤ ``parts`` rows by construction."""
+    offsets are ≤ ``parts`` rows by construction. ``parts`` defaults to
+    the session's ``spark.sql.shuffle.partitions`` (round 9: the old
+    constant 256 cost ~8.5 s of 33 ms scheduling-overhead tasks at
+    sf0.1 — the same scale-parameterized number every other exchange
+    uses is the right granularity here too; positions are a dense rank,
+    so the value is independent of ``parts``)."""
     from pyspark.sql.window import Window
 
+    if parts is None:
+        parts = int(
+            nodes.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
     p = nodes.select("id").repartitionByRange(parts, F.col("id"))
     local = (
         p.withColumn("bucket", F.spark_partition_id())
@@ -3024,6 +3033,7 @@ def _nodesim_rank(
     k: int,
     metric: str,
     symmetric: bool = False,
+    deg_rows: int | None = None,
 ) -> DataFrame:
     """Shared scoring+ranking tail of the node-similarity family: join
     degrees onto (a, b, inter) pairs, score with the chosen GDS
@@ -3057,7 +3067,9 @@ def _nodesim_rank(
         raise ValueError(
             f"metric must be one of {_NODESIM_METRICS}, got {metric!r}"
         )
-    if deg.count() <= NODESIM_DEG_BROADCAST_MAX_ROWS:
+    if deg_rows is None:
+        deg_rows = deg.count()
+    if deg_rows <= NODESIM_DEG_BROADCAST_MAX_ROWS:
         deg = F.broadcast(deg)
     da, db, iv = F.col("da"), F.col("db"), F.col("inter")
     score = {
@@ -3282,11 +3294,15 @@ def node_similarity_topk(
         .localCheckpoint()
     )
     use_vec = False
+    sum_df2 = None
+    n_edges = None
     if vectorized is not False:
         # one bounded probe job per degree aggregate (scalar results);
         # both frames are node-cardinality aggs of the checkpointed ep
-        drow = deg.agg(F.max("d"), F.max("n")).collect()[0]
-        max_d, max_pos = drow[0], drow[1]
+        drow = deg.agg(
+            F.max("d"), F.max("n"), F.sum("d"), F.count(F.lit(1))
+        ).collect()[0]
+        max_d, max_pos, n_edges, nv = drow[0], drow[1], drow[2], drow[3]
         if max_d is not None:
             packable = (
                 max_d < (1 << NODESIM_VEC_DEG_BITS)
@@ -3321,11 +3337,13 @@ def node_similarity_topk(
                     max_d * max_df <= NODESIM_VEC_MAX_ROW_ELEMS
                     and sum_df2 <= NODESIM_VEC_MAX_TOTAL_ELEMS
                 )
+    if vectorized is False:
+        nv = deg.count()  # the probe (which carries it) did not run
     if use_vec:
         shift = F.lit(1 << NODESIM_VEC_DEG_BITS).cast("long")
         degb = (
             F.broadcast(deg)
-            if deg.count() <= NODESIM_DEG_BROADCAST_MAX_ROWS
+            if nv <= NODESIM_DEG_BROADCAST_MAX_ROWS
             else deg
         )
         memb = ep.join(degb, ep["src"] == degb["n"]).select(
@@ -3336,14 +3354,53 @@ def node_similarity_topk(
         dstlist = memb.groupBy("dst").agg(
             F.collect_list("packed").alias("mem")
         )
-        ga = (
-            ep.join(dstlist, "dst")
-            .groupBy(F.col("src").alias("a"))
-            .agg(
-                F.count(F.lit(1)).alias("da"),
-                F.flatten(F.collect_list("mem")).alias("cands"),
-            )
+        # The attach-and-flatten explodes |E| joined rows into sum(df²)
+        # packed longs. Round 9 (profile finding): AQE coalesced the
+        # attach join's ~3 MB of INPUT shuffle to ONE partition and a
+        # single task then wrote the whole exploded frame (140.8 MB at
+        # sf0.1, 2.0 s serialized) — coalescing decides from input bytes
+        # and cannot see the 50× explosion. The partition count is now
+        # pinned from the KNOWN output volume (sum_df2 — the same probe
+        # that gated this path), floored at the session's shuffle
+        # partitions: scale-adaptive, never 1 (guide §2.5 input-size
+        # derivation). And when the packed member table is small enough
+        # to broadcast (|E| rows ≤ $SPARK_GRAFT_NODESIM_MEMB_BCAST_ROWS,
+        # default 4M ≈ 64 MB framed), the guide-§8 move applies: ship the
+        # tiny proxy once and pre-partition ep by src, so the exploded
+        # payload is BORN on its final groupBy(a) partitioning and never
+        # crosses the wire at all (plan: zero Exchange between the attach
+        # join and the kernel).
+        spark = ep.sparkSession
+        base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if sum_df2 is not None:
+            n_parts = max(base_parts, int(sum_df2 * 8 // (64 << 20)) + 1)
+        else:
+            n_parts = base_parts
+        import os
+
+        memb_cap = int(
+            os.environ.get("SPARK_GRAFT_NODESIM_MEMB_BCAST_ROWS", "4000000")
         )
+        if n_edges is not None and n_edges <= memb_cap:
+            ga = (
+                ep.repartition(n_parts, "src")
+                .join(F.broadcast(dstlist), "dst")
+                .groupBy(F.col("src").alias("a"))
+                .agg(
+                    F.count(F.lit(1)).alias("da"),
+                    F.flatten(F.collect_list("mem")).alias("cands"),
+                )
+            )
+        else:
+            ga = (
+                ep.repartition(n_parts, "dst")
+                .join(dstlist, "dst")
+                .groupBy(F.col("src").alias("a"))
+                .agg(
+                    F.count(F.lit(1)).alias("da"),
+                    F.flatten(F.collect_list("mem")).alias("cands"),
+                )
+            )
         topk = ga.mapInPandas(
             _nodesim_vec_kernel(k, metric),
             f"a long, b long, inter long, union_sz long, "
@@ -3367,10 +3424,16 @@ def node_similarity_topk(
             k,
             metric,
             symmetric=True,
+            deg_rows=nv,
         )
+    # decode joins run at output cardinality (|V|·k rows); the dictionary
+    # is |V| rows — broadcast it under the same gate as the degree table
+    # (round 9: the LogicalRDD's unknown stats otherwise force two
+    # sort-merge joins with an exchange each)
+    idsd = F.broadcast(ids) if nv <= NODESIM_DEG_BROADCAST_MAX_ROWS else ids
     return (
-        topk.join(ids.select(F.col("pos").alias("a"), F.col("id").alias("_ia")), "a")
-        .join(ids.select(F.col("pos").alias("b"), F.col("id").alias("_ib")), "b")
+        topk.join(idsd.select(F.col("pos").alias("a"), F.col("id").alias("_ia")), "a")
+        .join(idsd.select(F.col("pos").alias("b"), F.col("id").alias("_ib")), "b")
         .select(
             F.col("_ia").alias("a"),
             F.col("_ib").alias("b"),
