@@ -2000,6 +2000,17 @@ def fastrp_embeddings(
         )
         .localCheckpoint()
     )
+    # Round 9: for a small fixed iteration count the per-iteration
+    # localCheckpoint is pure latency (a sequential job + py4j round-trip
+    # per layer while each shuffle is a few MB) — compose the layers into
+    # one lazy query instead (same rationale as _bfs_lazy_k; the layer
+    # chain is LINEAR, and the one doubly-consumed subplan per layer —
+    # next iteration + layer mixing — dedups at its aggregate exchange via
+    # reuse). Deep runs keep the checkpointed loop: an O(iters)-deep plan
+    # of array aggregates is fine at 4, not at 40.
+    import os
+
+    lazy = iters <= int(os.environ.get("SPARK_GRAFT_FASTRP_LAZY_ITERS", "4"))
     layers = []
     for _ in range(iters):
         s = (
@@ -2023,8 +2034,9 @@ def fastrp_embeddings(
                     for i in range(dims)
                 ]).alias("emb"),
             )
-            .localCheckpoint()
         )
+        if not lazy:
+            v = v.localCheckpoint()
         layers.append(v)
     out = None
     for w, lv in zip(weights, layers):
