@@ -40,11 +40,20 @@ def jaccard_pairs_capped(
 
     The hot-shingle list is tiny (df > cap keys only) -> broadcast
     anti-join, no shuffle added to the index side."""
-    # cache: the distinct shingle relation feeds FOUR subplans (sizes, the
-    # pruned index, and both verification sides) — Catalyst re-derives the
-    # tokenize+explode lineage for each otherwise (measured 2.66 s -> ~1.9 s
-    # at sf0.1 in the headline bench)
-    sh = shingles.select("doc_id", "shingle").distinct().cache()
+    # materialize ONCE: the distinct shingle relation feeds FOUR subplans
+    # (sizes, the pruned index, and both verification sides) — Catalyst
+    # re-derives the tokenize+explode lineage for each otherwise (measured
+    # 2.66 s -> ~1.9 s at sf0.1 in the headline bench). Round 9: on the
+    # CAPPED path an EAGER localCheckpoint instead of cache() — the lazy
+    # cache races when the hot-list broadcast build and the candidate side
+    # start concurrently (both computed the full tokenize+explode+distinct,
+    # measured as twin 10.1 s + 5.6 s executor-time stages at sf0.1;
+    # alternating A/B min 2.21/2.06 → 1.78/1.86 s). The UNCAPPED path keeps
+    # cache(): it has no concurrent first consumers, and the same A/B
+    # showed the eager materialization slightly LOSES there (serializes a
+    # pass the lazy plan overlaps; min 1.18 → 1.20 s, medians +0.15).
+    sh = shingles.select("doc_id", "shingle").distinct()
+    sh = sh.localCheckpoint() if freq_cap is not None else sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     index = sh
