@@ -2453,25 +2453,28 @@ def core_decomposition(
     # block in the store, and keeping it executor-local blew the 48g heap
     # mid-iteration (read-ahead OOM) — the same lesson the 100M-components
     # rung taught for wcc state.
-    und = _ckpt(
+    #
+    # Round 9 (optimization): und is checkpointed hash-partitioned by src
+    # with the partitioning RECORDED (guide §2.4 — the bucketed-table
+    # pattern for loop state). canon is materialized FIRST with AQE on
+    # (sized by its real bytes), so _ckpt_part's AQE-off window covers
+    # only the union+repartition+sort of already-materialized blocks —
+    # never the upstream distinct/edge build (measured: extending the
+    # AQE-off window upstream cost ~0.7 s at sf0.1). Partition count =
+    # 2 × canon's AQE-coalesced count: derived from the frame's actual
+    # bytes, not a local constant. Every round's H-index aggregation
+    # groups by src, so with the per-round node-value join broadcast
+    # (gate below) the whole round plans as ONE exchange-free stage; h0
+    # below is likewise exchange-free.
+    canon = _ckpt(canon, reliable_checkpoint)
+    und = _ckpt_part(
         canon.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(
             canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         ),
-        reliable_checkpoint,
-    )
-    # Round 9 (optimization): re-checkpoint und hash-partitioned by src with
-    # the partitioning RECORDED (guide §2.4 — the bucketed-table pattern for
-    # loop state). Partition count = the AQE-coalesced count of the first
-    # materialization, so the layout is sized from the frame's actual bytes.
-    # Every round's H-index aggregation groups by src, so with the per-round
-    # node-value join broadcast (gate below) the whole round plans as ONE
-    # exchange-free stage; h0 below is likewise exchange-free.
-    und = _ckpt_part(
-        und,
         "src",
         reliable_checkpoint,
-        num_partitions=max(1, und.rdd.getNumPartitions()),
+        num_partitions=max(1, 2 * canon.rdd.getNumPartitions()),
     )
     h = _ckpt(
         und.groupBy(F.col("src").alias("id")).agg(
