@@ -225,6 +225,54 @@ def _bfs_lazy_k() -> int:
     return int(os.environ.get("SPARK_GRAFT_BFS_LAZY_K", "4"))
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _fine_coalesce(spark):
+    """Temporarily FINE AQE coalescing target (round 9): the
+    lazily-unrolled sigma-BFS pipeline is CPU-dense per byte — whole-
+    stage-codegen'd join+aggregate+anti-join chains over a ~2 MB frame —
+    so AQE's byte-based coalescing (64 MB advisory, 1 MB floor)
+    serializes a whole BFS level onto ONE core (measured: a 1-task stage
+    at 1.22 s for 1.8 MB input). Shrinking the advisory/floor for just
+    the sigma materialization keeps those stages wide (in-session A/B:
+    sampled betweenness [3.38,3.54,3.99] → [2.97,3.03,3.15]); applied
+    GLOBALLY the same values regress byte-dense queries (nodesim +0.6 s,
+    harmonic +0.2 s — measured and rejected), hence the scoped window.
+    Values are env-tunable; at cluster scale these stages carry GBs and
+    the window is a no-op. One window must wrap ALL concurrent
+    materializations (never nest per-thread: racing set/restore could
+    leak the fine values session-wide)."""
+    import os
+
+    adv = os.environ.get("SPARK_GRAFT_BFS_ADVISORY", "1m")
+    flo = os.environ.get("SPARK_GRAFT_BFS_MIN_PARTITION", "64k")
+    k_adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    k_flo = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    prev_adv = spark.conf.get(k_adv, None)
+    prev_flo = spark.conf.get(k_flo, None)
+    spark.conf.set(k_adv, adv)
+    spark.conf.set(k_flo, flo)
+    try:
+        yield
+    finally:
+        if prev_adv is None:
+            spark.conf.unset(k_adv)
+        else:
+            spark.conf.set(k_adv, prev_adv)
+        if prev_flo is None:
+            spark.conf.unset(k_flo)
+        else:
+            spark.conf.set(k_flo, prev_flo)
+
+
+def _ckpt_fine(df: DataFrame) -> DataFrame:
+    """localCheckpoint ``df`` under one :func:`_fine_coalesce` window."""
+    with _fine_coalesce(df.sparkSession):
+        return df.localCheckpoint()
+
+
 def _two_legs(fa, fb):
     """Run two INDEPENDENT job-submitting thunks concurrently and return
     both results (round 9, guide §2.6 "overlap independent jobs"): the
@@ -1075,6 +1123,9 @@ def stress_centrality_sampled(
         # build them concurrently so one leg's tail back-fills the other's
         # idle slots (guide §2.6 via _two_legs)
         rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # (the _fine_coalesce window measured ~0.3 s SLOWER here — two
+        # concurrent leg pipelines already fill the cores; finer
+        # partitions only add task overhead. Undirected keeps it.)
         sig, sig_t = _two_legs(
             lambda: bfs_sigma(
                 roots, e, max_depth, directed=True
@@ -1089,9 +1140,7 @@ def stress_centrality_sampled(
             F.col("d").alias("dst_d"),
         )
     else:
-        sig = bfs_sigma(
-            roots, e, max_depth, directed=False
-        ).localCheckpoint()
+        sig = _ckpt_fine(bfs_sigma(roots, e, max_depth, directed=False))
         sig_t = sig
         pairs = (
             sig.join(rset, sig["id"] == rset["t"], "left_semi")
@@ -1157,6 +1206,9 @@ def betweenness_centrality_scaled(
         # independent forward/reversed legs built concurrently (guide §2.6
         # via _two_legs) — identical rationale to stress_centrality_sampled
         rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # (the _fine_coalesce window measured ~0.3 s SLOWER here — two
+        # concurrent leg pipelines already fill the cores; finer
+        # partitions only add task overhead. Undirected keeps it.)
         sig, sig_t = _two_legs(
             lambda: bfs_sigma(
                 roots, e, max_depth, directed=True
@@ -1172,9 +1224,7 @@ def betweenness_centrality_scaled(
             F.col("sigma").alias("sigma_st"),
         )
     else:
-        sig = bfs_sigma(
-            roots, e, max_depth, directed=False
-        ).localCheckpoint()
+        sig = _ckpt_fine(bfs_sigma(roots, e, max_depth, directed=False))
         sig_t = sig
         pairs = (
             sig.join(rset, sig["id"] == rset["t"], "left_semi")
