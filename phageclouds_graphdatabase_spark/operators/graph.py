@@ -3192,17 +3192,21 @@ NODESIM_VEC_MAX_TOTAL_ELEMS = 1_000_000_000  # ≤ ~8 GB Arrow total
 
 
 def _nodesim_vec_kernel(k: int, metric: str):
-    """mapInPandas kernel for the vectorized node-similarity top-k: each
-    input row is one node ``a`` with its out-degree ``da`` and the packed
-    multiset of co-neighbors ``cands`` (every member ``b`` of every
-    neighbor's src-list, packed as b·2^DEG_BITS + deg(b)). np.unique
-    gives (b, deg(b), inter) in one radix-ish pass — the 21.8M-group
-    hash aggregate this replaces had a measured multiplicity of ~1.005,
-    so the JVM paid two full-size hash maps (partial + final) for no
-    reduction; numpy counts each node's ~thousand candidates in
-    microseconds. Scoring and the (score desc, b) tie-break are IEEE
-    float64 — bit-identical to the JVM/DuckDB expressions
-    (differential-pinned in tests)."""
+    """mapInPandas kernel for the vectorized node-similarity top-k: input
+    rows are one EDGE each — node ``a`` plus the packed member list
+    ``mem`` of one of its neighbors (every member ``b`` packed as
+    b·2^DEG_BITS + deg(b)); a's rows all land in the kernel's partition
+    (the caller partitions by ``a``). The kernel accumulates each node's
+    arrays and out-degree itself (round 9 — this replaces a JVM
+    flatten(collect_list) hash aggregate that built the same sum(df²)
+    arrays with two copies and giant agg buffers), then np.unique gives
+    (b, deg(b), inter) per node in one radix-ish pass — the 21.8M-group
+    pair aggregate this path replaces had a measured multiplicity of
+    ~1.005, so the JVM paid two full-size hash maps for no reduction;
+    numpy counts each node's ~thousand candidates in microseconds.
+    Scoring and the (score desc, b) tie-break are IEEE float64 —
+    bit-identical to the JVM/DuckDB expressions (differential-pinned in
+    tests)."""
     import numpy as np
     import pandas as pd
 
@@ -3210,45 +3214,49 @@ def _nodesim_vec_kernel(k: int, metric: str):
     mask = np.int64((1 << shift) - 1)
 
     def kernel(batches):
+        acc: dict = {}
         for pdf in batches:
-            oa, ob, oi, ou, os_, orn = [], [], [], [], [], []
-            for a, da, cands in zip(
-                pdf["a"].values, pdf["da"].values, pdf["cands"].values
-            ):
-                arr = np.asarray(cands, dtype=np.int64)
-                arr = arr[(arr >> shift) != a]
-                if arr.size == 0:
-                    continue
-                uniq, cnt = np.unique(arr, return_counts=True)
-                b = uniq >> shift
-                db = uniq & mask
-                inter = cnt.astype(np.int64)
-                union = da + db - inter
-                if metric == "jaccard":
-                    score = inter / union
-                elif metric == "overlap":
-                    score = inter / np.minimum(da, db)
-                else:  # cosine
-                    score = inter / np.sqrt((da * db).astype(np.float64))
-                order = np.lexsort((b, -score))[:k]
-                m = order.size
-                oa.append(np.full(m, a, dtype=np.int64))
-                ob.append(b[order])
-                oi.append(inter[order])
-                ou.append(union[order])
-                os_.append(score[order])
-                orn.append(np.arange(1, m + 1, dtype=np.int64))
-            if oa:
-                yield pd.DataFrame(
-                    {
-                        "a": np.concatenate(oa),
-                        "b": np.concatenate(ob),
-                        "inter": np.concatenate(oi),
-                        "union_sz": np.concatenate(ou),
-                        metric: np.concatenate(os_),
-                        "rnk": np.concatenate(orn),
-                    }
+            for a, mem in zip(pdf["a"].values, pdf["mem"].values):
+                acc.setdefault(a, []).append(
+                    np.asarray(mem, dtype=np.int64)
                 )
+        oa, ob, oi, ou, os_, orn = [], [], [], [], [], []
+        for a, chunks in acc.items():
+            da = len(chunks)  # one input row per out-neighbor of a
+            arr = chunks[0] if da == 1 else np.concatenate(chunks)
+            arr = arr[(arr >> shift) != a]
+            if arr.size == 0:
+                continue
+            uniq, cnt = np.unique(arr, return_counts=True)
+            b = uniq >> shift
+            db = uniq & mask
+            inter = cnt.astype(np.int64)
+            union = da + db - inter
+            if metric == "jaccard":
+                score = inter / union
+            elif metric == "overlap":
+                score = inter / np.minimum(da, db)
+            else:  # cosine
+                score = inter / np.sqrt((da * db).astype(np.float64))
+            order = np.lexsort((b, -score))[:k]
+            m = order.size
+            oa.append(np.full(m, a, dtype=np.int64))
+            ob.append(b[order])
+            oi.append(inter[order])
+            ou.append(union[order])
+            os_.append(score[order])
+            orn.append(np.arange(1, m + 1, dtype=np.int64))
+        if oa:
+            yield pd.DataFrame(
+                {
+                    "a": np.concatenate(oa),
+                    "b": np.concatenate(ob),
+                    "inter": np.concatenate(oi),
+                    "union_sz": np.concatenate(ou),
+                    metric: np.concatenate(os_),
+                    "rnk": np.concatenate(orn),
+                }
+            )
 
     return kernel
 
@@ -3450,22 +3458,18 @@ def node_similarity_topk(
             ga = (
                 ep.repartition(n_parts, "src")
                 .join(F.broadcast(dstlist), "dst")
-                .groupBy(F.col("src").alias("a"))
-                .agg(
-                    F.count(F.lit(1)).alias("da"),
-                    F.flatten(F.collect_list("mem")).alias("cands"),
-                )
+                .select(F.col("src").alias("a"), "mem")
             )
         else:
             ga = (
                 ep.repartition(n_parts, "dst")
                 .join(dstlist, "dst")
-                .groupBy(F.col("src").alias("a"))
-                .agg(
-                    F.count(F.lit(1)).alias("da"),
-                    F.flatten(F.collect_list("mem")).alias("cands"),
-                )
+                .select(F.col("src").alias("a"), "mem")
+                .repartition(n_parts, "a")
             )
+        # the kernel groups by ``a`` itself (rows arrive partitioned by a)
+        # — no JVM flatten(collect_list) aggregate building the sum(df²)
+        # arrays twice before Arrow ships them once more
         topk = ga.mapInPandas(
             _nodesim_vec_kernel(k, metric),
             f"a long, b long, inter long, union_sz long, "
