@@ -2555,13 +2555,33 @@ def core_decomposition(
         prev_sum = None
         if rounds is None:
             prev_sum = h.agg(F.sum("core")).collect()[0][0]
+        # Round 9: in fixed-rounds mode, compose SPARK_GRAFT_COREDEC_ROUND_BATCH
+        # h-index iterations (default 4 — measured best of {1,2,4} at
+        # sf0.1: mins 2.36/3.36 → 2.25/2.50, value-identical) into each
+        # checkpointed query — the rounds are exchange-free stages chained
+        # by broadcast builds, so batching cuts the per-round driver
+        # latency (ckpt job + py4j round-trip + AQE re-plan) to one per
+        # batch. Checkpoint discipline is retained at batch boundaries
+        # (executor loss recomputes at most one batch). Fixpoint mode
+        # stays per-round (the 1-row SUM probe needs each iterate).
+        import os
+
+        step = 1
+        if rounds is not None:
+            step = max(
+                1, int(os.environ.get("SPARK_GRAFT_COREDEC_ROUND_BATCH", "4"))
+            )
         i = 0
         while True:
-            nv = und.join(_hj(h), "dst").select(
-                F.col("src").alias("id"), "nv"
-            )
-            h = _ckpt(_hindex_histogram(nv), reliable_checkpoint)
-            i += 1
+            todo = min(step, rounds - i) if rounds is not None else 1
+            cur_h = h
+            for _ in range(todo):
+                nv = und.join(_hj(cur_h), "dst").select(
+                    F.col("src").alias("id"), "nv"
+                )
+                cur_h = _hindex_histogram(nv)
+            h = _ckpt(cur_h, reliable_checkpoint)
+            i += todo
             if rounds is not None:
                 if i >= rounds:
                     break
