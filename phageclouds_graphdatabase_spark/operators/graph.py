@@ -293,6 +293,21 @@ def _two_legs(fa, fb):
         return a.result(), b.result()
 
 
+def _iter_lazy(iterations: int) -> bool:
+    """True when a fixed-iteration linear loop (pagerank/ppr/katz/
+    eigenvector/HITS) should COMPOSE its rounds into one lazy query
+    instead of localCheckpointing each (round 9 — the same finding as
+    _bfs_lazy_k and the fastRP layers: at the default 2 iterations each
+    round's shuffle is a few MB and the per-round job + py4j round-trip
+    + AQE re-plan dominates). These chains are LINEAR (each round
+    consumes only the previous round's frame, no driver probes), so the
+    composed plan is depth-O(iterations); deep runs keep the
+    checkpointed loop. Env-tunable; 0 forces eager everywhere."""
+    import os
+
+    return iterations <= int(os.environ.get("SPARK_GRAFT_ITER_LAZY", "4"))
+
+
 def _loop_bcast_rows() -> int:
     """Row cap under which an iterative operator broadcasts its per-round
     node-state frame (|V| rows of (id, value)) instead of shuffle-joining it
@@ -1292,6 +1307,7 @@ def pagerank_scaled(
     od = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("od"))
     base = (scale * (d_den - d_num)) // d_den
     pr = nodes.withColumn("pr_scaled", F.lit(scale).cast("long"))
+    lazy = _iter_lazy(iterations)
     for _ in range(iterations):
         contrib = (
             e.join(pr.join(od, "id"), e["src"] == F.col("id"))
@@ -1308,8 +1324,9 @@ def pagerank_scaled(
                     + F.expr(f"({d_num} * coalesce(s, 0L)) div {d_den}")
                 ).cast("long").alias("pr_scaled"),
             )
-            .localCheckpoint()
         )
+        if not lazy:
+            pr = pr.localCheckpoint()
     return pr
 
 
@@ -1349,6 +1366,7 @@ def personalized_pagerank_scaled(
     pr = seed_flag.select(
         "id", (F.col("is_seed") * F.lit(scale)).cast("long").alias("pr_scaled")
     )
+    lazy = _iter_lazy(iterations)
     for _ in range(iterations):
         contrib = (
             e.join(pr.join(od, "id"), e["src"] == F.col("id"))
@@ -1365,8 +1383,9 @@ def personalized_pagerank_scaled(
                     + F.expr(f"({d_num} * coalesce(s, 0L)) div {d_den}")
                 ).cast("long").alias("pr_scaled"),
             )
-            .localCheckpoint()
         )
+        if not lazy:
+            pr = pr.localCheckpoint()
     return pr
 
 
@@ -1398,6 +1417,7 @@ def katz_centrality_scaled(
         .localCheckpoint()
     )
     x = nodes.withColumn("katz_scaled", F.lit(scale).cast("long"))
+    lazy = _iter_lazy(iterations)
     for _ in range(iterations):
         contrib = (
             e.join(x, e["src"] == F.col("id"))
@@ -1414,8 +1434,9 @@ def katz_centrality_scaled(
                     + F.expr(f"({alpha_num} * coalesce(s, 0L)) div {alpha_den}")
                 ).cast("long").alias("katz_scaled"),
             )
-            .localCheckpoint()
         )
+        if not lazy:
+            x = x.localCheckpoint()
     return x
 
 
@@ -1940,6 +1961,7 @@ def eigenvector_scaled(
         .localCheckpoint()
     )
     x = nodes.withColumn("eig_scaled", F.lit(scale).cast("long"))
+    lazy = _iter_lazy(iterations)
     for _ in range(iterations):
         contrib = (
             e.join(x, e["src"] == F.col("id"))
@@ -1955,8 +1977,9 @@ def eigenvector_scaled(
                     "eig_scaled"
                 ),
             )
-            .localCheckpoint()
         )
+        if not lazy:
+            x = x.localCheckpoint()
     if not normalized:
         return x
     xx = F.col("eig_scaled").cast("decimal(38,0)")
@@ -2932,6 +2955,7 @@ def hits_scores(
     )
     h = nodes.withColumn("hub", F.lit(1).cast("long"))
     a = None
+    lazy = _iter_lazy(iterations)
     for _ in range(iterations):
         contrib_a = (
             e.join(h, e["src"] == h["id"])
@@ -2943,7 +2967,9 @@ def hits_scores(
             contrib_a, nodes["id"] == contrib_a["dst"], "left_outer"
         ).select(
             "id", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("auth")
-        ).localCheckpoint()
+        )
+        if not lazy:
+            a = a.localCheckpoint()
         contrib_h = (
             e.join(a, e["dst"] == a["id"])
             .select(F.col("src"), F.col("auth").alias("c"))
@@ -2954,7 +2980,9 @@ def hits_scores(
             contrib_h, nodes["id"] == contrib_h["src"], "left_outer"
         ).select(
             "id", F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("hub")
-        ).localCheckpoint()
+        )
+        if not lazy:
+            h = h.localCheckpoint()
     out = a.join(h, "id").select("id", "auth", "hub")
     if not normalized:
         return out
