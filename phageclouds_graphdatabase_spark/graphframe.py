@@ -354,6 +354,9 @@ class GraphFrame:
         ).localCheckpoint()
         from pyspark.sql.window import Window
 
+        from phageclouds_graphdatabase_spark.operators.graph import _iter_lazy
+
+        lazy = _iter_lazy(maxIter)
         for _ in range(maxIter):
             nb = und.join(
                 labels.withColumnRenamed("id", "__nid"),
@@ -371,13 +374,9 @@ class GraphFrame:
                 .select("id", "label")
             )
             # vertices with no neighbors keep their label
-            labels = (
-                labels.join(
-                    winners.withColumnRenamed("label", "__wl"), "id", "left_outer"
-                )
-                .select(
-                    "id", F.coalesce("__wl", "label").alias("label")
-                )
-                .localCheckpoint()
-            )
+            labels = labels.join(
+                winners.withColumnRenamed("label", "__wl"), "id", "left_outer"
+            ).select("id", F.coalesce("__wl", "label").alias("label"))
+            if not lazy:
+                labels = labels.localCheckpoint()
         return labels
