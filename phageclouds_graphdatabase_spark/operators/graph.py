@@ -187,16 +187,6 @@ def _ckpt_part(
     return _ckpt_noaqe(out, reliable)
 
 
-def _ckpt_keep(df: DataFrame, reliable: bool) -> DataFrame:
-    """Checkpoint ``df`` KEEPING the partitioning its own plan already ends
-    with (e.g. an aggregate's hash partitioning on the group key) — the
-    no-extra-shuffle sibling of :func:`_ckpt_part` for per-round loop
-    state that is already keyed right: the recorded partitioning lets the
-    next round's join skip this side's Exchange. Same AQE-off window (and
-    the same documented trade) as :func:`_ckpt_part`."""
-    return _ckpt_noaqe(df, reliable)
-
-
 def _ckpt_noaqe(df: DataFrame, reliable: bool) -> DataFrame:
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.adaptive.enabled")
