@@ -677,9 +677,14 @@ def k_hop(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     e = e.localCheckpoint()  # re-joined every BFS round
-    visited = (
-        seeds.select("id").distinct().withColumn("hops", F.lit(0)).localCheckpoint()
-    )
+    # Round 9: lazy small-k unroll (same gate/rationale as
+    # multi_source_bfs_levels — 2 checkpoint jobs + an emptiness probe per
+    # round is pure latency at small k; exchange reuse dedups the shared
+    # level subplans, an exhausted frontier just yields empty joins)
+    lazy = k <= _bfs_lazy_k()
+    visited = seeds.select("id").distinct().withColumn("hops", F.lit(0))
+    if not lazy:
+        visited = visited.localCheckpoint()
     frontier = visited.select("id")
     for i in range(1, k + 1):
         nxt = (
@@ -688,11 +693,14 @@ def k_hop(
             .distinct()
             .join(visited, "id", "left_anti")
             .withColumn("hops", F.lit(i))
-            .localCheckpoint()
         )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        if not lazy:
+            nxt = nxt.localCheckpoint()
+            if nxt.isEmpty():
+                break
+        visited = visited.unionByName(nxt)
+        if not lazy:
+            visited = visited.localCheckpoint()
         frontier = nxt.select("id")
     return visited
 
@@ -3958,23 +3966,27 @@ def k_truss(
                 })
             if not use_dec:
                 _log_enum(i + 1, n_live_after, {"peeled": n_peeled})
+            # the state built on the LAST budgeted round is only filtered
+            # and returned — leave it lazy (round 9: one checkpoint job +
+            # py4j round-trip saved; the final query carries the one-round
+            # lineage instead)
+            last = rounds is not None and i + 1 >= rounds
             if use_dec:
                 dec = _ktruss_delta_dec(
                     state.select("u", "v", "dv"),
                     peeled.select("u", "v", "dv"),
                 )
-                state = _ckpt(
-                    kept.join(dec, ["u", "v"], "left").select(
-                        "u",
-                        "v",
-                        "dv",
-                        (
-                            F.col("support")
-                            - F.coalesce(F.col("dec"), F.lit(0))
-                        ).alias("support"),
-                    ),
-                    reliable_checkpoint,
+                state = kept.join(dec, ["u", "v"], "left").select(
+                    "u",
+                    "v",
+                    "dv",
+                    (
+                        F.col("support")
+                        - F.coalesce(F.col("dec"), F.lit(0))
+                    ).alias("support"),
                 )
+                if not last:
+                    state = _ckpt(state, reliable_checkpoint)
             else:
                 live2 = _ckpt(
                     kept.select("u", "v", "dv"), reliable_checkpoint
@@ -3982,17 +3994,14 @@ def k_truss(
                 sup2 = _triangle_support(
                     live2, n_live_after, hash_broadcast_cap_edges
                 )
-                state = _ckpt(
-                    live2.join(sup2, ["u", "v"], "left").select(
-                        "u",
-                        "v",
-                        "dv",
-                        F.coalesce(F.col("support"), F.lit(0)).alias(
-                            "support"
-                        ),
-                    ),
-                    reliable_checkpoint,
+                state = live2.join(sup2, ["u", "v"], "left").select(
+                    "u",
+                    "v",
+                    "dv",
+                    F.coalesce(F.col("support"), F.lit(0)).alias("support"),
                 )
+                if not last:
+                    state = _ckpt(state, reliable_checkpoint)
             n_live = n_live_after
             i += 1
     i = 0
