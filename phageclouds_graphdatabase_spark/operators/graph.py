@@ -4118,6 +4118,10 @@ def var_length_paths(
         )
         .localCheckpoint()
     )
+    # Round 9: lazy small-hi unroll (shared _bfs_lazy_k gate) — measured
+    # on graph_path_enumeration; the doubly-consumed per-hop frontier
+    # (next hop + the output union) is cheap to recompute at small hi
+    lazy = hi <= _bfs_lazy_k()
     out = frontier if lo <= 1 else None
     for _hop in range(2, hi + 1):
         frontier = (
@@ -4128,10 +4132,11 @@ def var_length_paths(
                 F.concat("rels", F.array("_rid")).alias("rels"),
                 F.col("_next").alias("_last"),
             )
-            .localCheckpoint()
         )
-        if frontier.isEmpty():
-            break
+        if not lazy:
+            frontier = frontier.localCheckpoint()
+            if frontier.isEmpty():
+                break
         if _hop >= lo:
             out = frontier if out is None else out.unionByName(frontier)
     if out is None:
