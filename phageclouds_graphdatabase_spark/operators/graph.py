@@ -4200,11 +4200,16 @@ def shortest_paths(
             e.select(F.col("dst").alias("_last"), F.col("src").alias("_next"))
         )
     step = step.localCheckpoint()  # re-joined every level
+    # Round 9: lazy small-k unroll (shared _bfs_lazy_k gate, same
+    # rationale and A/B discipline as k_hop / multi_source_bfs_levels)
+    lazy = max_hops <= _bfs_lazy_k()
     sd = seeds.select("id").distinct()
     # visited (seed, node) pairs; seeds start visited (excludes hop-0 pairs)
     visited = sd.select(
         F.col("id").alias("_src"), F.col("id").alias("_node")
-    ).localCheckpoint()
+    )
+    if not lazy:
+        visited = visited.localCheckpoint()
     frontier = (
         sd.join(step, F.col("id") == F.col("_last"))
         .select(
@@ -4215,13 +4220,16 @@ def shortest_paths(
         # hop-1 pairs are new by construction (visited = seed self-pairs);
         # only self-loops need dropping
         .filter(F.col("_src") != F.col("_last"))
-        .localCheckpoint()
     )
+    if not lazy:
+        frontier = frontier.localCheckpoint()
     out = frontier
     for _hop in range(2, max_hops + 1):
         visited = visited.unionByName(
             frontier.select("_src", F.col("_last").alias("_node")).distinct()
-        ).localCheckpoint()
+        )
+        if not lazy:
+            visited = visited.localCheckpoint()
         ext = (
             frontier.join(step, "_last")
             .select(
@@ -4230,17 +4238,16 @@ def shortest_paths(
                 F.col("_next").alias("_last"),
             )
         )
-        frontier = (
-            ext.join(
-                visited,
-                (ext["_src"] == visited["_src"])
-                & (ext["_last"] == visited["_node"]),
-                "left_anti",
-            )
-            .localCheckpoint()
+        frontier = ext.join(
+            visited,
+            (ext["_src"] == visited["_src"])
+            & (ext["_last"] == visited["_node"]),
+            "left_anti",
         )
-        if frontier.isEmpty():
-            break
+        if not lazy:
+            frontier = frontier.localCheckpoint()
+            if frontier.isEmpty():
+                break
         out = out.unionByName(frontier)
     res = out.select(
         F.col("_src").alias("src"),
