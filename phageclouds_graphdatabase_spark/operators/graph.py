@@ -4311,6 +4311,10 @@ def cheapest_path_costs(
             )
         )
     step = step.localCheckpoint()  # re-joined every relaxation round
+    # Round 9: lazy small-k unroll (shared _bfs_lazy_k gate) — each round
+    # ends in the groupBy-min aggregate, so the doubly-consumed previous
+    # round (union + join legs) dedups at its exchange
+    lazy = max_hops <= _bfs_lazy_k()
     best = (
         seeds.select("id")
         .distinct()
@@ -4319,8 +4323,9 @@ def cheapest_path_costs(
             F.col("id").alias("_node"),
             F.lit(0).cast("long").alias("_cost"),
         )
-        .localCheckpoint()
     )
+    if not lazy:
+        best = best.localCheckpoint()
     for _round in range(max_hops):
         cand = best.join(step, best["_node"] == step["_u"]).select(
             "_src",
@@ -4331,8 +4336,9 @@ def cheapest_path_costs(
             best.unionByName(cand)
             .groupBy("_src", "_node")
             .agg(F.min("_cost").alias("_cost"))
-            .localCheckpoint()
         )
+        if not lazy:
+            best = best.localCheckpoint()
     return best.filter(F.col("_node") != F.col("_src")).select(
         F.col("_src").alias("src"),
         F.col("_node").alias("dst"),
@@ -4630,6 +4636,10 @@ def deterministic_walks(
         )
         .localCheckpoint()
     )
+    # (round 9: the lazy small-length unroll was MEASURED AND REJECTED
+    # here — 7.7-8.5 s eager vs 19.8-21.9 s lazy at sf0.1: each step's
+    # row_number window does NOT dedup across the stuck/extend consumers,
+    # so the whole walk prefix recomputes per step. Checkpoints stay.)
     done = None
     for step in range(1, walk_length + 1):
         stuck = frontier.join(
