@@ -237,7 +237,7 @@ import contextlib
 
 
 @contextlib.contextmanager
-def _fine_coalesce(spark):
+def _fine_coalesce(spark, advisory: str | None = None, floor: str | None = None):
     """Temporarily FINE AQE coalescing target (round 9): the
     lazily-unrolled sigma-BFS pipeline is CPU-dense per byte — whole-
     stage-codegen'd join+aggregate+anti-join chains over a ~2 MB frame —
@@ -255,8 +255,8 @@ def _fine_coalesce(spark):
     values session-wide."""
     import os
 
-    adv = os.environ.get("SPARK_GRAFT_BFS_ADVISORY", "1m")
-    flo = os.environ.get("SPARK_GRAFT_BFS_MIN_PARTITION", "64k")
+    adv = advisory or os.environ.get("SPARK_GRAFT_BFS_ADVISORY", "1m")
+    flo = floor or os.environ.get("SPARK_GRAFT_BFS_MIN_PARTITION", "64k")
     k_adv = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     k_flo = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
     with _CONF_WINDOW_LOCK:
@@ -277,9 +277,11 @@ def _fine_coalesce(spark):
                 spark.conf.set(k_flo, prev_flo)
 
 
-def _ckpt_fine(df: DataFrame) -> DataFrame:
+def _ckpt_fine(
+    df: DataFrame, advisory: str | None = None, floor: str | None = None
+) -> DataFrame:
     """localCheckpoint ``df`` under one :func:`_fine_coalesce` window."""
-    with _fine_coalesce(df.sparkSession):
+    with _fine_coalesce(df.sparkSession, advisory, floor):
         return df.localCheckpoint()
 
 
@@ -3918,6 +3920,30 @@ def k_truss(
     the re-execution lineage exactly like k_core's peel."""
     if k < 3:
         raise ValueError("k-truss needs k >= 3 (k-2 >= 1 triangles)")
+    import os
+
+    # Round 10 (profile finding — the same shape _fine_coalesce fixed for
+    # the sigma BFS in round 9): the wedge+closing+support stage is
+    # CPU-DENSE per byte, and AQE's byte-based coalescing ran it on 12 of
+    # 32 cores at sf0.1 (stage 58: 15.6 s executor time / 12 tasks over a
+    # 13.9 MB input; the orient/live materialization coalesced to ONE
+    # task). The fine window keeps those stages wide; at cluster volumes
+    # the exchanges carry GBs, coalescing never engages, and the window
+    # is a no-op (AQE only MERGES partitions — the partition ceiling is
+    # still the session's shuffle partitions). Env-gated for A/B.
+    _fine_sites = {
+        s
+        for s in os.environ.get("SPARK_GRAFT_KTRUSS_FINE", "state").split(",")
+        if s
+    }
+
+    _adv = os.environ.get("SPARK_GRAFT_KTRUSS_ADVISORY", "256k")
+
+    def _mat(df: DataFrame, site: str = "other") -> DataFrame:
+        if site in _fine_sites and not reliable_checkpoint:
+            return _ckpt_fine(df, advisory=_adv)
+        return _ckpt(df, reliable_checkpoint)
+
     canonical = (
         edges.select(
             F.least(F.col("src"), F.col("dst")).alias("a"),
@@ -3927,7 +3953,7 @@ def k_truss(
         .distinct()
     )
     # materialized once: every round self-joins the live set three times
-    live = _ckpt(_orient_edges(canonical), reliable_checkpoint)
+    live = _mat(_orient_edges(canonical), "live")
     # the count is ~free on the just-materialized checkpoint and gates the
     # closing-join strategy (broadcast prefilter vs shuffle-hash — see
     # _triangle_support). Peeling only REMOVES edges, so once m is at or
@@ -3981,14 +4007,14 @@ def k_truss(
 
         _log_enum(1, m)
         sup = _triangle_support(live, m, hash_broadcast_cap_edges)
-        state = _ckpt(
+        state = _mat(
             live.join(sup, ["u", "v"], "left").select(
                 "u",
                 "v",
                 "dv",
                 F.coalesce(F.col("support"), F.lit(0)).alias("support"),
             ),
-            reliable_checkpoint,
+            "state",
         )
         n_live = m
         i = 1
@@ -3996,9 +4022,13 @@ def k_truss(
             kept = state.filter(F.col("support") >= k - 2)
             if rounds is not None and i >= rounds:
                 return kept.select(*out_cols)
-            peeled = _ckpt(
-                state.filter(F.col("support") < k - 2), reliable_checkpoint
-            )
+            # round 10: peeled is a FILTER over the just-checkpointed
+            # state — its consumers (the delta-dec role joins + the
+            # anti-join) re-filter the materialized blocks, which is a
+            # cheap in-memory scan, so the dedicated checkpoint + count
+            # pair (2 sequential jobs + py4j round-trips per round) is
+            # replaced by one count job on the lazy filter
+            peeled = state.filter(F.col("support") < k - 2)
             n_peeled = peeled.count()
             if n_peeled == 0:
                 # nothing to peel: supports are already the fixpoint
@@ -4041,11 +4071,9 @@ def k_truss(
                     ).alias("support"),
                 )
                 if not last:
-                    state = _ckpt(state, reliable_checkpoint)
+                    state = _mat(state, "state")
             else:
-                live2 = _ckpt(
-                    kept.select("u", "v", "dv"), reliable_checkpoint
-                )
+                live2 = _mat(kept.select("u", "v", "dv"), "live")
                 sup2 = _triangle_support(
                     live2, n_live_after, hash_broadcast_cap_edges
                 )
@@ -4056,7 +4084,7 @@ def k_truss(
                     F.coalesce(F.col("support"), F.lit(0)).alias("support"),
                 )
                 if not last:
-                    state = _ckpt(state, reliable_checkpoint)
+                    state = _mat(state, "state")
             n_live = n_live_after
             i += 1
     i = 0
@@ -4088,11 +4116,11 @@ def k_truss(
         if rounds is not None:
             if i >= rounds:
                 return kept.select(*out_cols)
-            live = _ckpt(kept.select("u", "v", "dv"), reliable_checkpoint)
+            live = _mat(kept.select("u", "v", "dv"), "live")
             if m > hash_broadcast_cap_edges:
                 m = live.count()
             continue
-        kept = _ckpt(kept, reliable_checkpoint)
+        kept = _mat(kept, "state")
         n = kept.count()
         if prev_n is not None and n == prev_n:
             return kept.select(*out_cols)

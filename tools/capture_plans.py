@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Capture .explain('formatted') for bench headline queries into plans/r09/.
+"""Capture .explain('formatted') for bench headline queries into plans/$SPARK_GRAFT_PLANS_ROUND (default r10).
 
 Usage:
     python tools/capture_plans.py before            # all headline queries
@@ -7,7 +7,7 @@ Usage:
 
 Planning only (no execution): each query fn is built against
 $SPARK_GRAFT_SF_DIR (default sf0.1) and its formatted physical plan written
-to plans/r09/<name>_<tag>.txt. With AQE on, this is the initial plan
+to plans/<round>/<name>_<tag>.txt. With AQE on, this is the initial plan
 (isFinalPlan=false) — join strategies and Exchange placement are still
 visible, which is what the plan-diff claims in OPTIMIZATION_r09.md cite.
 """
@@ -30,7 +30,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r09",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r10"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("phageclouds-capture-plans")
