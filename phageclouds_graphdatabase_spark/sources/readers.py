@@ -30,6 +30,30 @@ TESTDATA_TABLES = (
 )
 
 
+# (path, mtime_ns, size) -> inferred StructType. METADATA cache only
+# (round 10, guide §1.2/§6): schema inference reads parquet footers on
+# the driver per ``spark.read.parquet`` call — measured 98 ms vs 16 ms
+# with an explicit schema at sf0.1, and every suite entry pays it 2-4×
+# per construction. Caching the inferred schema is the same class of
+# plan-metadata reuse as Spark's own in-session file-listing cache: no
+# row, aggregate or result is reused — every run still scans the
+# parquet — and the key invalidates on any file change (mtime/size).
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _cached_schema(spark: SparkSession, path: str):
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata Parquet table.
 
@@ -43,7 +67,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _cached_schema(spark, path)
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
