@@ -2389,11 +2389,26 @@ def _hindex_histogram(nv: DataFrame) -> DataFrame:
     )
 
 
+def _deg_histogram(deg: DataFrame) -> list:
+    """(degree → node count) histogram rows of a degree frame whose LAST
+    column is the degree — |distinct degrees| rows, one bounded job.
+    Round 10: shared between the pack probe and the broadcast-state gate
+    so core_decomposition pays ONE probe job instead of a histogram
+    collect plus a separate count (|V| = sum of the histogram counts)."""
+    dcol = deg.columns[-1]
+    return (
+        deg.groupBy(F.col(dcol).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+
+
 def _coredec_auto_pack(
     edges: DataFrame | None = None,
     depth_bound_cut: int = 32,
     min_nodes: int = 1_000_000,
     deg: DataFrame | None = None,
+    hist: list | None = None,
 ) -> bool:
     """The ``pack_ids="auto"`` probe (round 8, VERDICT r7 ask #3 — the
     nodesimilarity ``freq_cap="auto"`` self-gating pattern applied to
@@ -2422,27 +2437,23 @@ def _coredec_auto_pack(
     re-paying the |E|-distinct the algorithm does anyway (sf0.1 entry
     min 6.85 s → 8.39 s), so the shared-frame path is the default call
     site."""
-    if deg is None:
-        und_deg = (
-            edges.select(
-                F.least("src", "dst").alias("a"),
-                F.greatest("src", "dst").alias("b"),
+    if hist is None:
+        if deg is None:
+            und_deg = (
+                edges.select(
+                    F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"),
+                )
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
             )
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-        )
-        deg = (
-            und_deg.select(F.col("a").alias("id"))
-            .unionByName(und_deg.select(F.col("b").alias("id")))
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-    dcol = deg.columns[-1]
-    hist = (
-        deg.groupBy(F.col(dcol).alias("d"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
+            deg = (
+                und_deg.select(F.col("a").alias("id"))
+                .unionByName(und_deg.select(F.col("b").alias("id")))
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+        hist = _deg_histogram(deg)
     n_nodes = sum(r.n for r in hist)
     if n_nodes < min_nodes:
         return False
@@ -2578,26 +2589,37 @@ def core_decomposition(
         reliable_checkpoint,
         num_partitions=max(1, 2 * canon.rdd.getNumPartitions()),
     )
-    h = _ckpt(
-        und.groupBy(F.col("src").alias("id")).agg(
-            F.count(F.lit(1)).cast("long").alias("core")
-        ),
-        reliable_checkpoint,
+    # h₀ stays LAZY (round 10): the degree aggregate is exchange-free
+    # over und's recorded partitioning, so each consumer (the probe job,
+    # the first round's broadcast build, the fixpoint SUM) recomputes it
+    # as one cheap in-memory scan — cheaper than the dedicated
+    # checkpoint job + py4j round-trip the eager form paid.
+    h = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("core")
     )
-    # "auto" probes from the just-checkpointed h₀ (= the degree sequence)
-    # — a |V|-row aggregate, not a second canonicalization. On the rare
-    # pack decision the packed path re-canonicalizes from the raw edges
+    # "auto" probes from h₀ (= the degree sequence) — a |V|-row
+    # aggregate, not a second canonicalization. On the rare pack
+    # decision the packed path re-canonicalizes from the raw edges
     # (one extra |E| distinct, noise against the deep fixpoint that
     # triggered packing); on the common keep-unpacked decision the probe
     # adds ~nothing to the plan the rounds run anyway.
-    if auto and _coredec_auto_pack(deg=h):
-        return _coredec_packed(edges, rounds, reliable_checkpoint, delta)
+    if auto:
+        # round 10: ONE histogram job serves both the pack probe and the
+        # broadcast-state gate (|V| = sum of the histogram's counts) —
+        # h.count() was a second sequential job + py4j round-trip for a
+        # number the probe already had
+        hist = _deg_histogram(h)
+        if _coredec_auto_pack(deg=h, hist=hist):
+            return _coredec_packed(edges, rounds, reliable_checkpoint, delta)
+        nv = sum(r.n for r in hist)
+    else:
+        nv = h.count()
     # Join-strategy gate (guide §3.1, decided ONCE from a real count, not an
     # estimate): broadcast the |V|-row state per round when it fits, which
     # removes every per-round Exchange (und is pre-partitioned by src and
     # the broadcast join preserves that); past the cap, fall back to the
     # shuffle join — und's recorded partitioning still saves its side.
-    bcast_state = h.count() <= _loop_bcast_rows()
+    bcast_state = nv <= _loop_bcast_rows()
 
     def _hj(cur: DataFrame) -> DataFrame:
         j = cur.select(F.col("id").alias("dst"), F.col("core").alias("nv"))
