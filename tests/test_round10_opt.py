@@ -198,6 +198,6 @@ def test_read_table_schema_cache(spark, tmp_path):
     ]
     # events path: ts-unit sniffing still works through the cache
     ev = R.read_table(spark, src, "events")
-    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert dict(ev.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
     ev2 = R.read_table(spark, src, "events")
     assert ev2.schema == ev.schema

@@ -670,7 +670,12 @@ def main() -> None:
         # (the 100M-components lesson applied to coredec — found by this
         # rung's first attempt OOMing the 48g heap on executor-local
         # blocks)
-        reliable = args.nodes * args.avg_degree >= 150_000_000
+        # round 10: cutover LOWERED 150M -> 100M stored-edge units — the
+        # 5M x 28 rung (140M, just under the old bound) died in a
+        # broadcast-build executor thread on local-checkpoint blocks,
+        # the exact round-8 heap mode the reliable path exists for; the
+        # same tier re-run over reliable checkpoints completed
+        reliable = args.nodes * args.avg_degree >= 100_000_000
         if reliable:
             spark.sparkContext.setCheckpointDir(os.path.join(work, "ckpt"))
         probe = None
