@@ -32,6 +32,7 @@ def jaccard_pairs_capped(
     shingles: DataFrame,
     min_jaccard: float = 0.03,
     freq_cap: int | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Near-duplicate (doc_a, doc_b, n_shared, jaccard) pairs from a
     (doc_id, shingle) relation. With ``freq_cap=None`` this is exactly the
@@ -52,8 +53,16 @@ def jaccard_pairs_capped(
     # cache(): it has no concurrent first consumers, and the same A/B
     # showed the eager materialization slightly LOSES there (serializes a
     # pass the lazy plan overlaps; min 1.18 → 1.20 s, medians +0.15).
+    # ``reliable_checkpoint`` (ADVICE r9 low): localCheckpoint truncates
+    # lineage, so on clusters with executor churn (spot nodes, dynamic
+    # allocation) losing a host fails the query instead of recomputing —
+    # cluster callers opt into the session checkpoint dir here exactly
+    # like the graph operators' _ckpt(reliable) pattern.
     sh = shingles.select("doc_id", "shingle").distinct()
-    sh = sh.localCheckpoint() if freq_cap is not None else sh.cache()
+    if freq_cap is not None:
+        sh = sh.checkpoint(eager=True) if reliable_checkpoint else sh.localCheckpoint()
+    else:
+        sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     index = sh
